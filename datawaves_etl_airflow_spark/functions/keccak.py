@@ -70,9 +70,10 @@ def keccak256(data: bytes) -> bytes:
     # pad10*1 with Keccak domain byte 0x01 (NIST SHA-3 uses 0x06)
     padded = bytearray(data)
     pad_len = rate - (len(padded) % rate)
-    padded += b"\x01" + b"\x00" * (pad_len - 2) + b"\x80" if pad_len >= 2 else b""
     if pad_len == 1:
-        padded += b"\x81"
+        padded += b"\x81"  # first and last pad bit share one byte
+    else:
+        padded += b"\x01" + b"\x00" * (pad_len - 2) + b"\x80"
     for block_start in range(0, len(padded), rate):
         block = padded[block_start:block_start + rate]
         for i in range(rate // 8):

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 
 def write_partitioned(
@@ -33,18 +34,58 @@ def write_partitioned(
     overwrites; ``extra_partition_cols`` carries the logs/traces
     hash-bucket layout. ``path`` writes an external location instead of
     a catalog table (used by tests and file-based deployments).
+
+    Dynamic overwrite is forced per-write (DataFrameWriter option for
+    the path mode, a conf guard for the catalog mode) — a caller with a
+    default-conf session must never wipe historical partitions.
     """
     out = df.withColumn("dt", F.lit(ds).cast("date"))
     part_cols = ["dt"] + (extra_partition_cols or [])
-    writer = out.write.mode("overwrite").partitionBy(*part_cols)
     if path is not None:
-        writer.parquet(path)
-    else:
-        spark = df.sparkSession
-        if not spark.catalog.tableExists(table):
-            writer.format("parquet").saveAsTable(table)
-        else:
-            out.write.mode("overwrite").insertInto(table)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(path)
+        )
+        return
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        (
+            out.write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+        return
+    # insertInto is position-based: align to the table's column order
+    # (partition columns land last in saveAsTable layout) or re-running
+    # a day fails with CANNOT_SAFELY_CAST / silently miswrites.
+    table_cols = spark.table(table).columns
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        out.select(*table_cols).write.mode("overwrite").insertInto(table)
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+
+
+def _parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet path, returning None only when it does not exist.
+
+    Any other failure (corrupt footer, permissions) propagates — a
+    transient read error must not be mistaken for an empty warehouse,
+    or the dedup append silently duplicates rows.
+    """
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
 
 
 def append_dedup(
@@ -58,18 +99,20 @@ def append_dedup(
     J-6 anti-join with an append write."""
     spark = staged.sparkSession
     if path is not None:
-        try:
-            existing = spark.read.parquet(path).select(key).distinct()
+        existing_df = _parquet_or_none(spark, path)
+        if existing_df is not None:
+            existing = existing_df.select(key).distinct()
             new = staged.join(existing, key, "left_anti")
-        except Exception:
+        else:
             new = staged
         new.write.mode("append").parquet(path)
     else:
         if spark.catalog.tableExists(table):
             existing = spark.table(table).select(key).distinct()
-            staged.join(existing, key, "left_anti").write.mode(
-                "append"
-            ).insertInto(table)
+            table_cols = spark.table(table).columns
+            staged.join(existing, key, "left_anti").select(
+                *table_cols
+            ).write.mode("append").insertInto(table)
         else:
             staged.write.format("parquet").saveAsTable(table)
 

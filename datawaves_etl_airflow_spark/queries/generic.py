@@ -1,0 +1,445 @@
+"""Generic relational query corpus over the driver's TPC-H-ish tables.
+
+Each query exercises one operator family from SURVEY.md §2 (noted per
+function) on the pre-registered tables ``region nation customer supplier
+part orders lineitem events`` so the driver's DuckDB oracle can verify
+it. Domain-specific (blockchain) twins live in ``queries.domain``.
+
+Determinism rules shared with the oracles:
+- money aggregates go through exact integer cents — ``floor(x*100)``
+  is bit-identical in both engines (IEEE multiply + floor), integer
+  sums are order-independent, and ``sum_cents/100.0`` has at most two
+  decimals so the final DECIMAL cast can never hit a rounding boundary.
+  (Per-term ``round(x, 2)`` is NOT safe: Spark rounds the shortest
+  decimal repr HALF_UP, DuckDB rounds the binary value half-away —
+  they disagree on values like 123.45499999999...)
+- every LIMIT/top-k has a total tiebreak order.
+- double→int conversions go through floor() (Spark casts truncate,
+  DuckDB casts round — floor first makes both exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores nanosecond parquet timestamps, which
+    Spark's vectorized reader rejects; read them as long and convert
+    (DuckDB truncates ns→µs the same way)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _cents(col: Column) -> Column:
+    return F.floor(col * F.lit(100.0)).cast("bigint")
+
+
+def _sum_money(col: Column) -> Column:
+    """Order-independent exact money sum → DECIMAL(18,2)."""
+    return (F.sum(_cents(col)) / F.lit(100.0)).cast("decimal(18,2)")
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A-1/A-2 analogs + the table-stakes GROUP BY the reference
+# lacks but an analytics engine needs, SURVEY.md §2.4-2.5)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter + groupBy + 4 aggregates.
+
+    Partial (map-side) aggregation + a single shuffle on the 6-value
+    group key; the shipdate filter is pushed to the parquet scan.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") < F.lit("1997-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sum_money(F.col("l_quantity")).alias("sum_qty"),
+            _sum_money(F.col("l_extendedprice")).alias("sum_base_price"),
+            _sum_money(disc).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def a1_count_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-1: scalar count(1) existence check over a date filter
+    (reference: dags/resources/verify/blocks_have_latest.sql)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def a2_count_col_vs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-2: null-skipping count(col) vs count(*) in one aggregate
+    (reference: traces_null_address_equal_to_transaction_count.sql)."""
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.count(F.nullif(F.col("event_type"), F.lit("error"))).alias("cnt_col"),
+        F.count(F.lit(1)).alias("cnt_star"),
+    )
+
+
+def g1_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregate (engine extension beyond the
+    reference's agg surface, SURVEY.md §2.4)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _sum_money(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (J-1..J-7 analogs on the generic star schema)
+# --------------------------------------------------------------------------
+
+def j1_order_revenue_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-1 analog: fact ⋈ fact-agg ⋈ broadcast dimension (3-way inner
+    equi-join, reference evm_load_template.py:408-412). The customer
+    dimension is explicitly broadcast — the two fact sides never
+    shuffle it."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        l.groupBy("l_orderkey")
+        .agg(
+            _sum_money(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    dim = F.broadcast(
+        c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey", "c_name")
+    )
+    return (
+        o.join(rev, o["o_orderkey"] == rev["l_orderkey"], "inner")
+        .join(dim, o["o_custkey"] == dim["c_custkey"], "inner")
+        .select("o_orderkey", "o_orderdate", "c_name", "revenue")
+    )
+
+
+def j5_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-5 analog: multi-column equi-join — lineitem back-joined to a
+    (partkey, suppkey) aggregate on the composite key (reference
+    evm_load_template.py:370-375 recovers tx hash the same way)."""
+    l = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("pair_lines"))
+        .filter(F.col("pair_lines") >= 3)
+    )
+    return (
+        l.join(pairs, ["l_partkey", "l_suppkey"], "inner")
+        .groupBy("l_partkey", "l_suppkey", "pair_lines")
+        .agg(_sum_money(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+def j6_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-6: left-anti join — customers with no orders (the reference's
+    IN/EXCEPT tokens dedup, evm_load_template.py:290-295)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+def j7_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-7 analog: two broadcast dimension joins then aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"], "inner")
+        .join(r, n["n_regionkey"] == r["r_regionkey"], "inner")
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _sum_money(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+def e1_except_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-1: EXCEPT (distinct) set-op — parts never ordered
+    (reference evm_load_template.py:292-294 uses the same shape)."""
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
+    l = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    return p.exceptAll(l.distinct()).distinct()
+
+
+# --------------------------------------------------------------------------
+# Projections / filters (P-1..P-5 analogs) and the §2.6 scalar surface
+# --------------------------------------------------------------------------
+
+def p4_date_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-4: date filter + narrow projection; both the predicate and the
+    3-column ReadSchema reach the parquet scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-03-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def p5_conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-5: conjunctive predicate with a null test
+    (reference: trace_address = '[]' AND transaction_hash IS NOT NULL)."""
+    e = _events(spark, sf_dir)
+    return e.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("value") > 100.0)
+        & F.nullif(F.col("props"), F.lit("")).isNotNull()
+    ).select("event_id", "user_id", "value")
+
+
+def f_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 scalar-function surface in one projection: from_json-style
+    extraction, substr, split, replace, if/case, floor-cast,
+    timestamp_seconds (reference evm_load_template.py:217-237)."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.substring("event_type", 1, 3).alias("et3"),
+        F.array_join(F.split("event_type", "i"), "|").alias("et_split"),
+        F.regexp_replace("event_type", "c", "k").alias("et_replace"),
+        F.when(F.col("value") > 50.0, F.lit("hi")).otherwise(F.lit("lo")).alias("band"),
+        F.floor("value").cast("bigint").alias("value_floor"),
+        F.timestamp_seconds(F.floor("value").cast("bigint")).alias("ts_derived"),
+    )
+
+
+def h1_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc bucketing + aggregate (time-series table stakes)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _sum_money(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows / sort-limit / set ops (engine extensions, SURVEY.md §2.5)
+# --------------------------------------------------------------------------
+
+def w1_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: latest 3 events per user (total tiebreak order)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-frame window: cumulative purchase value per user."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.sum(_cents(F.col("value"))).over(w) / F.lit(100.0)).cast("decimal(18,2)").alias("running_value"),
+    )
+
+
+def t1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with total order (sort + limit)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def u1_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set-op: users with both click and purchase events."""
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.intersect(buys)
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "a1_count_existence": a1_count_existence,
+    "a2_count_col_vs_star": a2_count_col_vs_star,
+    "g1_rollup_returnflag": g1_rollup_returnflag,
+    "j1_order_revenue_3way": j1_order_revenue_3way,
+    "j5_composite_key_join": j5_composite_key_join,
+    "j6_anti_join_customers": j6_anti_join_customers,
+    "j7_region_rollup": j7_region_rollup,
+    "e1_except_parts": e1_except_parts,
+    "p4_date_range_scan": p4_date_range_scan,
+    "p5_conjunctive_filter": p5_conjunctive_filter,
+    "f_scalar_surface": f_scalar_surface,
+    "h1_hourly_events": h1_hourly_events,
+    "w1_topk_per_user": w1_topk_per_user,
+    "w2_running_sum": w2_running_sum,
+    "t1_topk_orders": t1_topk_orders,
+    "u1_intersect_users": u1_intersect_users,
+}
+
+def _m(x: str) -> str:
+    """Exact money sum: integer cents, order-independent (see header)."""
+    return f"CAST(SUM(CAST(FLOOR(({x})*100) AS BIGINT))/100.0 AS DECIMAL(18,2))"
+
+
+ORACLES = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_m('l_quantity')} AS sum_qty,
+               {_m('l_extendedprice')} AS sum_base_price,
+               {_m('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1997-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "a1_count_existence": """
+        SELECT COUNT(*) AS cnt FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    """,
+    "a2_count_col_vs_star": """
+        SELECT COUNT(NULLIF(event_type, 'error')) AS cnt_col,
+               COUNT(*) AS cnt_star
+        FROM events
+    """,
+    "g1_rollup_returnflag": f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               {_m('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "j1_order_revenue_3way": f"""
+        SELECT o.o_orderkey, o.o_orderdate, c.c_name, r.revenue
+        FROM orders o
+        JOIN (
+            SELECT l_orderkey,
+                   {_m('l_extendedprice * (1.0 - l_discount)')} AS revenue
+            FROM lineitem GROUP BY l_orderkey
+        ) r ON o.o_orderkey = r.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'AUTOMOBILE'
+    """,
+    "j5_composite_key_join": f"""
+        SELECT l.l_partkey, l.l_suppkey, p.pair_lines,
+               {_m('l.l_quantity')} AS sum_qty
+        FROM lineitem l
+        JOIN (
+            SELECT l_partkey, l_suppkey, COUNT(*) AS pair_lines
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+            HAVING COUNT(*) >= 3
+        ) p ON l.l_partkey = p.l_partkey AND l.l_suppkey = p.l_suppkey
+        GROUP BY l.l_partkey, l.l_suppkey, p.pair_lines
+    """,
+    "j6_anti_join_customers": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """,
+    "j7_region_rollup": f"""
+        SELECT r.r_name,
+               COUNT(*) AS n_customers,
+               {_m('c.c_acctbal')} AS sum_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    "e1_except_parts": """
+        SELECT p_partkey AS partkey FROM part
+        EXCEPT
+        SELECT l_partkey AS partkey FROM lineitem
+    """,
+    "p4_date_range_scan": """
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1995-03-01'
+    """,
+    "p5_conjunctive_filter": """
+        SELECT event_id, user_id, value FROM events
+        WHERE event_type = 'purchase' AND value > 100.0
+          AND NULLIF(props, '') IS NOT NULL
+    """,
+    "f_scalar_surface": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               substr(event_type, 1, 3) AS et3,
+               array_to_string(string_split(event_type, 'i'), '|') AS et_split,
+               replace(event_type, 'c', 'k') AS et_replace,
+               CASE WHEN value > 50.0 THEN 'hi' ELSE 'lo' END AS band,
+               CAST(FLOOR(value) AS BIGINT) AS value_floor,
+               make_timestamp(CAST(FLOOR(value) AS BIGINT) * 1000000) AS ts_derived
+        FROM events
+    """,
+    "h1_hourly_events": f"""
+        SELECT date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_events,
+               {_m('value')} AS sum_value
+        FROM events
+        GROUP BY date_trunc('hour', ts)
+    """,
+    "w1_topk_per_user": """
+        SELECT user_id, event_id, rn FROM (
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn <= 3
+    """,
+    "w2_running_sum": f"""
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )/100.0 AS DECIMAL(18,2)) AS running_value
+        FROM events WHERE event_type = 'purchase'
+    """,
+    "t1_topk_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    "u1_intersect_users": """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+}
