@@ -1,0 +1,25 @@
+"""Off-chain prices operators (S-12).
+
+The reference fetches 5-minute tickers and forward-fills each record to
+1-minute rows in driver-side Python (reference:
+dags/offchains/prices.py:44-83). At scale that fill is a generate+join
+problem, so the engine expresses it as ``explode(sequence(...))`` — a
+pure JVM rowset expansion, no Python, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fill_price_minutes(raw: DataFrame, interval_minutes: int = 5) -> DataFrame:
+    """Expand each ``interval_minutes``-grain price record to 1-minute
+    rows (reference dags/offchains/prices.py:73-83: each record fills
+    [minute, minute+interval-1])."""
+    span = interval_minutes - 1
+    seq = F.expr(
+        f"sequence(minute, minute + INTERVAL {span} MINUTES, INTERVAL 1 MINUTE)"
+    )
+    other = [c for c in raw.columns if c != "minute"]
+    return raw.select(F.explode(seq).alias("minute"), *other)

@@ -1,0 +1,472 @@
+"""Blockchain-domain query corpus on deterministic fixtures.
+
+Exercises the reference's own operator surface (SURVEY.md §2) end to
+end: staging scans → enrich joins/projections → verify aggregates →
+ABI decode/extraction → prices fill. Fixtures are one synthetic day in
+the reference's export layout (``testing.fixtures``); the DuckDB
+oracles read the very same JSON/CSV/parquet files.
+
+Murmur3 hash-bucket columns (``address_hash``/``selector_hash``) are
+deliberately absent from compared projections — DuckDB cannot reproduce
+Spark's hash(); their stability is pinned in tests/ instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import enrich
+from ..operators.decode import (
+    ERC20_SELECTORS,
+    ERC721_SELECTORS,
+    decode_call_functions,
+    decode_log_events,
+    extract_contracts,
+    extract_token_transfers,
+)
+from ..operators.prices import fill_price_minutes
+from ..schemas.abi import AbiElement
+from ..schemas.staging import STAGING_SCHEMAS, staging_schema
+from ..sources.staging import read_staging
+from ..testing import fixtures as fx
+from ..testing.fixtures import ensure_fixtures
+
+__all__ = ["QUERIES", "ORACLES", "ensure_fixtures"]
+
+# Public ERC-20 ABI elements (from the ERC-20 standard), used by the
+# decode queries; the reference ships the same ABI at
+# dags/resources/contracts/ethereum/common/erc20.json.
+TRANSFER_EVENT = AbiElement.from_dict({
+    "type": "event",
+    "name": "Transfer",
+    "inputs": [
+        {"name": "from", "type": "address", "indexed": True},
+        {"name": "to", "type": "address", "indexed": True},
+        {"name": "value", "type": "uint256", "indexed": False},
+    ],
+})
+TRANSFER_FUNCTION = AbiElement.from_dict({
+    "type": "function",
+    "name": "transfer",
+    "inputs": [
+        {"name": "to", "type": "address"},
+        {"name": "value", "type": "uint256"},
+    ],
+    "outputs": [{"name": "", "type": "bool"}],
+})
+
+
+def _staged(spark: SparkSession, table: str) -> DataFrame:
+    ensure_fixtures()
+    fmt = "csv" if table == "prices" else "json"
+    return read_staging(spark, table, fx.export_file(table, fmt))
+
+
+# --------------------------------------------------------------------------
+# S-1 / S-2: schema-on-read staging scans
+# --------------------------------------------------------------------------
+
+def s1_staging_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-1: explicit-schema JSON scan (blocks), narrow projection."""
+    return _staged(spark, "blocks").select(
+        "number", "hash", "miner", "difficulty", "gas_used", "timestamp"
+    )
+
+
+def s2_staging_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-2: header CSV scan (prices — the only CSV loader)."""
+    return _staged(spark, "prices").select(
+        "minute", "price", "decimals", "contract_address", "symbol", "dt"
+    )
+
+
+# --------------------------------------------------------------------------
+# Enrich family (P-1..P-3, J-1..J-7)
+# --------------------------------------------------------------------------
+
+def d_enrich_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich.enrich_blocks(_staged(spark, "blocks"))
+
+
+def d_enrich_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich.enrich_transactions(
+        _staged(spark, "transactions"),
+        _staged(spark, "blocks"),
+        _staged(spark, "receipts"),
+    )
+
+
+def d_enrich_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = enrich.enrich_logs(_staged(spark, "logs"), _staged(spark, "blocks"))
+    return out.select(
+        "log_index", "transaction_hash", "transaction_index", "address",
+        "block_timestamp", "block_number", "block_hash", "selector",
+        F.size("topics_arr").alias("n_topics"),
+        F.array_join("topics_arr", "|").alias("topics_joined"),
+        F.hex("unhex_data").alias("data_hex"),
+    )
+
+
+def d_enrich_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = enrich.enrich_traces(_staged(spark, "traces"), _staged(spark, "blocks"))
+    return out.select(
+        "transaction_hash", "from_address", "to_address", "value",
+        "trace_type", "trace_address", "status", "selector",
+        "block_timestamp", "block_number", "block_hash",
+        F.hex("unhex_input").alias("input_hex"),
+        F.hex("unhex_output").alias("output_hex"),
+    )
+
+
+def d_enrich_geth_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = enrich.enrich_geth_traces(
+        _staged(spark, "geth_traces"),
+        _staged(spark, "blocks"),
+        _staged(spark, "transactions"),
+    )
+    return out.select(
+        "transaction_hash", "transaction_index", "from_address", "to_address",
+        "value", "trace_type", "trace_address", "selector",
+        "block_timestamp", "block_number",
+    )
+
+
+def d_enrich_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich.enrich_contracts(
+        _staged(spark, "contracts"), _staged(spark, "blocks")
+    )
+
+
+def d_enrich_token_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich.enrich_token_transfers(
+        _staged(spark, "token_transfers"), _staged(spark, "blocks")
+    )
+
+
+def d_new_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_fixtures()
+    staged = _staged(spark, "tokens")
+    existing = spark.read.parquet(fx.warehouse_tokens_path())
+    return enrich.new_tokens(staged, existing)
+
+
+def d_prices_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-12: 5-minute ticks → 1-minute grain via explode(sequence)."""
+    ensure_fixtures()
+    raw = (
+        spark.read.schema(staging_schema("prices"))
+        .option("header", True)
+        .csv(fx.prices_raw_path())
+    )
+    return fill_price_minutes(raw)
+
+
+# --------------------------------------------------------------------------
+# Verify aggregates (A-1, A-2, P-4, P-5) expressed as plans
+# --------------------------------------------------------------------------
+
+def d_verify_have_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-1 plan: partition-count existence check for the fixture day."""
+    blocks = enrich.enrich_blocks(_staged(spark, "blocks"))
+    return blocks.filter(
+        F.to_date("timestamp") == F.lit(fx.DS).cast("date")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def d_verify_root_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-2/P-5 plan: #root traces (null-skipping count) vs #transactions."""
+    traces = _staged(spark, "traces")
+    txs = _staged(spark, "transactions")
+    n_root = (
+        traces.filter(
+            (F.col("trace_address") == "[]")
+            & F.col("transaction_hash").isNotNull()
+        )
+        .agg(F.count("transaction_hash").alias("n_root"))
+    )
+    n_tx = txs.agg(F.count(F.lit(1)).alias("n_tx"))
+    return n_root.crossJoin(n_tx)
+
+
+# --------------------------------------------------------------------------
+# Decode (D-1, D-2, D-4, D-5)
+# --------------------------------------------------------------------------
+
+def evt_transfer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-1: ABI event decode of ERC-20 Transfer over enriched logs."""
+    logs = enrich.enrich_logs(_staged(spark, "logs"), _staged(spark, "blocks"))
+    return decode_log_events(logs, TRANSFER_EVENT)
+
+
+def call_transfer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-2: ABI function-call decode of transfer(address,uint256)."""
+    traces = enrich.enrich_traces(_staged(spark, "traces"), _staged(spark, "blocks"))
+    return decode_call_functions(traces, TRANSFER_FUNCTION)
+
+
+def d4_token_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-4: Transfer extraction from RAW logs (pre-warehouse)."""
+    return extract_token_transfers(_staged(spark, "logs"))
+
+
+def d5_extract_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-5: contract extraction from create traces (PUSH4 sighash scan)."""
+    return extract_contracts(_staged(spark, "traces"))
+
+
+QUERIES = {
+    "s1_staging_scan_json": s1_staging_scan_json,
+    "s2_staging_scan_csv": s2_staging_scan_csv,
+    "d_enrich_blocks": d_enrich_blocks,
+    "d_enrich_transactions": d_enrich_transactions,
+    "d_enrich_logs": d_enrich_logs,
+    "d_enrich_traces": d_enrich_traces,
+    "d_enrich_geth_traces": d_enrich_geth_traces,
+    "d_enrich_contracts": d_enrich_contracts,
+    "d_enrich_token_transfers": d_enrich_token_transfers,
+    "d_new_tokens": d_new_tokens,
+    "d_prices_fill": d_prices_fill,
+    "d_verify_have_latest": d_verify_have_latest,
+    "d_verify_root_traces": d_verify_root_traces,
+    "evt_transfer_decode": evt_transfer_decode,
+    "call_transfer_decode": call_transfer_decode,
+    "d4_token_transfers": d4_token_transfers,
+    "d5_extract_contracts": d5_extract_contracts,
+}
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles — same fixture files, ANSI SQL
+# --------------------------------------------------------------------------
+
+_DUCK_TYPES = {
+    "bigint": "BIGINT",
+    "string": "VARCHAR",
+    "decimal(38,0)": "DECIMAL(38,0)",
+    "boolean": "BOOLEAN",
+    "double": "DOUBLE",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+}
+
+
+def _duck_cols(table: str) -> str:
+    sch = STAGING_SCHEMAS[table]
+    inner = ", ".join(
+        f"'{f.name}': '{_DUCK_TYPES[f.dataType.simpleString()]}'"
+        for f in sch.fields
+    )
+    return "{" + inner + "}"
+
+
+def _rd(table: str) -> str:
+    """DuckDB relation over one staging fixture file."""
+    if table == "prices":
+        return (
+            f"read_csv('{fx.export_file('prices', 'csv')}', header=true, "
+            f"columns={_duck_cols('prices')})"
+        )
+    return (
+        f"read_json('{fx.export_file(table)}', format='newline_delimited', "
+        f"columns={_duck_cols(table)})"
+    )
+
+
+_BT = "make_timestamp(b.timestamp * 1000000)"
+
+# topics normalization, transcribed for DuckDB (1-indexed arrays):
+# reference evm_load_template.py:231-236
+_TOPICS_ARR = """
+    CASE WHEN regexp_matches(topics, ',') THEN
+        CASE WHEN regexp_matches(topics, '^[0-9]+')
+             THEN string_split(replace(topics, '"', ''), ',')
+             ELSE CAST(topics::JSON AS VARCHAR[]) END
+    ELSE [topics] END
+"""
+
+ORACLES = {
+    "s1_staging_scan_json": f"""
+        SELECT number, hash, miner, difficulty, gas_used, timestamp
+        FROM {_rd('blocks')}
+    """,
+    "s2_staging_scan_csv": f"""
+        SELECT minute, price, decimals, contract_address, symbol, dt
+        FROM {_rd('prices')}
+    """,
+    "d_enrich_blocks": f"""
+        SELECT make_timestamp(timestamp * 1000000) AS timestamp,
+               number, hash, parent_hash, nonce, sha3_uncles, logs_bloom,
+               transactions_root, state_root, receipts_root, miner,
+               difficulty, total_difficulty, size, extra_data, gas_limit,
+               gas_used, transaction_count, base_fee_per_gas
+        FROM {_rd('blocks')}
+    """,
+    "d_enrich_transactions": f"""
+        SELECT t.hash, t.nonce, t.transaction_index, t.from_address,
+               t.to_address, t.value, t.gas, t.gas_price, t.input,
+               r.cumulative_gas_used AS receipt_cumulative_gas_used,
+               r.gas_used AS receipt_gas_used,
+               r.contract_address AS receipt_contract_address,
+               r.root AS receipt_root,
+               r.status AS receipt_status,
+               {_BT} AS block_timestamp,
+               b.number AS block_number,
+               b.hash AS block_hash,
+               t.max_fee_per_gas, t.max_priority_fee_per_gas,
+               t.transaction_type,
+               r.effective_gas_price AS receipt_effective_gas_price
+        FROM {_rd('transactions')} t
+        JOIN {_rd('blocks')} b ON t.block_number = b.number
+        JOIN {_rd('receipts')} r ON t.hash = r.transaction_hash
+    """,
+    "d_enrich_logs": f"""
+        WITH l AS (
+            SELECT *, ({_TOPICS_ARR}) AS arr FROM {_rd('logs')}
+        )
+        SELECT l.log_index, l.transaction_hash, l.transaction_index,
+               l.address,
+               {_BT} AS block_timestamp,
+               b.number AS block_number, b.hash AS block_hash,
+               arr[1] AS selector,
+               array_length(arr) AS n_topics,
+               array_to_string(arr, '|') AS topics_joined,
+               hex(unhex(substr(l.data, 3))) AS data_hex
+        FROM l JOIN {_rd('blocks')} b ON l.block_number = b.number
+    """,
+    "d_enrich_traces": f"""
+        SELECT t.transaction_hash, t.from_address, t.to_address, t.value,
+               t.trace_type, t.trace_address, t.status,
+               substr(t.input, 1, 10) AS selector,
+               {_BT} AS block_timestamp,
+               b.number AS block_number, b.hash AS block_hash,
+               hex(unhex(substr(t.input, 3))) AS input_hex,
+               hex(unhex(substr(t.output, 3))) AS output_hex
+        FROM {_rd('traces')} t
+        JOIN {_rd('blocks')} b ON t.block_number = b.number
+    """,
+    "d_enrich_geth_traces": f"""
+        SELECT tx.hash AS transaction_hash, g.transaction_index,
+               g.from_address, g.to_address, g.value, g.trace_type,
+               g.trace_address,
+               substr(g.input, 1, 10) AS selector,
+               {_BT} AS block_timestamp,
+               b.number AS block_number
+        FROM {_rd('geth_traces')} g
+        JOIN {_rd('blocks')} b ON g.block_number = b.number
+        JOIN {_rd('transactions')} tx
+          ON g.transaction_index = tx.transaction_index
+         AND g.block_number = tx.block_number
+    """,
+    "d_enrich_contracts": f"""
+        SELECT c.address, c.bytecode, c.function_sighashes,
+               c.is_erc20, c.is_erc721,
+               {_BT} AS block_timestamp,
+               b.number AS block_number, b.hash AS block_hash
+        FROM {_rd('contracts')} c
+        JOIN {_rd('blocks')} b ON c.block_number = b.number
+    """,
+    "d_enrich_token_transfers": f"""
+        SELECT t.token_address, t.from_address, t.to_address, t.value,
+               t.transaction_hash, t.log_index,
+               {_BT} AS block_timestamp,
+               b.number AS block_number, b.hash AS block_hash
+        FROM {_rd('token_transfers')} t
+        JOIN {_rd('blocks')} b ON t.block_number = b.number
+    """,
+    "d_new_tokens": f"""
+        SELECT s.address, s.symbol, s.name, s.decimals, s.total_supply
+        FROM {_rd('tokens')} s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('{fx.warehouse_tokens_path()}/*.parquet') w
+            WHERE w.address = s.address
+        )
+    """,
+    "d_prices_fill": f"""
+        SELECT unnest(generate_series(
+                   minute, minute + INTERVAL 4 MINUTE, INTERVAL 1 MINUTE
+               )) AS minute,
+               price, decimals, contract_address, symbol, dt
+        FROM read_csv('{fx.prices_raw_path()}', header=true,
+                      columns={_duck_cols('prices')})
+    """,
+    "d_verify_have_latest": f"""
+        SELECT COUNT(*) AS cnt FROM {_rd('blocks')}
+        WHERE CAST(make_timestamp(timestamp * 1000000) AS DATE)
+              = DATE '{fx.DS}'
+    """,
+    "d_verify_root_traces": f"""
+        SELECT (SELECT COUNT(transaction_hash) FROM {_rd('traces')}
+                WHERE trace_address = '[]'
+                  AND transaction_hash IS NOT NULL) AS n_root,
+               (SELECT COUNT(*) FROM {_rd('transactions')}) AS n_tx
+    """,
+    "evt_transfer_decode": f"""
+        WITH l AS (
+            SELECT *, ({_TOPICS_ARR}) AS arr FROM {_rd('logs')}
+        ), t AS (
+            SELECT * FROM l
+            WHERE arr[1] = '{fx.TRANSFER_TOPIC0}' AND array_length(arr) = 3
+        )
+        SELECT '0x' || substr(t.arr[2], 27, 40) AS "from",
+               '0x' || substr(t.arr[3], 27, 40) AS "to",
+               CAST(CAST('0x0' || regexp_replace(substr(t.data, 3, 64), '^0+', '')
+                         AS BIGINT) AS DECIMAL(38,0)) AS value,
+               t.address AS contract_address,
+               t.transaction_hash AS evt_tx_hash,
+               t.log_index AS evt_index,
+               {_BT} AS evt_block_time,
+               b.number AS evt_block_number
+        FROM t JOIN {_rd('blocks')} b ON t.block_number = b.number
+    """,
+    "call_transfer_decode": f"""
+        WITH t AS (
+            SELECT * FROM {_rd('traces')}
+            WHERE substr(input, 1, 10) = '{fx.TRANSFER_FN_SELECTOR}'
+        )
+        SELECT '0x' || substr(t.input, 35, 40) AS "to",
+               CAST(CAST('0x0' || regexp_replace(substr(t.input, 75, 64), '^0+', '')
+                         AS BIGINT) AS DECIMAL(38,0)) AS value,
+               CASE WHEN t.output IS NULL OR t.output = '0x' THEN NULL
+                    ELSE CAST('0x0' || regexp_replace(substr(t.output, 3, 64), '^0+', '')
+                              AS BIGINT) != 0
+               END AS output_0,
+               t.to_address AS contract_address,
+               t.status = 1 AS call_success,
+               t.transaction_hash AS call_tx_hash,
+               t.trace_address AS call_trace_address,
+               {_BT} AS call_block_time,
+               b.number AS call_block_number
+        FROM t JOIN {_rd('blocks')} b ON t.block_number = b.number
+    """,
+    "d4_token_transfers": f"""
+        WITH l AS (
+            SELECT *, ({_TOPICS_ARR}) AS arr FROM {_rd('logs')}
+        )
+        SELECT address AS token_address,
+               '0x' || substr(arr[2], 27, 40) AS from_address,
+               '0x' || substr(arr[3], 27, 40) AS to_address,
+               CAST(CAST('0x0' || regexp_replace(substr(data, 3, 64), '^0+', '')
+                         AS BIGINT) AS DECIMAL(38,0)) AS value,
+               transaction_hash, log_index, block_number
+        FROM l
+        WHERE arr[1] = '{fx.TRANSFER_TOPIC0}' AND array_length(arr) = 3
+    """,
+    "d5_extract_contracts": f"""
+        WITH c AS (
+            SELECT *, list_sort(list_distinct(
+                       regexp_extract_all(substr(output, 3),
+                                          '63([0-9a-f]{{8}})14', 1))) AS sig
+            FROM {_rd('traces')}
+            WHERE trace_type = 'create' AND status = 1
+        )
+        SELECT to_address AS address,
+               output AS bytecode,
+               array_to_string(list_transform(sig, x -> '0x' || x), ',')
+                   AS function_sighashes,
+               list_has_all(sig, {ERC20_SELECTORS}) AS is_erc20,
+               list_has_all(sig, {ERC721_SELECTORS}) AS is_erc721,
+               block_number
+        FROM c
+    """,
+}
