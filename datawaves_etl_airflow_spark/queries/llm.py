@@ -1,0 +1,317 @@
+"""LLM-training-data operator corpus over documents + embeddings.
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), embedding
+similarity search (brute-force + LSH-bucketed), text analysis, and
+multimodal binary plumbing — the training-pipeline surface the brief
+adds beyond the reference (SURVEY.md §7 step 7).
+
+Oracle-checked wherever DuckDB can express the same computation;
+hash-family ops whose results depend on Spark's xxhash64 (MinHash,
+SimHash, hyperplane-LSH) are rows-only here and pinned by tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _doubled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ re-identified copy — a corpus with known exact dups
+    (the driver corpus itself has no exact duplicates)."""
+    d = _docs(spark, sf_dir)
+    return d.unionAll(d.withColumn("doc_id", F.col("doc_id") + F.lit(100000)))
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groups over the doubled corpus."""
+    groups = dedup.exact_dedup_groups(_doubled_corpus(spark, sf_dir))
+    return groups.filter(F.col("n_dups") >= 2)
+
+
+def llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (j ≥ 0.5)."""
+    sh = dedup.word_shingles(_docs(spark, sf_dir))
+    out = dedup.jaccard_pairs(sh, 0.5)
+    return out.select(
+        "id_a", "id_b", "n_inter", "sz_a", "sz_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup pairs, exact-verified at j ≥ 0.5 (rows-only:
+    the candidate set depends on Spark's xxhash64)."""
+    out = dedup.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def llm_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates within Hamming distance 3
+    (rows-only: signatures are Spark xxhash64-based)."""
+    sigs = dedup.simhash_signatures(_docs(spark, sf_dir))
+    pairs = dedup.simhash_candidate_pairs(sigs)
+    return pairs.filter(F.col("hamming") <= 3).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+def _query_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _embs(spark, sf_dir)
+        .filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+
+
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors (exact baseline)."""
+    return similarity.brute_force_topk(
+        _embs(spark, sf_dir), _query_vecs(spark, sf_dir), k=5
+    )
+
+
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (rows-only: buckets depend on the
+    fixed-seed hyperplanes; recall vs brute force is pinned in tests)."""
+    return similarity.lsh_topk(
+        _embs(spark, sf_dir), _query_vecs(spark, sf_dir), dim=64, k=5
+    )
+
+
+def llm_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45)."""
+    return similarity.neardup_pairs(_embs(spark, sf_dir), threshold=0.45)
+
+
+# --------------------------------------------------------------------------
+# Text analysis + multimodal plumbing
+# --------------------------------------------------------------------------
+
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = text.text_stats(_docs(spark, sf_dir))
+    return st.select(
+        "doc_id", "n_chars", "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        "n_punct",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+    )
+
+
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.detect_language(_docs(spark, sf_dir))
+
+
+def llm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(_docs(spark, sf_dir))
+
+
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload plumbing: mapInPandas metadata extraction."""
+    payloads = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    return multimodal.extract_binary_meta(payloads)
+
+
+QUERIES = {
+    "llm_dedup_exact": llm_dedup_exact,
+    "llm_jaccard_pairs": llm_jaccard_pairs,
+    "llm_minhash_dedup": llm_minhash_dedup,
+    "llm_simhash_candidates": llm_simhash_candidates,
+    "llm_cosine_topk": llm_cosine_topk,
+    "llm_ann_lsh": llm_ann_lsh,
+    "llm_neardup_embeddings": llm_neardup_embeddings,
+    "llm_text_stats": llm_text_stats,
+    "llm_lang_id": llm_lang_id,
+    "llm_token_counts": llm_token_counts,
+    "llm_fingerprint": llm_fingerprint,
+    "llm_multimodal_meta": llm_multimodal_meta,
+}
+
+# normalized text, DuckDB spelling (regexp_replace needs the 'g' flag)
+_NORM = "trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM.format(t='text')}, ' ')"
+
+_SHINGLES = f"""
+    SELECT DISTINCT doc_id AS id,
+           array_to_string(ws[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, {_WORDS} AS ws FROM documents),
+         UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS u(i)
+"""
+
+_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)}) / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+_SW = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in text.LANG_STOPWORDS.items()
+}
+
+
+def _sw_hits(lang: str) -> str:
+    return f"len(list_filter(ws, x -> list_contains({_SW[lang]}, x)))"
+
+
+ORACLES = {
+    "llm_dedup_exact": f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents
+        )
+        SELECT md5({_NORM.format(t='text')}) AS fingerprint,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_dups
+        FROM corpus
+        GROUP BY 1
+        HAVING COUNT(*) >= 2
+    """,
+    "llm_jaccard_pairs": f"""
+        WITH sh AS ({_SHINGLES}),
+        sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+               ROUND(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6)
+                   AS jaccard
+        FROM inter
+        JOIN sz sa ON inter.id_a = sa.id
+        JOIN sz sb ON inter.id_b = sb.id
+        WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5
+    """,
+    "llm_cosine_topk": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS query_vec
+            FROM embeddings WHERE vec_id < 10
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS match_id,
+                   {_cos('q.query_vec', 'e.embedding')} AS c
+            FROM q CROSS JOIN embeddings e
+        ), ranked AS (
+            SELECT query_id, match_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY c DESC, match_id ASC
+                   ) AS rank,
+                   ROUND(c, 6) AS cosine_sim
+            FROM scored
+        )
+        SELECT query_id, match_id, rank, cosine_sim
+        FROM ranked WHERE rank <= 5
+    """,
+    "llm_neardup_embeddings": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_cos('a.embedding', 'b.embedding')} >= 0.45
+    """,
+    "llm_text_stats": f"""
+        WITH w AS (SELECT doc_id, text, {_WORDS} AS ws FROM documents)
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(ws) AS n_words,
+               ROUND(list_sum(list_transform(ws, x -> length(x)))
+                     * 1.0 / len(ws), 6) AS mean_word_len,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                   AS n_punct,
+               ROUND((length(text)
+                      - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     * 1.0 / length(text), 6) AS punct_ratio,
+               ROUND({_sw_hits('en')} * 1.0 / len(ws), 6) AS stopword_ratio,
+               ROUND((length(text)
+                      - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                     * 1.0 / length(text), 6) AS upper_ratio
+        FROM w
+    """,
+    "llm_lang_id": f"""
+        WITH w AS (
+            SELECT doc_id, text, {_WORDS} AS ws FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   {_sw_hits('en')} AS s_en, {_sw_hits('de')} AS s_de,
+                   {_sw_hits('fr')} AS s_fr, {_sw_hits('es')} AS s_es,
+                   regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS cjk
+            FROM w
+        )
+        SELECT doc_id,
+               CASE WHEN cjk THEN 'zh'
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                         THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS detected_lang,
+               s_en AS score_en, s_de AS score_de,
+               s_fr AS score_fr, s_es AS score_es
+        FROM s
+    """,
+    "llm_token_counts": f"""
+        SELECT doc_id,
+               len({_WORDS}) AS n_ws_tokens,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+        FROM documents
+    """,
+    "llm_fingerprint": f"""
+        WITH n AS (
+            SELECT doc_id, {_NORM.format(t='text')} AS t FROM documents
+        )
+        SELECT doc_id,
+               md5(t) AS content_md5,
+               list_aggregate(
+                   list_transform(
+                       range(1, greatest(length(t) - 3, 1) + 1),
+                       i -> md5(substr(t, CAST(i AS BIGINT), 4))),
+                   'min') AS min_gram_fp
+        FROM n
+    """,
+    "llm_multimodal_meta": """
+        SELECT doc_id AS id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_md5,
+               lower(hex(encode(substr(text, 1, 8)))) AS header_hex
+        FROM documents
+    """,
+}
