@@ -1,0 +1,218 @@
+"""LLM-data operators: dedup recall on planted duplicates, similarity
+vs a NumPy oracle, text stats, multimodal plumbing."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datawaves_etl_airflow_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the red river bank"),
+    (3, "completely different content about spark query engines and shuffles"),
+    (4, "another unrelated document mentioning parquet files and columnar io"),
+    (5, "THE  Quick   Brown Fox jumps over the lazy dog near the river bank"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_groups(self, docs):
+        out = dedup.exact_dedup_groups(docs).collect()
+        by_keep = {r["keep_id"]: r["n_dups"] for r in out}
+        # 0, 1 and 5 (case/whitespace-normalized) collapse to one group
+        assert by_keep[0] == 3
+        assert by_keep[2] == 1
+        assert sum(by_keep.values()) == 6
+
+
+class TestMinHash:
+    def test_planted_duplicates_found(self, docs):
+        pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        # exact duplicates MUST be caught (identical signatures share
+        # every band); the near-dup (0,2) should clear j≥0.5 too
+        assert (0, 1) in got
+        assert (0, 5) in got
+        assert (1, 5) in got
+        for r in pairs:
+            assert r["jaccard"] >= 0.5
+
+    def test_no_false_positives_below_threshold(self, docs):
+        pairs = dedup.minhash_dedup_pairs(docs, threshold=0.9).collect()
+        for r in pairs:
+            assert r["jaccard"] >= 0.9
+
+    def test_jaccard_matches_python(self, docs, spark):
+        sh = dedup.word_shingles(docs)
+        out = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(sh, 0.0).collect()
+        }
+
+        def shingle_set(t):
+            words = " ".join(t.lower().split()).split(" ")
+            return {
+                " ".join(words[i:i + 3])
+                for i in range(max(len(words) - 2, 1))
+            }
+
+        s0, s2 = shingle_set(DOCS[0][1]), shingle_set(DOCS[2][1])
+        expect = len(s0 & s2) / len(s0 | s2)
+        assert math.isclose(out[(0, 2)], expect, rel_tol=1e-12)
+
+
+class TestSimHash:
+    def test_identical_docs_zero_hamming(self, docs):
+        sigs = dedup.simhash_signatures(docs)
+        pairs = dedup.simhash_candidate_pairs(sigs).collect()
+        ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+        # identical (modulo normalization) docs → identical signature
+        assert ham[(0, 1)] == 0
+        assert ham[(0, 5)] == 0
+
+    def test_pigeonhole_guarantee(self, docs):
+        """Every pair within Hamming distance 3 MUST be a candidate
+        (4 chunks → ≤3 differing bits leave one chunk untouched)."""
+        sigs = {r["id"]: r["simhash"]
+                for r in dedup.simhash_signatures(docs).collect()}
+        cands = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_candidate_pairs(
+                dedup.simhash_signatures(docs)
+            ).collect()
+        }
+        ids = sorted(sigs)
+        for i in ids:
+            for j in ids:
+                if i < j and bin(sigs[i] ^ sigs[j]).count("1") <= 3:
+                    assert (i, j) in cands
+
+
+class TestSimilarity:
+    def _vectors(self, spark, n=40, dim=8, seed=3):
+        rng = np.random.default_rng(seed)
+        vecs = rng.normal(size=(n, dim)).astype("float32")
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+        return vecs, spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_brute_force_matches_numpy(self, spark):
+        vecs, df = self._vectors(spark)
+        queries = df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        out = similarity.brute_force_topk(df, queries, k=4).collect()
+        norm = vecs / np.linalg.norm(vecs.astype("float64"), axis=1, keepdims=True)
+        sims = norm @ norm.T
+        for q in range(3):
+            expect = list(np.argsort(-sims[q], kind="stable")[:4])
+            got = [
+                r["match_id"]
+                for r in sorted(
+                    (r for r in out if r["query_id"] == q),
+                    key=lambda r: r["rank"],
+                )
+            ]
+            assert got == [int(x) for x in expect]
+
+    def test_lsh_recall_reasonable(self, spark):
+        vecs, df = self._vectors(spark, n=60)
+        queries = df.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        exact = similarity.brute_force_topk(df, queries, k=1).collect()
+        approx = similarity.lsh_topk(df, queries, dim=8, k=1, n_planes=4).collect()
+        # self-match (cos=1) is always in the query's own bucket
+        self_hits = sum(
+            1 for r in approx if r["rank"] == 1 and r["match_id"] == r["query_id"]
+        )
+        exact_self = sum(
+            1 for r in exact if r["rank"] == 1 and r["match_id"] == r["query_id"]
+        )
+        assert exact_self == 60
+        assert self_hits == 60
+
+    def test_neardup_pairs_symmetric_threshold(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = similarity.neardup_pairs(df, threshold=0.95).collect()
+        assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+
+
+class TestText:
+    def test_stats_golden(self, spark):
+        df = spark.createDataFrame(
+            [(1, "The cat, the hat!")], ["doc_id", "text"]
+        )
+        r = text.text_stats(df).collect()[0]
+        assert r["n_chars"] == 17
+        assert r["n_words"] == 4
+        assert r["n_punct"] == 2
+        assert math.isclose(r["stopword_ratio"], 0.5)  # 'the' twice / 4
+
+    def test_language_votes(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog is a pet"),
+                (2, "der hund und die katze ist da"),
+                (3, "le chat et la maison est ici"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r["detected_lang"]
+               for r in text.detect_language(df).collect()}
+        assert out == {1: "en", 2: "de", 3: "fr"}
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([(1, "a b-c d!")], ["doc_id", "text"])
+        r = text.token_counts(df).collect()[0]
+        assert r["n_ws_tokens"] == 3
+        # a, b, -, c, d, ! → 6 BPE-ish tokens
+        assert r["n_bpe_tokens"] == 6
+
+    def test_fingerprint_stability_under_edits(self, spark):
+        df = spark.createDataFrame(
+            [(1, "abcdefghij"), (2, "abcdefghij"), (3, "Xbcdefghij")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in text.fingerprint(df).collect()}
+        assert out[1]["content_md5"] == out[2]["content_md5"]
+        assert out[1]["min_gram_fp"] == out[2]["min_gram_fp"]
+        assert out[1]["content_md5"] != out[3]["content_md5"]
+
+
+class TestMultimodal:
+    def test_meta_extraction(self, spark):
+        df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+        payloads = multimodal.attach_binary_payload(df)
+        r = multimodal.extract_binary_meta(payloads).collect()[0]
+        assert r["n_bytes"] == 11
+        import hashlib
+
+        assert r["content_md5"] == hashlib.md5(b"hello world").hexdigest()
+        assert r["header_hex"] == b"hello wo".hex()
+
+    def test_image_decode_is_stubbed(self, spark):
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        payloads = multimodal.attach_binary_payload(df)
+        with pytest.raises(Exception):
+            multimodal.decode_image(payloads).collect()
