@@ -1,0 +1,73 @@
+"""Headline benchmark: representative engine queries at sf0.1.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is materialized through Spark's noop sink so the full plan
+(including every output column) executes — ``count()`` alone would let
+Catalyst prune away most of the work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from datawaves_etl_airflow_spark.queries import domain, generic, llm
+    from datawaves_etl_airflow_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(
+        "bench", conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = {
+        # relational core
+        "q1_pricing_summary": generic.q1_pricing_summary,
+        "j1_order_revenue_3way": generic.j1_order_revenue_3way,
+        "j5_composite_key_join": generic.j5_composite_key_join,
+        "w1_topk_per_user": generic.w1_topk_per_user,
+        "h1_hourly_events": generic.h1_hourly_events,
+        "t1_topk_orders": generic.t1_topk_orders,
+        # domain pipeline (fixture day: scans + 3-way join + decode)
+        "d_enrich_transactions": domain.d_enrich_transactions,
+        "evt_transfer_decode": domain.evt_transfer_decode,
+        # LLM-data operators
+        "llm_dedup_exact": llm.llm_dedup_exact,
+        "llm_minhash_dedup": llm.llm_minhash_dedup,
+        "llm_jaccard_pairs": llm.llm_jaccard_pairs,
+        "llm_cosine_topk": llm.llm_cosine_topk,
+        "llm_text_stats": llm.llm_text_stats,
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "engine_bench_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
