@@ -1,0 +1,223 @@
+"""Topological pipeline runner + the one-day EVM pipeline.
+
+The reference wires exporters → loaders (load/enrich/clean) → verifiers
+→ parsers as Airflow DAGs with explicit dependency lists
+(reference: dags/chains/blockchain.py:48-142, wiring :81-83,107-111;
+loader deps dags/chains/evm_chain.py:178-212). The engine keeps the
+same dependency declarations but executes them in ONE SparkSession —
+each spark-submit boundary in the reference collapses into DataFrame
+lineage, so Catalyst sees whole plans and staging tables need never
+materialize (SURVEY.md §3.1).
+
+``Task`` is deliberately tiny: a name, dependency names, and a callable
+over a shared mutable context. ``Pipeline.run`` is Kahn's algorithm
+with deterministic ordering and cycle detection.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from graphlib import CycleError, TopologicalSorter
+
+from pyspark.sql import SparkSession
+
+from ..operators import enrich, sinks, verify
+from ..operators.decode import (
+    decode_log_events,
+    extract_token_transfers,
+)
+from ..sources.staging import input_exists, read_staging
+
+
+@dataclass
+class Task:
+    name: str
+    fn: Callable[[dict], object]
+    deps: tuple[str, ...] = ()
+
+
+@dataclass
+class Pipeline:
+    tasks: dict[str, Task] = field(default_factory=dict)
+
+    def add(self, name: str, fn: Callable[[dict], object], deps=()) -> "Pipeline":
+        if name in self.tasks:
+            raise ValueError(f"duplicate task {name!r}")
+        self.tasks[name] = Task(name, fn, tuple(deps))
+        return self
+
+    def order(self) -> list[str]:
+        ts = TopologicalSorter(
+            {t.name: t.deps for t in self.tasks.values()}
+        )
+        try:
+            return list(ts.static_order())
+        except CycleError as e:
+            raise ValueError(f"dependency cycle: {e.args[1]}") from None
+
+    def run(self, ctx: dict | None = None) -> dict:
+        """Execute every task in dependency order; each task's return
+        value lands in ``ctx[name]``."""
+        ctx = ctx if ctx is not None else {}
+        for name in self.order():
+            missing = [d for d in self.tasks[name].deps if d not in self.tasks]
+            if missing:
+                raise ValueError(f"task {name!r} depends on unknown {missing}")
+            ctx[name] = self.tasks[name].fn(ctx)
+        return ctx
+
+
+# ---------------------------------------------------------------------------
+# The one-day EVM load+verify+parse pipeline
+# ---------------------------------------------------------------------------
+
+def run_evm_day(
+    spark: SparkSession,
+    export_base: str,
+    warehouse: str,
+    ds: str,
+    chain: str = "ethereum",
+    decode_events: list | None = None,
+) -> dict:
+    """Load → enrich → verify → parse for one day, file-based layout.
+
+    ``export_base`` holds ``export/{chain}/{t}/block_date={ds}/{t}.json``
+    (the exporter contract); warehouse tables land at
+    ``{warehouse}/{chain}/{table}`` partitioned by dt (+hash buckets for
+    logs/traces). Dependency shape mirrors
+    dags/chains/evm_chain.py:178-212.
+    """
+
+    def _exp(table: str) -> str:
+        fmt = "csv" if table == "prices" else "json"
+        return os.path.join(
+            export_base, "export", chain, table,
+            f"block_date={ds}", f"{table}.{fmt}",
+        )
+
+    def _wh(table: str) -> str:
+        return os.path.join(warehouse, chain, table)
+
+    def _load(table: str):
+        def fn(ctx):
+            path = _exp(table)
+            if not input_exists(path):  # S-6 availability sensor
+                raise FileNotFoundError(f"export missing: {path}")
+            return read_staging(spark, table, path)
+        return fn
+
+    p = Pipeline()
+    staging_tables = [
+        "blocks", "transactions", "receipts", "logs", "traces",
+        "geth_traces", "contracts", "token_transfers", "tokens",
+    ]
+    for t in staging_tables:
+        p.add(f"load_{t}", _load(t))
+
+    def _write(df, table, extra=None):
+        sinks.write_partitioned(df, "", ds, extra, path=_wh(table))
+        return spark.read.parquet(_wh(table))
+
+    p.add(
+        "enrich_blocks",
+        lambda c: _write(enrich.enrich_blocks(c["load_blocks"]), "blocks"),
+        deps=["load_blocks"],
+    )
+    p.add(
+        "enrich_transactions",
+        lambda c: _write(
+            enrich.enrich_transactions(
+                c["load_transactions"], c["load_blocks"], c["load_receipts"]
+            ),
+            "transactions",
+        ),
+        deps=["load_transactions", "load_blocks", "load_receipts"],
+    )
+    p.add(
+        "enrich_logs",
+        lambda c: _write(
+            enrich.enrich_logs(c["load_logs"], c["load_blocks"]),
+            "logs",
+            extra=["address_hash", "selector_hash"],
+        ),
+        deps=["load_logs", "load_blocks"],
+    )
+    p.add(
+        "enrich_traces",
+        lambda c: _write(
+            enrich.enrich_traces(c["load_traces"], c["load_blocks"]),
+            "traces",
+            extra=["address_hash", "selector_hash"],
+        ),
+        deps=["load_traces", "load_blocks"],
+    )
+    p.add(
+        "enrich_contracts",
+        lambda c: _write(
+            enrich.enrich_contracts(c["load_contracts"], c["load_blocks"]),
+            "contracts",
+        ),
+        deps=["load_contracts", "load_blocks"],
+    )
+    p.add(
+        "enrich_token_transfers",
+        lambda c: _write(
+            enrich.enrich_token_transfers(
+                c["load_token_transfers"], c["load_blocks"]
+            ),
+            "token_transfers",
+        ),
+        deps=["load_token_transfers", "load_blocks"],
+    )
+
+    def _tokens(c):
+        sinks.append_dedup(c["load_tokens"], "", path=_wh("tokens"))
+        return spark.read.parquet(_wh("tokens"))
+
+    p.add("enrich_tokens", _tokens, deps=["load_tokens"])
+
+    # verify phase (reference blockchain.py:115-126; retries=0 semantics)
+    def _verify(c):
+        out = {
+            "blocks": verify.verify_have_latest(c["enrich_blocks"], ds, "blocks"),
+            "transactions": verify.verify_have_latest(
+                c["enrich_transactions"], ds, "transactions"
+            ),
+            "logs": verify.verify_have_latest(c["enrich_logs"], ds, "logs"),
+            "traces": verify.verify_have_latest(c["enrich_traces"], ds, "traces"),
+            "root_traces": verify.verify_root_traces_match_transactions(
+                c["enrich_traces"], c["enrich_transactions"], ds
+            ),
+        }
+        return out
+
+    p.add(
+        "verify",
+        _verify,
+        deps=["enrich_blocks", "enrich_transactions", "enrich_logs",
+              "enrich_traces"],
+    )
+
+    # parse phase: one decoded table per ABI event
+    # (reference parser.py:64-117; sensors collapse into deps)
+    for el in decode_events or []:
+        name = f"parse_evt_{el.name}"
+
+        def _parse(c, el=el):
+            out = decode_log_events(c["enrich_logs"], el)
+            sinks.write_partitioned(out, "", ds, path=_wh(f"evt_{el.name}"))
+            return spark.read.parquet(_wh(f"evt_{el.name}"))
+
+        p.add(name, _parse, deps=["enrich_logs"])
+
+    # D-4 token-transfer extraction runs off raw logs (export-side in
+    # the reference, python.py:194-212)
+    p.add(
+        "extract_token_transfers",
+        lambda c: extract_token_transfers(c["load_logs"]),
+        deps=["load_logs"],
+    )
+
+    return p.run({})
