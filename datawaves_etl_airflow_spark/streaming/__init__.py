@@ -1,0 +1,9 @@
+"""Structured Streaming surface: file-source staging ingest, watermarked
+windowed aggregation, and stateful per-key accumulation."""
+
+from .ingest import (  # noqa: F401
+    read_staging_stream,
+    windowed_counts,
+    write_stream_partitioned,
+)
+from .stateful import running_totals  # noqa: F401
