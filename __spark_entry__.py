@@ -33,6 +33,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return j1_order_revenue_3way(spark, "/root/testdata/sf0.001")
 
 
+def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
+    """Pin session confs the oracles assume (the driver session may not
+    use our factory): UTC timestamp semantics."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -51,7 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(llm.QUERIES)
     except ImportError:
         pass
-    return out
+    return {name: _pinned(fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:

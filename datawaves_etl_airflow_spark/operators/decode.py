@@ -41,7 +41,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.abi_codec import AbiDecodeError, decode_abi, decode_word
+from ..functions.abi_codec import (
+    _UINT_MAX_DECIMAL38,
+    AbiDecodeError,
+    decode_abi,
+    decode_word,
+)
 from ..functions.evm import hash_bucket, topics_arr, unhex_0x
 from ..schemas.abi import (
     AbiElement,
@@ -50,7 +55,7 @@ from ..schemas.abi import (
     solidity_to_spark_type,
 )
 
-_DECIMAL38_MAX = 10**38
+_DECIMAL38_MAX = _UINT_MAX_DECIMAL38  # >38 digits → null (clamp policy)
 
 
 def _to_spark_value(spark_type: DataType, v: Any) -> Any:

@@ -69,7 +69,11 @@ def word_shingles(
     # shingling O(words × k) regex evaluations per document. Here the
     # split happens once per doc and the window shuffles by id — the
     # same key every downstream stage groups on anyway.
-    exploded = docs.select(
+    # repartition by id FIRST: a handful of small input files would
+    # otherwise run the whole normalize+explode on as many cores as
+    # files, and the hash distribution already satisfies the window's
+    # requirement, so this adds no extra shuffle to the plan
+    exploded = docs.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.size(words).alias("_sz"),
         F.posexplode(words).alias("pos", "w"),
@@ -80,7 +84,7 @@ def word_shingles(
         exploded.withColumn("shingle", F.concat_ws(" ", *parts))
         .filter(F.col("pos") <= F.greatest(F.col("_sz") - k, F.lit(0)))
         .select("id", "shingle")
-        .distinct()
+        .dropDuplicates(["id", "shingle"])
     )
 
 
@@ -240,7 +244,7 @@ def simhash_signatures(
 
     One explode + n_bits conditional sums, then bit-assembly — all JVM.
     """
-    tokens = docs.select(
+    tokens = docs.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

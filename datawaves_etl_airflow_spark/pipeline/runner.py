@@ -80,6 +80,7 @@ def run_evm_day(
     ds: str,
     chain: str = "ethereum",
     decode_events: list | None = None,
+    clean: bool = False,
 ) -> dict:
     """Load → enrich → verify → parse for one day, file-based layout.
 
@@ -213,11 +214,40 @@ def run_evm_day(
         p.add(name, _parse, deps=["enrich_logs"])
 
     # D-4 token-transfer extraction runs off raw logs (export-side in
-    # the reference, python.py:194-212)
-    p.add(
-        "extract_token_transfers",
-        lambda c: extract_token_transfers(c["load_logs"]),
-        deps=["load_logs"],
-    )
+    # the reference, python.py:194-212). Must materialize before any
+    # clean task may delete the staging file underneath it.
+    def _extract(c):
+        df = extract_token_transfers(c["load_logs"]).cache()
+        df.count()  # materialize while the staging file still exists
+        return df
+
+    p.add("extract_token_transfers", _extract, deps=["load_logs"])
+
+    if clean:
+        # S-5 clean phase: drop each staging export file once every
+        # consumer finished (reference clean_dependencies wiring,
+        # dags/chains/blockchain.py:107-111 + loader.py:137-158).
+        consumers: dict[str, list[str]] = {t: [] for t in staging_tables}
+        for task in p.tasks.values():
+            if task.name.startswith("load_"):
+                continue
+            for dep in task.deps:
+                if dep.startswith("load_"):
+                    consumers[dep[len("load_"):]].append(task.name)
+
+        def _clean(table: str):
+            def fn(ctx):
+                path = _exp(table)
+                if os.path.exists(path):
+                    os.remove(path)
+                return path
+            return fn
+
+        for t in staging_tables:
+            p.add(
+                f"clean_{t}",
+                _clean(t),
+                deps=[f"load_{t}", *consumers[t]],
+            )
 
     return p.run({})

@@ -127,6 +127,28 @@ class TestEndToEndDay:
         buckets = os.listdir(os.path.join(logs_root, dt_dirs[0]))
         assert any(b.startswith("address_hash=") for b in buckets)
 
+    def test_clean_phase_removes_staging(self, spark, tmp_path):
+        """S-5: with clean=True every staging export file is deleted
+        after its last consumer ran — and results are unaffected."""
+        import shutil
+
+        base = fx.ensure_fixtures()
+        work = str(tmp_path / "exports")
+        shutil.copytree(os.path.join(base, "export"),
+                        os.path.join(work, "export"))
+        wh = str(tmp_path / "wh")
+        result = run_evm_day(
+            spark, work, wh, fx.DS,
+            decode_events=[TRANSFER_EVENT], clean=True,
+        )
+        assert result["enrich_blocks"].count() == 20
+        assert result["extract_token_transfers"].count() == 100
+        for t in ["blocks", "logs", "traces", "tokens"]:
+            assert not os.path.exists(
+                os.path.join(work, "export", "ethereum", t,
+                             f"block_date={fx.DS}", f"{t}.json")
+            )
+
     def test_idempotent_rerun(self, ctx, spark):
         """Re-running the day replaces partitions, never duplicates."""
         result, wh = ctx
