@@ -13,4 +13,7 @@ StructType schemas, Catalyst does the optimizing; pandas UDFs only where
 builtins genuinely cannot express the semantics (ABI decode, multimodal).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from .chains import CHAINS, ETHEREUM, POLYGON  # noqa: E402,F401
+from .session import get_spark  # noqa: E402,F401

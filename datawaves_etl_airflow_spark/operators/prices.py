@@ -13,6 +13,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def filter_active_tokens(
+    tokens: DataFrame,
+    window_start,
+    end_date_col: str = "end_date",
+) -> DataFrame:
+    """P-7: keep only tokens whose tracked period is still open at the
+    window start — tokens with an end date before the window are
+    skipped (reference dags/offchains/prices.py:56-59; token list model
+    dags/offchains/tokens.py:45-59 carries the optional end date)."""
+    end = F.col(end_date_col).cast("date")
+    return tokens.filter(
+        end.isNull() | (end >= F.lit(window_start).cast("date"))
+    )
+
+
 def fill_price_minutes(raw: DataFrame, interval_minutes: int = 5) -> DataFrame:
     """Expand each ``interval_minutes``-grain price record to 1-minute
     rows (reference dags/offchains/prices.py:73-83: each record fills

@@ -23,6 +23,7 @@ from graphlib import CycleError, TopologicalSorter
 
 from pyspark.sql import SparkSession
 
+from ..chains import CHAINS, ChainConfig, ETHEREUM
 from ..operators import enrich, sinks, verify
 from ..operators.decode import (
     decode_log_events,
@@ -87,9 +88,12 @@ def run_evm_day(
     ``export_base`` holds ``export/{chain}/{t}/block_date={ds}/{t}.json``
     (the exporter contract); warehouse tables land at
     ``{warehouse}/{chain}/{table}`` partitioned by dt (+hash buckets for
-    logs/traces). Dependency shape mirrors
-    dags/chains/evm_chain.py:178-212.
+    logs/traces). The chain's ``ChainConfig`` (chains.py) decides the
+    loader set and the trace family: parity traces (ethereum, J-4) or
+    geth traces recovered via the composite-key join (polygon, J-5) —
+    mirroring dags/chains/evm_chain.py:178-212.
     """
+    cfg: ChainConfig = CHAINS.get(chain, ETHEREUM)
 
     def _exp(table: str) -> str:
         fmt = "csv" if table == "prices" else "json"
@@ -110,10 +114,7 @@ def run_evm_day(
         return fn
 
     p = Pipeline()
-    staging_tables = [
-        "blocks", "transactions", "receipts", "logs", "traces",
-        "geth_traces", "contracts", "token_transfers", "tokens",
-    ]
+    staging_tables = [spec.table for spec in cfg.loaders]
     for t in staging_tables:
         p.add(f"load_{t}", _load(t))
 
@@ -145,15 +146,31 @@ def run_evm_day(
         ),
         deps=["load_logs", "load_blocks"],
     )
-    p.add(
-        "enrich_traces",
-        lambda c: _write(
-            enrich.enrich_traces(c["load_traces"], c["load_blocks"]),
-            "traces",
-            extra=["address_hash", "selector_hash"],
-        ),
-        deps=["load_traces", "load_blocks"],
-    )
+    if cfg.trace_mode == "geth":
+        # polygon-style: recover transaction_hash via the composite-key
+        # join (J-5) before the warehouse write
+        p.add(
+            "enrich_traces",
+            lambda c: _write(
+                enrich.enrich_geth_traces(
+                    c["load_geth_traces"], c["load_blocks"],
+                    c["load_transactions"],
+                ),
+                "traces",
+                extra=["address_hash", "selector_hash"],
+            ),
+            deps=["load_geth_traces", "load_blocks", "load_transactions"],
+        )
+    else:
+        p.add(
+            "enrich_traces",
+            lambda c: _write(
+                enrich.enrich_traces(c["load_traces"], c["load_blocks"]),
+                "traces",
+                extra=["address_hash", "selector_hash"],
+            ),
+            deps=["load_traces", "load_blocks"],
+        )
     p.add(
         "enrich_contracts",
         lambda c: _write(
@@ -178,6 +195,15 @@ def run_evm_day(
         return spark.read.parquet(_wh("tokens"))
 
     p.add("enrich_tokens", _tokens, deps=["load_tokens"])
+
+    if "prices" in staging_tables:
+        p.add(
+            "enrich_prices",
+            lambda c: _write(
+                enrich.enrich_prices(c["load_prices"]), "prices"
+            ),
+            deps=["load_prices"],
+        )
 
     # verify phase (reference blockchain.py:115-126; retries=0 semantics)
     def _verify(c):

@@ -202,3 +202,33 @@ class TestVerify:
         txs3 = self._dated(spark, 3, "2024-01-01")
         with pytest.raises(VerificationError):
             verify_root_traces_match_transactions(traces, txs3, "2024-01-01")
+
+
+class TestPricesOps:
+    def test_p7_active_token_filter(self, spark):
+        from datawaves_etl_airflow_spark.operators.prices import (
+            filter_active_tokens,
+        )
+
+        tokens = spark.createDataFrame(
+            [("0xa", "2023-12-31"), ("0xb", None), ("0xc", "2024-06-01")],
+            "address string, end_date string",
+        )
+        out = filter_active_tokens(tokens, "2024-01-15")
+        assert sorted(r["address"] for r in out.collect()) == ["0xb", "0xc"]
+
+    def test_s12_interval_fill(self, spark):
+        from datawaves_etl_airflow_spark.operators.prices import (
+            fill_price_minutes,
+        )
+        from pyspark.sql import functions as F
+
+        raw = spark.createDataFrame(
+            [("2024-01-15 00:00:00", 1.5)], "minute string, price double"
+        ).withColumn("minute", F.col("minute").cast("timestamp"))
+        out = fill_price_minutes(raw).collect()
+        assert len(out) == 5
+        assert {str(r["minute"]) for r in out} == {
+            f"2024-01-15 00:0{i}:00" for i in range(5)
+        }
+        assert all(r["price"] == 1.5 for r in out)

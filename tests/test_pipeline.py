@@ -162,6 +162,28 @@ class TestEndToEndDay:
         assert again["enrich_tokens"].count() == 15
 
 
+class TestPolygonChain:
+    def test_geth_trace_pipeline(self, spark, tmp_path):
+        """polygon config: traces come from geth exports without tx
+        hashes; the pipeline recovers them via the J-5 composite join
+        and all verify checks stay green."""
+        import shutil
+
+        base = fx.ensure_fixtures()
+        work = str(tmp_path / "poly")
+        shutil.copytree(
+            os.path.join(base, "export", "ethereum"),
+            os.path.join(work, "export", "polygon"),
+        )
+        wh = str(tmp_path / "wh")
+        result = run_evm_day(spark, work, wh, fx.DS, chain="polygon")
+        traces = result["enrich_traces"]
+        assert traces.count() == 300
+        # every row recovered a transaction hash from the composite key
+        assert traces.filter(traces["transaction_hash"].isNull()).count() == 0
+        assert result["verify"]["root_traces"] == 200
+
+
 class TestTransfer:
     def test_transfer_partition_path(self, spark, tmp_path):
         from pyspark.sql import functions as F
