@@ -292,6 +292,42 @@ def u1_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.intersect(buys)
 
 
+def sk1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated two-phase aggregation (operators.skew): same
+    result as the plain groupBy, which the oracle verifies."""
+    from ..operators.skew import salted_count_sum
+
+    l = _t(spark, sf_dir, "lineitem")
+    out = salted_count_sum(
+        l, ["l_returnflag"], {"sum_qty_cents": _cents(F.col("l_quantity"))}
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        (F.col("sum_qty_cents") / F.lit(100.0)).cast("decimal(18,2)").alias("sum_qty"),
+    )
+
+
+def w3_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a >30 min
+    silence per user (lag + running conditional sum). Exact integer
+    microsecond arithmetic on both engines."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((us - prev) > F.lit(1800 * 1_000_000)), 1
+    ).otherwise(0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_id"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "a1_count_existence": a1_count_existence,
@@ -310,6 +346,8 @@ QUERIES = {
     "w2_running_sum": w2_running_sum,
     "t1_topk_orders": t1_topk_orders,
     "u1_intersect_users": u1_intersect_users,
+    "sk1_salted_agg": sk1_salted_agg,
+    "w3_sessionization": w3_sessionization,
 }
 
 def _m(x: str) -> str:
@@ -441,5 +479,30 @@ ORACLES = {
         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         INTERSECT
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "sk1_salted_agg": """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(FLOOR(l_quantity*100) AS BIGINT))/100.0
+                    AS DECIMAL(18,2)) AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "w3_sessionization": """
+        WITH x AS (
+            SELECT user_id, event_id, ts,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_us,
+                   epoch_us(ts) AS us
+            FROM events
+        )
+        SELECT user_id, event_id,
+               SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM x
     """,
 }

@@ -143,6 +143,29 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_binary_meta(payloads)
 
 
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate composition: keep documents passing the stats
+    thresholds a training pipeline would use (length band, word count,
+    bounded punctuation) — text_stats feeding a filter."""
+    st = text.text_stats(_docs(spark, sf_dir))
+    return st.filter(
+        (F.col("n_chars").between(100, 5000))
+        & (F.col("n_words") >= 20)
+        & (F.col("punct_ratio") < 0.1)
+    ).select("doc_id", "n_chars", "n_words")
+
+
+def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram: 100-char buckets with doc counts."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(
+            F.floor(F.col("n_chars") / 100).cast("bigint").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 QUERIES = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_jaccard_pairs": llm_jaccard_pairs,
@@ -156,6 +179,8 @@ QUERIES = {
     "llm_token_counts": llm_token_counts,
     "llm_fingerprint": llm_fingerprint,
     "llm_multimodal_meta": llm_multimodal_meta,
+    "llm_quality_filter": llm_quality_filter,
+    "llm_length_histogram": llm_length_histogram,
 }
 
 # normalized text, DuckDB spelling (regexp_replace needs the 'g' flag)
@@ -315,3 +340,22 @@ ORACLES = {
         FROM documents
     """,
 }
+
+ORACLES["llm_quality_filter"] = f"""
+    WITH w AS (SELECT doc_id, text, {_WORDS} AS ws FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(ws) AS n_words
+    FROM w
+    WHERE length(text) BETWEEN 100 AND 5000
+      AND len(ws) >= 20
+      AND (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+          * 1.0 / length(text) < 0.1
+"""
+
+ORACLES["llm_length_histogram"] = """
+    SELECT CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+"""

@@ -216,3 +216,43 @@ class TestMultimodal:
         payloads = multimodal.attach_binary_payload(df)
         with pytest.raises(Exception):
             multimodal.decode_image(payloads).collect()
+
+
+class TestSkew:
+    def test_salted_agg_equals_plain(self, spark):
+        from datawaves_etl_airflow_spark.operators.skew import (
+            salted_count_sum,
+        )
+
+        df = spark.createDataFrame(
+            [("hot", float(i)) for i in range(500)]
+            + [("cold", 1.0), ("cold", 2.0)],
+            ["k", "v"],
+        ).repartition(8)
+        out = {
+            r["k"]: (r["n_rows"], r["total"])
+            for r in salted_count_sum(
+                df, ["k"], {"total": F.col("v")}
+            ).collect()
+        }
+        assert out["hot"] == (500, sum(float(i) for i in range(500)))
+        assert out["cold"] == (2, 3.0)
+
+    def test_salted_join_equals_plain(self, spark):
+        from datawaves_etl_airflow_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame(
+            [("a", i) for i in range(300)] + [("b", i) for i in range(5)],
+            ["k", "payload"],
+        ).repartition(8)
+        small = spark.createDataFrame(
+            [("a", "dim_a"), ("b", "dim_b"), ("c", "dim_c")], ["k", "label"]
+        )
+        got = salted_join(big, small, "k")
+        plain = big.join(small, "k", "inner")
+        assert got.count() == plain.count() == 305
+        assert sorted(got.columns) == sorted(plain.columns)
+        assert (
+            got.groupBy("k").count().orderBy("k").collect()
+            == plain.groupBy("k").count().orderBy("k").collect()
+        )
