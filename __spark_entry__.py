@@ -34,11 +34,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
-    """Pin session confs the oracles assume (the driver session may not
-    use our factory): UTC timestamp semantics."""
+    """Pin session confs the queries assume (the driver session may not
+    use our factory): UTC timestamp semantics, plus AQE with sane
+    shuffle sizing so a default-conf session doesn't run 200-partition
+    shuffles over sf0.01 inputs."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for k, v in [
+            ("spark.sql.session.timeZone", "UTC"),
+            ("spark.sql.adaptive.enabled", "true"),
+            ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+            ("spark.sql.shuffle.partitions", "32"),
+        ]:
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # never let conf pinning break a query
         return fn(spark, sf_dir)
 
     return wrapped
