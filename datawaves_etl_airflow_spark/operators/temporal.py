@@ -1,0 +1,127 @@
+"""Temporal join operators: as-of join and bucketed range join.
+
+The reference's surface is daily-batch equi-joins only (SURVEY.md §2.3;
+ref `dags/templates/evm_load_template.py:370-375` is the most complex
+join shape), but downstream consumers of its decoded tables — price
+attribution, promo attribution, event sessionization — need the two
+temporal join shapes Spark lacks as builtins. Both are implemented as
+compositions of existing DataFrame ops (no UDFs, no driver loops), so
+Catalyst/Tungsten run the whole plan JVM-side.
+
+Scale posture (100 TB):
+
+- ``asof_join`` is ONE hash shuffle on the join key followed by a
+  linear window scan per key partition — the union trick turns the
+  point-in-time lookup into ``last(value, ignorenulls)`` over an
+  interleaved, time-sorted stream. No range explosion, no O(n·m)
+  candidate pairs, no broadcast requirement on either side. A key whose
+  row count exceeds one executor's partition is the only hazard
+  (windows cannot be salted); at that point pre-bucket the timeline by
+  coarse time range and as-of join within buckets, carrying each
+  bucket's last row forward.
+- ``bucketed_range_join`` avoids the O(|facts|·|ranges|) broadcast
+  nested-loop plan Spark picks for pure inequality joins: ranges are
+  exploded onto a fixed time grid (one row per covered bucket) and the
+  join becomes an equi-join on the bucket id + an exact residual
+  filter. Each fact lands in exactly one bucket, so no dedup pass is
+  needed. Cost scales with |facts| + Σ(range_len/bucket)·|ranges| —
+  pick ``bucket`` near the median range length so ranges explode to
+  O(1) rows each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "bucketed_range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward (inclusive) as-of join: for every ``left`` row, attach
+    the ``value_cols`` of the latest ``right`` row with the same
+    ``key`` and ``right_ts <= left_ts``; nulls where no such row.
+
+    Semantics match DuckDB's ``ASOF LEFT JOIN`` (the oracle used by the
+    ``aj1_asof_clicks`` driver query). Right rows must be unique per
+    (key, right_ts) — pre-aggregate otherwise, or which of the tied
+    rows wins is undefined in both engines.
+
+    Implementation: union the two sides tagged 0 (right) / 1 (left)
+    and run ``last(value, ignorenulls=True)`` over a window ordered by
+    (ts, tag) — at equal timestamps the right row sorts first, which is
+    exactly the inclusive-backward rule. One shuffle, linear scan.
+    """
+    from pyspark.sql import Window
+
+    matched_ts = f"{right_ts}_matched" if right_ts == left_ts else right_ts
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias(matched_ts),
+        *[F.col(c) for c in value_cols],
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+    )
+    both = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [matched_ts] + [c for c in value_cols if c != matched_ts]
+    for c in carried:
+        both = both.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return both.filter(F.col("_side") == 1).drop("_ts", "_side")
+
+
+def bucketed_range_join(
+    facts: DataFrame,
+    fact_ts: str,
+    ranges: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Inner join of ``facts`` to every ``ranges`` row whose half-open
+    interval [start_col, end_col) contains ``fact_ts``.
+
+    Both timestamp columns are mapped to a fixed grid of
+    ``bucket_seconds``-wide buckets; each range row is exploded to the
+    buckets it covers (``sequence`` + ``explode``), each fact to its
+    single bucket, and the containment predicate is applied after the
+    bucket equi-join as an exact residual filter. The equi-join
+    shuffles on the bucket id, so Catalyst is free to pick
+    broadcast/sort-merge and AQE can split skewed buckets — none of
+    which happens with the broadcast-nested-loop plan a raw
+    inequality join produces.
+    """
+    bsec = F.lit(int(bucket_seconds)).cast("long")
+    r = ranges.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bsec),
+                F.floor((F.unix_timestamp(F.col(end_col)) - 1) / bsec),
+            )
+        ),
+    )
+    f = facts.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(fact_ts)) / bsec)
+    )
+    joined = f.join(r, "_bucket", "inner").filter(
+        (F.col(fact_ts) >= F.col(start_col))
+        & (F.col(fact_ts) < F.col(end_col))
+    )
+    return joined.drop("_bucket")

@@ -328,6 +328,66 @@ def w3_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def aj1_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.temporal): for each purchase event, the
+    latest click at-or-before it by the same user. Right side is
+    pre-aggregated to unique (user_id, ts) so both engines' tie rule
+    is moot; oracle is DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.temporal import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases, clicks, "user_id", "ts", "click_ts", ["click_value"]
+    )
+
+
+def rj1_promo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators.temporal): lineitems shipped
+    inside each high-value order's 14-day promo window — a pure
+    containment predicate, no equi key. The operator grids it into an
+    equi-join on 4-day buckets + residual filter; the oracle is the
+    raw inequality join."""
+    from ..operators.temporal import bucketed_range_join
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 495000.0
+    ).select(
+        "o_orderkey",
+        (F.col("o_orderdate") - F.expr("INTERVAL 3 DAYS")).alias("promo_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 11 DAYS")).alias("promo_end"),
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_extendedprice")
+    joined = bucketed_range_join(
+        l, "l_shipdate", o, "promo_start", "promo_end", 4 * 86400
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipped"),
+        _sum_money(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+def g2_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles: Spark's ``percentile`` (exact, linear
+    interpolation) vs DuckDB ``quantile_cont`` — same R-7 formula, and
+    integer-valued quantities make every interpolated value exactly
+    representable."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.5).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "a1_count_existence": a1_count_existence,
@@ -348,6 +408,9 @@ QUERIES = {
     "u1_intersect_users": u1_intersect_users,
     "sk1_salted_agg": sk1_salted_agg,
     "w3_sessionization": w3_sessionization,
+    "aj1_asof_clicks": aj1_asof_clicks,
+    "rj1_promo_range_join": rj1_promo_range_join,
+    "g2_grouped_quantiles": g2_grouped_quantiles,
 }
 
 def _m(x: str) -> str:
@@ -504,5 +567,40 @@ ORACLES = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_id
         FROM x
+    """,
+    "aj1_asof_clicks": """
+        WITH clicks AS (
+            SELECT user_id, ts AS click_ts, MAX(value) AS click_value
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ),
+        p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_value
+        FROM p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    "rj1_promo_range_join": f"""
+        WITH r AS (
+            SELECT o_orderkey,
+                   o_orderdate - INTERVAL 3 DAY  AS promo_start,
+                   o_orderdate + INTERVAL 11 DAY AS promo_end
+            FROM orders WHERE o_totalprice > 495000.0
+        )
+        SELECT r.o_orderkey, COUNT(*) AS n_shipped,
+               {_m('l.l_extendedprice')} AS sum_price
+        FROM r JOIN lineitem l
+          ON l.l_shipdate >= r.promo_start AND l.l_shipdate < r.promo_end
+        GROUP BY r.o_orderkey
+    """,
+    "g2_grouped_quantiles": """
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.5)  AS q50,
+               quantile_cont(l_quantity, 0.75) AS q75
+        FROM lineitem
+        GROUP BY l_returnflag
     """,
 }
