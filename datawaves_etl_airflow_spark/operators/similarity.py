@@ -1,5 +1,6 @@
 """Embedding similarity search: brute-force cosine top-k (exact
-baseline) and random-hyperplane LSH bucketing (the scale path).
+baseline), random-hyperplane LSH bucketing, and an IVF (inverted-file)
+index — the three standard ANN tiers.
 
 Vectors are ``array<float>`` columns. All arithmetic runs JVM-side via
 higher-order functions (``zip_with``/``aggregate``) in double precision
@@ -9,8 +10,15 @@ reproducible by any engine that sums the same way.
 Scale posture: brute force is O(n·q) — correct for reranking a
 candidate set or small q; the LSH variant buckets by sign-pattern over
 ``n_planes`` fixed random hyperplanes so each query only scores its
-bucket (plus optional multi-probe neighbors at 1-bit flips). At 100 TB
-the bucketed join shuffles by (plane_sig), never the cross product.
+bucket (plus optional multi-probe neighbors at 1-bit flips); IVF
+partitions the corpus into ``n_centroids`` spherical-k-means cells and
+each query scores only its ``nprobe`` nearest cells — the shuffle key
+is the centroid id, candidate volume is ``nprobe/n_centroids`` of the
+corpus, and recall/cost is tunable per query batch. At 100 TB the
+centroid set stays tiny (≤ a few thousand rows, always broadcast), the
+index build is one crossJoin-against-broadcast + hash aggregation per
+Lloyd iteration, and nothing ever shuffles the corpus by anything
+other than its cell id.
 """
 
 from __future__ import annotations
@@ -116,6 +124,139 @@ def plane_signature(
         )
         sig = sig.bitwiseXOR(bit)
     return sig
+
+
+def l2_normalize(vec: Column) -> Column:
+    """vec / ||vec|| in double (zero vectors pass through unchanged)."""
+    n = l2_norm(vec)
+    return F.when(
+        n > 0, F.transform(vec, lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(vec, lambda x: x.cast("double")))
+
+
+def train_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Spherical k-means coarse quantizer → (centroid_id, centroid).
+
+    Deterministic throughout: seeds are the ``n_centroids`` corpus
+    vectors with the smallest ``xxhash64(id)`` (hash-order sampling —
+    no global sort of the corpus, and stable across runs/partitionings),
+    assignment ties break on centroid id, and the mean is computed
+    per-dimension with a hash aggregation. Each Lloyd iteration is one
+    broadcast crossJoin (corpus × tiny centroid set) + two hash
+    aggregations; the corpus is never shuffled by anything except in
+    the final assignment's ``groupBy`` — and that is map-side partial.
+    """
+    norm = vectors.select(
+        F.col(id_col).alias("_vid"), l2_normalize(F.col(vec_col)).alias("_v")
+    )
+    centroids = (
+        norm.withColumn("_h", F.xxhash64(F.col("_vid")))
+        .orderBy("_h", "_vid")
+        .limit(n_centroids)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("_h", "_vid"))
+            .alias("centroid_id"),
+            F.col("_v").alias("centroid"),
+        )
+    )
+    for _ in range(n_iters):
+        assigned = _assign_cells(norm, "_v", centroids)
+        centroids = (
+            assigned.join(norm, "_vid")
+            .select("centroid_id", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("centroid_id", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_m"))
+                    ),
+                    lambda s: s["_m"],
+                ).alias("centroid")
+            )
+        )
+        # re-normalize so dot == cosine stays true next iteration
+        centroids = centroids.select(
+            "centroid_id", l2_normalize(F.col("centroid")).alias("centroid")
+        )
+    return centroids
+
+
+def _assign_cells(
+    norm: DataFrame, vcol: str, centroids: DataFrame
+) -> DataFrame:
+    """(_vid → centroid_id) by max cosine; ties on centroid id."""
+    scored = norm.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", dot(F.col(vcol), F.col("centroid"))
+    )
+    return scored.groupBy("_vid").agg(
+        F.max_by(
+            F.col("centroid_id"),
+            F.struct(F.col("_sim"), -F.col("centroid_id")),
+        ).alias("centroid_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: build the coarse quantizer, assign every
+    corpus vector to its cell, then score each query only against the
+    cells of its ``nprobe`` nearest centroids. Output schema matches
+    ``brute_force_topk`` so recall is directly comparable.
+    """
+    centroids = train_centroids(
+        vectors, n_centroids, n_iters, vec_col, id_col
+    )
+    norm = vectors.select(
+        F.col(id_col).alias("_vid"), l2_normalize(F.col(vec_col)).alias("_v")
+    )
+    index = _assign_cells(norm, "_v", centroids).join(
+        vectors.withColumnRenamed(id_col, "_vid"), "_vid"
+    )
+    qn = queries.withColumn("_qv", l2_normalize(F.col("query_vec")))
+    qscored = qn.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", dot(F.col("_qv"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qscored.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "query_vec", "centroid_id")
+    )
+    cands = probes.join(index, "centroid_id").withColumn(
+        "cosine", cosine(F.col("query_vec"), F.col(vec_col))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("_vid").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("_vid").alias("match_id"),
+            "rank",
+            F.round("cosine", 6).alias("cosine_sim"),
+        )
+    )
 
 
 def lsh_topk(

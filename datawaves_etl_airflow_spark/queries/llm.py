@@ -104,6 +104,16 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 over spherical-k-means cells (rows-only:
+    the quantizer is xxhash64-seeded; recall vs brute force is pinned
+    in tests)."""
+    return similarity.ivf_topk(
+        _embs(spark, sf_dir), _query_vecs(spark, sf_dir),
+        n_centroids=16, nprobe=4, k=5,
+    )
+
+
 def llm_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.45)."""
     return similarity.neardup_pairs(_embs(spark, sf_dir), threshold=0.45)
@@ -173,6 +183,7 @@ QUERIES = {
     "llm_simhash_candidates": llm_simhash_candidates,
     "llm_cosine_topk": llm_cosine_topk,
     "llm_ann_lsh": llm_ann_lsh,
+    "llm_ann_ivf": llm_ann_ivf,
     "llm_neardup_embeddings": llm_neardup_embeddings,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,

@@ -147,6 +147,39 @@ class TestSimilarity:
         assert exact_self == 60
         assert self_hits == 60
 
+    def test_ivf_recall_on_clustered_vectors(self, spark):
+        # 4 well-separated clusters: with nprobe=2 every query's own
+        # cluster is probed, so top-1 must equal the exact top-1
+        rng = np.random.default_rng(11)
+        centers = rng.normal(size=(4, 8)) * 10.0
+        rows = []
+        for i in range(80):
+            v = centers[i % 4] + rng.normal(size=8) * 0.1
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        queries = df.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        exact = {
+            r["query_id"]: r["match_id"]
+            for r in similarity.brute_force_topk(df, queries, k=1).collect()
+        }
+        approx = {
+            r["query_id"]: r["match_id"]
+            for r in similarity.ivf_topk(
+                df, queries, n_centroids=4, nprobe=2, k=1
+            ).collect()
+        }
+        assert approx == exact
+
+    def test_ivf_centroids_deterministic(self, spark):
+        _, df = self._vectors(spark, n=30)
+        a = similarity.train_centroids(df, 4, n_iters=1).collect()
+        b = similarity.train_centroids(df, 4, n_iters=1).collect()
+        assert sorted((r["centroid_id"], tuple(r["centroid"])) for r in a) \
+            == sorted((r["centroid_id"], tuple(r["centroid"])) for r in b)
+
     def test_neardup_pairs_symmetric_threshold(self, spark):
         rows = [
             (0, [1.0, 0.0, 0.0]),
