@@ -153,6 +153,22 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_binary_meta(payloads)
 
 
+def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: deterministic fake containers
+    ((n_chars % 7) + 2 frames per doc), fan-out mapInPandas decode
+    sampling every 2nd frame, rollup per doc. The oracle mirrors the
+    sampling arithmetic; frame-content md5s are pinned in tests."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_frames", (F.col("n_chars") % 7 + F.lit(2)).cast("long")
+    )
+    videos = multimodal.encode_fake_video(docs, "n_frames")
+    frames = multimodal.sample_frames(videos, every=2, frame_ms=40)
+    return frames.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("ts_ms").alias("last_ts_ms"),
+    )
+
+
 def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate composition: keep documents passing the stats
     thresholds a training pipeline would use (length band, word count,
@@ -190,6 +206,7 @@ QUERIES = {
     "llm_token_counts": llm_token_counts,
     "llm_fingerprint": llm_fingerprint,
     "llm_multimodal_meta": llm_multimodal_meta,
+    "llm_frame_sample": llm_frame_sample,
     "llm_quality_filter": llm_quality_filter,
     "llm_length_histogram": llm_length_histogram,
 }
@@ -342,6 +359,15 @@ ORACLES = {
                        i -> md5(substr(t, CAST(i AS BIGINT), 4))),
                    'min') AS min_gram_fp
         FROM n
+    """,
+    "llm_frame_sample": """
+        WITH v AS (
+            SELECT doc_id, (n_chars % 7) + 2 AS n_frames FROM documents
+        )
+        SELECT doc_id,
+               (n_frames + 1) // 2 AS n_sampled,
+               40 * (2 * ((n_frames - 1) // 2)) AS last_ts_ms
+        FROM v
     """,
     "llm_multimodal_meta": """
         SELECT doc_id AS id,

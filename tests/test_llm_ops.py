@@ -244,6 +244,37 @@ class TestMultimodal:
         assert r["content_md5"] == hashlib.md5(b"hello world").hexdigest()
         assert r["header_hex"] == b"hello wo".hex()
 
+    def test_frame_sampling_roundtrip(self, spark):
+        import hashlib
+
+        docs = spark.createDataFrame(
+            [(1, 5), (2, 1), (3, 2)], ["doc_id", "n_frames"]
+        )
+        videos = multimodal.encode_fake_video(docs, "n_frames")
+        out = multimodal.sample_frames(videos, every=2, frame_ms=40).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r["id"], []).append(r)
+        # every-2nd sampling: 5 frames → idx 0,2,4; 1 → 0; 2 → 0
+        assert sorted(r["frame_idx"] for r in by_id[1]) == [0, 2, 4]
+        assert sorted(r["frame_idx"] for r in by_id[2]) == [0]
+        assert sorted(r["frame_idx"] for r in by_id[3]) == [0]
+        # frame bytes are content-true: md5 of sha256(id:idx) doubled
+        for r in out:
+            frame = hashlib.sha256(
+                f"{r['id']}:{r['frame_idx']}".encode()
+            ).digest() * 2
+            assert r["frame_md5"] == hashlib.md5(frame).hexdigest()
+            assert r["ts_ms"] == r["frame_idx"] * 40
+
+    def test_frame_sampling_bad_magic(self, spark):
+        bad = spark.createDataFrame(
+            [(1, bytearray(b"NOPE1234"))], ["id", "payload"]
+        )
+        with pytest.raises(Exception):
+            multimodal.sample_frames(bad, on_error="fail").collect()
+        assert multimodal.sample_frames(bad, on_error="skip").count() == 0
+
     def test_image_decode_is_stubbed(self, spark):
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         payloads = multimodal.attach_binary_payload(df)
