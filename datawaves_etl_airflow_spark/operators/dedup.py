@@ -63,28 +63,27 @@ def word_shingles(
     Built with sequence+transform+explode — one pass, no Python.
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
-    # posexplode + window-lead instead of a transform() lambda: every
-    # array reference inside a higher-order-function lambda re-evaluates
-    # the normalize+split expression (no CSE across lambdas), which made
-    # shingling O(words × k) regex evaluations per document. Here the
-    # split happens once per doc and the window shuffles by id — the
-    # same key every downstream stage groups on anyway.
-    # repartition by id FIRST: a handful of small input files would
-    # otherwise run the whole normalize+explode on as many cores as
-    # files, and the hash distribution already satisfies the window's
-    # requirement, so this adds no extra shuffle to the plan
-    exploded = docs.repartition(F.col(id_col)).select(
-        F.col(id_col).alias("id"),
-        F.size(words).alias("_sz"),
-        F.posexplode(words).alias("pos", "w"),
+    # split once per doc BEFORE the exchange: expressions referenced
+    # inside a higher-order-function lambda re-evaluate their input
+    # (no CSE into lambdas), so the words array must be a materialized
+    # attribute — the repartition Exchange is the collapse barrier.
+    # The repartition also fixes small-input parallelism (a handful of
+    # input files would otherwise run everything on as many cores as
+    # files) AND pre-satisfies every downstream groupBy(id)/window —
+    # signature aggregation runs with no further shuffle.
+    src = docs.select(
+        F.col(id_col).alias("id"), words.alias("w")
+    ).repartition(F.col("id"))
+    # shingle i = words[i..i+k): array transform + slice, no window
+    # sort; array_distinct gives per-doc DISTINCT with zero shuffle
+    # (docs shorter than k yield one shingle of the whole doc —
+    # slice truncates at the end, concat_ws skips nothing)
+    idx = F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, k))
     )
-    win = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
-    return (
-        exploded.withColumn("shingle", F.concat_ws(" ", *parts))
-        .filter(F.col("pos") <= F.greatest(F.col("_sz") - k, F.lit(0)))
-        .select("id", "shingle")
-        .dropDuplicates(["id", "shingle"])
+    return src.select(
+        "id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 
@@ -158,23 +157,52 @@ def jaccard_pairs(
     self-join on shingle computes all co-shingled pairs exactly (the
     oracle-checkable path; bounded by shared-shingle co-occurrence).
     """
-    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
-        # restrict the self-join to docs that appear in any candidate
-        # pair BEFORE shuffling on shingle — the whole point of LSH is
-        # that this set is tiny relative to the corpus
+        # candidate-restricted path: collect each candidate doc's
+        # shingle set into one array (docs are candidates on both
+        # sides of some pair, so restrict with a semi-join FIRST —
+        # the whole point of LSH is that this set is tiny relative to
+        # the corpus), then score each pair with array_intersect.
+        # No second self-join on shingle; the arrays are bounded by
+        # document length, never corpus size.
         cand_ids = (
             candidates.select(F.col("id_a").alias("id"))
             .unionAll(candidates.select(F.col("id_b").alias("id")))
             .distinct()
         )
-        # no forced broadcast: AQE picks broadcast while the candidate
-        # set is small and falls back to shuffle when it is not
-        joinable = shingles.join(cand_ids, "id", "left_semi")
-    else:
-        joinable = shingles
-    a = joinable.alias("sa")
-    b = joinable.alias("sb")
+        sets = (
+            shingles.join(cand_ids, "id", "left_semi")
+            .groupBy("id")
+            .agg(F.collect_set("shingle").alias("shset"))
+        )
+        a = sets.select(
+            F.col("id").alias("id_a"),
+            F.col("shset").alias("set_a"),
+            F.size("shset").alias("sz_a"),
+        )
+        b = sets.select(
+            F.col("id").alias("id_b"),
+            F.col("shset").alias("set_b"),
+            F.size("shset").alias("sz_b"),
+        )
+        return (
+            candidates.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "n_inter",
+                F.size(F.array_intersect("set_a", "set_b")).cast("bigint"),
+            )
+            .withColumn(
+                "jaccard",
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
+        )
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("sa")
+    b = shingles.alias("sb")
     inter = (
         a.join(
             b,
@@ -187,8 +215,6 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -226,7 +252,10 @@ def minhash_dedup_pairs(
     """
     sh = word_shingles(docs, text_col, id_col, k).persist()
     sigs = minhash_signatures(sh, n_hashes)
-    cands = lsh_candidate_pairs(sigs, n_bands, n_hashes)
+    # the candidate set is tiny (near-dup pairs only) but referenced
+    # twice downstream (id restriction + pair scoring) — persist it so
+    # the signature/banding chain runs once, not three times
+    cands = lsh_candidate_pairs(sigs, n_bands, n_hashes).persist()
     return jaccard_pairs(sh, threshold, candidates=cands)
 
 
