@@ -215,6 +215,109 @@ def d5_extract_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_contracts(_staged(spark, "traces"))
 
 
+# OrderFulfilled from the public Seaport 1.x ABI (OpenSea protocol,
+# published standard) — the hardest decode shape the reference parses:
+# nested tuple[] arrays (ref ships the same ABI at
+# dags/resources/contracts/ethereum/seaport/Seaport.json).
+_SPENT_ITEM = [
+    {"name": "itemType", "type": "uint8"},
+    {"name": "token", "type": "address"},
+    {"name": "identifier", "type": "uint256"},
+    {"name": "amount", "type": "uint256"},
+]
+SEAPORT_ORDER_FULFILLED = AbiElement.from_dict({
+    "type": "event",
+    "name": "OrderFulfilled",
+    "inputs": [
+        {"name": "orderHash", "type": "bytes32", "indexed": False},
+        {"name": "offerer", "type": "address", "indexed": True},
+        {"name": "zone", "type": "address", "indexed": True},
+        {"name": "recipient", "type": "address", "indexed": False},
+        {"name": "offer", "type": "tuple[]", "components": _SPENT_ITEM},
+        {
+            "name": "consideration",
+            "type": "tuple[]",
+            "components": _SPENT_ITEM
+            + [{"name": "recipient", "type": "address"}],
+        },
+    ],
+})
+
+
+def evt_seaport_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-1 on the nested-tuple shape: decode OrderFulfilled logs
+    (tuple[] offer/consideration) built by the repo's own ABI encoder
+    — end-to-end through the same pandas-UDF decode operator as the
+    flat Transfer event. Rows-only: nested ABI word layout is not
+    DuckDB-expressible; codec round-trip is pinned in tests."""
+    import datetime as dt
+
+    from ..functions.abi_codec import encode_abi
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, LongType, StringType, StructField,
+        StructType, TimestampType,
+    )
+
+    ev = SEAPORT_ORDER_FULFILLED
+    topic0 = ev.event_topic0()
+    non_indexed = [i for i in ev.inputs if not i.indexed]
+    rows = []
+    for i in range(3):
+        offer = [
+            {
+                "itemType": 1,
+                "token": "0x" + f"{i:02x}" * 20,
+                "identifier": j,
+                "amount": 1000 * (i + 1) + j,
+            }
+            for j in range(i + 1)
+        ]
+        consideration = [{
+            "itemType": 0,
+            "token": "0x" + "00" * 20,
+            "identifier": 0,
+            "amount": 5 + i,
+            "recipient": "0x" + "fe" * 20,
+        }]
+        data = encode_abi(
+            non_indexed,
+            ["0x" + f"{i:02x}" * 32, "0x" + "aa" * 20, offer, consideration],
+        )
+        rows.append((
+            [topic0, "0x" + f"{i + 1:064x}", "0x" + f"{i + 2:064x}"],
+            bytearray(data),
+            topic0,
+            "0x" + "5e" * 20,
+            f"0xtx{i}",
+            i,
+            dt.datetime(2023, 5, 1, 0, 0, 0),
+            17_000_000 + i,
+        ))
+    schema = StructType([
+        StructField("topics_arr", ArrayType(StringType())),
+        StructField("unhex_data", BinaryType()),
+        StructField("selector", StringType()),
+        StructField("address", StringType()),
+        StructField("transaction_hash", StringType()),
+        StructField("log_index", LongType()),
+        StructField("block_timestamp", TimestampType()),
+        StructField("block_number", LongType()),
+    ])
+    logs = spark.createDataFrame(rows, schema)
+    decoded = decode_log_events(logs, ev)
+    return decoded.select(
+        "evt_tx_hash",
+        "orderHash",
+        "offerer",
+        "recipient",
+        F.size("offer").alias("n_offer"),
+        F.element_at(F.col("offer"), 1)["amount"].alias("first_offer_amount"),
+        F.element_at(F.col("consideration"), 1)["recipient"].alias(
+            "consideration_recipient"
+        ),
+    )
+
+
 QUERIES = {
     "s1_staging_scan_json": s1_staging_scan_json,
     "s2_staging_scan_csv": s2_staging_scan_csv,
@@ -230,6 +333,7 @@ QUERIES = {
     "d_verify_have_latest": d_verify_have_latest,
     "d_verify_root_traces": d_verify_root_traces,
     "evt_transfer_decode": evt_transfer_decode,
+    "evt_seaport_decode": evt_seaport_decode,
     "call_transfer_decode": call_transfer_decode,
     "d4_token_transfers": d4_token_transfers,
     "d5_extract_contracts": d5_extract_contracts,

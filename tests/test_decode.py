@@ -222,3 +222,27 @@ class TestExtraction:
         assert r["is_erc20"] is True
         assert r["is_erc721"] is False
         assert "0xa9059cbb" in r["function_sighashes"]
+
+
+class TestSeaportEndToEnd:
+    """decode_log_events over the nested tuple[] OrderFulfilled shape —
+    the driver's evt_seaport_decode query, value-asserted here."""
+
+    def test_nested_tuple_decode_values(self, spark):
+        from datawaves_etl_airflow_spark.queries.domain import (
+            evt_seaport_decode,
+        )
+
+        rows = {r["evt_tx_hash"]: r for r in
+                evt_seaport_decode(spark, "").collect()}
+        assert len(rows) == 3
+        for i in range(3):
+            r = rows[f"0xtx{i}"]
+            # indexed address from topics[1]
+            assert r["offerer"] == "0x" + f"{i + 1:064x}"[-40:]
+            # non-indexed address from data
+            assert r["recipient"] == "0x" + "aa" * 20
+            assert r["orderHash"] == "0x" + f"{i:02x}" * 32
+            assert r["n_offer"] == i + 1
+            assert r["first_offer_amount"] == 1000 * (i + 1)
+            assert r["consideration_recipient"] == "0x" + "fe" * 20
