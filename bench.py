@@ -41,6 +41,8 @@ def main() -> None:
         "w1_topk_per_user": generic.w1_topk_per_user,
         "h1_hourly_events": generic.h1_hourly_events,
         "t1_topk_orders": generic.t1_topk_orders,
+        "aj1_asof_clicks": generic.aj1_asof_clicks,
+        "rj1_promo_range_join": generic.rj1_promo_range_join,
         # domain pipeline (fixture day: scans + 3-way join + decode)
         "d_enrich_transactions": domain.d_enrich_transactions,
         "evt_transfer_decode": domain.evt_transfer_decode,

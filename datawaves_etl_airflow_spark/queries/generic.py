@@ -328,6 +328,46 @@ def w3_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j8_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with ≥1 order over 450k.
+    Complement of J-6's anti shape; same single shuffle on the key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def j9_full_outer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-customer order count vs event count —
+    customers with no events and users with no orders both survive."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cid"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("user_id").alias("cid"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return o.join(e, "cid", "full_outer").select(
+        "cid",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+def g3_cube_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderpriority, orderstatus): all 4 grouping-set
+    combinations in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _sum_money(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
 def aj1_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators.temporal): for each purchase event, the
     latest click at-or-before it by the same user. Right side is
@@ -411,6 +451,9 @@ QUERIES = {
     "aj1_asof_clicks": aj1_asof_clicks,
     "rj1_promo_range_join": rj1_promo_range_join,
     "g2_grouped_quantiles": g2_grouped_quantiles,
+    "j8_semi_join_customers": j8_semi_join_customers,
+    "j9_full_outer_rollup": j9_full_outer_rollup,
+    "g3_cube_priority": g3_cube_priority,
 }
 
 def _m(x: str) -> str:
@@ -602,5 +645,32 @@ ORACLES = {
                quantile_cont(l_quantity, 0.75) AS q75
         FROM lineitem
         GROUP BY l_returnflag
+    """,
+    "j8_semi_join_customers": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0
+        )
+    """,
+    "j9_full_outer_rollup": """
+        WITH o AS (
+            SELECT o_custkey AS cid, COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        ), e AS (
+            SELECT user_id AS cid, COUNT(*) AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT COALESCE(o.cid, e.cid) AS cid,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(n_events, 0) AS n_events
+        FROM o FULL OUTER JOIN e ON o.cid = e.cid
+    """,
+    "g3_cube_priority": f"""
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               {_m('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
 }
