@@ -2,6 +2,7 @@
 windowed aggregation, and stateful per-key accumulation."""
 
 from .ingest import (  # noqa: F401
+    dedup_stream,
     read_staging_stream,
     windowed_counts,
     write_stream_partitioned,

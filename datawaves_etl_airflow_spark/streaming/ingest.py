@@ -61,6 +61,24 @@ def windowed_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on ``key_cols`` (e.g. a content
+    fingerprint) with state bounded by the watermark — duplicates
+    arriving within the watermark horizon are dropped, state for older
+    keys is evicted. The streaming twin of ``operators.dedup``'s exact
+    path for training-data ingest; at scale, state size is
+    (unique keys per horizon) × key width, independent of stream
+    length."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def write_stream_partitioned(
     df: DataFrame,
     path: str,

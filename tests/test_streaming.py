@@ -98,3 +98,46 @@ class TestStatefulRunningTotals:
                 final[k] = (r["n_events"], r["total"])
         assert final["x"] == (3, 7.0)
         assert final["y"] == (1, 5.0)
+
+
+class TestDedupStream:
+    def test_duplicates_within_watermark_dropped(self, spark, tmp_path):
+        import json as _json
+
+        from datawaves_etl_airflow_spark.streaming import dedup_stream
+
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = [
+            {"fp": "a", "ts": "2024-01-01 00:00:01"},
+            {"fp": "b", "ts": "2024-01-01 00:00:02"},
+            {"fp": "a", "ts": "2024-01-01 00:00:03"},  # dup within horizon
+        ]
+        with open(src / "f1.json", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        from pyspark.sql.types import (
+            StringType, StructField, StructType,
+        )
+
+        schema = StructType([
+            StructField("fp", StringType()),
+            StructField("ts", StringType()),
+        ])
+        stream = (
+            spark.readStream.schema(schema).json(str(src))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        out = dedup_stream(stream, ["fp"], "ts", watermark="10 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_out")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            r["fp"] for r in spark.sql("SELECT fp FROM dedup_out").collect()
+        )
+        assert got == ["a", "b"]
