@@ -368,6 +368,41 @@ def g3_cube_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pv1_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: returnflag rows × linestatus columns (explicit value
+    list so the plan is single-pass, no distinct-scan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(_sum_money(F.col("l_quantity")))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_open"),
+            F.col("F").alias("qty_filled"),
+        )
+    )
+
+
+def m1_upsert_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/SCD1 emulation without Delta: updates ∪ (current ⟂
+    updates) — the anti-join+union upsert the reference's S-4 append
+    generalizes to. Updates batch = every 10th customer with a bumped
+    balance."""
+    cur = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", _cents(F.col("c_acctbal")).alias("_cents")
+    )
+    updates = cur.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "_cents", F.col("_cents") + F.lit(10000)
+    )
+    kept = cur.join(updates, "c_custkey", "left_anti")
+    return kept.unionByName(updates).select(
+        "c_custkey",
+        "c_name",
+        (F.col("_cents") / F.lit(100.0)).cast("decimal(18,2)").alias("acctbal"),
+    )
+
+
 def aj1_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators.temporal): for each purchase event, the
     latest click at-or-before it by the same user. Right side is
@@ -454,6 +489,8 @@ QUERIES = {
     "j8_semi_join_customers": j8_semi_join_customers,
     "j9_full_outer_rollup": j9_full_outer_rollup,
     "g3_cube_priority": g3_cube_priority,
+    "pv1_pivot_linestatus": pv1_pivot_linestatus,
+    "m1_upsert_dimension": m1_upsert_dimension,
 }
 
 def _m(x: str) -> str:
@@ -672,5 +709,34 @@ ORACLES = {
                {_m('o_totalprice')} AS sum_price
         FROM orders
         GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    "pv1_pivot_linestatus": f"""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(FLOOR(l_quantity*100) AS BIGINT) END)/100.0
+                    AS DECIMAL(18,2)) AS qty_open,
+               CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(FLOOR(l_quantity*100) AS BIGINT) END)/100.0
+                    AS DECIMAL(18,2)) AS qty_filled
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "m1_upsert_dimension": """
+        WITH cur AS (
+            SELECT c_custkey, c_name,
+                   CAST(FLOOR(c_acctbal*100) AS BIGINT) AS cents
+            FROM customer
+        ), updates AS (
+            SELECT c_custkey, c_name, cents + 10000 AS cents
+            FROM cur WHERE c_custkey % 10 = 0
+        )
+        SELECT c_custkey, c_name,
+               CAST(cents/100.0 AS DECIMAL(18,2)) AS acctbal
+        FROM (
+            SELECT * FROM cur
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+            UNION ALL
+            SELECT * FROM updates
+        )
     """,
 }
