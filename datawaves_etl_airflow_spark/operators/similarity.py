@@ -220,9 +220,11 @@ def ivf_topk(
     cells of its ``nprobe`` nearest centroids. Output schema matches
     ``brute_force_topk`` so recall is directly comparable.
     """
+    # tiny (n_centroids rows) but referenced twice (index assignment +
+    # query probing) — persist so the Lloyd-iteration lineage runs once
     centroids = train_centroids(
         vectors, n_centroids, n_iters, vec_col, id_col
-    )
+    ).persist()
     norm = vectors.select(
         F.col(id_col).alias("_vid"), l2_normalize(F.col(vec_col)).alias("_v")
     )
