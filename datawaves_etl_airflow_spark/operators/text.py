@@ -66,6 +66,38 @@ def text_stats(
     )
 
 
+def ngram_repetition(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repeated-n-gram ratio per doc — the Gopher/RefinedWeb-style
+    repetition signal (most frequent word n-gram count / total n-grams;
+    near 1.0 = degenerate boilerplate). Non-distinct n-grams by
+    construction, one explode + two hash aggregations; shuffles only
+    on (id, ngram) then id."""
+    # materialize the words array behind an exchange (expressions
+    # referenced inside transform() lambdas re-evaluate per element —
+    # same barrier pattern as dedup.word_shingles)
+    src = docs.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("w")
+    ).repartition(F.col("id"))
+    idx = F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, n))
+    )
+    exploded = src.select("id", F.explode(grams).alias("gram"))
+    counts = exploded.groupBy("id", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("id").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.max("c").alias("top_ngram_count"),
+        (F.max("c") / F.sum("c")).alias("repetition_ratio"),
+    )
+
+
 def detect_language(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

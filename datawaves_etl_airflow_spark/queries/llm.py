@@ -169,6 +169,11 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repeated-2-gram ratio (degenerate-text signal)."""
+    return text.ngram_repetition(_docs(spark, sf_dir), n=2)
+
+
 def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate composition: keep documents passing the stats
     thresholds a training pipeline would use (length band, word count,
@@ -207,6 +212,7 @@ QUERIES = {
     "llm_fingerprint": llm_fingerprint,
     "llm_multimodal_meta": llm_multimodal_meta,
     "llm_frame_sample": llm_frame_sample,
+    "llm_repetition": llm_repetition,
     "llm_quality_filter": llm_quality_filter,
     "llm_length_histogram": llm_length_histogram,
 }
@@ -359,6 +365,19 @@ ORACLES = {
                        i -> md5(substr(t, CAST(i AS BIGINT), 4))),
                    'min') AS min_gram_fp
         FROM n
+    """,
+    "llm_repetition": f"""
+        WITH g AS (
+            SELECT doc_id AS id,
+                   array_to_string(ws[i:i+1], ' ') AS gram
+            FROM (SELECT doc_id, {_WORDS} AS ws FROM documents),
+                 UNNEST(range(1, greatest(len(ws) - 2, 0) + 2)) AS u(i)
+        ), c AS (
+            SELECT id, gram, COUNT(*) AS c FROM g GROUP BY id, gram
+        )
+        SELECT id, SUM(c) AS n_ngrams, MAX(c) AS top_ngram_count,
+               MAX(c) / SUM(c) AS repetition_ratio
+        FROM c GROUP BY id
     """,
     "llm_frame_sample": """
         WITH v AS (

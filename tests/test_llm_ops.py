@@ -320,3 +320,23 @@ class TestSkew:
             got.groupBy("k").count().orderBy("k").collect()
             == plain.groupBy("k").count().orderBy("k").collect()
         )
+
+
+class TestRepetition:
+    def test_repetition_ratio_golden(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam"),        # "spam spam" ×3 / 3
+                (2, "a b c d"),                    # all 2-grams unique
+                (3, "hello"),                      # single word
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["id"]: r for r in
+               text.ngram_repetition(docs, n=2).collect()}
+        assert out[1]["n_ngrams"] == 3
+        assert out[1]["top_ngram_count"] == 3
+        assert out[1]["repetition_ratio"] == 1.0
+        assert out[2]["n_ngrams"] == 3
+        assert out[2]["top_ngram_count"] == 1
+        assert out[3]["n_ngrams"] == 1  # degenerate: the word itself
