@@ -34,6 +34,18 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def tokenize(col: Column) -> Column:
+    """Word tokens of the normalized text — same tokens as
+    ``split(normalize_text(c), ' ')`` but in ONE regex pass (split on
+    the whitespace run directly; the filter drops the empty strings a
+    leading/trailing run produces). Empty docs yield [] rather than
+    [''], which only matters to callers that explode without a
+    min-one-shingle floor."""
+    return F.filter(
+        F.split(F.lower(col), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
 def exact_dedup_groups(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -62,7 +74,7 @@ def word_shingles(
 
     Built with sequence+transform+explode — one pass, no Python.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    words = tokenize(F.col(text_col))
     # split once per doc BEFORE the exchange: expressions referenced
     # inside a higher-order-function lambda re-evaluate their input
     # (no CSE into lambdas), so the words array must be a materialized
@@ -275,7 +287,7 @@ def simhash_signatures(
     """
     tokens = docs.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     votes = tokens.groupBy("id").agg(*[
         F.sum(
