@@ -99,17 +99,45 @@ def word_shingles(
     )
 
 
+def word_shingle_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Distinct xxhash64'd word k-shingles per document: (id, shingle)
+    with ``shingle`` a long — 8 bytes through every downstream
+    exchange instead of the ~k-word string. The MinHash scale path;
+    Jaccard over hashed shingles equals string Jaccard up to 64-bit
+    collisions (~n²/2⁶⁴, negligible at any per-doc n)."""
+    words = tokenize(F.col(text_col))
+    src = docs.select(
+        F.col(id_col).alias("id"), words.alias("w")
+    ).repartition(F.col("id"))
+    idx = F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0)))
+    hashes = F.transform(
+        idx,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("w"), i + 1, k))),
+    )
+    return src.select(
+        "id", F.explode(F.array_distinct(hashes)).alias("shingle")
+    )
+
+
 def minhash_signatures(
-    shingles: DataFrame, n_hashes: int = 64
+    shingles: DataFrame, n_hashes: int = 64, pre_hashed: bool = False
 ) -> DataFrame:
     """MinHash signature per id: n_hashes min-aggregates, all JVM-side,
     one shuffle on id.
 
-    The shingle string is hashed ONCE (xxhash64), then each permutation
-    re-mixes the resulting long with its seed — 64 long-hash exprs per
-    row instead of 64 string hashes (~8× cheaper on wide shingles).
+    The shingle is hashed ONCE (xxhash64; skipped when the input is
+    already a hash, ``pre_hashed``), then each permutation re-mixes the
+    resulting long with its seed — 64 long-hash exprs per row instead
+    of 64 string hashes (~8× cheaper on wide shingles).
     """
-    hashed = shingles.withColumn("h", F.xxhash64("shingle"))
+    hashed = shingles.withColumn(
+        "h", F.col("shingle") if pre_hashed else F.xxhash64("shingle")
+    )
     aggs = [
         F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
         for i in range(n_hashes)
@@ -262,8 +290,8 @@ def minhash_dedup_pairs(
     is the one intermediate worth materializing — everything downstream
     is a reduction of it).
     """
-    sh = word_shingles(docs, text_col, id_col, k).persist()
-    sigs = minhash_signatures(sh, n_hashes)
+    sh = word_shingle_hashes(docs, text_col, id_col, k).persist()
+    sigs = minhash_signatures(sh, n_hashes, pre_hashed=True)
     # the candidate set is tiny (near-dup pairs only) but referenced
     # twice downstream (id restriction + pair scoring) — persist it so
     # the signature/banding chain runs once, not three times
