@@ -403,6 +403,19 @@ def m1_upsert_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x1_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier: HLL++ distinct counts + approx quantiles per event
+    type — the O(1)-memory aggregates a 100 TB profile pass uses
+    instead of exact distinct/percentile. Rows-only (sketches are
+    implementation-defined); accuracy vs exact is pinned in tests."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def aj1_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators.temporal): for each purchase event, the
     latest click at-or-before it by the same user. Right side is
@@ -491,6 +504,7 @@ QUERIES = {
     "g3_cube_priority": g3_cube_priority,
     "pv1_pivot_linestatus": pv1_pivot_linestatus,
     "m1_upsert_dimension": m1_upsert_dimension,
+    "x1_approx_aggregates": x1_approx_aggregates,
 }
 
 def _m(x: str) -> str:
