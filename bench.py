@@ -56,13 +56,12 @@ def main() -> None:
 
     # warmup: touch every source table and force one codegen'd shuffle
     # so timings below measure steady-state plans, not JVM/reader init
+    # (nanosAsLong up front: events.parquet stores TIMESTAMP(NANOS),
+    # which the vectorized reader otherwise rejects with a noisy abort)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in ["lineitem", "orders", "customer", "events", "documents",
               "embeddings"]:
-        try:
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
-        except Exception:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
     from pyspark.sql import functions as F
 
     spark.range(1000).groupBy(F.col("id") % 7).count().count()

@@ -1,0 +1,126 @@
+"""Sampling / dataset-partitioning operators for training-data
+pipelines: per-group quota capping, deterministic content-hash dataset
+splits, hash-mod downsampling.
+
+A pretraining pipeline at 100 TB caps domains so no single source
+dominates the mixture, assigns train/val/test membership
+deterministically (membership must survive re-runs, repartitions, and
+joins — so a content hash of a stable id, never ``rand()``), and
+downsamples by hash for cheap profiling passes. Everything here is a
+JVM builtin expression.
+
+Determinism across engines: assignment compares a fixed-length md5
+hex *prefix* lexicographically (``substr(md5(id), 1, 2) < 'c0'``),
+which is numeric order for same-length lowercase hex — bit-identical
+in DuckDB/Trino/Spark, with no hex→int conversion that engines spell
+differently. 2 hex chars = 256 buckets; pass ``chars=4`` for 65536
+when finer fractions are needed.
+
+Scale posture: ``cap_per_group`` is one shuffle on the group key plus
+a per-group sort — fine while every group fits a task's spill budget.
+A pathological mega-domain (one source = 30% of the corpus) wants
+``cap_per_group_prefiltered``: a salted pre-top-k bounds what the
+single hot reducer ever sees to ``k × salt_buckets`` rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "hash_hex",
+    "assign_split",
+    "sample_by_hash",
+    "cap_per_group",
+    "cap_per_group_prefiltered",
+]
+
+
+def hash_hex(id_col: Column, chars: int = 2) -> Column:
+    """Lowercase md5-hex prefix of the id's string form — the
+    deterministic, engine-portable randomness source for splits and
+    samples. ``chars`` hex chars = ``16**chars`` uniform buckets."""
+    return F.substring(F.md5(id_col.cast("string")), 1, chars)
+
+
+def _hex2(bucket: int) -> str:
+    if not 0 <= bucket <= 256:
+        raise ValueError(f"bucket boundary out of range: {bucket}")
+    return format(bucket, "02x")
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: int = 192,
+    val: int = 224,
+) -> DataFrame:
+    """Add a ``split`` column: train/val/test by 256-bucket id hash.
+
+    ``train``/``val`` are upper bucket boundaries out of 256 — the
+    default 192/224 gives 75% / 12.5% / 12.5%. Membership is a pure
+    function of the id: stable under re-runs and immune to row order,
+    unlike ``randomSplit``.
+    """
+    h = hash_hex(F.col(id_col))
+    return df.withColumn(
+        "split",
+        F.when(h < F.lit(_hex2(train)), F.lit("train"))
+        .when(h < F.lit(_hex2(val)), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def sample_by_hash(df: DataFrame, id_col: str, keep: int) -> DataFrame:
+    """Deterministic ~keep/256 downsample by id hash — the profiling
+    pass a 100 TB pipeline runs instead of ``.sample()`` (whose output
+    changes per run and per partitioning)."""
+    return df.filter(hash_hex(F.col(id_col)) < F.lit(_hex2(keep)))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Quota cap: keep at most ``k`` rows per group under a
+    deterministic preference order (pass a total order — include a
+    unique id as the last sort key)."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def cap_per_group_prefiltered(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    k: int,
+    id_col: str = "doc_id",
+    salt_buckets: int = 32,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Skew-safe quota cap: salted pre-top-k, then the global window.
+
+    Phase 1 windows over ``(group, salt)`` — the hot group's rows
+    spread across ``salt_buckets`` reducers, each emitting at most
+    ``k`` — so phase 2's single-reducer-per-group window sees at most
+    ``k × salt_buckets`` rows per group regardless of domain skew.
+    Result is identical to :func:`cap_per_group`: a row outside some
+    salt bucket's top-k is outranked by k rows of its own group and so
+    can never be in the group's global top-k.
+    """
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    wl = Window.partitionBy(F.col(group_col), salt).orderBy(*order_cols)
+    local = (
+        df.withColumn("_lrk", F.row_number().over(wl))
+        .filter(F.col("_lrk") <= k)
+        .drop("_lrk")
+    )
+    return cap_per_group(local, group_col, order_cols, k, rank_col)

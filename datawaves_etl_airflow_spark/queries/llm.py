@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, sampling, similarity, text
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -197,6 +197,44 @@ def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (operators.sampling): keep the 50 longest
+    documents per source, deterministic tiebreak on doc_id — the
+    domain-mixture cap of a pretraining pipeline. The salted two-phase
+    variant is pinned equal to this plan in tests."""
+    capped = sampling.cap_per_group(
+        _docs(spark, sf_dir),
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=50,
+    )
+    return capped.select("doc_id", "source", "n_chars", "rk")
+
+
+def llm_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (md5-bucket membership, 75/
+    12.5/12.5) summarized per (split, lang): the re-run-stable dataset
+    partition a training pipeline needs instead of randomSplit."""
+    assigned = sampling.assign_split(_docs(spark, sf_dir))
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode normalized word tokens, top-20
+    by frequency (total order: count desc, word asc)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(dedup.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
 QUERIES = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_jaccard_pairs": llm_jaccard_pairs,
@@ -215,6 +253,9 @@ QUERIES = {
     "llm_repetition": llm_repetition,
     "llm_quality_filter": llm_quality_filter,
     "llm_length_histogram": llm_length_histogram,
+    "llm_source_quota": llm_source_quota,
+    "llm_hash_split": llm_hash_split,
+    "llm_wordcount": llm_wordcount,
 }
 
 # normalized text, DuckDB spelling (regexp_replace needs the 'g' flag)
@@ -414,4 +455,44 @@ ORACLES["llm_length_histogram"] = """
            COUNT(*) AS n_docs
     FROM documents
     GROUP BY 1
+"""
+
+ORACLES["llm_source_quota"] = """
+    SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC
+               ) AS rk
+        FROM documents
+    )
+    WHERE rk <= 50
+"""
+
+ORACLES["llm_hash_split"] = """
+    WITH a AS (
+        SELECT lang, n_chars,
+               CASE
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+                       THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e0'
+                       THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM documents
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM a GROUP BY split, lang
+"""
+
+ORACLES["llm_wordcount"] = f"""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest({_WORDS}) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 20
 """
