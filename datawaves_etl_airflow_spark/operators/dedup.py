@@ -270,6 +270,108 @@ def jaccard_pairs(
     )
 
 
+def word_shingle_hash_sets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc distinct shingle-hash SET as one array column:
+    ``(id, shset: array<long>)`` — the exchange-free shingle
+    representation. Hash chain is identical to
+    :func:`word_shingle_hashes` (xxhash64 of the k-word string), so
+    Jaccard/MinHash results match the exploded path exactly."""
+    words = tokenize(F.col(text_col))
+    # project the words array through a round-robin Exchange before any
+    # lambda references it: HOF lambdas re-evaluate non-attribute
+    # inputs (no CSE into lambdas), and the repartition also fixes
+    # small-file parallelism for the CPU-heavy shingling map
+    src = docs.select(
+        F.col(id_col).alias("id"), words.alias("w")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    idx = F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0)))
+    hashes = F.transform(
+        idx,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("w"), i + 1, k))),
+    )
+    return src.select("id", F.array_distinct(hashes).alias("shset"))
+
+
+_LONG_MAX = (1 << 63) - 1
+
+
+def minhash_band_rows(
+    sets: DataFrame, n_hashes: int = 64, n_bands: int = 16
+) -> DataFrame:
+    """Banded MinHash directly from per-doc shingle-hash arrays:
+    ``(id, band_id, band_hash)`` — n_bands rows per doc.
+
+    Each permutation's min is a per-row ``aggregate`` over the array
+    (re-mix the 8-byte shingle hash with the seed, keep the least) —
+    NO shuffle anywhere: signatures and band hashes are narrow maps,
+    so the first exchange in the whole dedup pipeline is the band-key
+    join. Hash chain matches :func:`minhash_signatures` exactly.
+    """
+    rows = n_hashes // n_bands
+
+    def _min_under_seed(seed: int):
+        # bind the permutation seed outside the lambda: pyspark infers
+        # HOF arity from the signature, so a default-arg seed would be
+        # mistaken for aggregate's optional 3rd (finish) parameter
+        return lambda acc, h: F.least(acc, F.xxhash64(h, F.lit(seed)))
+
+    mins = [
+        F.aggregate("shset", F.lit(_LONG_MAX), _min_under_seed(i)).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sets.select("id", *mins)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+            ).alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ])
+    return sigs.select(F.col("id"), F.explode(bands).alias("band")).select(
+        "id", "band.band_id", "band.band_hash"
+    )
+
+
+def verify_pairs_with_sets(
+    sets: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs using per-doc shingle-hash
+    arrays: two joins + array_intersect, no collect_set shuffle. The
+    arrays are bounded by document length, never corpus size."""
+    a = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("shset").alias("set_a"),
+        F.size("shset").alias("sz_a"),
+    )
+    b = sets.select(
+        F.col("id").alias("id_b"),
+        F.col("shset").alias("set_b"),
+        F.size("shset").alias("sz_b"),
+    )
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("set_a", "set_b")).cast("bigint"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -282,21 +384,32 @@ def minhash_dedup_pairs(
     """MinHash-LSH near-duplicate pairs, exact-verified.
 
     LSH proposes candidates (banded buckets only), exact Jaccard over
-    shingles confirms ≥ threshold. This is the operator a 100 TB dedup
-    run uses end-to-end.
+    shingle-hash sets confirms ≥ threshold. This is the operator a
+    100 TB dedup run uses end-to-end.
 
-    The shingle set feeds both the signatures and the verify join, so
-    it is persisted for the duration of the plan (at cluster scale this
-    is the one intermediate worth materializing — everything downstream
-    is a reduction of it).
+    Shape: shingle sets stay per-row arrays (no explode), signatures
+    and band hashes are narrow maps over them, so the ONLY exchanges
+    in the plan are the band-key self-join and the two candidate-pair
+    verify joins — everything before that is map-side. The set array
+    feeds both the band path and the verify join, so it is persisted
+    (at cluster scale this is the one intermediate worth
+    materializing — everything downstream is a reduction of it).
     """
-    sh = word_shingle_hashes(docs, text_col, id_col, k).persist()
-    sigs = minhash_signatures(sh, n_hashes, pre_hashed=True)
-    # the candidate set is tiny (near-dup pairs only) but referenced
-    # twice downstream (id restriction + pair scoring) — persist it so
-    # the signature/banding chain runs once, not three times
-    cands = lsh_candidate_pairs(sigs, n_bands, n_hashes).persist()
-    return jaccard_pairs(sh, threshold, candidates=cands)
+    sets = word_shingle_hash_sets(docs, text_col, id_col, k).persist()
+    bands = minhash_band_rows(sets, n_hashes, n_bands)
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cands = (
+        ba.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+            "inner",
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return verify_pairs_with_sets(sets, cands, threshold)
 
 
 # ---------------------------------------------------------------------------
