@@ -372,6 +372,51 @@ def verify_pairs_with_sets(
     )
 
 
+def jaccard_all_pairs_from_sets(
+    sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact all-co-shingled-pairs Jaccard from per-doc shingle-hash
+    arrays (``word_shingle_hash_sets`` output).
+
+    Same result as ``jaccard_pairs`` without candidates (up to 64-bit
+    shingle-hash collisions), in exactly TWO exchanges: explode is only
+    for pair discovery — 8-byte longs through the self-join instead of
+    k-word strings — and both set sizes ride along as map-side columns
+    into the pair groupBy (min-aggregated back out), so there is no
+    sizes groupBy and no join back onto the pairs.
+
+    ``sets`` is persisted here: it is consumed by BOTH sides of the
+    self-join, and without the cache barrier CollapseProject inlines
+    the whole shingling chain into size() and explode() on each side —
+    shingling every document four times instead of once.
+    """
+    sets = sets.persist()
+    ex = sets.select(
+        "id", F.size("shset").alias("sz"), F.explode("shset").alias("h")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+            "inner",
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("a.sz").alias("sz_a"),
+            F.min("b.sz").alias("sz_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -46,9 +46,11 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (j ≥ 0.5)."""
-    sh = dedup.word_shingles(_docs(spark, sf_dir))
-    out = dedup.jaccard_pairs(sh, 0.5)
+    """Exact word-3-gram Jaccard near-dup pairs (j ≥ 0.5), computed
+    over hashed shingle sets (same values as the string path up to
+    64-bit collisions — the DuckDB oracle computes the string form)."""
+    sets = dedup.word_shingle_hash_sets(_docs(spark, sf_dir))
+    out = dedup.jaccard_all_pairs_from_sets(sets, 0.5)
     return out.select(
         "id_a", "id_b", "n_inter", "sz_a", "sz_b",
         F.round("jaccard", 6).alias("jaccard"),
