@@ -5,10 +5,11 @@ Scale design (the 100 TB posture):
 
 - **Exact** is one shuffle on a 16-byte fingerprint — the minimum
   possible; skew is bounded because the key is a hash.
-- **MinHash-LSH** never forms all pairs: signatures are built by a
-  single explode + wide min-aggregate (64 JVM xxhash64 calls per
-  shingle, no Python), then banded — candidate pairs exist only inside
-  a (band_id, band_hash) bucket. The shuffle is bounded by
+- **MinHash-LSH** never forms all pairs: per-doc shingle-hash SETS
+  stay one array column, signatures are 64 per-row array aggregates
+  (JVM xxhash64, no Python, no groupBy), then banded — candidate
+  pairs exist only inside a (band_id, band_hash) bucket. The first
+  exchange in the pipeline is the band join; its volume is bounded by
   sum(bucket²) over near-duplicate buckets, not n².
 - **SimHash** reduces each doc to one 64-bit signature; candidates are
   pairs sharing any 16-bit chunk (≤3-bit Hamming distance guarantee by
