@@ -529,3 +529,69 @@ def simhash_candidate_pairs(
     return pairs.withColumn(
         "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over duplicate pairs: ``(id, cluster_id)``
+    with ``cluster_id`` the minimum doc id in the component — the step
+    that turns pair output (MinHash/SimHash/Jaccard) into a keep/drop
+    decision: keep ``id == cluster_id``, drop the rest.
+
+    Iterative min-label propagation: each round every node takes the
+    least label among itself and its neighbors (one shuffle on id per
+    round, all JVM). Rounds needed = component diameter; near-dup
+    components are LSH-bucket cliques or short chains, so 2-4 rounds
+    in practice. Convergence is detected by the total-label sum — a
+    strictly decreasing bigint-safe decimal — so the driver reads ONE
+    scalar per round and never collects labels. Each round's labels
+    are ``localCheckpoint``ed: the round body references the previous
+    labels TWICE (union + neighbor join), so without truncation the
+    logical plan doubles per round — caching alone does not cut
+    lineage, and ~15 rounds is enough to OOM the planner. On a
+    multi-node cluster prefer ``spark.sparkContext.setCheckpointDir``
+    + ``.checkpoint()`` for executor-loss tolerance.
+
+    At 100 TB this is the published MapReduce-CC shape (label
+    propagation; see Kiveris et al., "Connected Components in
+    MapReduce and Beyond" for the star-contraction refinement worth
+    adopting if components ever become deep chains).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    total = labels.agg(
+        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels, edges["dst"] == labels["id"], "inner"
+        ).select(F.col("src").alias("id"), F.col("lbl"))
+        new_labels = (
+            labels.unionAll(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        new_total = new_labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if new_total == total:
+            break
+        total = new_total
+    edges.unpersist()
+    return labels.select("id", F.col("lbl").alias("cluster_id"))

@@ -66,6 +66,17 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the exact
+    word-3-gram Jaccard pairs (j ≥ 0.5) — (id, cluster_id) with
+    cluster_id the min doc id in the component (keep id == cluster_id,
+    drop the rest). Oracled by a DuckDB recursive CTE over the same
+    pair set."""
+    sets = dedup.word_shingle_hash_sets(_docs(spark, sf_dir))
+    pairs = dedup.jaccard_all_pairs_from_sets(sets, 0.5)
+    return dedup.duplicate_clusters(pairs)
+
+
 def llm_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates within Hamming distance 3
     (rows-only: signatures are Spark xxhash64-based)."""
@@ -240,6 +251,7 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_jaccard_pairs": llm_jaccard_pairs,
+    "llm_dedup_clusters": llm_dedup_clusters,
     "llm_minhash_dedup": llm_minhash_dedup,
     "llm_simhash_candidates": llm_simhash_candidates,
     "llm_cosine_topk": llm_cosine_topk,
@@ -324,6 +336,34 @@ ORACLES = {
         JOIN sz sa ON inter.id_a = sa.id
         JOIN sz sb ON inter.id_b = sb.id
         WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5
+    """,
+    "llm_dedup_clusters": f"""
+        WITH RECURSIVE sh AS ({_SHINGLES}),
+        sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sz sa ON inter.id_a = sa.id
+            JOIN sz sb ON inter.id_b = sb.id
+            WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src AS id, src AS lbl FROM edges
+            UNION
+            SELECT e.dst AS id, r.lbl AS lbl
+            FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
     """,
     "llm_cosine_topk": f"""
         WITH q AS (

@@ -340,3 +340,51 @@ class TestRepetition:
         assert out[2]["n_ngrams"] == 3
         assert out[2]["top_ngram_count"] == 1
         assert out[3]["n_ngrams"] == 1  # degenerate: the word itself
+
+
+class TestDuplicateClusters:
+    def _clusters(self, spark, edges, max_iter=25):
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        out = dedup.duplicate_clusters(pairs, max_iter=max_iter).collect()
+        return {r["id"]: r["cluster_id"] for r in out}
+
+    def test_chain_and_separate_component(self, spark):
+        # chain 1-2-3-4 (never directly paired end-to-end) + island 10-11
+        got = self._clusters(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_matches_union_find(self, spark):
+        import random
+
+        rng = random.Random(7)
+        nodes = list(range(40))
+        edges = [
+            tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)
+        ]
+        # reference union-find
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {n for e in edges for n in e}
+        want = {
+            n: min(m for m in touched if find(m) == find(n))
+            for n in touched
+        }
+        got = self._clusters(spark, edges)
+        assert got == want
+
+    def test_end_to_end_from_jaccard(self, docs):
+        sets = dedup.word_shingle_hash_sets(docs)
+        pairs = dedup.jaccard_all_pairs_from_sets(sets, 0.5)
+        out = dedup.duplicate_clusters(pairs).collect()
+        got = {r["id"]: r["cluster_id"] for r in out}
+        # 0,1,5 are exact dups (post-normalization), 2 is a near-dup of
+        # them; 3 and 4 share no pairs so they never appear
+        assert got == {0: 0, 1: 0, 2: 0, 5: 0}
