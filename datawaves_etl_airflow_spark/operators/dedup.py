@@ -595,3 +595,48 @@ def duplicate_clusters(
         total = new_total
     edges.unpersist()
     return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out corpus)
+# ---------------------------------------------------------------------------
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Training-set decontamination: per-document count of word
+    k-shingles shared with a benchmark corpus —
+    ``(id, n_overlap, n_shingles, overlap_frac)``, contaminated docs
+    only (``n_overlap >= 1``).
+
+    The benchmark's distinct shingle-hash set is broadcast (benchmarks
+    are MB-scale against a TB-scale corpus), so the corpus side never
+    shuffles for the probe: explode → broadcast-hash semi-probe →
+    re-aggregate on the already-partitioned id. Matching on xxhash64'd
+    shingles equals string matching up to 64-bit collisions.
+    """
+    doc_sets = word_shingle_hash_sets(docs, text_col, id_col, k)
+    bench_shingles = (
+        word_shingle_hash_sets(benchmark, text_col, id_col, k)
+        .select(F.explode("shset").alias("h"))
+        .distinct()
+    )
+    ex = doc_sets.select(
+        "id", F.size("shset").alias("sz"), F.explode("shset").alias("h")
+    )
+    return (
+        ex.join(F.broadcast(bench_shingles), "h", "inner")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.min("sz").alias("n_shingles"),
+        )
+        .withColumn(
+            "overlap_frac", F.col("n_overlap") / F.col("n_shingles")
+        )
+    )

@@ -10,10 +10,10 @@ oracle checks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text
+from .dedup import normalize_text, tokenize
 
 #: Small distinctive stopword sets (public linguistics commonplace) for
 #: the n-gram/stopword language heuristic.
@@ -171,4 +171,84 @@ def fingerprint(
         F.col(id_col),
         F.md5(norm).alias("content_md5"),
         F.array_min(grams).alias("min_gram_fp"),
+    )
+
+
+#: PII patterns — deliberately restricted to syntax with identical
+#: semantics in Java regex (Spark) and RE2 (DuckDB): character
+#: classes, bounded repetition, ASCII \b and \d, no backreferences or
+#: lookaround (RE2 has neither).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+PHONE_RE = r"\+\d{7,15}"
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrub for training corpora: emails, IPv4 addresses, and
+    international phone numbers replaced with typed placeholder tokens,
+    plus per-category raw-match counts (counted on the ORIGINAL text —
+    an email's +digits local part counts under both email and phone).
+
+    Redaction order is fixed (email → ip → phone) so nested matches
+    resolve deterministically. Pure regexp_replace/regexp_count —
+    stays in whole-stage codegen over every document.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        red.alias("clean_text"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document:
+    ``(id, rank, word, tf, df, tfidf)``.
+
+    Two hash aggregations (term counts, then document frequency) + one
+    per-doc window. The corpus size joins in as a broadcast 1-row
+    aggregate — no driver-side count. Ranking deliberately uses the
+    INTEGER key (tf desc, df asc, word asc), not the float score:
+    cross-engine ``ln`` differs in the last ulp and could flip
+    near-equal scores, while the integer key is total and
+    deterministic; the float tf·ln(N/df) is still emitted (rounded)
+    as the score column.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("word"),
+    )
+    tf = toks.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("word").asc()
+    )
+    return (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "id",
+            "rank",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )

@@ -77,6 +77,21 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing ≥1 word-5-gram with a
+    held-out 'benchmark' slice (doc_id % 7 == 0) of the corpus."""
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    out = dedup.benchmark_contamination(corpus, bench, k=5)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_overlap",
+        "n_shingles",
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+    )
+
+
 def llm_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates within Hamming distance 3
     (rows-only: signatures are Spark xxhash64-based)."""
@@ -235,6 +250,34 @@ def llm_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (integer-ranked; see
+    operator docstring for why the float score is not the sort key)."""
+    out = text.tfidf_keywords(_docs(spark, sf_dir), top_k=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "rank", "word", "tf", "df", "tfidf"
+    )
+
+
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus spiked with deterministic synthetic
+    PII (the fixture corpus has none): each doc gets an email, a phone
+    and an IP derived from its id, then `redact_pii` scrubs them and
+    counts raw matches per category."""
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    spiked = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), sid, F.lit("@example.com or +1555000"),
+            sid, F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return text.redact_pii(spiked)
+
+
 def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: explode normalized word tokens, top-20
     by frequency (total order: count desc, word asc)."""
@@ -252,6 +295,7 @@ QUERIES = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_jaccard_pairs": llm_jaccard_pairs,
     "llm_dedup_clusters": llm_dedup_clusters,
+    "llm_decontaminate": llm_decontaminate,
     "llm_minhash_dedup": llm_minhash_dedup,
     "llm_simhash_candidates": llm_simhash_candidates,
     "llm_cosine_topk": llm_cosine_topk,
@@ -269,6 +313,8 @@ QUERIES = {
     "llm_length_histogram": llm_length_histogram,
     "llm_source_quota": llm_source_quota,
     "llm_hash_split": llm_hash_split,
+    "llm_pii_scrub": llm_pii_scrub,
+    "llm_tfidf_keywords": llm_tfidf_keywords,
     "llm_wordcount": llm_wordcount,
 }
 
@@ -336,6 +382,66 @@ ORACLES = {
         JOIN sz sa ON inter.id_a = sa.id
         JOIN sz sb ON inter.id_b = sb.id
         WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5
+    """,
+    "llm_tfidf_keywords": f"""
+        WITH toks AS (
+            SELECT doc_id AS id, unnest(ws) AS word
+            FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+        ),
+        tf AS (
+            SELECT id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        ranked AS (
+            SELECT t.id, t.word, t.tf, d.df,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY t.id
+                       ORDER BY t.tf DESC, d.df ASC, t.word ASC
+                   ) AS rank
+            FROM tf t JOIN dfreq d USING (word)
+        )
+        SELECT id AS doc_id, rank, word, tf, df,
+               ROUND(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+        FROM ranked, n WHERE rank <= 3
+    """,
+    "llm_decontaminate": f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id AS id,
+                   array_to_string(ws[i:i+4], ' ') AS shingle
+            FROM w, UNNEST(range(1, greatest(len(ws) - 4, 1) + 1)) AS u(i)
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 7 = 0),
+        corpus AS (SELECT * FROM sh WHERE id % 7 <> 0),
+        sz AS (SELECT id, COUNT(*) AS n_shingles FROM corpus GROUP BY id),
+        hits AS (
+            SELECT c.id, COUNT(*) AS n_overlap
+            FROM corpus c JOIN bench b USING (shingle)
+            GROUP BY c.id
+        )
+        SELECT h.id AS doc_id, n_overlap, sz.n_shingles,
+               ROUND(n_overlap * 1.0 / sz.n_shingles, 6) AS overlap_frac
+        FROM hits h JOIN sz ON h.id = sz.id
+    """,
+    "llm_pii_scrub": f"""
+        WITH spiked AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id
+                        || '@example.com or +1555000' || doc_id
+                        || ' at 10.0.' || (doc_id % 256) || '.7' AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{text.IPV4_RE}', '<IP>', 'g'),
+                   '{text.PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+               len(regexp_extract_all(text, '{text.EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{text.IPV4_RE}')) AS n_ips,
+               len(regexp_extract_all(text, '{text.PHONE_RE}')) AS n_phones
+        FROM spiked
     """,
     "llm_dedup_clusters": f"""
         WITH RECURSIVE sh AS ({_SHINGLES}),

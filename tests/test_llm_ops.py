@@ -388,3 +388,71 @@ class TestDuplicateClusters:
         # 0,1,5 are exact dups (post-normalization), 2 is a near-dup of
         # them; 3 and 4 share no pairs so they never appear
         assert got == {0: 0, 1: 0, 2: 0, 5: 0}
+
+
+class TestPiiRedaction:
+    def test_redacts_and_counts(self, spark):
+        rows = [
+            (0, "mail a.b+c@x-corp.io and 10.0.0.1 then call +4915512345"),
+            (1, "no pii here at all"),
+            (2, "two mails p@q.com r@s.org, ip 255.255.255.255"),
+        ]
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in text.redact_pii(d).collect()}
+        assert out[0]["clean_text"] == "mail <EMAIL> and <IP> then call <PHONE>"
+        assert (out[0]["n_emails"], out[0]["n_ips"], out[0]["n_phones"]) == (1, 1, 1)
+        assert out[1]["clean_text"] == "no pii here at all"
+        assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (0, 0, 0)
+        assert out[2]["clean_text"] == "two mails <EMAIL> <EMAIL>, ip <IP>"
+        assert out[2]["n_emails"] == 2 and out[2]["n_ips"] == 1
+
+
+class TestContamination:
+    def test_planted_overlap(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [
+                # contains the benchmark 5-gram "alpha beta gamma delta
+                # epsilon" but not the second one
+                (0, "intro alpha beta gamma delta epsilon outro words"),
+                (1, "totally clean document with no benchmark overlap"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["id"]: r
+            for r in dedup.benchmark_contamination(
+                corpus, bench, k=5
+            ).collect()
+        }
+        assert set(out) == {0}
+        assert out[0]["n_overlap"] == 1
+        # doc 0 has 8 words -> 4 distinct 5-shingles
+        assert out[0]["n_shingles"] == 4
+        assert abs(out[0]["overlap_frac"] - 0.25) < 1e-9
+
+
+class TestTfidfKeywords:
+    def test_rare_word_outranks_common_at_equal_tf(self, spark):
+        rows = [
+            (0, "shared shared unique0"),
+            (1, "shared shared unique1"),
+            (2, "shared shared unique2"),
+        ]
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = text.tfidf_keywords(d, top_k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["id"], []).append(r)
+        for doc_id, recs in by_doc.items():
+            recs.sort(key=lambda r: r["rank"])
+            # tf: 'shared'=2 beats unique=1; the unique word is rank 2
+            assert recs[0]["word"] == "shared" and recs[0]["tf"] == 2
+            assert recs[1]["word"] == f"unique{doc_id}"
+            # df('shared')=3 over 3 docs -> idf=ln(1)=0 -> score 0
+            assert recs[0]["tfidf"] == 0.0
+            # unique word: 1 * ln(3/1)
+            assert abs(recs[1]["tfidf"] - round(math.log(3), 6)) < 1e-9
