@@ -50,8 +50,12 @@ def main() -> None:
         "llm_dedup_exact": llm.llm_dedup_exact,
         "llm_minhash_dedup": llm.llm_minhash_dedup,
         "llm_jaccard_pairs": llm.llm_jaccard_pairs,
+        "llm_dedup_clusters": llm.llm_dedup_clusters,
+        "llm_decontaminate": llm.llm_decontaminate,
         "llm_cosine_topk": llm.llm_cosine_topk,
         "llm_text_stats": llm.llm_text_stats,
+        "llm_pii_scrub": llm.llm_pii_scrub,
+        "llm_tfidf_keywords": llm.llm_tfidf_keywords,
     }
 
     # warmup: touch every source table and force one codegen'd shuffle

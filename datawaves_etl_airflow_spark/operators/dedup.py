@@ -620,7 +620,10 @@ def benchmark_contamination(
     re-aggregate on the already-partitioned id. Matching on xxhash64'd
     shingles equals string matching up to 64-bit collisions.
     """
-    doc_sets = word_shingle_hash_sets(docs, text_col, id_col, k)
+    # persist: shset is referenced twice below (size + explode) and
+    # CollapseProject would otherwise inline the whole shingling chain
+    # into both, shingling every document twice
+    doc_sets = word_shingle_hash_sets(docs, text_col, id_col, k).persist()
     bench_shingles = (
         word_shingle_hash_sets(benchmark, text_col, id_col, k)
         .select(F.explode("shset").alias("h"))
