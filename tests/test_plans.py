@@ -1,0 +1,84 @@
+"""Physical-plan regression tests: pin the plan shapes SCALE.md
+claims — broadcasts where promised, parquet pushdown/pruning, exchange
+counts, and the shuffle-free map sections of the dedup pipeline.
+
+These read the pre-execution plan (`executedPlan` before any stage
+runs: AQE's initial plan, with EnsureRequirements' exchanges inserted)
+so assertions are deterministic and don't require executing the query.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawaves_etl_airflow_spark.operators import dedup
+from datawaves_etl_airflow_spark.queries import generic, llm
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scan_of(df) -> str:
+    # FileSourceScanExec details (PushedFilters / ReadSchema) only
+    # render in the formatted explain
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+class TestRelationalPlans:
+    def test_j1_broadcasts_never_sorts(self, spark):
+        p = plan_of(generic.j1_order_revenue_3way(spark, SF_DIR))
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+
+    def test_p4_pushdown_and_pruning(self, spark):
+        q = generic.p4_date_range_scan(spark, SF_DIR)
+        s = scan_of(q)
+        assert "GreaterThanOrEqual(l_shipdate" in s
+        assert "IsNotNull(l_shipdate)" in s
+        # projection+filter columns only — the 12-col table never
+        # reaches the scan output
+        assert "l_extendedprice" not in s
+
+    def test_rj1_no_nested_loop(self, spark):
+        p = plan_of(generic.rj1_promo_range_join(spark, SF_DIR))
+        assert "NestedLoop" not in p
+        assert "CartesianProduct" not in p
+
+    def test_asof_exactly_two_exchanges(self, spark):
+        p = plan_of(generic.aj1_asof_clicks(spark, SF_DIR))
+        assert p.count("Exchange") == 2
+        assert "NestedLoop" not in p
+
+
+class TestDedupPlans:
+    def test_minhash_band_rows_is_shuffle_free(self, spark):
+        sets = spark.createDataFrame(
+            [(1, [11, 22, 33])], ["id", "shset"]
+        )
+        p = plan_of(dedup.minhash_band_rows(sets))
+        assert "Exchange" not in p
+
+    def test_exact_dedup_single_exchange(self, spark):
+        docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        p = plan_of(dedup.exact_dedup_groups(docs))
+        assert p.count("Exchange") == 1
+
+    def test_contamination_broadcasts_benchmark(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        bench = docs.filter(F.col("doc_id") % 7 == 0)
+        corpus = docs.filter(F.col("doc_id") % 7 != 0)
+        p = plan_of(dedup.benchmark_contamination(corpus, bench))
+        assert "BroadcastHashJoin" in p
+
+    def test_tfidf_ndocs_broadcast(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        from datawaves_etl_airflow_spark.operators import text as text_ops
+
+        p = plan_of(text_ops.tfidf_keywords(docs))
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
