@@ -141,3 +141,44 @@ class TestDedupStream:
             r["fp"] for r in spark.sql("SELECT fp FROM dedup_out").collect()
         )
         assert got == ["a", "b"]
+
+
+class TestStreamStaticEnrich:
+    def test_enrich_logs_is_streaming_compatible(self, spark, tmp_path, logs_glob):
+        """The batch enrich operators are pure plan transforms, so they
+        run unchanged as stream-static joins: streaming logs ⋈ static
+        blocks dimension produces exactly the batch enrich output."""
+        from datawaves_etl_airflow_spark.operators.enrich import enrich_logs
+
+        blocks_dir = os.path.dirname(fx.export_file("blocks"))
+        blocks = read_staging(spark, "blocks", blocks_dir)
+
+        stream = read_staging_stream(spark, "logs", logs_glob)
+        enriched_stream = enrich_logs(stream, blocks)
+        assert enriched_stream.isStreaming
+
+        out, ckpt = str(tmp_path / "enr"), str(tmp_path / "enr_ckpt")
+        q = (
+            enriched_stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        want = enrich_logs(read_staging(spark, "logs", logs_glob), blocks)
+        assert got.count() == want.count() > 0
+        key = ["block_number", "log_index"]
+        assert got.select(*key).subtract(want.select(*key)).count() == 0
+        # spot-check a derived column end-to-end through the stream
+        r_got = {
+            (r["block_number"], r["log_index"]): r["address_hash"]
+            for r in got.select(*key, "address_hash").collect()
+        }
+        r_want = {
+            (r["block_number"], r["log_index"]): r["address_hash"]
+            for r in want.select(*key, "address_hash").collect()
+        }
+        assert r_got == r_want
