@@ -570,6 +570,11 @@ def duplicate_clusters(
         )
         .persist()
     )
+    # NOTE on width: the dup-pair graph is orders of magnitude smaller
+    # than the corpus that produced it, and AQE's partition coalescing
+    # right-sizes each round's shuffle to the actual graph volume — an
+    # explicit count+repartition here was measured SLOWER (extra jobs
+    # outweigh the savings AQE already delivers).
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
