@@ -252,3 +252,36 @@ def tfidf_keywords(
             ).alias("tfidf"),
         )
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perplexity-proxy quality score: per-document mean unigram
+    log-probability under the corpus' own unigram LM —
+    ``(id, n_tokens, avg_logprob)``. Low scores flag gibberish /
+    boilerplate; the statistical-LM filter of a training-data
+    pipeline.
+
+    Plan: one token explode feeds both the vocabulary aggregate and
+    the per-doc join; the corpus token total rides in as a broadcast
+    1-row aggregate. avg_logprob = mean(ln(freq_w) - ln(N)) — summed
+    as doubles, so only round the OUTPUT, never intermediate terms.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("word"),
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(
+                F.log(F.col("freq")) - F.log(F.col("n_total"))
+            ).alias("avg_logprob"),
+        )
+    )

@@ -259,6 +259,17 @@ def llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean unigram log-prob
+    under the corpus unigram LM."""
+    out = text.unigram_logprob(_docs(spark, sf_dir))
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
 def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over a corpus spiked with deterministic synthetic
     PII (the fixture corpus has none): each doc gets an email, a phone
@@ -315,6 +326,7 @@ QUERIES = {
     "llm_hash_split": llm_hash_split,
     "llm_pii_scrub": llm_pii_scrub,
     "llm_tfidf_keywords": llm_tfidf_keywords,
+    "llm_unigram_logprob": llm_unigram_logprob,
     "llm_wordcount": llm_wordcount,
 }
 
@@ -382,6 +394,19 @@ ORACLES = {
         JOIN sz sa ON inter.id_a = sa.id
         JOIN sz sb ON inter.id_b = sb.id
         WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5
+    """,
+    "llm_unigram_logprob": f"""
+        WITH toks AS (
+            SELECT doc_id AS id, unnest(ws) AS word
+            FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+        ),
+        vocab AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_total FROM toks)
+        SELECT t.id AS doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(AVG(ln(v.freq) - ln(n.n_total)), 6) AS avg_logprob
+        FROM toks t JOIN vocab v USING (word), n
+        GROUP BY t.id
     """,
     "llm_tfidf_keywords": f"""
         WITH toks AS (

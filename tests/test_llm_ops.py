@@ -456,3 +456,17 @@ class TestTfidfKeywords:
             assert recs[0]["tfidf"] == 0.0
             # unique word: 1 * ln(3/1)
             assert abs(recs[1]["tfidf"] - round(math.log(3), 6)) < 1e-9
+
+
+class TestUnigramLogprob:
+    def test_known_corpus(self, spark):
+        d = spark.createDataFrame(
+            [(0, "a a b"), (1, "b c")], ["doc_id", "text"]
+        )
+        out = {r["id"]: r for r in text.unigram_logprob(d).collect()}
+        # freqs over the corpus: a=2, b=2, c=1, total=5
+        want0 = (math.log(2 / 5) + math.log(2 / 5) + math.log(2 / 5)) / 3
+        want1 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+        assert out[0]["n_tokens"] == 3
+        assert abs(out[0]["avg_logprob"] - want0) < 1e-9
+        assert abs(out[1]["avg_logprob"] - want1) < 1e-9
