@@ -289,6 +289,28 @@ def new_tokens(staged_tokens: DataFrame, existing_tokens: DataFrame) -> DataFram
     )
 
 
+def anti_join_prefiltered(
+    staged: DataFrame, warehouse: DataFrame, key: str
+) -> DataFrame:
+    """Warehouse-scale left-anti join: staged rows whose ``key`` is
+    absent from the (much larger) warehouse side — the scale path for
+    `new_tokens` (SCALE.md watch item: the plain anti-join shuffles
+    the warehouse).
+
+    A warehouse row is only relevant to the anti-join if its key
+    occurs in the staged batch, so the warehouse is first reduced by a
+    BROADCAST semi-join on the staged key set (the exact-set analog of
+    a Bloom pre-filter — Spark 4 does not expose bloom_filter_agg to
+    SQL), leaving at most |staged| warehouse rows; the anti-join right
+    side is then broadcastable too. The warehouse is scanned but NEVER
+    shuffled, at any corpus size; a daily staged batch always fits the
+    broadcast.
+    """
+    staged_keys = F.broadcast(staged.select(key).distinct())
+    relevant = warehouse.select(key).join(staged_keys, key, "left_semi")
+    return staged.join(F.broadcast(relevant), key, "left_anti")
+
+
 def enrich_prices(prices: DataFrame) -> DataFrame:
     """Prices passthrough projection (drops the staging ``dt``).
 

@@ -164,6 +164,20 @@ def j6_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
+def j6b_anti_join_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-6 scale variant: same anti-join through
+    `anti_join_prefiltered` — broadcast-semi warehouse reduction, the
+    big side never shuffles. Same oracle relation as j6."""
+    from ..operators.enrich import anti_join_prefiltered
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    out = anti_join_prefiltered(c, o, "c_custkey")
+    return out.select("c_custkey", "c_name")
+
+
 def j7_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-7 analog: two broadcast dimension joins then aggregate."""
     c = _t(spark, sf_dir, "customer")
@@ -484,6 +498,7 @@ QUERIES = {
     "j1_order_revenue_3way": j1_order_revenue_3way,
     "j5_composite_key_join": j5_composite_key_join,
     "j6_anti_join_customers": j6_anti_join_customers,
+    "j6b_anti_join_prefiltered": j6b_anti_join_prefiltered,
     "j7_region_rollup": j7_region_rollup,
     "e1_except_parts": e1_except_parts,
     "p4_date_range_scan": p4_date_range_scan,
@@ -563,6 +578,12 @@ ORACLES = {
         GROUP BY l.l_partkey, l.l_suppkey, p.pair_lines
     """,
     "j6_anti_join_customers": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """,
+    "j6b_anti_join_prefiltered": """
         SELECT c_custkey, c_name FROM customer c
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey

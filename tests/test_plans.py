@@ -82,3 +82,31 @@ class TestDedupPlans:
 
         p = plan_of(text_ops.tfidf_keywords(docs))
         assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+class TestAntiJoinPrefiltered:
+    def test_matches_plain_anti_join(self, spark):
+        from datawaves_etl_airflow_spark.operators.enrich import (
+            anti_join_prefiltered,
+        )
+
+        staged = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(20)], ["c_custkey", "c_name"]
+        )
+        warehouse = spark.createDataFrame(
+            [(i,) for i in range(0, 200, 2)], ["c_custkey"]
+        )
+        got = anti_join_prefiltered(staged, warehouse, "c_custkey")
+        want = staged.join(warehouse, "c_custkey", "left_anti")
+        assert got.count() == want.count() == 10  # odd keys 1..19
+        assert got.subtract(want).count() == 0
+        assert want.subtract(got).count() == 0
+
+    def test_warehouse_side_never_shuffles(self, spark):
+        p = plan_of(generic.j6b_anti_join_prefiltered(spark, SF_DIR))
+        assert p.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in p
+        # exactly ONE hash exchange: the staged-key distinct (small by
+        # construction); the warehouse side reaches its join via scan →
+        # filter → BroadcastHashJoin with no shuffle
+        assert p.count("Exchange hashpartitioning") == 1
