@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "bucketed_range_join"]
+__all__ = ["asof_join", "asof_join_bucketed", "bucketed_range_join"]
 
 
 def asof_join(
@@ -125,3 +125,93 @@ def bucketed_range_join(
         & (F.col(fact_ts) < F.col(end_col))
     )
     return joined.drop("_bucket")
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    bucket_seconds: int,
+) -> DataFrame:
+    """`asof_join` for pathologically hot keys: identical semantics,
+    but the window partitions on (key, time-bucket) instead of key, so
+    no single partition ever exceeds one bucket's worth of rows — the
+    mitigation `asof_join`'s docstring promises for a key whose
+    timeline outgrows one executor partition.
+
+    Cross-bucket correctness comes from SEED rows: per (key, bucket)
+    the last right row of every EARLIER bucket is computed on the
+    per-bucket aggregate (a frame orders of magnitude smaller than the
+    raw timeline) and injected into each bucket's partition, where its
+    strictly-earlier timestamp makes it the fallback match. Three
+    shuffles total: per-bucket aggregate, seed window on the bucket
+    grid, and the main (key, bucket) window.
+    """
+    from pyspark.sql import Window
+
+    bsec = F.lit(int(bucket_seconds)).cast("long")
+    matched_ts = f"{right_ts}_matched" if right_ts == left_ts else right_ts
+
+    rb = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.floor(F.unix_timestamp(F.col(right_ts)) / bsec).alias("_bucket"),
+        F.col(right_ts).alias(matched_ts),
+        *[F.col(c) for c in value_cols],
+    )
+    packed = F.struct(
+        F.col("_ts"), F.col(matched_ts), *[F.col(c) for c in value_cols]
+    )
+    # last right row per (key, bucket); right rows are unique per
+    # (key, ts) by contract, so struct-max == argmax on _ts
+    last_per_bucket = rb.select(key, "_bucket", packed.alias("_s")).groupBy(
+        key, "_bucket"
+    ).agg(F.max("_s").alias("_s"))
+
+    lb = left.select(
+        F.col(key).alias("_k"),
+        F.floor(F.unix_timestamp(F.col(left_ts)) / bsec).alias("_bucket"),
+    ).select(F.col("_k").alias(key), "_bucket").distinct()
+    grid = lb.unionByName(
+        last_per_bucket.select(key, "_bucket")
+    ).distinct().join(last_per_bucket, [key, "_bucket"], "left")
+    seed_w = (
+        Window.partitionBy(key)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = (
+        grid.withColumn("_seed", F.last("_s", ignorenulls=True).over(seed_w))
+        .filter(F.col("_seed").isNotNull())
+        .select(
+            F.col(key),
+            F.col("_seed._ts").alias("_ts"),
+            F.col("_bucket"),
+            F.col(f"_seed.{matched_ts}").alias(matched_ts),
+            *[F.col(f"_seed.{c}").alias(c) for c in value_cols],
+        )
+    )
+
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.floor(F.unix_timestamp(F.col(left_ts)) / bsec).alias("_bucket"),
+    )
+    r_rows = rb.withColumn("_side", F.lit(0))
+    seed_rows = seeds.withColumn("_side", F.lit(0))
+    both = l.unionByName(
+        r_rows.unionByName(seed_rows), allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(key, "_bucket")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [matched_ts] + [c for c in value_cols if c != matched_ts]
+    for c in carried:
+        both = both.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return both.filter(F.col("_side") == 1).drop("_ts", "_side", "_bucket")

@@ -451,6 +451,26 @@ def aj1_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def aj2_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of relation as aj1, through the hot-key-safe bucketed
+    variant (15-minute window partitions + carried seeds) — proving
+    the scale path against the identical DuckDB ASOF oracle."""
+    from ..operators.temporal import asof_join_bucketed
+
+    e = _events(spark, sf_dir)
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join_bucketed(
+        purchases, clicks, "user_id", "ts", "click_ts", ["click_value"], 900
+    )
+
+
 def rj1_promo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join (operators.temporal): lineitems shipped
     inside each high-value order's 14-day promo window — a pure
@@ -512,6 +532,7 @@ QUERIES = {
     "sk1_salted_agg": sk1_salted_agg,
     "w3_sessionization": w3_sessionization,
     "aj1_asof_clicks": aj1_asof_clicks,
+    "aj2_asof_bucketed": aj2_asof_bucketed,
     "rj1_promo_range_join": rj1_promo_range_join,
     "g2_grouped_quantiles": g2_grouped_quantiles,
     "j8_semi_join_customers": j8_semi_join_customers,
@@ -684,6 +705,20 @@ ORACLES = {
         FROM x
     """,
     "aj1_asof_clicks": """
+        WITH clicks AS (
+            SELECT user_id, ts AS click_ts, MAX(value) AS click_value
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ),
+        p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_value
+        FROM p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    "aj2_asof_bucketed": """
         WITH clicks AS (
             SELECT user_id, ts AS click_ts, MAX(value) AS click_value
             FROM events WHERE event_type = 'click'

@@ -131,3 +131,68 @@ class TestBucketedRangeJoin:
             facts, "ts", ranges, "start", "end", 3600
         ).collect()
         assert len(rows) == 1
+
+
+class TestAsofJoinBucketed:
+    def _random_frames(self, spark, seed):
+        import random
+
+        rng = random.Random(seed)
+        base = dt.datetime(2024, 1, 1)
+        left = [
+            (
+                i,
+                f"k{rng.randrange(4)}",
+                base + dt.timedelta(seconds=rng.randrange(0, 7200)),
+            )
+            for i in range(120)
+        ]
+        # unique (key, ts) on the right, per the operator contract
+        seen = set()
+        right = []
+        for _ in range(80):
+            k = f"k{rng.randrange(4)}"
+            t = base + dt.timedelta(seconds=rng.randrange(0, 7200))
+            if (k, t) in seen:
+                continue
+            seen.add((k, t))
+            right.append((k, t, float(rng.randrange(1000))))
+        l = spark.createDataFrame(left, ["id", "key", "ts"])
+        r = spark.createDataFrame(right, ["key", "rts", "val"])
+        return l, r
+
+    def test_equals_plain_asof_across_widths(self, spark):
+        from datawaves_etl_airflow_spark.operators.temporal import (
+            asof_join_bucketed,
+        )
+
+        l, r = self._random_frames(spark, 11)
+        want = {
+            row["id"]: (row["rts"], row["val"])
+            for row in asof_join(l, r, "key", "ts", "rts", ["val"]).collect()
+        }
+        for width in (1, 60, 600, 86400):
+            got = {
+                row["id"]: (row["rts"], row["val"])
+                for row in asof_join_bucketed(
+                    l, r, "key", "ts", "rts", ["val"], width
+                ).collect()
+            }
+            assert got == want, f"width={width}"
+
+    def test_seed_crosses_empty_buckets(self, spark):
+        from datawaves_etl_airflow_spark.operators.temporal import (
+            asof_join_bucketed,
+        )
+
+        # right row at t=0; probe hours later with every intermediate
+        # bucket empty — the match must carry across all of them
+        l = spark.createDataFrame(
+            [(1, "a", _ts("2024-01-01T09:00:00"))], ["id", "key", "ts"]
+        )
+        r = spark.createDataFrame(
+            [("a", _ts("2024-01-01T00:00:30"), 7.0)], ["key", "rts", "val"]
+        )
+        out = asof_join_bucketed(l, r, "key", "ts", "rts", ["val"], 60)
+        row = out.collect()[0]
+        assert (row["rts"], row["val"]) == (_ts("2024-01-01T00:00:30"), 7.0)
