@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -179,27 +180,131 @@ def sample_frames(
     return payloads.mapInPandas(_batches, schema=FRAME_SAMPLE_SCHEMA)
 
 
+#: deterministic fake image container: magic + u16 width + u16 height +
+#: width*height grayscale bytes (sha256(id) digest tiled to fill the
+#: grid). Like FAKE_VIDEO_MAGIC above, it stands in for jpeg/png so the
+#: decode → resize → feature plumbing is byte-true and testable without
+#: a codec library.
+FAKE_IMAGE_MAGIC = b"FAKI"
+
 IMAGE_FEATURE_SCHEMA = StructType([
     StructField("id", LongType(), False),
     StructField("width", LongType(), True),
     StructField("height", LongType(), True),
+    StructField("out_w", LongType(), True),
+    StructField("out_h", LongType(), True),
+    StructField("mean_px", DoubleType(), True),
+    StructField("thumb_md5", StringType(), True),
     StructField("thumbnail", BinaryType(), True),
 ])
 
 
-def decode_image(payloads: DataFrame, max_side: int = 256) -> DataFrame:
-    """Decode + resize image payloads → (id, width, height, thumbnail).
+def _tile_pixels(image_id: int, n: int) -> bytes:
+    digest = hashlib.sha256(str(image_id).encode()).digest()
+    return (digest * (n // len(digest) + 1))[:n]
 
-    STUB: the container has no image codec library. The Spark contract
-    (input/output schema, mapInPandas batch shape) is final; the body
-    raises until a codec (PIL/opencv) is installed.
-    """
+
+def encode_fake_image(
+    docs: DataFrame, width_col: str, height_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic fake encoder → (id, payload): a ``width``×``height``
+    grayscale grid whose bytes are sha256(id) tiled. Real pipelines read
+    jpeg/png bytes from object storage into the same (id, binary) shape."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decoding requires an image codec library not present "
-            "in this environment; plug PIL/opencv into this mapInPandas body"
-        )
-        yield  # pragma: no cover - keeps this a generator
+        for pdf in it:
+            payloads = []
+            for iid, w, h in zip(pdf["id"], pdf["w"], pdf["h"]):
+                w, h = int(w), int(h)
+                payloads.append(
+                    FAKE_IMAGE_MAGIC
+                    + w.to_bytes(2, "big")
+                    + h.to_bytes(2, "big")
+                    + _tile_pixels(int(iid), w * h)
+                )
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(width_col).alias("w"),
+        F.col(height_col).alias("h"),
+    )
+    return src.mapInPandas(
+        _batches,
+        schema=StructType([
+            StructField("id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]),
+    )
+
+
+def decode_image(
+    payloads: DataFrame, max_side: int = 32, on_error: str = "fail"
+) -> DataFrame:
+    """Decode + resize + featurize image payloads → IMAGE_FEATURE_SCHEMA.
+
+    Resize is deterministic integer average-pooling: block size
+    ``s = ceil(max(w, h) / max_side)``, each output pixel the floor-mean
+    of its ``s×s`` block (partial edge blocks use their true pixel
+    count). Features: original dims, thumbnail dims, mean brightness,
+    thumbnail md5 + bytes.
+
+    The container parse targets the FAKI fake format above; a real
+    deployment swaps the 6-byte header parse + ``np.frombuffer`` for
+    PIL/opencv decode — the Arrow batching, pooling, and output schema
+    stay exactly as written. ``on_error='skip'`` quarantines payloads
+    with a bad magic or truncated pixel grid instead of failing the
+    stage (at 100 TB corrupt items are a certainty, not an edge case).
+    """
+    if on_error not in ("fail", "skip"):
+        raise ValueError("on_error must be 'fail' or 'skip'")
+    if max_side < 1:
+        raise ValueError("max_side must be >= 1")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {k.name: [] for k in IMAGE_FEATURE_SCHEMA.fields}
+            for iid, b in zip(pdf["id"], pdf["payload"]):
+                if b is None:
+                    continue
+                b = bytes(b)
+                bad = (
+                    len(b) < 8
+                    or b[:4] != FAKE_IMAGE_MAGIC
+                    or len(b) != 8 + int.from_bytes(b[4:6], "big")
+                    * int.from_bytes(b[6:8], "big")
+                )
+                if bad:
+                    if on_error == "fail":
+                        raise ValueError(
+                            f"payload id={iid}: bad image container"
+                        )
+                    continue
+                w = int.from_bytes(b[4:6], "big")
+                h = int.from_bytes(b[6:8], "big")
+                img = np.frombuffer(b[8:], dtype=np.uint8).reshape(h, w)
+                s = max(1, -(-max(w, h) // max_side))
+                r_idx = np.arange(0, h, s)
+                c_idx = np.arange(0, w, s)
+                sums = np.add.reduceat(
+                    np.add.reduceat(img.astype(np.int64), r_idx, axis=0),
+                    c_idx,
+                    axis=1,
+                )
+                r_cnt = np.diff(np.append(r_idx, h))
+                c_cnt = np.diff(np.append(c_idx, w))
+                thumb = (sums // np.outer(r_cnt, c_cnt)).astype(np.uint8)
+                tb = thumb.tobytes()
+                rows["id"].append(int(iid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_w"].append(int(thumb.shape[1]))
+                rows["out_h"].append(int(thumb.shape[0]))
+                rows["mean_px"].append(float(img.mean()))
+                rows["thumb_md5"].append(hashlib.md5(tb).hexdigest())
+                rows["thumbnail"].append(tb)
+            yield pd.DataFrame(rows)
 
     return payloads.mapInPandas(_batches, schema=IMAGE_FEATURE_SCHEMA)

@@ -197,6 +197,24 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode → average-pool resize → features plumbing over
+    deterministic fake containers (dims derived from doc columns). The
+    oracle verifies the decode/pooling geometry (dims, thumbnail dims)
+    in pure SQL; pixel-level outputs (mean, thumbnail md5) are pinned
+    against an independent reference in tests."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.lit(16) + F.col("n_chars") % 48).cast("long").alias("w"),
+        (F.lit(16) + F.col("doc_id") % 32).cast("long").alias("h"),
+    )
+    imgs = multimodal.encode_fake_image(docs, "w", "h")
+    feats = multimodal.decode_image(imgs, max_side=16)
+    return feats.select(
+        F.col("id").alias("doc_id"), "width", "height", "out_w", "out_h"
+    )
+
+
 def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repeated-2-gram ratio (degenerate-text signal)."""
     return text.ngram_repetition(_docs(spark, sf_dir), n=2)
@@ -319,6 +337,7 @@ QUERIES = {
     "llm_fingerprint": llm_fingerprint,
     "llm_multimodal_meta": llm_multimodal_meta,
     "llm_frame_sample": llm_frame_sample,
+    "llm_image_features": llm_image_features,
     "llm_repetition": llm_repetition,
     "llm_quality_filter": llm_quality_filter,
     "llm_length_histogram": llm_length_histogram,
@@ -601,6 +620,21 @@ ORACLES = {
                (n_frames + 1) // 2 AS n_sampled,
                40 * (2 * ((n_frames - 1) // 2)) AS last_ts_ms
         FROM v
+    """,
+    "llm_image_features": """
+        WITH d AS (
+            SELECT doc_id,
+                   16 + (n_chars % 48) AS w,
+                   16 + (doc_id % 32) AS h
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, w, h, (greatest(w, h) + 15) // 16 AS s FROM d
+        )
+        SELECT doc_id, w AS width, h AS height,
+               (w + s - 1) // s AS out_w,
+               (h + s - 1) // s AS out_h
+        FROM s
     """,
     "llm_multimodal_meta": """
         SELECT doc_id AS id,

@@ -275,11 +275,66 @@ class TestMultimodal:
             multimodal.sample_frames(bad, on_error="fail").collect()
         assert multimodal.sample_frames(bad, on_error="skip").count() == 0
 
-    def test_image_decode_is_stubbed(self, spark):
-        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
-        payloads = multimodal.attach_binary_payload(df)
+    @staticmethod
+    def _naive_decode(image_id, w, h, max_side):
+        # independent reference: naive loops, no numpy, no reduceat
+        import hashlib
+
+        digest = hashlib.sha256(str(image_id).encode()).digest()
+        px = (digest * (w * h // len(digest) + 1))[: w * h]
+        s = max(1, -(-max(w, h) // max_side))
+        out_h = -(-h // s)
+        out_w = -(-w // s)
+        thumb = bytearray()
+        for br in range(out_h):
+            for bc in range(out_w):
+                vals = [
+                    px[y * w + x]
+                    for y in range(br * s, min((br + 1) * s, h))
+                    for x in range(bc * s, min((bc + 1) * s, w))
+                ]
+                thumb.append(sum(vals) // len(vals))
+        return out_w, out_h, sum(px) / len(px), bytes(thumb)
+
+    def test_image_decode_matches_naive_reference(self, spark):
+        import hashlib
+
+        dims = [(7, 33, 21), (8, 16, 16), (9, 63, 1), (10, 40, 40)]
+        docs = spark.createDataFrame(dims, ["doc_id", "w", "h"])
+        imgs = multimodal.encode_fake_image(docs, "w", "h")
+        out = {
+            r["id"]: r
+            for r in multimodal.decode_image(imgs, max_side=16).collect()
+        }
+        assert set(out) == {7, 8, 9, 10}
+        for iid, w, h in dims:
+            ow, oh, mean, thumb = self._naive_decode(iid, w, h, 16)
+            r = out[iid]
+            assert (r["width"], r["height"]) == (w, h)
+            assert (r["out_w"], r["out_h"]) == (ow, oh)
+            assert abs(r["mean_px"] - mean) < 1e-9
+            assert bytes(r["thumbnail"]) == thumb
+            assert r["thumb_md5"] == hashlib.md5(thumb).hexdigest()
+
+    def test_image_decode_bad_container(self, spark):
+        # bad magic AND a truncated pixel grid must both quarantine
+        good = multimodal.encode_fake_image(
+            spark.createDataFrame([(1, 4, 4)], ["doc_id", "w", "h"]),
+            "w",
+            "h",
+        ).collect()[0]["payload"]
+        bad = spark.createDataFrame(
+            [
+                (2, bytearray(b"NOPE" + bytes(20))),
+                (3, bytearray(bytes(good)[:-3])),
+                (1, bytearray(bytes(good))),
+            ],
+            ["id", "payload"],
+        )
         with pytest.raises(Exception):
-            multimodal.decode_image(payloads).collect()
+            multimodal.decode_image(bad, on_error="fail").collect()
+        kept = multimodal.decode_image(bad, on_error="skip").collect()
+        assert [r["id"] for r in kept] == [1]
 
 
 class TestSkew:
