@@ -311,6 +311,38 @@ def anti_join_prefiltered(
     return staged.join(F.broadcast(relevant), key, "left_anti")
 
 
+def anti_join_bucket_pruned(
+    staged: DataFrame, warehouse_path: str, key: str, n_buckets: int = 64
+) -> DataFrame:
+    """`anti_join_prefiltered` over a `write_key_bucketed` warehouse
+    layout: prunes the warehouse SCAN, not just the shuffle.
+
+    The staged batch's bucket ids (≤ ``n_buckets`` integers — bounded
+    driver state regardless of corpus size) select which
+    ``key_bucket=`` partition directories are read at all; matching
+    keys cannot live elsewhere because the layout co-locates each key
+    in exactly one bucket. A small daily batch therefore scans
+    ``min(|staged keys|, n_buckets) / n_buckets`` of the warehouse
+    bytes, and the surviving rows follow the broadcast-semi
+    `anti_join_prefiltered` path (warehouse never shuffles).
+    """
+    spark = staged.sparkSession
+    buckets = [
+        r["b"]
+        for r in staged.select(
+            F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    warehouse = (
+        spark.read.parquet(warehouse_path)
+        .filter(F.col("key_bucket").isin(buckets))
+        .drop("key_bucket")
+    )
+    return anti_join_prefiltered(staged, warehouse, key)
+
+
 def enrich_prices(prices: DataFrame) -> DataFrame:
     """Prices passthrough projection (drops the staging ``dt``).
 

@@ -117,6 +117,31 @@ def append_dedup(
             staged.write.format("parquet").saveAsTable(table)
 
 
+def write_key_bucketed(
+    df: DataFrame, path: str, key: str, n_buckets: int = 64
+) -> None:
+    """Warehouse layout for key-probe workloads (the J-6 anti-join's
+    remaining 100 TB cost is the full warehouse SCAN): hive-partition
+    the table on ``key_bucket = pmod(xxhash64(key), n_buckets)`` so a
+    batch probing B distinct keys reads at most ``min(B, n_buckets)``
+    of the ``n_buckets`` partition directories — partition pruning cuts
+    the scan itself, which no join strategy can.
+
+    Same-key rows land in the same bucket by construction, so any
+    per-key probe (anti-join, point lookup, upsert match) is complete
+    within the selected buckets.
+    """
+    out = df.withColumn(
+        "key_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+    )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("key_bucket")
+        .parquet(path)
+    )
+
+
 def drop_staging(spark: SparkSession, database: str, table: str) -> None:
     """S-5: drop the staging temp table (reference:
     evm_load_template.py:418-419, dags/chains/loader.py:144-153). The

@@ -156,12 +156,28 @@ def j5_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: j6-family warehouse cutoff: every customer has SOME order in the
+#: test data, so the warehouse side is "orders before the cutoff" —
+#: keeping the anti-join result non-vacuous (≈55% of customers at
+#: sf0.01) so the oracle verifies values, not just an empty set.
+_J6_CUTOFF = "1995-06-01"
+
+
+def _early_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(_J6_CUTOFF).cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+
+
 def j6_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J-6: left-anti join — customers with no orders (the reference's
-    IN/EXCEPT tokens dedup, evm_load_template.py:290-295)."""
+    """J-6: left-anti join — customers with no early order (the
+    reference's IN/EXCEPT tokens dedup, evm_load_template.py:290-295)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+    return c.join(
+        _early_orders(spark, sf_dir), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
 
 
 def j6b_anti_join_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,10 +187,31 @@ def j6b_anti_join_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.enrich import anti_join_prefiltered
 
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    out = anti_join_prefiltered(c, _early_orders(spark, sf_dir), "c_custkey")
+    return out.select("c_custkey", "c_name")
+
+
+def j6c_anti_join_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-6 layout variant: the warehouse (orders custkeys) is staged in
+    a `write_key_bucketed` hive layout, and the anti-join reads only
+    the `key_bucket=` directories the staged batch hashes into —
+    pruning the warehouse scan itself. Same oracle relation as j6/j6b
+    (the layout is a physical re-arrangement, not a new relation)."""
+    import os
+
+    from ..operators.enrich import anti_join_bucket_pruned
+    from ..operators.sinks import write_key_bucketed
+
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_FIXTURES", "/root/repo/.fixtures"),
+        "bucketed",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "orders_by_custkey",
     )
-    out = anti_join_prefiltered(c, o, "c_custkey")
+    o = _early_orders(spark, sf_dir)
+    write_key_bucketed(o, path, "c_custkey", n_buckets=16)
+    c = _t(spark, sf_dir, "customer")
+    out = anti_join_bucket_pruned(c, path, "c_custkey", n_buckets=16)
     return out.select("c_custkey", "c_name")
 
 
@@ -519,6 +556,7 @@ QUERIES = {
     "j5_composite_key_join": j5_composite_key_join,
     "j6_anti_join_customers": j6_anti_join_customers,
     "j6b_anti_join_prefiltered": j6b_anti_join_prefiltered,
+    "j6c_anti_join_bucket_pruned": j6c_anti_join_bucket_pruned,
     "j7_region_rollup": j7_region_rollup,
     "e1_except_parts": e1_except_parts,
     "p4_date_range_scan": p4_date_range_scan,
@@ -598,16 +636,25 @@ ORACLES = {
         ) p ON l.l_partkey = p.l_partkey AND l.l_suppkey = p.l_suppkey
         GROUP BY l.l_partkey, l.l_suppkey, p.pair_lines
     """,
-    "j6_anti_join_customers": """
+    "j6_anti_join_customers": f"""
         SELECT c_custkey, c_name FROM customer c
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate < TIMESTAMP '{_J6_CUTOFF}'
         )
     """,
-    "j6b_anti_join_prefiltered": """
+    "j6b_anti_join_prefiltered": f"""
         SELECT c_custkey, c_name FROM customer c
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate < TIMESTAMP '{_J6_CUTOFF}'
+        )
+    """,
+    "j6c_anti_join_bucket_pruned": f"""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate < TIMESTAMP '{_J6_CUTOFF}'
         )
     """,
     "j7_region_rollup": f"""

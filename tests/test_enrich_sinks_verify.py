@@ -174,6 +174,84 @@ class TestSinks:
             sinks.append_dedup(df, "", path=str(path))
 
 
+class TestBucketPrunedAntiJoin:
+    def _frames(self, spark):
+        warehouse = spark.createDataFrame(
+            [(f"addr{i}", float(i)) for i in range(200)], ["address", "v"]
+        )
+        staged = spark.createDataFrame(
+            [("addr3", 1.0), ("addr7", 2.0), ("new1", 3.0), ("new2", 4.0)],
+            ["address", "v"],
+        )
+        return warehouse, staged
+
+    def test_equals_plain_anti_join(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.enrich import (
+            anti_join_bucket_pruned,
+        )
+        from datawaves_etl_airflow_spark.operators.sinks import (
+            write_key_bucketed,
+        )
+
+        warehouse, staged = self._frames(spark)
+        path = str(tmp_path / "wh")
+        write_key_bucketed(warehouse, path, "address", n_buckets=16)
+        got = sorted(
+            r["address"]
+            for r in anti_join_bucket_pruned(
+                staged, path, "address", n_buckets=16
+            ).collect()
+        )
+        want = sorted(
+            r["address"]
+            for r in staged.join(
+                warehouse.select("address"), "address", "left_anti"
+            ).collect()
+        )
+        assert got == want == ["new1", "new2"]
+
+    def test_scan_is_partition_pruned(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.operators.sinks import (
+            write_key_bucketed,
+        )
+
+        warehouse, _ = self._frames(spark)
+        path = str(tmp_path / "wh")
+        n = 16
+        write_key_bucketed(warehouse, path, "address", n_buckets=n)
+        # a one-key probe must read exactly one key_bucket= directory
+        b = spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit("addr3")), F.lit(n)).alias("b")
+        ).collect()[0]["b"]
+        pruned = spark.read.parquet(path).filter(F.col("key_bucket") == b)
+        # input_file_name() reports the files the executed scan actually
+        # touched (inputFiles() ignores filters) — the partition filter
+        # must confine the read to the one matching bucket directory
+        files = [
+            r["f"]
+            for r in pruned.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+        all_files = spark.read.parquet(path).inputFiles()
+        assert files and len(files) < len(all_files)
+        assert all(f"key_bucket={b}/" in f for f in files)
+
+    def test_layout_coverage_all_rows_once(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.sinks import (
+            write_key_bucketed,
+        )
+
+        warehouse, _ = self._frames(spark)
+        path = str(tmp_path / "wh")
+        write_key_bucketed(warehouse, path, "address", n_buckets=16)
+        back = spark.read.parquet(path)
+        assert back.count() == 200
+        assert back.select("address").distinct().count() == 200
+
+
 class TestVerify:
     def _dated(self, spark, n, ds):
         return spark.range(n).select(
