@@ -142,6 +142,31 @@ def write_key_bucketed(
     )
 
 
+def write_range_clustered(
+    df: DataFrame, path: str, order_col: str, n_partitions: int = 32
+) -> None:
+    """Layout for range-predicate workloads (time windows, id ranges):
+    range-repartition on ``order_col`` then sort within partitions, so
+    each output file covers a disjoint, internally-sorted slice of the
+    column's domain. Parquet footer min/max statistics then let a
+    pushed-down range predicate skip every non-overlapping file and
+    row group — the scan cost of a window query becomes proportional
+    to the window, not the table.
+
+    The complement of `write_key_bucketed`: hash buckets serve point /
+    key-set probes, range clustering serves interval scans. (The
+    range exchange samples the column to pick balanced split points,
+    so skew in ``order_col`` spreads across files instead of piling
+    into one.)
+    """
+    (
+        df.repartitionByRange(n_partitions, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def drop_staging(spark: SparkSession, database: str, table: str) -> None:
     """S-5: drop the staging temp table (reference:
     evm_load_template.py:418-419, dags/chains/loader.py:144-153). The

@@ -66,6 +66,54 @@ def text_stats(
     )
 
 
+#: linear quality-classifier head: weights are binary fractions so
+#: every product is an exact IEEE double — Spark and any SQL oracle
+#: computing the same expression tree get bit-identical logits.
+QUALITY_WEIGHTS = {
+    "bias": -2.0,
+    "n_words": 0.015625,  # 1/64 per word: reward substance
+    "mean_word_len": 0.25,
+    "punct_ratio": -8.0,
+    "stopword_ratio": 4.0,  # English prose has stopwords; listings don't
+    "upper_ratio": -4.0,
+}
+
+
+def quality_logit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Model-based quality scoring: a linear classifier logit over the
+    `text_stats` feature vector — the classifier-scoring stage of a
+    fastText/DCLM-style filtering pipeline with the model distilled to
+    a linear head (swap `QUALITY_WEIGHTS` for trained coefficients).
+
+    Pure column math inside whole-stage codegen: no UDF, no shuffle,
+    linear scan — the shape that survives 100 TB. The logit is summed
+    left-to-right in a fixed order so an oracle replicating the tree
+    matches bit-for-bit; the emitted score is rounded to 6 places and
+    the keep flag derives from the rounded score.
+    """
+    w = dict(QUALITY_WEIGHTS if weights is None else weights)
+    st = text_stats(docs, text_col, id_col)
+    logit = (
+        F.lit(w["bias"])
+        + F.lit(w["n_words"]) * F.col("n_words")
+        + F.lit(w["mean_word_len"]) * F.col("mean_word_len")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(w["upper_ratio"]) * F.col("upper_ratio")
+    )
+    score = F.round(logit, 6)
+    return st.select(
+        F.col(id_col),
+        score.alias("quality_logit"),
+        (score > 0).cast("int").alias("keep"),
+    )
+
+
 def ngram_repetition(
     docs: DataFrame,
     n: int = 2,

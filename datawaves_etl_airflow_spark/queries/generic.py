@@ -215,6 +215,35 @@ def j6c_anti_join_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "c_name")
 
 
+def h2_range_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout (sinks.write_range_clustered): orders
+    re-laid-out by o_orderdate so a one-month window scan skips every
+    non-overlapping file via parquet min/max stats; the relation is a
+    plain window aggregate, identical to the oracle over the original
+    table (the layout is physical only)."""
+    import os
+
+    from ..operators.sinks import write_range_clustered
+
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_FIXTURES", "/root/repo/.fixtures"),
+        "clustered",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "orders_by_date",
+    )
+    write_range_clustered(
+        _t(spark, sf_dir, "orders"), path, "o_orderdate", 16
+    )
+    o = spark.read.parquet(path).filter(
+        (F.col("o_orderdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _sum_money(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
 def j7_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-7 analog: two broadcast dimension joins then aggregate."""
     c = _t(spark, sf_dir, "customer")
@@ -557,6 +586,7 @@ QUERIES = {
     "j6_anti_join_customers": j6_anti_join_customers,
     "j6b_anti_join_prefiltered": j6b_anti_join_prefiltered,
     "j6c_anti_join_bucket_pruned": j6c_anti_join_bucket_pruned,
+    "h2_range_pruned_scan": h2_range_pruned_scan,
     "j7_region_rollup": j7_region_rollup,
     "e1_except_parts": e1_except_parts,
     "p4_date_range_scan": p4_date_range_scan,
@@ -656,6 +686,16 @@ ORACLES = {
             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
               AND o.o_orderdate < TIMESTAMP '{_J6_CUTOFF}'
         )
+    """,
+    "h2_range_pruned_scan": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                    / 100.0 AS DECIMAL(18,2)) AS sum_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY o_orderpriority
     """,
     "j7_region_rollup": f"""
         SELECT r.r_name,

@@ -215,6 +215,13 @@ def llm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring (text.quality_logit): exact
+    binary-fraction weights over the text_stats features, oracled
+    bit-for-bit by replicating the expression tree in SQL doubles."""
+    return text.quality_logit(_docs(spark, sf_dir))
+
+
 def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repeated-2-gram ratio (degenerate-text signal)."""
     return text.ngram_repetition(_docs(spark, sf_dir), n=2)
@@ -338,6 +345,7 @@ QUERIES = {
     "llm_multimodal_meta": llm_multimodal_meta,
     "llm_frame_sample": llm_frame_sample,
     "llm_image_features": llm_image_features,
+    "llm_quality_logit": llm_quality_logit,
     "llm_repetition": llm_repetition,
     "llm_quality_filter": llm_quality_filter,
     "llm_length_histogram": llm_length_histogram,
@@ -557,6 +565,36 @@ ORACLES = {
                       - length(regexp_replace(text, '[A-Z]', '', 'g')))
                      * 1.0 / length(text), 6) AS upper_ratio
         FROM w
+    """,
+    "llm_quality_logit": f"""
+        WITH w AS (SELECT doc_id, text, {_WORDS} AS ws FROM documents),
+        f AS (
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   CAST(list_sum(list_transform(ws, x -> length(x)))
+                        AS DOUBLE) / len(ws) AS mwl,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                        AS DOUBLE) / length(text) AS pr,
+                   CAST({_sw_hits('en')} AS DOUBLE) / len(ws) AS swr,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                        AS DOUBLE) / length(text) AS ur
+            FROM w
+        ),
+        s AS (
+            SELECT doc_id,
+                   ROUND(CAST(-2.0 AS DOUBLE)
+                         + CAST(0.015625 AS DOUBLE) * n_words
+                         + CAST(0.25 AS DOUBLE) * mwl
+                         + CAST(-8.0 AS DOUBLE) * pr
+                         + CAST(4.0 AS DOUBLE) * swr
+                         + CAST(-4.0 AS DOUBLE) * ur, 6) AS quality_logit
+            FROM f
+        )
+        SELECT doc_id, quality_logit,
+               CAST(quality_logit > 0 AS INT) AS keep
+        FROM s
     """,
     "llm_lang_id": f"""
         WITH w AS (

@@ -252,6 +252,51 @@ class TestBucketPrunedAntiJoin:
         assert back.select("address").distinct().count() == 200
 
 
+class TestRangeClusteredLayout:
+    def test_window_scan_skips_files(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.operators.sinks import (
+            write_range_clustered,
+        )
+
+        df = spark.range(10_000).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+        path = str(tmp_path / "clustered")
+        write_range_clustered(df, path, "id", n_partitions=8)
+        back = spark.read.parquet(path)
+        assert len(back.inputFiles()) > 1
+        # a narrow window must touch only the file(s) whose min/max
+        # range overlaps it — every other file is stat-skipped and
+        # never yields rows
+        narrow = back.filter(F.col("id").between(100, 200))
+        touched = [
+            r["f"]
+            for r in narrow.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+        assert touched and len(touched) < len(back.inputFiles())
+        assert narrow.count() == 101
+
+    def test_layout_preserves_relation(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.operators.sinks import (
+            write_range_clustered,
+        )
+
+        df = spark.range(1000).select(
+            F.col("id"), (F.col("id") % 7).alias("g")
+        )
+        path = str(tmp_path / "clustered")
+        write_range_clustered(df, path, "id", n_partitions=4)
+        back = spark.read.parquet(path)
+        assert back.count() == 1000
+        assert back.select(F.sum("id")).collect()[0][0] == 499500
+
+
 class TestVerify:
     def _dated(self, spark, n, ds):
         return spark.range(n).select(

@@ -222,6 +222,43 @@ class TestText:
         # a, b, -, c, d, ! → 6 BPE-ish tokens
         assert r["n_bpe_tokens"] == 6
 
+    def test_quality_logit_golden(self, spark):
+        # independent recomputation of the linear head on known stats
+        df = spark.createDataFrame(
+            [
+                (1, "The cat sat on the mat with a friendly brown dog"),
+                (2, "!!! ??? ;;; :::"),
+            ],
+            ["doc_id", "text"],
+        )
+        stats = {r["doc_id"]: r for r in text.text_stats(df).collect()}
+        out = {r["doc_id"]: r for r in text.quality_logit(df).collect()}
+        w = text.QUALITY_WEIGHTS
+        for i in (1, 2):
+            s = stats[i]
+            expect = (
+                w["bias"]
+                + w["n_words"] * s["n_words"]
+                + w["mean_word_len"] * s["mean_word_len"]
+                + w["punct_ratio"] * s["punct_ratio"]
+                + w["stopword_ratio"] * s["stopword_ratio"]
+                + w["upper_ratio"] * s["upper_ratio"]
+            )
+            assert math.isclose(
+                out[i]["quality_logit"], round(expect, 6), abs_tol=1e-9
+            )
+        # prose scores above junk, and keep derives from the sign
+        assert out[1]["quality_logit"] > out[2]["quality_logit"]
+        for i in (1, 2):
+            assert out[i]["keep"] == int(out[i]["quality_logit"] > 0)
+
+    def test_quality_logit_custom_weights(self, spark):
+        df = spark.createDataFrame([(1, "plain words here")],
+                                   ["doc_id", "text"])
+        w = dict(text.QUALITY_WEIGHTS, bias=100.0)
+        r = text.quality_logit(df, weights=w).collect()[0]
+        assert r["keep"] == 1 and r["quality_logit"] > 99
+
     def test_fingerprint_stability_under_edits(self, spark):
         df = spark.createDataFrame(
             [(1, "abcdefghij"), (2, "abcdefghij"), (3, "Xbcdefghij")],
