@@ -35,6 +35,7 @@ __all__ = [
     "sample_by_hash",
     "cap_per_group",
     "cap_per_group_prefiltered",
+    "pack_sequences",
 ]
 
 
@@ -124,3 +125,58 @@ def cap_per_group_prefiltered(
         .drop("_lrk")
     )
     return cap_per_group(local, group_col, order_cols, k, rank_col)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    shard_col: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-sequence packing, concat-then-chunk semantics: within
+    each shard, documents are laid end-to-end in ``id`` order and cut
+    into fixed ``budget``-token sequences (the GPT-style packing step
+    that turns a document corpus into equal-length training rows —
+    documents may straddle a cut).
+
+    Returns one row per document: its shard, whitespace-token count,
+    token ``offset`` in the shard's concatenation, and the first/last
+    sequence index it lands in. Empty documents are dropped (they
+    occupy no tokens).
+
+    One shuffle (the shard/offset window); shards pack independently,
+    so parallelism is the shard count and a shard's window scan is
+    linear. Token counting and the running offset are pure integer
+    builtins — an oracle replicating the cumsum gets identical rows.
+    """
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    # split("") is [""] (size 1), so empty/whitespace-only docs need an
+    # explicit 0
+    n_tok = F.when(norm == "", F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    )
+    toks = docs.select(
+        F.col(id_col),
+        shard_col.cast("long").alias("shard"),
+        n_tok.cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = F.lit(int(budget)).cast("long")
+    out = toks.withColumn(
+        "offset", (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    )
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "offset",
+        F.floor(F.col("offset") / b).alias("seq_start"),
+        F.floor((F.col("offset") + F.col("n_tokens") - 1) / b).alias(
+            "seq_end"
+        ),
+    )

@@ -155,9 +155,22 @@ def train_centroids(
     norm = vectors.select(
         F.col(id_col).alias("_vid"), l2_normalize(F.col(vec_col)).alias("_v")
     )
+    cand = norm.withColumn("_h", F.xxhash64(F.col("_vid")))
+    # top-K-by-hash compiles to per-partition top-K + a driver merge of
+    # K rows PER PARTITION — vectors included. Pre-filter to the hash
+    # range expected to hold ~8K rows first: the K smallest hashes all
+    # survive the filter (same seeds, bit-for-bit), but the ordered set
+    # is O(K) instead of the corpus. Costs one count; the shortfall
+    # guard (hash-uniformity violation) falls back to the full set.
+    n = cand.count()
+    if n > 8 * n_centroids:
+        frac = min(1.0, 8.0 * n_centroids / n)
+        cutoff = -(2**63) + int(frac * 2.0**64)
+        filtered = cand.filter(F.col("_h") < F.lit(cutoff))
+        if filtered.count() >= n_centroids:
+            cand = filtered
     centroids = (
-        norm.withColumn("_h", F.xxhash64(F.col("_vid")))
-        .orderBy("_h", "_vid")
+        cand.orderBy("_h", "_vid")
         .limit(n_centroids)
         .select(
             F.row_number()

@@ -222,6 +222,18 @@ def llm_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_logit(_docs(spark, sf_dir))
 
 
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk training-sequence packing: 8 shards by
+    doc_id mod, 512-token budget; per-doc offset / spanned-sequence
+    indices, integer-exact against a window-cumsum oracle."""
+    from ..operators.sampling import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    return pack_sequences(
+        docs, budget=512, shard_col=F.pmod(F.col("doc_id"), F.lit(8))
+    )
+
+
 def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repeated-2-gram ratio (degenerate-text signal)."""
     return text.ngram_repetition(_docs(spark, sf_dir), n=2)
@@ -345,6 +357,7 @@ QUERIES = {
     "llm_multimodal_meta": llm_multimodal_meta,
     "llm_frame_sample": llm_frame_sample,
     "llm_image_features": llm_image_features,
+    "llm_pack_sequences": llm_pack_sequences,
     "llm_quality_logit": llm_quality_logit,
     "llm_repetition": llm_repetition,
     "llm_quality_filter": llm_quality_filter,
@@ -565,6 +578,31 @@ ORACLES = {
                       - length(regexp_replace(text, '[A-Z]', '', 'g')))
                      * 1.0 / length(text), 6) AS upper_ratio
         FROM w
+    """,
+    "llm_pack_sequences": """
+        WITH t AS (
+            SELECT doc_id,
+                   doc_id % 8 AS shard,
+                   CASE
+                     WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+                       THEN 0
+                     ELSE len(string_split(
+                       trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                   END AS n_tokens
+            FROM documents
+        ),
+        o AS (
+            SELECT doc_id, shard, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) - n_tokens AS "offset"
+            FROM t WHERE n_tokens > 0
+        )
+        SELECT doc_id, shard, n_tokens, "offset",
+               "offset" // 512 AS seq_start,
+               ("offset" + n_tokens - 1) // 512 AS seq_end
+        FROM o
     """,
     "llm_quality_logit": f"""
         WITH w AS (SELECT doc_id, text, {_WORDS} AS ws FROM documents),

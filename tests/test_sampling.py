@@ -74,3 +74,45 @@ class TestCapPerGroup:
             plain.select(*cols).exceptAll(salted.select(*cols)).count() == 0
         )
         assert plain.count() == salted.count()
+
+
+class TestPackSequences:
+    def test_packing_golden_single_shard(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c"),          # 3 tokens, offset 0, seqs 0-0
+                (2, "d e f g"),        # 4 tokens, offset 3, seqs 0-0
+                (3, "h i j k l m"),    # 6 tokens, offset 7, straddles
+                (4, "n"),              # 1 token, offset 13, seq 1
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in sampling.pack_sequences(
+                docs, budget=8, shard_col=F.lit(0)
+            ).collect()
+        }
+        assert [out[i]["offset"] for i in (1, 2, 3, 4)] == [0, 3, 7, 13]
+        assert (out[3]["seq_start"], out[3]["seq_end"]) == (0, 1)
+        assert (out[4]["seq_start"], out[4]["seq_end"]) == (1, 1)
+
+    def test_empty_docs_dropped_and_shards_independent(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "x y"),
+                (1, "p q r"),
+                (2, "   "),
+                (3, ""),
+                (4, "z"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = sampling.pack_sequences(
+            docs, budget=4, shard_col=F.pmod(F.col("doc_id"), F.lit(2))
+        ).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert set(by_id) == {0, 1, 4}  # whitespace-only and empty gone
+        # offsets restart per shard: shard 0 holds ids 0,4; shard 1 id 1
+        assert by_id[0]["offset"] == 0 and by_id[1]["offset"] == 0
+        assert by_id[4]["offset"] == 2
