@@ -43,6 +43,8 @@ def main() -> None:
         "t1_topk_orders": generic.t1_topk_orders,
         "aj1_asof_clicks": generic.aj1_asof_clicks,
         "rj1_promo_range_join": generic.rj1_promo_range_join,
+        "j6c_anti_join_bucket_pruned": generic.j6c_anti_join_bucket_pruned,
+        "h2_range_pruned_scan": generic.h2_range_pruned_scan,
         # domain pipeline (fixture day: scans + 3-way join + decode)
         "d_enrich_transactions": domain.d_enrich_transactions,
         "evt_transfer_decode": domain.evt_transfer_decode,
@@ -56,6 +58,10 @@ def main() -> None:
         "llm_text_stats": llm.llm_text_stats,
         "llm_pii_scrub": llm.llm_pii_scrub,
         "llm_tfidf_keywords": llm.llm_tfidf_keywords,
+        "llm_quality_logit": llm.llm_quality_logit,
+        "llm_pack_sequences": llm.llm_pack_sequences,
+        "llm_image_features": llm.llm_image_features,
+        "llm_audio_features": llm.llm_audio_features,
     }
 
     # warmup: touch every source table and force one codegen'd shuffle

@@ -5,11 +5,14 @@ typed metadata structs; per-item compute (decode, resize, feature
 extraction, frame sampling) runs in Arrow-batched ``mapInPandas`` so
 bytes move JVM→Python once per batch, never per row.
 
-The actual media decoding is STUBBED — the image/audio libraries are
-not in this container — behind ``decode_image``, which raises
-``NotImplementedError``; ``extract_binary_meta`` exercises the real
-Spark-side plumbing (schema, batching, binary transfer) with
-deterministic byte-level features instead.
+The media codecs are deterministic FAKE container formats (FAKI
+image, FAKV video, FAKA audio — no codec library ships in this
+environment): headers, pixel/frame/sample bytes, and every transform
+over them (average-pool resize, frame sampling, RMS/peak, decimation
+resample) are byte-true and independently testable. A real deployment
+swaps only the container parse for PIL/ffmpeg/soundfile calls — the
+Arrow batching, schemas, fan-out shapes, and error quarantine stay
+exactly as written.
 
 Scale: payload partitions should target ~128 MiB of binary per task
 (``maxPartitionBytes``); metadata-only transforms never touch payload
@@ -308,3 +311,112 @@ def decode_image(
             yield pd.DataFrame(rows)
 
     return payloads.mapInPandas(_batches, schema=IMAGE_FEATURE_SCHEMA)
+
+
+#: deterministic fake audio container: magic + u32 sample rate + u32
+#: sample count + s16le samples (sha256(id) tiled). The audio sibling
+#: of FAKI/FAKV — stands in for wav/flac so decode → feature →
+#: resample plumbing is byte-true without an audio library.
+FAKE_AUDIO_MAGIC = b"FAKA"
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("id", LongType(), False),
+    StructField("sample_rate", LongType(), True),
+    StructField("n_samples", LongType(), True),
+    StructField("duration_ms", LongType(), True),
+    StructField("n_resampled", LongType(), True),
+    StructField("rms", DoubleType(), True),
+    StructField("peak", LongType(), True),
+])
+
+
+def encode_fake_audio(
+    docs: DataFrame,
+    rate_col: str,
+    n_samples_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fake encoder → (id, payload): ``n_samples`` s16le
+    samples at ``rate`` Hz, bytes = sha256(id) tiled."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for iid, rate, n in zip(pdf["id"], pdf["rate"], pdf["n"]):
+                rate, n = int(rate), int(n)
+                payloads.append(
+                    FAKE_AUDIO_MAGIC
+                    + rate.to_bytes(4, "big")
+                    + n.to_bytes(4, "big")
+                    + _tile_pixels(int(iid), 2 * n)
+                )
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(rate_col).alias("rate"),
+        F.col(n_samples_col).alias("n"),
+    )
+    return src.mapInPandas(
+        _batches,
+        schema=StructType([
+            StructField("id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]),
+    )
+
+
+def decode_audio_features(
+    payloads: DataFrame, target_rate: int = 8000, on_error: str = "fail"
+) -> DataFrame:
+    """Decode + featurize + decimation-resample audio payloads →
+    AUDIO_FEATURE_SCHEMA.
+
+    Features: duration, RMS amplitude, absolute peak (the
+    loudness/clipping screens an audio-corpus pipeline gates on), and
+    the post-resample sample count for an integer decimation to
+    ``target_rate`` (factor ``max(1, rate // target_rate)`` — a real
+    deployment swaps the stride slice for a polyphase filter; batch
+    shape and schema stay put). ``on_error='skip'`` quarantines bad
+    magics / truncated sample buffers.
+    """
+    if on_error not in ("fail", "skip"):
+        raise ValueError("on_error must be 'fail' or 'skip'")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for iid, b in zip(pdf["id"], pdf["payload"]):
+                if b is None:
+                    continue
+                b = bytes(b)
+                bad = (
+                    len(b) < 12
+                    or b[:4] != FAKE_AUDIO_MAGIC
+                    or len(b) != 12 + 2 * int.from_bytes(b[8:12], "big")
+                    or int.from_bytes(b[4:8], "big") == 0
+                )
+                if bad:
+                    if on_error == "fail":
+                        raise ValueError(
+                            f"payload id={iid}: bad audio container"
+                        )
+                    continue
+                rate = int.from_bytes(b[4:8], "big")
+                n = int.from_bytes(b[8:12], "big")
+                x = np.frombuffer(b[12:], dtype="<i2").astype(np.float64)
+                k = max(1, rate // int(target_rate))
+                rows["id"].append(int(iid))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(n * 1000 // rate)
+                rows["n_resampled"].append(-(-n // k) if n else 0)
+                rows["rms"].append(
+                    float(np.sqrt(np.mean(x * x))) if n else 0.0
+                )
+                rows["peak"].append(int(np.abs(x).max()) if n else 0)
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(_batches, schema=AUDIO_FEATURE_SCHEMA)

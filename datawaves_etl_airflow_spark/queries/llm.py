@@ -222,6 +222,28 @@ def llm_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_logit(_docs(spark, sf_dir))
 
 
+def llm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode → loudness features → decimation resample over
+    deterministic fake PCM containers (rate/length derived from doc
+    columns). The oracle verifies the decode geometry — rate, sample
+    count, duration, post-resample count — in integer SQL; RMS/peak
+    sample math is pinned against numpy in tests."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.lit(8000) * (F.lit(1) + F.col("doc_id") % 3)).alias("rate"),
+        (F.lit(100) + F.col("n_chars") % 200).alias("n_samples"),
+    )
+    audio = multimodal.encode_fake_audio(docs, "rate", "n_samples")
+    feats = multimodal.decode_audio_features(audio, target_rate=8000)
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "n_resampled",
+    )
+
+
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk training-sequence packing: 8 shards by
     doc_id mod, 512-token budget; per-doc offset / spanned-sequence
@@ -357,6 +379,7 @@ QUERIES = {
     "llm_multimodal_meta": llm_multimodal_meta,
     "llm_frame_sample": llm_frame_sample,
     "llm_image_features": llm_image_features,
+    "llm_audio_features": llm_audio_features,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_quality_logit": llm_quality_logit,
     "llm_repetition": llm_repetition,
@@ -578,6 +601,19 @@ ORACLES = {
                       - length(regexp_replace(text, '[A-Z]', '', 'g')))
                      * 1.0 / length(text), 6) AS upper_ratio
         FROM w
+    """,
+    "llm_audio_features": """
+        WITH a AS (
+            SELECT doc_id,
+                   8000 * (1 + doc_id % 3) AS sample_rate,
+                   100 + (n_chars % 200) AS n_samples
+            FROM documents
+        )
+        SELECT doc_id, sample_rate, n_samples,
+               n_samples * 1000 // sample_rate AS duration_ms,
+               (n_samples + (sample_rate // 8000) - 1)
+                   // (sample_rate // 8000) AS n_resampled
+        FROM a
     """,
     "llm_pack_sequences": """
         WITH t AS (

@@ -353,6 +353,57 @@ class TestMultimodal:
             assert bytes(r["thumbnail"]) == thumb
             assert r["thumb_md5"] == hashlib.md5(thumb).hexdigest()
 
+    def test_audio_decode_matches_naive_reference(self, spark):
+        import struct
+
+        docs = spark.createDataFrame(
+            [(1, 8000, 100), (2, 16000, 301), (3, 24000, 17)],
+            ["doc_id", "rate", "n"],
+        )
+        audio = multimodal.encode_fake_audio(docs, "rate", "n")
+        out = {
+            r["id"]: r
+            for r in multimodal.decode_audio_features(
+                audio, target_rate=8000
+            ).collect()
+        }
+        import hashlib
+
+        for iid, rate, n in [(1, 8000, 100), (2, 16000, 301), (3, 24000, 17)]:
+            digest = hashlib.sha256(str(iid).encode()).digest()
+            raw = (digest * (2 * n // len(digest) + 1))[: 2 * n]
+            samples = [
+                struct.unpack("<h", raw[2 * i:2 * i + 2])[0]
+                for i in range(n)
+            ]
+            k = max(1, rate // 8000)
+            r = out[iid]
+            assert (r["sample_rate"], r["n_samples"]) == (rate, n)
+            assert r["duration_ms"] == n * 1000 // rate
+            assert r["n_resampled"] == -(-n // k)
+            assert r["peak"] == max(abs(s) for s in samples)
+            rms = (sum(s * s for s in samples) / n) ** 0.5
+            assert math.isclose(r["rms"], rms, rel_tol=1e-12)
+
+    def test_audio_decode_bad_container(self, spark):
+        good = multimodal.encode_fake_audio(
+            spark.createDataFrame([(1, 8000, 4)], ["doc_id", "rate", "n"]),
+            "rate",
+            "n",
+        ).collect()[0]["payload"]
+        bad = spark.createDataFrame(
+            [
+                (2, bytearray(b"NOPE" + bytes(16))),
+                (3, bytearray(bytes(good)[:-1])),
+                (1, bytearray(bytes(good))),
+            ],
+            ["id", "payload"],
+        )
+        with pytest.raises(Exception):
+            multimodal.decode_audio_features(bad, on_error="fail").collect()
+        kept = multimodal.decode_audio_features(bad, on_error="skip").collect()
+        assert [r["id"] for r in kept] == [1]
+
     def test_image_decode_bad_container(self, spark):
         # bad magic AND a truncated pixel grid must both quarantine
         good = multimodal.encode_fake_image(
