@@ -167,6 +167,35 @@ def write_range_clustered(
     )
 
 
+def compact_files(
+    spark: SparkSession,
+    path_in: str,
+    path_out: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet location into
+    ``ceil(total_bytes / target_bytes)`` files (the nightly maintenance
+    pass every incremental warehouse needs — thousands of per-batch
+    small files otherwise dominate open/footer overhead at scan time).
+
+    Sizing comes from the file listing, not a data scan; the rewrite is
+    one round-robin repartition (even output sizes, no skew by
+    content). Relation-preserving: same rows, same schema. Returns the
+    output file count. Write lands in ``path_out`` — swap directories
+    atomically in the metastore/manifest layer; this operator does not
+    delete its input.
+    """
+    df = spark.read.parquet(path_in)
+    jsc = spark.sparkContext._jsc.hadoopConfiguration()
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_in)
+    fs = p.getFileSystem(jsc)
+    total = fs.getContentSummary(p).getLength()
+    n = max(1, -(-int(total) // int(target_bytes)))
+    df.repartition(n).write.mode("overwrite").parquet(path_out)
+    return n
+
+
 def drop_staging(spark: SparkSession, database: str, table: str) -> None:
     """S-5: drop the staging temp table (reference:
     evm_load_template.py:418-419, dags/chains/loader.py:144-153). The

@@ -297,6 +297,43 @@ class TestRangeClusteredLayout:
         assert back.select(F.sum("id")).collect()[0][0] == 499500
 
 
+class TestCompaction:
+    def test_compacts_small_files_preserving_relation(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.operators.sinks import (
+            compact_files,
+        )
+
+        src = str(tmp_path / "many")
+        dst = str(tmp_path / "few")
+        df = spark.range(50_000).select(
+            F.col("id"), (F.col("id") % 13).alias("g")
+        )
+        df.repartition(64).write.parquet(src)
+        assert len(spark.read.parquet(src).inputFiles()) == 64
+        n = compact_files(spark, src, dst, target_bytes=10**9)
+        assert n == 1
+        back = spark.read.parquet(dst)
+        assert len(back.inputFiles()) == 1
+        assert back.count() == 50_000
+        assert back.select(F.sum("id")).collect()[0][0] == \
+            df.select(F.sum("id")).collect()[0][0]
+
+    def test_target_bytes_splits_output(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.sinks import (
+            compact_files,
+        )
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        spark.range(100_000).write.parquet(src)
+        # tiny target forces multiple evenly-sized output files
+        n = compact_files(spark, src, dst, target_bytes=64 * 1024)
+        assert n > 1
+        assert len(spark.read.parquet(dst).inputFiles()) == n
+
+
 class TestVerify:
     def _dated(self, spark, n, ds):
         return spark.range(n).select(
