@@ -256,6 +256,30 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build, composed from the individually-oracled
+    stages: quality-classifier gate → exact dedup (min-id keeper per
+    content hash) → concat-then-chunk sequence packing over the
+    survivors. One SQL oracle replays the whole chain — proving the
+    stages compose, not just pass in isolation."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    ql = text.quality_logit(docs).filter(F.col("keep") == 1).select("doc_id")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    survivors = (
+        docs.join(ql, "doc_id")
+        .withColumn("_min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+    )
+    return pack_sequences(
+        survivors, budget=512, shard_col=F.pmod(F.col("doc_id"), F.lit(8))
+    )
+
+
 def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repeated-2-gram ratio (degenerate-text signal)."""
     return text.ngram_repetition(_docs(spark, sf_dir), n=2)
@@ -380,6 +404,7 @@ QUERIES = {
     "llm_frame_sample": llm_frame_sample,
     "llm_image_features": llm_image_features,
     "llm_audio_features": llm_audio_features,
+    "llm_corpus_pipeline": llm_corpus_pipeline,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_quality_logit": llm_quality_logit,
     "llm_repetition": llm_repetition,
@@ -614,6 +639,66 @@ ORACLES = {
                (n_samples + (sample_rate // 8000) - 1)
                    // (sample_rate // 8000) AS n_resampled
         FROM a
+    """,
+    "llm_corpus_pipeline": f"""
+        WITH w AS (SELECT doc_id, text, {_WORDS} AS ws FROM documents),
+        f AS (
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   CAST(list_sum(list_transform(ws, x -> length(x)))
+                        AS DOUBLE) / len(ws) AS mwl,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                        AS DOUBLE) / length(text) AS pr,
+                   CAST({_sw_hits('en')} AS DOUBLE) / len(ws) AS swr,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                        AS DOUBLE) / length(text) AS ur
+            FROM w
+        ),
+        q AS (
+            SELECT doc_id FROM f
+            WHERE ROUND(CAST(-2.0 AS DOUBLE)
+                        + CAST(0.015625 AS DOUBLE) * n_words
+                        + CAST(0.25 AS DOUBLE) * mwl
+                        + CAST(-8.0 AS DOUBLE) * pr
+                        + CAST(4.0 AS DOUBLE) * swr
+                        + CAST(-4.0 AS DOUBLE) * ur, 6) > 0
+        ),
+        s AS (
+            SELECT d.doc_id, d.text FROM documents d
+            JOIN q ON d.doc_id = q.doc_id
+        ),
+        k AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       MIN(doc_id) OVER (PARTITION BY md5(text)) AS m
+                FROM s
+            ) WHERE doc_id = m
+        ),
+        t AS (
+            SELECT doc_id,
+                   doc_id % 8 AS shard,
+                   CASE
+                     WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+                       THEN 0
+                     ELSE len(string_split(
+                       trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                   END AS n_tokens
+            FROM k
+        ),
+        o AS (
+            SELECT doc_id, shard, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) - n_tokens AS "offset"
+            FROM t WHERE n_tokens > 0
+        )
+        SELECT doc_id, shard, n_tokens, "offset",
+               "offset" // 512 AS seq_start,
+               ("offset" + n_tokens - 1) // 512 AS seq_end
+        FROM o
     """,
     "llm_pack_sequences": """
         WITH t AS (

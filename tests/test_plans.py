@@ -110,3 +110,40 @@ class TestAntiJoinPrefiltered:
         # construction); the warehouse side reaches its join via scan →
         # filter → BroadcastHashJoin with no shuffle
         assert p.count("Exchange hashpartitioning") == 1
+
+
+class TestLayoutAndTextPlans:
+    def test_bucket_pruned_scan_has_partition_filter(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.sinks import (
+            write_key_bucketed,
+        )
+
+        df = spark.range(100).select(
+            F.col("id").cast("string").alias("address"),
+            F.col("id").alias("v"),
+        )
+        path = str(tmp_path / "wh")
+        write_key_bucketed(df, path, "address", n_buckets=8)
+        pruned = spark.read.parquet(path).filter(
+            F.col("key_bucket").isin([1, 3])
+        )
+        s = scan_of(pruned)
+        # the bucket predicate must land in PartitionFilters (directory
+        # pruning), NOT PushedFilters (row-group filtering after listing)
+        assert "PartitionFilters" in s
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", s)
+        assert m and "key_bucket" in m.group(1)
+
+    def test_quality_logit_is_scan_only(self, spark):
+        p = plan_of(llm.llm_quality_logit(spark, SF_DIR))
+        assert "Exchange" not in p  # pure per-row math, no shuffle
+        assert "BatchEvalPython" not in p  # no row-at-a-time Python
+        assert "ArrowEvalPython" not in p  # not even a pandas UDF
+
+    def test_pack_sequences_single_exchange(self, spark):
+        p = plan_of(llm.llm_pack_sequences(spark, SF_DIR))
+        # one hashpartitioning exchange for the shard window, nothing else
+        assert p.count("Exchange") == 1
+        assert "BatchEvalPython" not in p
