@@ -354,6 +354,64 @@ def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w4_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame window: per-customer rolling 7-day order total —
+    the time-based frame (RANGE BETWEEN INTERVAL) that rows-based w2
+    can't express; ties on the order key share one frame in both
+    engines by RANGE semantics."""
+    o = _t(spark, sf_dir, "orders")
+    sec = F.unix_timestamp(F.col("o_orderdate"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(sec)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum(_cents(F.col("o_totalprice"))).over(w) / F.lit(100.0))
+        .cast("decimal(18,2)")
+        .alias("rolling_7d"),
+    )
+
+
+def h3_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) time windows: 30-minute windows every 10
+    minutes over events — each event lands in 3 windows
+    (`F.window` with slide). Window key emitted as epoch seconds so
+    both engines compare integers, not timezone-rendered timestamps."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", "30 minutes", "10 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def x2_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: lineitems priced above the global mean.
+    The comparison is pure integer (`cents × n > total_cents`) — no
+    float average ever materializes, so the result is exact and
+    order-independent; the 1-row aggregate broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    cents = _cents(F.col("l_extendedprice"))
+    agg = l.agg(
+        F.sum(cents).alias("_tot"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        l.crossJoin(F.broadcast(agg))
+        .filter(cents * F.col("_n") > F.col("_tot"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
 def t1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k with total order (sort + limit)."""
     o = _t(spark, sf_dir, "orders")
@@ -595,6 +653,9 @@ QUERIES = {
     "h1_hourly_events": h1_hourly_events,
     "w1_topk_per_user": w1_topk_per_user,
     "w2_running_sum": w2_running_sum,
+    "w4_rolling_range_window": w4_rolling_range_window,
+    "h3_hopping_windows": h3_hopping_windows,
+    "x2_above_global_avg": x2_above_global_avg,
     "t1_topk_orders": t1_topk_orders,
     "u1_intersect_users": u1_intersect_users,
     "sk1_salted_agg": sk1_salted_agg,
@@ -738,6 +799,41 @@ ORACLES = {
                {_m('value')} AS sum_value
         FROM events
         GROUP BY date_trunc('hour', ts)
+    """,
+    "w4_rolling_range_window": """
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+               ) / 100.0 AS DECIMAL(18,2)) AS rolling_7d
+        FROM orders
+    """,
+    "h3_hopping_windows": """
+        WITH x AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                   epoch(ts) AS ef
+            FROM events
+        ),
+        wins AS (
+            SELECT event_type,
+                   ((es // 600) - i) * 600 AS window_start
+            FROM x, UNNEST([0, 1, 2]) AS u(i)
+            WHERE ((es // 600) - i) * 600 > ef - 1800
+        )
+        SELECT window_start, event_type, COUNT(*) AS n_events
+        FROM wins GROUP BY window_start, event_type
+    """,
+    "x2_above_global_avg": """
+        WITH a AS (
+            SELECT SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS tot,
+                   COUNT(*) AS n
+            FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem, a
+        WHERE CAST(floor(l_extendedprice * 100.0) AS BIGINT) * n > tot
     """,
     "w1_topk_per_user": """
         SELECT user_id, event_id, rn FROM (
