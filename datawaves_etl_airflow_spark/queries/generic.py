@@ -412,6 +412,41 @@ def x2_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pv2_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (stack): wide per-flag aggregates → long (flag, metric,
+    value) — the inverse of pv1's pivot, exact integer-cents values."""
+    l = _t(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            "stack(2, 'sum_qty', sum_qty,"
+            " 'sum_price_cents', sum_price_cents)"
+        ).alias("metric", "value"),
+    )
+
+
+def f2_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embeddings table:
+    transform/aggregate fold for the squared L2 norm (left fold, same
+    order both engines), size, and exact max element."""
+    e = _t(spark, sf_dir, "embeddings")
+    sq_norm = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(sq_norm, 6).alias("sq_norm"),
+        F.array_max("embedding").cast("double").alias("max_elem"),
+    )
+
+
 def t1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k with total order (sort + limit)."""
     o = _t(spark, sf_dir, "orders")
@@ -656,6 +691,8 @@ QUERIES = {
     "w4_rolling_range_window": w4_rolling_range_window,
     "h3_hopping_windows": h3_hopping_windows,
     "x2_above_global_avg": x2_above_global_avg,
+    "pv2_unpivot_metrics": pv2_unpivot_metrics,
+    "f2_array_surface": f2_array_surface,
     "t1_topk_orders": t1_topk_orders,
     "u1_intersect_users": u1_intersect_users,
     "sk1_salted_agg": sk1_salted_agg,
@@ -834,6 +871,31 @@ ORACLES = {
         SELECT l_orderkey, l_linenumber, l_extendedprice
         FROM lineitem, a
         WHERE CAST(floor(l_extendedprice * 100.0) AS BIGINT) * n > tot
+    """,
+    "pv2_unpivot_metrics": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+                       AS sum_price_cents
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value
+        FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price_cents' AS metric,
+               sum_price_cents AS value
+        FROM wide
+    """,
+    "f2_array_surface": """
+        SELECT vec_id,
+               len(embedding) AS dim,
+               ROUND(list_aggregate(
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   'sum'), 6) AS sq_norm,
+               CAST(list_max(embedding) AS DOUBLE) AS max_elem
+        FROM embeddings
     """,
     "w1_topk_per_user": """
         SELECT user_id, event_id, rn FROM (

@@ -45,12 +45,18 @@ def windowed_counts(
     key_col: str,
     window: str = "1 minute",
     watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts per key — the late-data
-    handling the reference gets from idempotent day re-runs."""
+    """Watermarked window counts per key — tumbling by default, hopping
+    when ``slide`` < ``window`` (each event then lands in
+    window/slide overlapping windows). The late-data handling the
+    reference gets from idempotent day re-runs."""
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .groupBy(
+            F.window(F.col(ts_col), window, slide or window).alias("win"),
+            F.col(key_col),
+        )
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.col("win.start").alias("window_start"),

@@ -63,6 +63,51 @@ class TestWindowedCounts:
         assert got[("2024-01-01 00:01:00", "b")] == 1
 
 
+class TestHoppingWindowsStream:
+    def test_hopping_stream_matches_batch(self, spark, tmp_path):
+        import datetime as dt
+
+        rows = [
+            (dt.datetime(2024, 1, 1, 0, m, s), k)
+            for m, s, k in [
+                (0, 10, "a"), (0, 50, "a"), (1, 10, "b"),
+                (2, 5, "a"), (3, 59, "b"), (7, 0, "a"),
+            ]
+        ]
+        src = str(tmp_path / "events_src")
+        batch_df = spark.createDataFrame(rows, ["ts", "k"])
+        batch_df.write.parquet(src)
+
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        hopped = windowed_counts(
+            stream, "ts", "k", window="2 minutes", slide="1 minute"
+        )
+        q = (
+            hopped.writeStream.format("memory")
+            .queryName("hopping_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (str(r["window_start"]), r["k"]): r["n"]
+            for r in spark.sql("SELECT * FROM hopping_out").collect()
+        }
+        want = {
+            (str(r["window_start"]), r["k"]): r["n"]
+            for r in windowed_counts(
+                batch_df, "ts", "k", window="2 minutes", slide="1 minute"
+            ).collect()
+        }
+        assert got == want
+        # overlap: the 0:10/0:50 "a" events land in BOTH the 23:59 and
+        # 00:00 window starts (2-minute windows sliding every minute)
+        assert got[("2024-01-01 00:00:00", "a")] == 2
+        assert got[("2023-12-31 23:59:00", "a")] == 2
+        q.stop()
+
+
 class TestStatefulRunningTotals:
     def test_totals_accumulate_across_batches(self, spark, tmp_path):
         src = tmp_path / "src"
