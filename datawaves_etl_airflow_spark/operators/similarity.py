@@ -307,3 +307,33 @@ def lsh_topk(
             F.round("cosine", 6).alias("cosine_sim"),
         )
     )
+
+
+def quantize_embeddings_int8(
+    vectors: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Scalar int8 quantization per vector: ``q_i = floor(x_i * 127 /
+    max|x|)`` plus the ``scale`` needed to dequantize — the 4×
+    compression an embedding store applies before ANN search at scale
+    (IVF distance scans then read 1 byte/dim; rerank dequantizes the
+    shortlist).
+
+    Floor (not round-half-up) keeps the transform bit-exact across
+    engines: multiply, divide, and floor are all IEEE-exact
+    operations, so an oracle replaying the expression matches
+    integer-for-integer. Max error vs the float input is one LSB
+    (max|x|/127) instead of half — irrelevant at ANN recall levels.
+    Pure array transforms inside codegen: no UDF, no shuffle.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    maxabs = F.array_max(F.transform(x, F.abs))
+    q = F.when(maxabs == 0, F.transform(x, lambda v: F.lit(0))).otherwise(
+        F.transform(
+            x, lambda v: F.floor((v * F.lit(127.0)) / maxabs).cast("int")
+        )
+    )
+    return vectors.select(
+        F.col(id_col),
+        q.alias("q"),
+        (maxabs / F.lit(127.0)).alias("scale"),
+    )

@@ -576,6 +576,35 @@ def m1_upsert_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m2_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 upsert (operators.scd): an updates batch derived from
+    March-1996 order counts closes and re-opens changed customer rows,
+    preserving history; unchanged and untouched rows pass through."""
+    from ..operators.scd import scd2_apply
+
+    dim = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            (F.col("_n") % 25).cast("long").alias("nation"),
+            F.lit("1996-04-01").cast("timestamp").alias("eff"),
+        )
+    )
+    return scd2_apply(dim, upd, "c_custkey", ["nation"], "eff")
+
+
 def x1_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch tier: HLL++ distinct counts + approx quantiles per event
     type — the O(1)-memory aggregates a 100 TB profile pass uses
@@ -693,6 +722,7 @@ QUERIES = {
     "x2_above_global_avg": x2_above_global_avg,
     "pv2_unpivot_metrics": pv2_unpivot_metrics,
     "f2_array_surface": f2_array_surface,
+    "m2_scd2_history": m2_scd2_history,
     "t1_topk_orders": t1_topk_orders,
     "u1_intersect_users": u1_intersect_users,
     "sk1_salted_agg": sk1_salted_agg,
@@ -871,6 +901,38 @@ ORACLES = {
         SELECT l_orderkey, l_linenumber, l_extendedprice
         FROM lineitem, a
         WHERE CAST(floor(l_extendedprice * 100.0) AS BIGINT) * n > tot
+    """,
+    "m2_scd2_history": """
+        WITH dim AS (
+            SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+                   TIMESTAMP '1995-01-01' AS valid_from,
+                   CAST(NULL AS TIMESTAMP) AS valid_to
+            FROM customer
+        ),
+        upd AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(COUNT(*) % 25 AS BIGINT) AS nation,
+                   TIMESTAMP '1996-04-01' AS eff
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY o_custkey
+        ),
+        chg AS (
+            SELECT d.c_custkey, d.nation AS old_nation,
+                   u.nation AS new_nation, u.eff
+            FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey
+            WHERE d.nation <> u.nation
+        )
+        SELECT d.c_custkey, d.nation, d.valid_from, d.valid_to
+        FROM dim d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM chg WHERE chg.c_custkey = d.c_custkey
+        )
+        UNION ALL
+        SELECT c_custkey, old_nation, TIMESTAMP '1995-01-01', eff FROM chg
+        UNION ALL
+        SELECT c_custkey, new_nation, eff, CAST(NULL AS TIMESTAMP) FROM chg
     """,
     "pv2_unpivot_metrics": """
         WITH wide AS (

@@ -124,6 +124,26 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus
+    (similarity.quantize_embeddings_int8). Floor-based transform is
+    IEEE-exact, so the oracle verifies the quantized values
+    integer-for-integer via per-vector sum/min/max digests."""
+    q = similarity.quantize_embeddings_int8(_embs(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.size("q").alias("dim"),
+        F.aggregate(
+            F.col("q"),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x.cast("bigint"),
+        ).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.round("scale", 6).alias("scale"),
+    )
+
+
 def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (rows-only: buckets depend on the
     fixed-seed hyperplanes; recall vs brute force is pinned in tests)."""
@@ -406,6 +426,7 @@ QUERIES = {
     "llm_audio_features": llm_audio_features,
     "llm_corpus_pipeline": llm_corpus_pipeline,
     "llm_pack_sequences": llm_pack_sequences,
+    "llm_quantize_embeddings": llm_quantize_embeddings,
     "llm_quality_logit": llm_quality_logit,
     "llm_repetition": llm_repetition,
     "llm_quality_filter": llm_quality_filter,
@@ -724,6 +745,31 @@ ORACLES = {
                "offset" // 512 AS seq_start,
                ("offset" + n_tokens - 1) // 512 AS seq_end
         FROM o
+    """,
+    "llm_quantize_embeddings": """
+        WITH q AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(
+                       embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+            FROM embeddings
+        ),
+        t AS (
+            SELECT vec_id, maxabs,
+                   len(embedding) AS dim,
+                   CASE WHEN maxabs = 0
+                     THEN list_transform(embedding, x -> 0)
+                     ELSE list_transform(embedding,
+                       x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / maxabs)
+                                 AS INT))
+                   END AS qv
+            FROM q
+        )
+        SELECT vec_id, dim,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               list_min(qv) AS q_min,
+               list_max(qv) AS q_max,
+               ROUND(maxabs / 127.0, 6) AS scale
+        FROM t
     """,
     "llm_quality_logit": f"""
         WITH w AS (SELECT doc_id, text, {_WORDS} AS ws FROM documents),

@@ -191,6 +191,41 @@ class TestSimilarity:
         assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
 
 
+class TestQuantization:
+    def test_matches_numpy_and_error_bound(self, spark):
+        import math as m
+
+        import numpy as np
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            quantize_embeddings_int8,
+        )
+
+        rng = np.random.default_rng(3)
+        vecs = [
+            (i, [float(np.float32(x)) for x in rng.normal(size=16)])
+            for i in range(20)
+        ] + [(99, [0.0] * 16)]  # zero vector edge case
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        out = {
+            r["vec_id"]: r
+            for r in quantize_embeddings_int8(df).collect()
+        }
+        for vid, v in vecs:
+            x = np.array(v, dtype=np.float64)
+            maxabs = float(np.abs(x).max())
+            r = out[vid]
+            if maxabs == 0:
+                assert list(r["q"]) == [0] * 16
+                continue
+            want = [m.floor((xi * 127.0) / maxabs) for xi in x]
+            assert list(r["q"]) == want
+            # dequantization error ≤ one LSB
+            deq = np.array(r["q"], dtype=np.float64) * r["scale"]
+            assert float(np.abs(deq - x).max()) <= maxabs / 127.0 + 1e-12
+            assert max(abs(qi) for qi in r["q"]) <= 127
+
+
 class TestText:
     def test_stats_golden(self, spark):
         df = spark.createDataFrame(
