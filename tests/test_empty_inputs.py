@@ -1,0 +1,94 @@
+"""Zero-row robustness: an empty day / empty batch is routine in
+production (new chain, quiet hour, first run) — every operator must
+return an empty, correctly-schemaed result, not raise."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _empty(spark, fields):
+    return spark.createDataFrame([], StructType([
+        StructField(n, t, True) for n, t in fields
+    ]))
+
+
+class TestEmptyInputs:
+    def test_temporal_joins(self, spark):
+        from datawaves_etl_airflow_spark.operators.temporal import (
+            asof_join,
+            asof_join_bucketed,
+            bucketed_range_join,
+        )
+
+        left = _empty(spark, [("id", LongType()), ("key", StringType()),
+                              ("ts", TimestampType())])
+        right = _empty(spark, [("key", StringType()),
+                               ("rts", TimestampType()),
+                               ("val", DoubleType())])
+        out = asof_join(left, right, "key", "ts", "rts", ["val"])
+        assert out.count() == 0 and "val" in out.columns
+        out = asof_join_bucketed(left, right, "key", "ts", "rts", ["val"], 60)
+        assert out.count() == 0 and "val" in out.columns
+        facts = _empty(spark, [("ts", TimestampType())])
+        ranges = _empty(spark, [("start", TimestampType()),
+                                ("end", TimestampType())])
+        assert bucketed_range_join(
+            facts, "ts", ranges, "start", "end", 3600
+        ).count() == 0
+
+    def test_llm_text_and_packing(self, spark):
+        from datawaves_etl_airflow_spark.operators import text
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            pack_sequences,
+        )
+
+        docs = _empty(spark, [("doc_id", LongType()), ("text", StringType())])
+        assert text.text_stats(docs).count() == 0
+        assert text.quality_logit(docs).count() == 0
+        out = pack_sequences(docs, 512, F.pmod(F.col("doc_id"), F.lit(8)))
+        assert out.count() == 0
+        assert out.columns == [
+            "doc_id", "shard", "n_tokens", "offset", "seq_start", "seq_end",
+        ]
+
+    def test_dedup_and_similarity(self, spark):
+        from datawaves_etl_airflow_spark.operators import dedup, similarity
+
+        docs = _empty(spark, [("doc_id", LongType()), ("text", StringType())])
+        sets = dedup.word_shingle_hash_sets(docs)
+        assert dedup.minhash_band_rows(sets).count() == 0
+        vecs = _empty(spark, [
+            ("vec_id", LongType()),
+            ("embedding", ArrayType(FloatType())),
+        ])
+        assert similarity.quantize_embeddings_int8(vecs).count() == 0
+
+    def test_scd2_empty_updates_is_identity(self, spark):
+        from datawaves_etl_airflow_spark.operators.scd import scd2_apply
+
+        dim = spark.createDataFrame(
+            [(1, "a", dt.datetime(2020, 1, 1), None)],
+            StructType([
+                StructField("k", LongType()),
+                StructField("attr", StringType()),
+                StructField("valid_from", TimestampType()),
+                StructField("valid_to", TimestampType()),
+            ]),
+        )
+        upd = _empty(spark, [("k", LongType()), ("attr", StringType()),
+                             ("eff", TimestampType())])
+        out = scd2_apply(dim, upd, "k", ["attr"], "eff")
+        assert [tuple(r) for r in out.collect()] == [
+            (1, "a", dt.datetime(2020, 1, 1), None)
+        ]
