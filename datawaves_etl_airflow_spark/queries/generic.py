@@ -605,6 +605,43 @@ def m2_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, upd, "c_custkey", ["nation"], "eff")
 
 
+def g4_purchase_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of purchase value over time. No float sums:
+    x is seconds since the user's first purchase (small ints), y is
+    integer cents, and the slope comes from the closed form
+    ``(n·Σxy − Σx·Σy) / (n·Σx² − Σx²)`` over exact BIGINT sums — the
+    only float op is one final division, identical in any engine."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id")
+    d = e.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.min(F.unix_timestamp("ts")).over(w)
+        ).alias("x"),
+        _cents(F.col("value")).alias("y"),
+    )
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        agg.filter((F.col("n") >= 2) & (den > 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(num.cast("double") / den.cast("double"), 6).alias(
+                "slope_cents_per_sec"
+            ),
+        )
+    )
+
+
 def x1_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch tier: HLL++ distinct counts + approx quantiles per event
     type — the O(1)-memory aggregates a 100 TB profile pass uses
@@ -723,6 +760,7 @@ QUERIES = {
     "pv2_unpivot_metrics": pv2_unpivot_metrics,
     "f2_array_surface": f2_array_surface,
     "m2_scd2_history": m2_scd2_history,
+    "g4_purchase_trend": g4_purchase_trend,
     "t1_topk_orders": t1_topk_orders,
     "u1_intersect_users": u1_intersect_users,
     "sk1_salted_agg": sk1_salted_agg,
@@ -901,6 +939,28 @@ ORACLES = {
         SELECT l_orderkey, l_linenumber, l_extendedprice
         FROM lineitem, a
         WHERE CAST(floor(l_extendedprice * 100.0) AS BIGINT) * n > tot
+    """,
+    "g4_purchase_trend": """
+        WITH p AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                     - MIN(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id) AS x,
+                   CAST(floor(value * 100.0) AS BIGINT) AS y
+            FROM events WHERE event_type = 'purchase'
+        ),
+        a AS (
+            SELECT user_id, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM p GROUP BY user_id
+        )
+        SELECT user_id, n,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                   AS slope_cents_per_sec
+        FROM a
+        WHERE n >= 2 AND n * sxx - sx * sx > 0
     """,
     "m2_scd2_history": """
         WITH dim AS (
