@@ -116,3 +116,43 @@ class TestPackSequences:
         # offsets restart per shard: shard 0 holds ids 0,4; shard 1 id 1
         assert by_id[0]["offset"] == 0 and by_id[1]["offset"] == 0
         assert by_id[4]["offset"] == 2
+
+
+class TestPackSequencesProperties:
+    def test_invariants_on_random_corpora(self, spark):
+        # deterministic pseudo-random corpora; per-shard packing
+        # invariants must hold for any input:
+        #   offsets are the exclusive prefix sum of token counts
+        #   (contiguous, gap-free), seq bounds bracket each doc
+        import random
+
+        rng = random.Random(17)
+        words = ["alpha", "beta", "g", "dd", "longwordhere"]
+        docs = [
+            (i, " ".join(rng.choice(words)
+                         for _ in range(rng.randrange(0, 40))))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        budget = 64
+        out = sampling.pack_sequences(
+            df, budget, F.pmod(F.col("doc_id"), F.lit(4))
+        ).collect()
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r)
+        n_nonempty = sum(1 for _, t in docs if t.strip())
+        assert sum(len(v) for v in by_shard.values()) == n_nonempty
+        for shard, rows in by_shard.items():
+            rows.sort(key=lambda r: r["doc_id"])
+            expect_offset = 0
+            for r in rows:
+                text = next(t for i, t in docs if i == r["doc_id"])
+                assert r["n_tokens"] == len(text.split())
+                assert r["offset"] == expect_offset
+                assert r["seq_start"] == r["offset"] // budget
+                assert r["seq_end"] == (
+                    (r["offset"] + r["n_tokens"] - 1) // budget
+                )
+                assert r["seq_start"] <= r["seq_end"]
+                expect_offset += r["n_tokens"]
