@@ -147,3 +147,12 @@ class TestLayoutAndTextPlans:
         # one hashpartitioning exchange for the shard window, nothing else
         assert p.count("Exchange") == 1
         assert "BatchEvalPython" not in p
+
+
+class TestScd2Plan:
+    def test_updates_broadcast_history_not_shuffled(self, spark):
+        p = plan_of(generic.m2_scd2_history(spark, SF_DIR))
+        # the updates batch joins by broadcast; neither the current
+        # slice nor history ever hits a sort-merge join
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
