@@ -471,10 +471,16 @@ def simhash_signatures(
     """64-bit SimHash per doc: per-bit majority vote over token hashes.
 
     One explode + n_bits conditional sums, then bit-assembly — all JVM.
+    Empty/whitespace-only docs are floored to a single empty token so
+    they keep a signature (all of them the same one — mutual near-dups,
+    which is the right call for empty documents) instead of vanishing
+    from the explode.
     """
+    toks = tokenize(F.col(text_col))
+    toks = F.when(F.size(toks) == 0, F.array(F.lit(""))).otherwise(toks)
     tokens = docs.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
-        F.explode(tokenize(F.col(text_col))).alias("tok"),
+        F.explode(toks).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     votes = tokens.groupBy("id").agg(*[
         F.sum(

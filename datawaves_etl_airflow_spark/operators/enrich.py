@@ -307,7 +307,12 @@ def anti_join_prefiltered(
     broadcast.
     """
     staged_keys = F.broadcast(staged.select(key).distinct())
-    relevant = warehouse.select(key).join(staged_keys, key, "left_semi")
+    # .distinct() bounds the broadcast by |staged| KEYS: a warehouse
+    # with many rows per key would otherwise broadcast every matching
+    # row and can blow the broadcast threshold at scale
+    relevant = (
+        warehouse.select(key).join(staged_keys, key, "left_semi").distinct()
+    )
     return staged.join(F.broadcast(relevant), key, "left_anti")
 
 

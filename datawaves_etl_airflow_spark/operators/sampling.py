@@ -47,8 +47,16 @@ def hash_hex(id_col: Column, chars: int = 2) -> Column:
 
 
 def _hex2(bucket: int) -> str:
-    if not 0 <= bucket <= 256:
-        raise ValueError(f"bucket boundary out of range: {bucket}")
+    # 256 is deliberately rejected: format(256, '02x') is '100' (3
+    # chars), and comparing a 2-char md5 prefix against it
+    # lexicographically keeps only hashes starting '0' — the silent
+    # ~1/16 sample the "keep everything" caller least expects. Callers
+    # wanting full-keep special-case the boundary instead
+    # (sample_by_hash skips its filter at keep=256).
+    if not 0 <= bucket < 256:
+        raise ValueError(
+            f"bucket boundary out of range [0, 256): {bucket}"
+        )
     return format(bucket, "02x")
 
 
@@ -77,7 +85,10 @@ def assign_split(
 def sample_by_hash(df: DataFrame, id_col: str, keep: int) -> DataFrame:
     """Deterministic ~keep/256 downsample by id hash — the profiling
     pass a 100 TB pipeline runs instead of ``.sample()`` (whose output
-    changes per run and per partitioning)."""
+    changes per run and per partitioning). ``keep=256`` is the
+    documented keep-everything boundary: no filter at all."""
+    if keep == 256:
+        return df
     return df.filter(hash_hex(F.col(id_col)) < F.lit(_hex2(keep)))
 
 

@@ -105,6 +105,98 @@ def neardup_pairs(
     )
 
 
+def neardup_pairs_banded(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = 16,
+    band_bits: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs via banded sign-LSH candidates + exact
+    cosine rerank — the 100 TB form of :func:`neardup_pairs` (which is
+    an all-pairs crossJoin and exists as the oracle twin only).
+
+    Candidates are pairs sharing ANY band's ``band_bits``-bit
+    sign-pattern: per-bit collision is p = 1-θ/π, a pair survives with
+    1-(1-p^band_bits)^n_bands. The defaults target the production
+    near-dup regime (cos ≥ 0.95, θ ≤ 18°, p ≥ 0.9): miss probability
+    ~(1-0.28)^16 ≈ 5e-3 at the threshold and ≤1e-8 at cos 0.99+, while
+    a random pair (p ≈ 0.5) collides per band with 2^-12 — each band
+    splits the corpus into 4096 buckets, so candidate volume is
+    ~n²·n_bands/4096, not n². Sign-LSH cannot do this for diffuse
+    thresholds (cos 0.45 → p ≈ 0.65/bit barely above random; no (r, b)
+    both prunes and recalls) — that regime wants the IVF path or an
+    exact pass.
+
+    Hyperplane entries are xxhash64-derived on the fly (uniform in
+    [-1, 1]) instead of literal Gaussian arrays: the plan stays a few
+    nested higher-order functions regardless of n_bands·band_bits·dim,
+    where literal planes blow up whole-stage codegen (and silently
+    drop the plan to interpreted mode). Signatures are map-side; the
+    only exchanges are the band-key self-join and the two id-keyed
+    rerank joins — never an unbounded cross product. Everything is
+    seeded and deterministic, which the parity tests exploit to pin
+    the banded result equal to the all-pairs result at test scale.
+    """
+
+    def plane_val(p: Column, i: Column) -> Column:
+        h = F.xxhash64(p * F.lit(dim) + i, F.lit(seed))
+        return h.cast("double") / F.lit(9.223372036854775e18)
+
+    def sign_bit(p: Column) -> Column:
+        dot_p = F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda x, i: x.cast("double") * plane_val(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot_p >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    # each plane p = band*band_bits + j is evaluated exactly ONCE,
+    # inside its band's fold (a shared bits array would re-inline the
+    # whole plane computation per band — HOF lambdas don't CSE)
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.aggregate(
+            F.sequence(F.lit(0), F.lit(band_bits - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc * 2 + sign_bit(b * F.lit(band_bits) + j),
+        ),
+    )
+    sigs = vectors.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(band_hashes).alias("band_id", "band_hash"),
+    )
+    ba, bb = sigs.alias("a"), sigs.alias("b")
+    cands = (
+        ba.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+            "inner",
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_sim"))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     rng = random.Random(seed)
     return [

@@ -55,19 +55,29 @@ def asof_join(
     rows wins is undefined in both engines.
 
     Implementation: union the two sides tagged 0 (right) / 1 (left)
-    and run ``last(value, ignorenulls=True)`` over a window ordered by
+    and run ``last(carry, ignorenulls=True)`` over a window ordered by
     (ts, tag) — at equal timestamps the right row sorts first, which is
     exactly the inclusive-backward rule. One shuffle, linear scan.
+
+    All carried columns (matched_ts + value_cols) travel as ONE struct:
+    the struct is non-null exactly on right rows, so a matched row's
+    genuinely-NULL value column rides along as NULL instead of being
+    skipped by ignorenulls and replaced with an older row's value
+    (which would break ASOF semantics — the DuckDB oracle returns the
+    NULL).
     """
     from pyspark.sql import Window
 
     matched_ts = f"{right_ts}_matched" if right_ts == left_ts else right_ts
+    carried = [matched_ts] + [c for c in value_cols if c != matched_ts]
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.col(right_ts).alias(matched_ts),
-        *[F.col(c) for c in value_cols],
+        F.struct(
+            F.col(right_ts).alias(matched_ts),
+            *[F.col(c) for c in value_cols if c != matched_ts],
+        ).alias("_carry"),
     )
     l = left.select(
         "*",
@@ -80,10 +90,11 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [matched_ts] + [c for c in value_cols if c != matched_ts]
+    both = both.withColumn("_carry", F.last("_carry", ignorenulls=True).over(w))
+    out = both.filter(F.col("_side") == 1)
     for c in carried:
-        both = both.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return both.filter(F.col("_side") == 1).drop("_ts", "_side")
+        out = out.withColumn(c, F.col(f"_carry.{c}"))
+    return out.drop("_ts", "_side", "_carry")
 
 
 def bucketed_range_join(
@@ -107,19 +118,28 @@ def bucketed_range_join(
     which happens with the broadcast-nested-loop plan a raw
     inequality join produces.
     """
-    bsec = F.lit(int(bucket_seconds)).cast("long")
+    # bucket arithmetic in integer MICROSECONDS: unix_timestamp()
+    # truncates sub-second precision, so a range ending at 60.5s with
+    # 60s buckets would lose its final bucket and silently drop facts
+    # in [60, 60.5). unix_micros needs LTZ timestamps; the cast is a
+    # no-op for LTZ and a UTC reinterpretation for NTZ inputs.
+    busec = F.lit(int(bucket_seconds) * 1_000_000).cast("long")
+
+    def _us(c: str):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
     r = ranges.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_timestamp(F.col(start_col)) / bsec),
-                F.floor((F.unix_timestamp(F.col(end_col)) - 1) / bsec),
+                F.floor(_us(start_col) / busec),
+                # half-open upper bound: the last covered instant is
+                # end - 1µs, so no -1-second trick and no lost bucket
+                F.floor((_us(end_col) - 1) / busec),
             )
         ),
     )
-    f = facts.withColumn(
-        "_bucket", F.floor(F.unix_timestamp(F.col(fact_ts)) / bsec)
-    )
+    f = facts.withColumn("_bucket", F.floor(_us(fact_ts) / busec))
     joined = f.join(r, "_bucket", "inner").filter(
         (F.col(fact_ts) >= F.col(start_col))
         & (F.col(fact_ts) < F.col(end_col))
@@ -154,19 +174,23 @@ def asof_join_bucketed(
 
     bsec = F.lit(int(bucket_seconds)).cast("long")
     matched_ts = f"{right_ts}_matched" if right_ts == left_ts else right_ts
+    carried = [matched_ts] + [c for c in value_cols if c != matched_ts]
 
+    # all carried columns travel as one struct (same NULL-transparency
+    # rationale as asof_join: a matched row's NULL value column must
+    # ride along, not be skipped by ignorenulls)
     rb = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.floor(F.unix_timestamp(F.col(right_ts)) / bsec).alias("_bucket"),
-        F.col(right_ts).alias(matched_ts),
-        *[F.col(c) for c in value_cols],
-    )
-    packed = F.struct(
-        F.col("_ts"), F.col(matched_ts), *[F.col(c) for c in value_cols]
+        F.struct(
+            F.col(right_ts).alias(matched_ts),
+            *[F.col(c) for c in value_cols if c != matched_ts],
+        ).alias("_carry"),
     )
     # last right row per (key, bucket); right rows are unique per
     # (key, ts) by contract, so struct-max == argmax on _ts
+    packed = F.struct(F.col("_ts"), F.col("_carry"))
     last_per_bucket = rb.select(key, "_bucket", packed.alias("_s")).groupBy(
         key, "_bucket"
     ).agg(F.max("_s").alias("_s"))
@@ -190,8 +214,7 @@ def asof_join_bucketed(
             F.col(key),
             F.col("_seed._ts").alias("_ts"),
             F.col("_bucket"),
-            F.col(f"_seed.{matched_ts}").alias(matched_ts),
-            *[F.col(f"_seed.{c}").alias(c) for c in value_cols],
+            F.col("_seed._carry").alias("_carry"),
         )
     )
 
@@ -204,14 +227,16 @@ def asof_join_bucketed(
     r_rows = rb.withColumn("_side", F.lit(0))
     seed_rows = seeds.withColumn("_side", F.lit(0))
     both = l.unionByName(
-        r_rows.unionByName(seed_rows), allowMissingColumns=True
+        r_rows.unionByName(seed_rows, allowMissingColumns=True),
+        allowMissingColumns=True,
     )
     w = (
         Window.partitionBy(key, "_bucket")
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [matched_ts] + [c for c in value_cols if c != matched_ts]
+    both = both.withColumn("_carry", F.last("_carry", ignorenulls=True).over(w))
+    out = both.filter(F.col("_side") == 1)
     for c in carried:
-        both = both.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return both.filter(F.col("_side") == 1).drop("_ts", "_side", "_bucket")
+        out = out.withColumn(c, F.col(f"_carry.{c}"))
+    return out.drop("_ts", "_side", "_bucket", "_carry")

@@ -67,10 +67,23 @@ def _staged(spark: SparkSession, table: str) -> DataFrame:
 # S-1 / S-2: schema-on-read staging scans
 # --------------------------------------------------------------------------
 
+def _wei_str(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast DECIMAL(38,0) wei columns to string for the compared
+    projection — the driver's DuckDB→pandas fetch coerces DECIMAL to
+    float64, so decimals can never hash-match; digit strings do
+    ('123' == '123' in both engines, NULLs stay NULL)."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("string"))
+    return df
+
+
 def s1_staging_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-1: explicit-schema JSON scan (blocks), narrow projection."""
-    return _staged(spark, "blocks").select(
-        "number", "hash", "miner", "difficulty", "gas_used", "timestamp"
+    return _wei_str(
+        _staged(spark, "blocks").select(
+            "number", "hash", "miner", "difficulty", "gas_used", "timestamp"
+        ),
+        "difficulty",
     )
 
 
@@ -86,14 +99,21 @@ def s2_staging_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def d_enrich_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return enrich.enrich_blocks(_staged(spark, "blocks"))
+    return _wei_str(
+        enrich.enrich_blocks(_staged(spark, "blocks")),
+        "difficulty",
+        "total_difficulty",
+    )
 
 
 def d_enrich_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return enrich.enrich_transactions(
-        _staged(spark, "transactions"),
-        _staged(spark, "blocks"),
-        _staged(spark, "receipts"),
+    return _wei_str(
+        enrich.enrich_transactions(
+            _staged(spark, "transactions"),
+            _staged(spark, "blocks"),
+            _staged(spark, "receipts"),
+        ),
+        "value",
     )
 
 
@@ -109,7 +129,10 @@ def d_enrich_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d_enrich_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = enrich.enrich_traces(_staged(spark, "traces"), _staged(spark, "blocks"))
+    out = _wei_str(
+        enrich.enrich_traces(_staged(spark, "traces"), _staged(spark, "blocks")),
+        "value",
+    )
     return out.select(
         "transaction_hash", "from_address", "to_address", "value",
         "trace_type", "trace_address", "status", "selector",
@@ -120,10 +143,13 @@ def d_enrich_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d_enrich_geth_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = enrich.enrich_geth_traces(
-        _staged(spark, "geth_traces"),
-        _staged(spark, "blocks"),
-        _staged(spark, "transactions"),
+    out = _wei_str(
+        enrich.enrich_geth_traces(
+            _staged(spark, "geth_traces"),
+            _staged(spark, "blocks"),
+            _staged(spark, "transactions"),
+        ),
+        "value",
     )
     return out.select(
         "transaction_hash", "transaction_index", "from_address", "to_address",
@@ -139,8 +165,11 @@ def d_enrich_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d_enrich_token_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return enrich.enrich_token_transfers(
-        _staged(spark, "token_transfers"), _staged(spark, "blocks")
+    return _wei_str(
+        enrich.enrich_token_transfers(
+            _staged(spark, "token_transfers"), _staged(spark, "blocks")
+        ),
+        "value",
     )
 
 
@@ -196,18 +225,18 @@ def d_verify_root_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
 def evt_transfer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D-1: ABI event decode of ERC-20 Transfer over enriched logs."""
     logs = enrich.enrich_logs(_staged(spark, "logs"), _staged(spark, "blocks"))
-    return decode_log_events(logs, TRANSFER_EVENT)
+    return _wei_str(decode_log_events(logs, TRANSFER_EVENT), "value")
 
 
 def call_transfer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D-2: ABI function-call decode of transfer(address,uint256)."""
     traces = enrich.enrich_traces(_staged(spark, "traces"), _staged(spark, "blocks"))
-    return decode_call_functions(traces, TRANSFER_FUNCTION)
+    return _wei_str(decode_call_functions(traces, TRANSFER_FUNCTION), "value")
 
 
 def d4_token_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D-4: Transfer extraction from RAW logs (pre-warehouse)."""
-    return extract_token_transfers(_staged(spark, "logs"))
+    return _wei_str(extract_token_transfers(_staged(spark, "logs")), "value")
 
 
 def d5_extract_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,6 +347,33 @@ def evt_seaport_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Driver-registered subset in evaluation order. The driver's
+#: correctness run has a hard budget (round 2 evaluated exactly the
+#: first 50 registered queries in ~10 min and stopped), so the decode
+#: family — the reference's core product surface, which had zero
+#: driver evidence in round 2 — goes first, then the verify plans,
+#: then the staging/enrich chain.
+DRIVER_QUERIES = [
+    "evt_transfer_decode",
+    "call_transfer_decode",
+    "d4_token_transfers",
+    "d5_extract_contracts",
+    "evt_seaport_decode",
+    "d_verify_have_latest",
+    "d_verify_root_traces",
+    "s1_staging_scan_json",
+    "s2_staging_scan_csv",
+    "d_enrich_blocks",
+    "d_enrich_transactions",
+    "d_enrich_logs",
+    "d_enrich_traces",
+    "d_enrich_geth_traces",
+    "d_enrich_contracts",
+    "d_enrich_token_transfers",
+    "d_new_tokens",
+    "d_prices_fill",
+]
+
 QUERIES = {
     "s1_staging_scan_json": s1_staging_scan_json,
     "s2_staging_scan_csv": s2_staging_scan_csv,
@@ -391,7 +447,9 @@ _TOPICS_ARR = """
 
 ORACLES = {
     "s1_staging_scan_json": f"""
-        SELECT number, hash, miner, difficulty, gas_used, timestamp
+        SELECT number, hash, miner,
+               CAST(difficulty AS VARCHAR) AS difficulty,
+               gas_used, timestamp
         FROM {_rd('blocks')}
     """,
     "s2_staging_scan_csv": f"""
@@ -402,13 +460,16 @@ ORACLES = {
         SELECT make_timestamp(timestamp * 1000000) AS timestamp,
                number, hash, parent_hash, nonce, sha3_uncles, logs_bloom,
                transactions_root, state_root, receipts_root, miner,
-               difficulty, total_difficulty, size, extra_data, gas_limit,
+               CAST(difficulty AS VARCHAR) AS difficulty,
+               CAST(total_difficulty AS VARCHAR) AS total_difficulty,
+               size, extra_data, gas_limit,
                gas_used, transaction_count, base_fee_per_gas
         FROM {_rd('blocks')}
     """,
     "d_enrich_transactions": f"""
         SELECT t.hash, t.nonce, t.transaction_index, t.from_address,
-               t.to_address, t.value, t.gas, t.gas_price, t.input,
+               t.to_address, CAST(t.value AS VARCHAR) AS value,
+               t.gas, t.gas_price, t.input,
                r.cumulative_gas_used AS receipt_cumulative_gas_used,
                r.gas_used AS receipt_gas_used,
                r.contract_address AS receipt_contract_address,
@@ -439,7 +500,8 @@ ORACLES = {
         FROM l JOIN {_rd('blocks')} b ON l.block_number = b.number
     """,
     "d_enrich_traces": f"""
-        SELECT t.transaction_hash, t.from_address, t.to_address, t.value,
+        SELECT t.transaction_hash, t.from_address, t.to_address,
+               CAST(t.value AS VARCHAR) AS value,
                t.trace_type, t.trace_address, t.status,
                substr(t.input, 1, 10) AS selector,
                {_BT} AS block_timestamp,
@@ -451,7 +513,8 @@ ORACLES = {
     """,
     "d_enrich_geth_traces": f"""
         SELECT tx.hash AS transaction_hash, g.transaction_index,
-               g.from_address, g.to_address, g.value, g.trace_type,
+               g.from_address, g.to_address,
+               CAST(g.value AS VARCHAR) AS value, g.trace_type,
                g.trace_address,
                substr(g.input, 1, 10) AS selector,
                {_BT} AS block_timestamp,
@@ -471,7 +534,8 @@ ORACLES = {
         JOIN {_rd('blocks')} b ON c.block_number = b.number
     """,
     "d_enrich_token_transfers": f"""
-        SELECT t.token_address, t.from_address, t.to_address, t.value,
+        SELECT t.token_address, t.from_address, t.to_address,
+               CAST(t.value AS VARCHAR) AS value,
                t.transaction_hash, t.log_index,
                {_BT} AS block_timestamp,
                b.number AS block_number, b.hash AS block_hash
@@ -515,7 +579,7 @@ ORACLES = {
         SELECT '0x' || substr(t.arr[2], 27, 40) AS "from",
                '0x' || substr(t.arr[3], 27, 40) AS "to",
                CAST(CAST('0x0' || regexp_replace(substr(t.data, 3, 64), '^0+', '')
-                         AS BIGINT) AS DECIMAL(38,0)) AS value,
+                         AS BIGINT) AS VARCHAR) AS value,
                t.address AS contract_address,
                t.transaction_hash AS evt_tx_hash,
                t.log_index AS evt_index,
@@ -530,7 +594,7 @@ ORACLES = {
         )
         SELECT '0x' || substr(t.input, 35, 40) AS "to",
                CAST(CAST('0x0' || regexp_replace(substr(t.input, 75, 64), '^0+', '')
-                         AS BIGINT) AS DECIMAL(38,0)) AS value,
+                         AS BIGINT) AS VARCHAR) AS value,
                CASE WHEN t.output IS NULL OR t.output = '0x' THEN NULL
                     ELSE CAST('0x0' || regexp_replace(substr(t.output, 3, 64), '^0+', '')
                               AS BIGINT) != 0
@@ -551,7 +615,7 @@ ORACLES = {
                '0x' || substr(arr[2], 27, 40) AS from_address,
                '0x' || substr(arr[3], 27, 40) AS to_address,
                CAST(CAST('0x0' || regexp_replace(substr(data, 3, 64), '^0+', '')
-                         AS BIGINT) AS DECIMAL(38,0)) AS value,
+                         AS BIGINT) AS VARCHAR) AS value,
                transaction_hash, log_index, block_number
         FROM l
         WHERE arr[1] = '{fx.TRANSFER_TOPIC0}' AND array_length(arr) = 3

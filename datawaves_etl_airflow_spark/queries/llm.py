@@ -46,11 +46,17 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (j ≥ 0.5), computed
-    over hashed shingle sets (same values as the string path up to
-    64-bit collisions — the DuckDB oracle computes the string form)."""
-    sets = dedup.word_shingle_hash_sets(_docs(spark, sf_dir))
-    out = dedup.jaccard_all_pairs_from_sets(sets, 0.5)
+    """Word-3-gram Jaccard near-dup pairs (j ≥ 0.5) via banded MinHash
+    LSH candidates + exact set verification — the 100 TB plan (the
+    only exchanges are the band join and the verify joins; never the
+    Σdf² shingle self-join). 32 bands × 2 rows catch a pair at exactly
+    j=0.5 with ~99% probability per band set and the pipeline is fully
+    deterministic (xxhash64), so the oracle stays the EXACT all-pairs
+    SQL: tests pin that the banded candidates recover every true pair
+    at driver scale."""
+    out = dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), threshold=0.5, n_hashes=64, n_bands=32
+    )
     return out.select(
         "id_a", "id_b", "n_inter", "sz_a", "sz_b",
         F.round("jaccard", 6).alias("jaccard"),
@@ -70,10 +76,13 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the exact
     word-3-gram Jaccard pairs (j ≥ 0.5) — (id, cluster_id) with
     cluster_id the min doc id in the component (keep id == cluster_id,
-    drop the rest). Oracled by a DuckDB recursive CTE over the same
-    pair set."""
-    sets = dedup.word_shingle_hash_sets(_docs(spark, sf_dir))
-    pairs = dedup.jaccard_all_pairs_from_sets(sets, 0.5)
+    drop the rest). Pair discovery uses the banded-LSH + exact-verify
+    plan (scale-safe; see llm_jaccard_pairs) — the DuckDB recursive-CTE
+    oracle recomputes the pair set from the exact all-pairs SQL, so a
+    green row also certifies the banded candidates' recall."""
+    pairs = dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), threshold=0.5, n_hashes=64, n_bands=32
+    )
     return dedup.duplicate_clusters(pairs)
 
 
@@ -162,9 +171,40 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ a deterministically perturbed copy (dim 0 scaled by
+    1.2, ids +100000) — a corpus with known near-duplicates at
+    cos ≥ 0.996 (the driver corpus's own pairs top out at cos 0.60,
+    below any meaningful near-dup threshold). The perturbation is pure
+    double arithmetic, so the DuckDB oracle replays it exactly."""
+    e = _embs(spark, sf_dir)
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(
+            i == 0, x.cast("double") * F.lit(1.2)
+        ).otherwise(x.cast("double")),
+    )
+    return e.select("vec_id", as_double.alias("embedding")).unionByName(
+        e.select(
+            (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+            perturbed.alias("embedding"),
+        )
+    )
+
+
 def llm_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45)."""
-    return similarity.neardup_pairs(_embs(spark, sf_dir), threshold=0.45)
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.95) over a corpus
+    with planted near-dups, via banded sign-LSH candidates + exact
+    cosine rerank — the 100 TB plan: 12-bit bands split the corpus
+    into 4096 buckets each, so candidate volume is ~n²·16/4096, never
+    the all-pairs crossJoin (`similarity.neardup_pairs` remains as the
+    oracle twin only). Deterministic seeded planes: tests pin the
+    banded result equal to the exact all-pairs result, so the oracle
+    stays the exact SQL."""
+    return similarity.neardup_pairs_banded(
+        _planted_neardup_corpus(spark, sf_dir), dim=64, threshold=0.95
+    )
 
 
 # --------------------------------------------------------------------------
@@ -405,6 +445,38 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Driver-registered subset in evaluation order (see
+#: queries.domain.DRIVER_QUERIES for the budget rationale). One entry
+#: per LLM-pipeline component family; near-duplicate variants of an
+#: already-registered family (llm_minhash_dedup ≡ llm_jaccard_pairs'
+#: plan, llm_ann_lsh ≡ llm_ann_ivf's tier, the thin text_stats
+#: derivatives) stay in QUERIES for tools/parity.py and pytest but
+#: don't spend driver budget.
+DRIVER_QUERIES = [
+    "llm_dedup_exact",
+    "llm_jaccard_pairs",
+    "llm_dedup_clusters",
+    "llm_decontaminate",
+    "llm_simhash_candidates",
+    "llm_cosine_topk",
+    "llm_ann_ivf",
+    "llm_neardup_embeddings",
+    "llm_quantize_embeddings",
+    "llm_text_stats",
+    "llm_lang_id",
+    "llm_token_counts",
+    "llm_fingerprint",
+    "llm_quality_logit",
+    "llm_pii_scrub",
+    "llm_image_features",
+    "llm_audio_features",
+    "llm_frame_sample",
+    "llm_pack_sequences",
+    "llm_hash_split",
+    "llm_source_quota",
+    "llm_corpus_pipeline",
+]
+
 QUERIES = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_jaccard_pairs": llm_jaccard_pairs,
@@ -625,10 +697,24 @@ ORACLES = {
         FROM ranked WHERE rank <= 5
     """,
     "llm_neardup_embeddings": f"""
+        WITH corpus AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS embedding
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000,
+                   list_transform(range(1, 65),
+                       i -> CASE WHEN i = 1
+                            THEN CAST(embedding[i] AS DOUBLE)
+                                 * CAST(1.2 AS DOUBLE)
+                            ELSE CAST(embedding[i] AS DOUBLE) END)
+            FROM embeddings
+        )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS cosine_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {_cos('a.embedding', 'b.embedding')} >= 0.45
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE {_cos('a.embedding', 'b.embedding')} >= 0.95
     """,
     "llm_text_stats": f"""
         WITH w AS (SELECT doc_id, text, {_WORDS} AS ws FROM documents)
@@ -710,10 +796,10 @@ ORACLES = {
         ),
         o AS (
             SELECT doc_id, shard, n_tokens,
-                   SUM(n_tokens) OVER (
+                   CAST(SUM(n_tokens) OVER (
                        PARTITION BY shard ORDER BY doc_id
                        ROWS UNBOUNDED PRECEDING
-                   ) - n_tokens AS "offset"
+                   ) - n_tokens AS BIGINT) AS "offset"
             FROM t WHERE n_tokens > 0
         )
         SELECT doc_id, shard, n_tokens, "offset",
@@ -735,10 +821,10 @@ ORACLES = {
         ),
         o AS (
             SELECT doc_id, shard, n_tokens,
-                   SUM(n_tokens) OVER (
+                   CAST(SUM(n_tokens) OVER (
                        PARTITION BY shard ORDER BY doc_id
                        ROWS UNBOUNDED PRECEDING
-                   ) - n_tokens AS "offset"
+                   ) - n_tokens AS BIGINT) AS "offset"
             FROM t WHERE n_tokens > 0
         )
         SELECT doc_id, shard, n_tokens, "offset",
@@ -851,8 +937,10 @@ ORACLES = {
         ), c AS (
             SELECT id, gram, COUNT(*) AS c FROM g GROUP BY id, gram
         )
-        SELECT id, SUM(c) AS n_ngrams, MAX(c) AS top_ngram_count,
-               MAX(c) / SUM(c) AS repetition_ratio
+        SELECT id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+               MAX(c) AS top_ngram_count,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                   AS repetition_ratio
         FROM c GROUP BY id
     """,
     "llm_frame_sample": """

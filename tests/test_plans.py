@@ -106,10 +106,35 @@ class TestAntiJoinPrefiltered:
         p = plan_of(generic.j6b_anti_join_prefiltered(spark, SF_DIR))
         assert p.count("BroadcastHashJoin") == 2
         assert "SortMergeJoin" not in p
-        # exactly ONE hash exchange: the staged-key distinct (small by
-        # construction); the warehouse side reaches its join via scan →
-        # filter → BroadcastHashJoin with no shuffle
-        assert p.count("Exchange hashpartitioning") == 1
+        # exactly TWO hash exchanges, neither on warehouse ROWS: the
+        # staged-key distinct (small by construction) and the
+        # relevant-key dedup that bounds the anti-join broadcast by
+        # |staged| KEYS — its input is already the semi-join survivors
+        # and it partial-aggregates map-side, so each task contributes
+        # at most |staged| distinct keys to the shuffle. The full
+        # warehouse reaches its semi-join via scan → BroadcastHashJoin
+        # with no exchange.
+        assert p.count("Exchange hashpartitioning") == 2
+
+    def test_broadcast_bounded_with_duplicate_warehouse_keys(self, spark):
+        # ADVICE r2: a warehouse with many rows per key must not
+        # broadcast every matching row — result stays correct and the
+        # deduped `relevant` is what gets broadcast
+        from datawaves_etl_airflow_spark.operators.enrich import (
+            anti_join_prefiltered,
+        )
+
+        staged = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(20)], ["c_custkey", "c_name"]
+        )
+        warehouse = spark.createDataFrame(
+            [(i,) for i in range(0, 200, 2) for _ in range(50)],
+            ["c_custkey"],
+        )
+        got = anti_join_prefiltered(staged, warehouse, "c_custkey")
+        assert sorted(r["c_custkey"] for r in got.collect()) == list(
+            range(1, 20, 2)
+        )
 
 
 class TestLayoutAndTextPlans:

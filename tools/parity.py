@@ -34,9 +34,13 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(v)  # full precision: driver-hash-stable means bit-equal
     if isinstance(v, decimal.Decimal):
-        return str(v)
+        # deliberately NOT str(v): the driver's DuckDB pandas fetch turns
+        # DECIMAL into float64, so a Decimal anywhere in a compared
+        # projection is a hash mismatch waiting to happen. Tag it so
+        # parity FAILS loudly instead of normalizing it away.
+        return f"\x02DECIMAL:{v}"
     if isinstance(v, dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, dt.date):
@@ -48,6 +52,26 @@ def _norm(v):
     if isinstance(v, bool):
         return str(v).lower()
     return str(v)
+
+
+def _from_pandas(v):
+    """Pandas cell → plain Python, mirroring what a driver comparing a
+    DuckDB ``fetchdf()`` frame would see (NaT/NaN = NULL, numpy scalars
+    unwrapped, list columns as numpy arrays → lists)."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None  # DuckDB NULL in a numeric column surfaces as NaN
+    if isinstance(v, np.generic):
+        return _from_pandas(v.item())
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, np.ndarray):
+        return [_from_pandas(x) for x in v.tolist()]
+    return v
 
 
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -65,6 +89,11 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--registered",
+        action="store_true",
+        help="only the driver-registered subset, in driver order",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -80,8 +109,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
         )
 
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # the FULL corpus (registered + budget-trimmed variants); pass
+    # --registered to check exactly what the driver will run
+    if args.registered:
+        queries = entrymod.queries()
+        oracles = entrymod.oracle_sql()
+    else:
+        queries = entrymod.queries_all()
+        oracles = entrymod.oracle_sql_all()
     names = args.names or list(queries)
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
@@ -102,7 +137,31 @@ def main() -> int:
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # pandas fetch, NOT fetchall(): replicates the driver's
+            # comparison path, where DECIMAL and HUGEINT (int128)
+            # silently become float64 — the exact coercion that made 20
+            # value-identical queries hash-fail in round 2.
+            odf = res.fetchdf()
+            # DATE columns come back as midnight datetime64 in pandas;
+            # the driver matches them against Spark dates (r02: s2 and
+            # d_prices_fill hash-matched), so fold them back to dates
+            date_cols = {
+                d[0]
+                for d in res.description
+                if str(d[1]).upper() in ("DATE",)
+            }
+            orows = [
+                tuple(
+                    v.date()
+                    if ocols[i] in date_cols and isinstance(v, dt.datetime)
+                    else v
+                    for i, v in enumerate(
+                        _from_pandas(x)
+                        for x in row
+                    )
+                )
+                for row in odf.itertuples(index=False, name=None)
+            ]
         except Exception:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc()
