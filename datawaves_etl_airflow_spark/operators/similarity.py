@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -131,48 +133,41 @@ def neardup_pairs_banded(
     both prunes and recalls) — that regime wants the IVF path or an
     exact pass.
 
-    Hyperplane entries are xxhash64-derived on the fly (uniform in
-    [-1, 1]) instead of literal Gaussian arrays: the plan stays a few
-    nested higher-order functions regardless of n_bands·band_bits·dim,
-    where literal planes blow up whole-stage codegen (and silently
-    drop the plan to interpreted mode). Signatures are map-side; the
-    only exchanges are the band-key self-join and the two id-keyed
-    rerank joins — never an unbounded cross product. Everything is
-    seeded and deterministic, which the parity tests exploit to pin
-    the banded result equal to the all-pairs result at test scale.
+    Signature generation is an Arrow-batched pandas UDF — one numpy
+    ``(batch×dim) @ (dim×planes)`` matmul per batch — because the
+    n_bands·band_bits sign bits are exactly the shape builtin
+    expressions handle worst: unrolling 192 dot-product folds (whether
+    as literal planes or nested HOFs) produces an expression tree that
+    blows past whole-stage codegen limits and silently drops the plan
+    to interpreted mode (~20× slower than the matmul). The planes are
+    ``np.random.RandomState(seed)`` Gaussians — deterministic across
+    runs, so the candidate set (and output) is reproducible, which the
+    parity tests exploit to pin the banded result equal to the
+    all-pairs result at test scale. The exact rerank stays JVM-side
+    (``zip_with``/``aggregate`` folds, bit-identical to the oracle).
+    Signatures are map-side; the only exchanges are the band-key
+    self-join and the two id-keyed rerank joins — never an unbounded
+    cross product.
     """
+    from pyspark.sql.functions import pandas_udf
 
-    def plane_val(p: Column, i: Column) -> Column:
-        h = F.xxhash64(p * F.lit(dim) + i, F.lit(seed))
-        return h.cast("double") / F.lit(9.223372036854775e18)
-
-    def sign_bit(p: Column) -> Column:
-        dot_p = F.aggregate(
-            F.transform(
-                F.col(vec_col),
-                lambda x, i: x.cast("double") * plane_val(p, i),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(dot_p >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-
-    # each plane p = band*band_bits + j is evaluated exactly ONCE,
-    # inside its band's fold (a shared bits array would re-inline the
-    # whole plane computation per band — HOF lambdas don't CSE)
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.aggregate(
-            F.sequence(F.lit(0), F.lit(band_bits - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, j: acc * 2 + sign_bit(b * F.lit(band_bits) + j),
-        ),
+    planes = np.random.RandomState(seed).standard_normal(
+        (n_bands * band_bits, dim)
     )
+    weights = 1 << np.arange(band_bits - 1, -1, -1)
+
+    @pandas_udf("array<long>")
+    def band_hashes(v: pd.Series) -> pd.Series:
+        mat = np.array(v.tolist(), dtype=np.float64)
+        bits = (mat @ planes.T) >= 0  # batch × n_planes
+        h = bits.reshape(len(mat), n_bands, band_bits) @ weights
+        return pd.Series(list(h.astype(np.int64)))
+
     sigs = vectors.select(
         F.col(id_col).alias("id"),
-        F.posexplode(band_hashes).alias("band_id", "band_hash"),
+        F.posexplode(band_hashes(F.col(vec_col))).alias(
+            "band_id", "band_hash"
+        ),
     )
     ba, bb = sigs.alias("a"), sigs.alias("b")
     cands = (
