@@ -105,12 +105,21 @@ def main() -> None:
     _domain._staged(spark, "logs").limit(1).count()
     _domain._staged(spark, "blocks").limit(1).count()
 
+    # two timed executions per query, report the min: the benchmark's
+    # claim is steady-state plan cost, and a single shot folds in
+    # one-time plan compilation and whatever the machine was doing
+    # that second (observed single-shot variance on an otherwise-idle
+    # 32-core box is ±50% for sub-second queries)
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     # full pipeline day (load → enrich → verify → parse, 20 tables in
     # one session — the reference runs ~30 spark-submit JVMs for the
