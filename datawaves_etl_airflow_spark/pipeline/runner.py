@@ -74,6 +74,21 @@ class Pipeline:
 # The one-day EVM load+verify+parse pipeline
 # ---------------------------------------------------------------------------
 
+#: Task-name prefix → phase, for `run_evm_day(phases=...)`
+_PHASE_OF_PREFIX = {
+    "load": "load",
+    "enrich": "enrich",
+    "extract": "enrich",  # D-4 extraction rides the enrich phase
+    "verify": "verify",
+    "parse": "parse",
+    "clean": "clean",
+}
+
+
+def _task_phase(name: str) -> str:
+    return _PHASE_OF_PREFIX[name.split("_", 1)[0]]
+
+
 def run_evm_day(
     spark: SparkSession,
     export_base: str,
@@ -82,6 +97,7 @@ def run_evm_day(
     chain: str = "ethereum",
     decode_events: list | None = None,
     clean: bool = False,
+    phases: frozenset | set | None = None,
 ) -> dict:
     """Load → enrich → verify → parse for one day, file-based layout.
 
@@ -92,6 +108,15 @@ def run_evm_day(
     loader set and the trace family: parity traces (ethereum, J-4) or
     geth traces recovered via the composite-key join (polygon, J-5) —
     mirroring dags/chains/evm_chain.py:178-212.
+
+    ``phases`` optionally restricts execution to a subset of
+    ``{'load', 'enrich', 'verify', 'parse', 'clean'}`` — the
+    process-boundary hook the Airflow binding
+    (`pipeline.airflow_compat`) uses to run each phase as its own
+    operator/process: tasks whose upstream phase is excluded fall back
+    to re-reading the enriched tables from the warehouse (which the
+    enrich phase must have written earlier), exactly like the
+    reference's spark-submit-per-task boundaries.
     """
     cfg: ChainConfig = CHAINS.get(chain, ETHEREUM)
 
@@ -104,6 +129,14 @@ def run_evm_day(
 
     def _wh(table: str) -> str:
         return os.path.join(warehouse, chain, table)
+
+    def _g(ctx: dict, task: str, table: str):
+        """Dep lookup with a warehouse fallback: when ``phases``
+        excludes the producing task (it ran in an earlier process),
+        read what it wrote instead."""
+        if task in ctx:
+            return ctx[task]
+        return spark.read.parquet(_wh(table))
 
     def _load(table: str):
         def fn(ctx):
@@ -208,14 +241,22 @@ def run_evm_day(
     # verify phase (reference blockchain.py:115-126; retries=0 semantics)
     def _verify(c):
         out = {
-            "blocks": verify.verify_have_latest(c["enrich_blocks"], ds, "blocks"),
-            "transactions": verify.verify_have_latest(
-                c["enrich_transactions"], ds, "transactions"
+            "blocks": verify.verify_have_latest(
+                _g(c, "enrich_blocks", "blocks"), ds, "blocks"
             ),
-            "logs": verify.verify_have_latest(c["enrich_logs"], ds, "logs"),
-            "traces": verify.verify_have_latest(c["enrich_traces"], ds, "traces"),
+            "transactions": verify.verify_have_latest(
+                _g(c, "enrich_transactions", "transactions"), ds,
+                "transactions",
+            ),
+            "logs": verify.verify_have_latest(
+                _g(c, "enrich_logs", "logs"), ds, "logs"
+            ),
+            "traces": verify.verify_have_latest(
+                _g(c, "enrich_traces", "traces"), ds, "traces"
+            ),
             "root_traces": verify.verify_root_traces_match_transactions(
-                c["enrich_traces"], c["enrich_transactions"], ds
+                _g(c, "enrich_traces", "traces"),
+                _g(c, "enrich_transactions", "transactions"), ds,
             ),
         }
         return out
@@ -233,7 +274,7 @@ def run_evm_day(
         name = f"parse_evt_{el.name}"
 
         def _parse(c, el=el):
-            out = decode_log_events(c["enrich_logs"], el)
+            out = decode_log_events(_g(c, "enrich_logs", "logs"), el)
             sinks.write_partitioned(out, "", ds, path=_wh(f"evt_{el.name}"))
             return spark.read.parquet(_wh(f"evt_{el.name}"))
 
@@ -275,5 +316,18 @@ def run_evm_day(
                 _clean(t),
                 deps=[f"load_{t}", *consumers[t]],
             )
+
+    if phases is not None:
+        unknown = set(phases) - set(_PHASE_OF_PREFIX.values())
+        if unknown:
+            raise ValueError(f"unknown phases: {sorted(unknown)}")
+        sub = Pipeline()
+        keep = {
+            n for n, t in p.tasks.items() if _task_phase(n) in phases
+        }
+        for name in keep:
+            t = p.tasks[name]
+            sub.add(name, t.fn, deps=[d for d in t.deps if d in keep])
+        p = sub
 
     return p.run({})

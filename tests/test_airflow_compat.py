@@ -1,0 +1,106 @@
+"""Thin Airflow binding (pipeline.airflow_compat): staged execution
+across process-style boundaries equals the single-session runner, and
+DAG wiring instantiates operators with the right dependencies — driven
+by a stub operator class, since Airflow itself is not a dependency.
+"""
+
+import os
+
+import pytest
+
+from datawaves_etl_airflow_spark.pipeline.airflow_compat import (
+    build_airflow_dag,
+    evm_day_stages,
+)
+from datawaves_etl_airflow_spark.queries.domain import TRANSFER_EVENT
+from datawaves_etl_airflow_spark.testing import fixtures as fx
+
+
+class TestStagedExecution:
+    def test_stages_equal_single_session_run(self, spark, tmp_path):
+        """enrich → verify → parse as separate stage invocations (each
+        re-reading the warehouse, as separate Airflow workers would)
+        produces the same warehouse contents and verify counts as the
+        one-session run_evm_day."""
+        base = fx.ensure_fixtures()
+        wh = str(tmp_path / "wh")
+
+        stages = evm_day_stages(
+            base, wh, fx.DS,
+            decode_events=[TRANSFER_EVENT],
+            session_factory=lambda name: spark,
+        )
+        ids = [t[0] for t in stages]
+        assert ids == [
+            f"ethereum_{fx.DS}_enrich",
+            f"ethereum_{fx.DS}_verify",
+            f"ethereum_{fx.DS}_parse",
+        ]
+        results = {}
+        for task_id, fn, upstream in stages:
+            for u in upstream:
+                assert u in results, f"{task_id} ran before {u}"
+            results[task_id] = fn()
+
+        v = results[f"ethereum_{fx.DS}_verify"]["verify"]
+        assert v["blocks"] == 20
+        assert v["root_traces"] == 200
+        decoded = results[f"ethereum_{fx.DS}_parse"]["parse_evt_Transfer"]
+        assert decoded.count() == 100
+        # warehouse holds the enriched tables the stages exchanged
+        for table, n in [("blocks", 20), ("logs", 300), ("traces", 300)]:
+            df = spark.read.parquet(os.path.join(wh, "ethereum", table))
+            assert df.count() == n
+
+    def test_parse_and_clean_stages_optional(self, spark):
+        base = fx.ensure_fixtures()
+        no_parse = evm_day_stages(
+            base, "/tmp/unused-wh", fx.DS,
+            session_factory=lambda name: spark,
+        )
+        names = [t[0].rsplit("_", 1)[-1] for t in no_parse]
+        assert names == ["enrich", "verify"]
+
+
+class _StubOperator:
+    """PythonOperator-shaped stub recording wiring."""
+
+    def __init__(self, task_id, python_callable, dag):
+        self.task_id = task_id
+        self.python_callable = python_callable
+        self.dag = dag
+        self.downstream = []
+
+    def __rshift__(self, other):
+        self.downstream.append(other.task_id)
+        return other
+
+
+class TestDagWiring:
+    def test_operators_and_dependencies(self, spark):
+        base = fx.ensure_fixtures()
+        dag = object()
+        ops = build_airflow_dag(
+            dag, base, "/tmp/unused-wh", fx.DS,
+            decode_events=[TRANSFER_EVENT],
+            clean=True,
+            session_factory=lambda name: spark,
+            operator_cls=_StubOperator,
+        )
+        e, v, p, c = (
+            f"ethereum_{fx.DS}_enrich",
+            f"ethereum_{fx.DS}_verify",
+            f"ethereum_{fx.DS}_parse",
+            f"ethereum_{fx.DS}_clean",
+        )
+        assert set(ops) == {e, v, p, c}
+        assert all(op.dag is dag for op in ops.values())
+        assert sorted(ops[e].downstream) == sorted([v, p, c])
+        assert ops[v].downstream == [c]
+        assert ops[p].downstream == [c]
+
+    def test_missing_airflow_raises_clearly(self):
+        with pytest.raises(ImportError, match="run_evm_day"):
+            build_airflow_dag(
+                object(), "/x", "/y", fx.DS, operator_cls=None
+            )

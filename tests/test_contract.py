@@ -38,3 +38,51 @@ def test_queries_build_named_plans(spark):
 def test_entry_flagship_runs(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+class TestRegistrationPolicy:
+    """Round-3 driver budget policy: exactly 50 registered queries,
+    never-verified-first order, full corpus still reachable."""
+
+    def test_exactly_fifty_registered(self):
+        q = entrymod.queries()
+        assert len(q) == 50, (
+            f"driver budget is 50 queries (round-2 run stopped at the "
+            f"50th); got {len(q)}"
+        )
+
+    def test_registration_order_decode_first(self):
+        names = list(entrymod.queries())
+        # the never-driver-verified families lead; generic picks close
+        assert names[0] == "evt_transfer_decode"
+        assert names.index("llm_dedup_exact") > names.index("d_prices_fill")
+        assert names.index("q1_pricing_summary") > names.index(
+            "llm_corpus_pipeline"
+        )
+
+    def test_driver_lists_subset_of_full_corpus(self):
+        from datawaves_etl_airflow_spark.queries import domain, generic, llm
+
+        for mod in (domain, llm, generic):
+            missing = [n for n in mod.DRIVER_QUERIES if n not in mod.QUERIES]
+            assert not missing, f"{mod.__name__}: {missing}"
+            assert len(mod.DRIVER_QUERIES) == len(set(mod.DRIVER_QUERIES))
+
+    def test_full_corpus_still_reachable(self):
+        all_q = entrymod.queries_all()
+        assert len(all_q) >= 88
+        assert set(entrymod.queries()) <= set(all_q)
+        orphans = set(entrymod.oracle_sql_all()) - set(all_q)
+        assert not orphans
+
+    def test_registered_oracle_coverage(self):
+        """47 of the 50 are oracled; the 3 rows-only are the designed
+        exceptions (nested-ABI decode, xxhash64-dependent candidates)."""
+        q = entrymod.queries()
+        o = entrymod.oracle_sql()
+        rows_only = set(q) - set(o)
+        assert rows_only == {
+            "evt_seaport_decode",
+            "llm_simhash_candidates",
+            "llm_ann_ivf",
+        }
