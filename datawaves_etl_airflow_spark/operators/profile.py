@@ -1,0 +1,83 @@
+"""Single-pass table profiling: per-column null counts, approximate
+distinct counts, and value ranges — the schema-health pass a 100 TB
+pipeline runs before committing to a full processing job (and the
+cheap way to spot a broken export: a column that is suddenly 100%
+NULL, a distinct count that collapsed, a timestamp range outside the
+expected day).
+
+Scale design: ONE aggregation over the table computes every statistic
+(per-column expressions inside a single `agg`), so the cost is one
+scan + one 1-row reduce regardless of column count — no per-column
+jobs, no driver loops over data. HLL++ (`approx_count_distinct`)
+keeps per-column state O(1). The wide 1-row result is unpivoted to
+(column, stat) rows driver-side from literals — never from data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    NumericType,
+    StringType,
+    TimestampType,
+)
+
+__all__ = ["profile_table"]
+
+#: types whose min/max are meaningful and safely castable to string
+_ORDERABLE = (NumericType, StringType, TimestampType, DateType, BooleanType)
+
+
+def profile_table(
+    df: DataFrame, rsd: float = 0.05, columns: list[str] | None = None
+) -> DataFrame:
+    """Profile ``columns`` (default: all) in one aggregation pass.
+
+    Returns one row per column:
+    ``(column, dtype, n_rows, n_nulls, null_frac, approx_distinct,
+    min_value, max_value)`` — min/max as strings (NULL for unorderable
+    types like arrays/structs/binary), distinct via HLL++ at ``rsd``
+    relative error.
+    """
+    fields = {f.name: f for f in df.schema.fields}
+    names = list(columns) if columns is not None else list(fields)
+    unknown = [n for n in names if n not in fields]
+    if unknown:
+        raise ValueError(f"unknown columns: {unknown}")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for n in names:
+        c = F.col(n)
+        aggs.append(
+            F.count(F.when(c.isNull(), F.lit(1))).alias(f"__nulls_{n}")
+        )
+        aggs.append(F.approx_count_distinct(n, rsd=rsd).alias(f"__dist_{n}"))
+        if isinstance(fields[n].dataType, _ORDERABLE):
+            aggs.append(F.min(c).cast("string").alias(f"__min_{n}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{n}"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"__min_{n}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__max_{n}"))
+
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(n).alias("column"),
+            F.lit(fields[n].dataType.simpleString()).alias("dtype"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nulls_{n}").alias("n_nulls"),
+            F.when(F.col("__n") > 0, F.col(f"__nulls_{n}") / F.col("__n"))
+            .otherwise(F.lit(None))
+            .alias("null_frac"),
+            F.col(f"__dist_{n}").alias("approx_distinct"),
+            F.col(f"__min_{n}").alias("min_value"),
+            F.col(f"__max_{n}").alias("max_value"),
+        )
+        for n in names
+    ]
+    return wide.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.*")

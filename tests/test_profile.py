@@ -1,0 +1,86 @@
+"""Table profiling (operators.profile): exact stats verified against
+hand-computed values, single-aggregation plan shape pinned."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawaves_etl_airflow_spark.operators.profile import profile_table
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestProfileTable:
+    def test_stats_on_known_frame(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (4, "b", None)],
+            "id bigint, s string, v double",
+        )
+        prof = {r["column"]: r for r in profile_table(df, rsd=0.01).collect()}
+        assert set(prof) == {"id", "s", "v"}
+        assert all(r["n_rows"] == 4 for r in prof.values())
+        assert prof["id"]["n_nulls"] == 0
+        assert prof["s"]["n_nulls"] == 1
+        assert prof["v"]["n_nulls"] == 2
+        assert prof["v"]["null_frac"] == pytest.approx(0.5)
+        # exact-small regime: HLL++ is exact at these cardinalities
+        assert prof["id"]["approx_distinct"] == 4
+        assert prof["s"]["approx_distinct"] == 2
+        assert prof["id"]["min_value"] == "1"
+        assert prof["id"]["max_value"] == "4"
+        assert prof["s"]["min_value"] == "a"
+        assert prof["s"]["max_value"] == "b"
+        assert prof["id"]["dtype"] == "bigint"
+
+    def test_unorderable_types_get_null_ranges(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1, 2], bytearray(b"x"))],
+            "id bigint, arr array<bigint>, b binary",
+        )
+        prof = {r["column"]: r for r in profile_table(df).collect()}
+        assert prof["arr"]["min_value"] is None
+        assert prof["b"]["max_value"] is None
+        assert prof["arr"]["approx_distinct"] == 1
+
+    def test_empty_table(self, spark):
+        df = spark.range(0).select(
+            F.col("id"), F.lit("x").alias("s")
+        )
+        prof = {r["column"]: r for r in profile_table(df).collect()}
+        assert prof["id"]["n_rows"] == 0
+        assert prof["id"]["null_frac"] is None
+        assert prof["id"]["approx_distinct"] == 0
+
+    def test_column_subset_and_unknown(self, spark):
+        df = spark.read.parquet(f"{SF}/orders.parquet")
+        out = profile_table(df, columns=["o_orderkey", "o_totalprice"])
+        assert [r["column"] for r in out.collect()] == [
+            "o_orderkey", "o_totalprice",
+        ]
+        with pytest.raises(ValueError, match="unknown columns"):
+            profile_table(df, columns=["nope"])
+
+    def test_single_aggregation_plan(self, spark):
+        """However many columns are profiled, the plan holds exactly one
+        aggregate pair (partial+final) over one scan — no per-column
+        jobs."""
+        df = spark.read.parquet(f"{SF}/lineitem.parquet")
+        plan = (
+            profile_table(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Scan parquet") == 1
+        # 2 aggregate nodes = one partial + one final, whatever the
+        # physical flavor ("HashAggregate" also matches the substring
+        # inside "ObjectHashAggregate", so count the generic suffix)
+        assert plan.count("Aggregate(key=") == 2, plan
+
+    def test_real_table_sanity(self, spark):
+        df = spark.read.parquet(f"{SF}/orders.parquet")
+        prof = {r["column"]: r for r in profile_table(df).collect()}
+        n = df.count()
+        assert prof["o_orderkey"]["n_rows"] == n
+        assert prof["o_orderkey"]["n_nulls"] == 0
+        # key column: approx distinct within HLL error of exact n
+        assert abs(prof["o_orderkey"]["approx_distinct"] - n) <= 0.1 * n

@@ -227,3 +227,50 @@ class TestStreamStaticEnrich:
             for r in want.select(*key, "address_hash").collect()
         }
         assert r_got == r_want
+
+
+class TestStreamingDecode:
+    def test_decode_log_events_on_stream_matches_batch(
+        self, spark, tmp_path, logs_glob
+    ):
+        """The ABI event decoder (the reference's core product, a
+        pandas-UDF operator) runs unchanged on a streaming source:
+        streaming logs → enrich (stream-static blocks join) → Transfer
+        decode, written through a checkpointed sink, equals the batch
+        decode row-for-row."""
+        from datawaves_etl_airflow_spark.operators.decode import (
+            decode_log_events,
+        )
+        from datawaves_etl_airflow_spark.operators.enrich import enrich_logs
+        from datawaves_etl_airflow_spark.queries.domain import TRANSFER_EVENT
+
+        blocks_dir = os.path.dirname(fx.export_file("blocks"))
+        blocks = read_staging(spark, "blocks", blocks_dir)
+
+        stream = read_staging_stream(spark, "logs", logs_glob)
+        decoded_stream = decode_log_events(
+            enrich_logs(stream, blocks), TRANSFER_EVENT
+        )
+        assert decoded_stream.isStreaming
+
+        out, ckpt = str(tmp_path / "dec"), str(tmp_path / "dec_ckpt")
+        q = (
+            decoded_stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        want = decode_log_events(
+            enrich_logs(read_staging(spark, "logs", logs_glob), blocks),
+            TRANSFER_EVENT,
+        )
+        assert got.count() == want.count() == 100
+        # full-row equality on a stable projection (value is the
+        # decoded uint256 — the hard part)
+        cols = ["evt_tx_hash", "evt_index", "from", "to", "value"]
+        assert got.select(*cols).subtract(want.select(*cols)).count() == 0
+        assert want.select(*cols).subtract(got.select(*cols)).count() == 0
