@@ -1,0 +1,108 @@
+"""Incremental aggregate maintenance: fold a day's partial aggregates
+into a cumulative table without recomputing history.
+
+The reference materializes enriched tables per day and leaves
+cumulative questions ("total transfers per token, ever") to downstream
+full scans; a warehouse at 100 TB wants the running aggregate
+maintained incrementally. Additive aggregates (SUM/COUNT — and MIN/MAX
+which are monotone under merge) support exact incremental folds:
+``merge(cum, agg(day)) == agg(history + day)``.
+
+Two tiers, mirroring the J-6 anti-join's scale path:
+
+- `merge_additive`: union + one hash aggregation. Exact and
+  oracle-checkable; shuffles cum+day once — fine when the cumulative
+  side fits a routine job.
+- `merge_additive_bucket_pruned`: the cumulative table lives in a
+  `sinks.write_key_bucketed` hive layout; only the ``key_bucket=``
+  directories the day's keys hash into are read, merged, and
+  rewritten (static partition overwrite of exactly those directories).
+  Untouched buckets are never read OR written — a day touching K keys
+  costs ``min(K, n_buckets)/n_buckets`` of the table in both I/O
+  directions, regardless of history size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["merge_additive", "merge_additive_bucket_pruned"]
+
+
+def merge_additive(
+    cum: DataFrame, day: DataFrame, keys: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Exact additive merge: per-key sums over ``cum ∪ day``.
+
+    Both inputs carry the same ``keys + sum_cols`` columns (``day`` may
+    be raw rows or partial aggregates — sums are associative either
+    way). One shuffle with map-side partial aggregation.
+    """
+    cols = [*keys, *sum_cols]
+    both = cum.select(*cols).unionByName(day.select(*cols))
+    return both.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+
+
+def merge_additive_bucket_pruned(
+    cum_path: str,
+    day: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    n_buckets: int = 64,
+) -> list[int]:
+    """In-place incremental merge over a `write_key_bucketed` layout.
+
+    Reads ONLY the bucket directories the day's first-key values hash
+    into, merges the day's rows, and dynamically overwrites exactly
+    those ``key_bucket=`` partitions (every touched bucket appears in
+    the merged output, and dynamic overwrite replaces only partitions
+    present in it). Returns the touched bucket ids
+    (≤ min(|day keys|, n_buckets) — bounded driver state).
+
+    Correctness: same-key rows always share a bucket (the layout
+    contract), so a per-bucket merge is complete; untouched buckets
+    hold no key from the day and keep their bytes verbatim.
+    """
+    spark = day.sparkSession
+    bucket = F.pmod(F.xxhash64(F.col(keys[0])), F.lit(n_buckets))
+    day_b = day.select(*keys, *sum_cols).withColumn("key_bucket", bucket)
+    touched = sorted(
+        r["key_bucket"]
+        for r in day_b.select("key_bucket").distinct().collect()
+    )
+    if not touched:
+        return []
+
+    existing = [
+        b
+        for b in touched
+        if os.path.isdir(os.path.join(cum_path, f"key_bucket={b}"))
+    ]
+    day_slice = day_b.filter(F.col("key_bucket").isin(touched))
+    if existing:
+        cum_slice = (
+            spark.read.option("basePath", cum_path).parquet(
+                *[
+                    os.path.join(cum_path, f"key_bucket={b}")
+                    for b in existing
+                ]
+            )
+        ).select(*keys, *sum_cols, "key_bucket")
+        merged_input = cum_slice.unionByName(day_slice)
+    else:
+        merged_input = day_slice
+    merged = merged_input.groupBy(*keys, "key_bucket").agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("key_bucket")
+        .parquet(cum_path)
+    )
+    return touched
