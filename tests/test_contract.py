@@ -75,6 +75,19 @@ class TestRegistrationPolicy:
         orphans = set(entrymod.oracle_sql_all()) - set(all_q)
         assert not orphans
 
+    def test_import_failure_surfaces_as_sentinel_rows(self, spark):
+        """A queries-module import failure must register a visible
+        sentinel query (returning the traceback as rows), never
+        silently drop a family — the round-2 hazard where a missing
+        pandas would have erased 49 queries without a trace."""
+        sentinel = entrymod._import_failure_sentinel(
+            "llm", "Traceback (most recent call last):\nboom"
+        )
+        df = sentinel(spark, SF_DIR)
+        rows = df.collect()
+        assert {r["failed_module"] for r in rows} == {"llm"}
+        assert any("boom" in r["traceback_line"] for r in rows)
+
     def test_registered_oracle_coverage(self):
         """47 of the 50 are oracled; the 3 rows-only are the designed
         exceptions (nested-ABI decode, xxhash64-dependent candidates)."""
