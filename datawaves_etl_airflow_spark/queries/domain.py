@@ -277,8 +277,11 @@ def evt_seaport_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D-1 on the nested-tuple shape: decode OrderFulfilled logs
     (tuple[] offer/consideration) built by the repo's own ABI encoder
     — end-to-end through the same pandas-UDF decode operator as the
-    flat Transfer event. Rows-only: nested ABI word layout is not
-    DuckDB-expressible; codec round-trip is pinned in tests."""
+    flat Transfer event. The planted inputs are deterministic, so the
+    oracle is a literal golden table: the expected decode written out
+    by hand from the ABI semantics (addresses from topic words,
+    amounts from the loop constants) — independent of the codec under
+    test, which must reproduce it through encode→decode."""
     import datetime as dt
 
     from ..functions.abi_codec import encode_abi
@@ -339,8 +342,10 @@ def evt_seaport_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orderHash",
         "offerer",
         "recipient",
-        F.size("offer").alias("n_offer"),
-        F.element_at(F.col("offer"), 1)["amount"].alias("first_offer_amount"),
+        F.size("offer").cast("bigint").alias("n_offer"),
+        F.element_at(F.col("offer"), 1)["amount"]
+        .cast("string")
+        .alias("first_offer_amount"),
         F.element_at(F.col("consideration"), 1)["recipient"].alias(
             "consideration_recipient"
         ),
@@ -587,6 +592,20 @@ ORACLES = {
                b.number AS evt_block_number
         FROM t JOIN {_rd('blocks')} b ON t.block_number = b.number
     """,
+    # literal golden oracle (see evt_seaport_decode docstring): the
+    # expected decode of the planted OrderFulfilled logs, written from
+    # ABI semantics by hand — offerer is topic word i+1 as an address,
+    # first offer amount is the loop constant 1000*(i+1)+0
+    "evt_seaport_decode": "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('0xtx{i}', '0x{i:02x}' || repeat('{i:02x}', 31), "
+        f"'0x{i + 1:040x}', '0x' || repeat('aa', 20), "
+        f"CAST({i + 1} AS BIGINT), CAST({1000 * (i + 1)} AS VARCHAR), "
+        f"'0x' || repeat('fe', 20))"
+        for i in range(3)
+    )
+    + ') AS t("evt_tx_hash", "orderHash", "offerer", "recipient",'
+    ' "n_offer", "first_offer_amount", "consideration_recipient")',
     "call_transfer_decode": f"""
         WITH t AS (
             SELECT * FROM {_rd('traces')}

@@ -89,13 +89,13 @@ class TestRegistrationPolicy:
         assert any("boom" in r["traceback_line"] for r in rows)
 
     def test_registered_oracle_coverage(self):
-        """47 of the 50 are oracled; the 3 rows-only are the designed
-        exceptions (nested-ABI decode, xxhash64-dependent candidates)."""
+        """48 of the 50 are oracled (seaport decode has a literal
+        golden-VALUES oracle); the 2 rows-only are the designed
+        exceptions whose candidate sets depend on Spark's xxhash64."""
         q = entrymod.queries()
         o = entrymod.oracle_sql()
         rows_only = set(q) - set(o)
         assert rows_only == {
-            "evt_seaport_decode",
             "llm_simhash_candidates",
             "llm_ann_ivf",
         }
