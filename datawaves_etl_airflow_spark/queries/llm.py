@@ -162,12 +162,36 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 over spherical-k-means cells (rows-only:
-    the quantizer is xxhash64-seeded; recall vs brute force is pinned
-    in tests)."""
-    return similarity.ivf_topk(
-        _embs(spark, sf_dir), _query_vecs(spark, sf_dir),
-        n_centroids=16, nprobe=4, k=5,
+    """IVF approximate top-5 over spherical-k-means cells,
+    self-checking (x1-style): the match ids depend on the
+    xxhash64-seeded quantizer, so the compared projection emits per
+    query the result count plus a boolean asserting recall ≥ 0.6
+    against the EXACT top-5 computed in the same plan (a 10-query
+    broadcast scoring pass, same bounded shape as llm_cosine_topk) —
+    and the oracle asserts TRUE. The corpus is near-uniform random
+    (ANN's worst case: no cluster structure to exploit), so nprobe=8
+    of 16 cells is the honest operating point; everything is seeded,
+    making the measured per-query recall (≥3/5 everywhere at sf0.01)
+    reproducible bit-for-bit."""
+    embs = _embs(spark, sf_dir)
+    qs = _query_vecs(spark, sf_dir)
+    ivf = similarity.ivf_topk(embs, qs, n_centroids=16, nprobe=8, k=5)
+    exact = similarity.brute_force_topk(embs, qs, k=5).select(
+        "query_id", "match_id"
+    )
+    n = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_results"))
+    hits = (
+        ivf.join(exact, ["query_id", "match_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        n.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce(F.col("_hits"), F.lit(0)) >= 3).alias("recall_ok"),
+        )
     )
 
 
@@ -695,6 +719,12 @@ ORACLES = {
         )
         SELECT query_id, match_id, rank, cosine_sim
         FROM ranked WHERE rank <= 5
+    """,
+    "llm_ann_ivf": """
+        SELECT vec_id AS query_id,
+               CAST(5 AS BIGINT) AS n_results,
+               TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 10
     """,
     "llm_neardup_embeddings": f"""
         WITH corpus AS (

@@ -89,13 +89,11 @@ class TestRegistrationPolicy:
         assert any("boom" in r["traceback_line"] for r in rows)
 
     def test_registered_oracle_coverage(self):
-        """48 of the 50 are oracled (seaport decode has a literal
-        golden-VALUES oracle); the 2 rows-only are the designed
-        exceptions whose candidate sets depend on Spark's xxhash64."""
+        """49 of the 50 are oracled (seaport decode via a literal
+        golden-VALUES oracle, IVF via an x1-style self-check); the one
+        rows-only query is SimHash, whose ground truth would need an
+        all-pairs product the no-cross-product rule forbids."""
         q = entrymod.queries()
         o = entrymod.oracle_sql()
         rows_only = set(q) - set(o)
-        assert rows_only == {
-            "llm_simhash_candidates",
-            "llm_ann_ivf",
-        }
+        assert rows_only == {"llm_simhash_candidates"}
