@@ -1,0 +1,81 @@
+"""Warehouse SQL views: the switch-over surface for reference users.
+
+The reference's consumers speak SQL against Hive-style tables
+(``{schema}.blocks`` etc. — every template in
+dags/templates/evm_load_template.py and dags/resources/verify/*.sql).
+`register_warehouse_views` exposes the engine's parquet warehouse under
+the same table names (optionally inside a database so the two-part
+``schema.table`` spelling works verbatim), and `render_reference_sql`
+fills the reference's Jinja placeholders (``{{ params.schema_name }}``,
+``{{ ds }}``) so the reference repo's own SQL text runs unchanged
+through ``spark.sql`` — the concrete "a user of the reference can
+switch" proof, exercised in tests with the verify templates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: warehouse tables `pipeline.runner.run_evm_day` writes
+WAREHOUSE_TABLES = [
+    "blocks",
+    "transactions",
+    "logs",
+    "traces",
+    "contracts",
+    "token_transfers",
+    "tokens",
+    "prices",
+]
+
+
+def register_warehouse_views(
+    spark: SparkSession,
+    warehouse: str,
+    chain: str = "ethereum",
+    database: str | None = None,
+) -> list[str]:
+    """Register every existing warehouse table as a SQL view.
+
+    With ``database`` set, views are created as ``{database}.{table}``
+    (the reference's two-part ``schema.table`` references resolve
+    as-is); otherwise they are session temp views named ``{table}``.
+    Returns the registered table names.
+    """
+    registered = []
+    if database is not None:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for table in WAREHOUSE_TABLES:
+        path = os.path.join(warehouse, chain, table)
+        if not os.path.isdir(path):
+            continue
+        if database is not None:
+            # a catalog view straight over the parquet path (permanent
+            # views may not reference temp views, so go direct)
+            spark.sql(
+                f"CREATE OR REPLACE VIEW {database}.{table} "
+                f"AS SELECT * FROM parquet.`{path}`"
+            )
+        else:
+            spark.read.parquet(path).createOrReplaceTempView(table)
+        registered.append(table)
+    return registered
+
+
+def render_reference_sql(
+    template: str, schema_name: str, ds: str
+) -> str:
+    """Fill the only two Jinja placeholders the reference's SQL uses
+    (parser/verifier templates: ``{{ params.schema_name }}`` and
+    ``{{ ds }}``) — no Jinja dependency needed for this grammar."""
+    out = template
+    for spelling in (
+        "{{ params.schema_name }}",
+        "{{params.schema_name}}",
+    ):
+        out = out.replace(spelling, schema_name)
+    for spelling in ("{{ ds }}", "{{ds}}"):
+        out = out.replace(spelling, ds)
+    return out
