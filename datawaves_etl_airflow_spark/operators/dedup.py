@@ -6,11 +6,12 @@ Scale design (the 100 TB posture):
 - **Exact** is one shuffle on a 16-byte fingerprint — the minimum
   possible; skew is bounded because the key is a hash.
 - **MinHash-LSH** never forms all pairs: per-doc shingle-hash SETS
-  stay one array column, signatures are 64 per-row array aggregates
-  (JVM xxhash64, no Python, no groupBy), then banded — candidate
-  pairs exist only inside a (band_id, band_hash) bucket. The first
-  exchange in the pipeline is the band join; its volume is bounded by
-  sum(bucket²) over near-duplicate buckets, not n².
+  stay one array column, signatures/band hashes are one vectorized
+  numpy reduction per Arrow batch (`minhash_band_rows_np`; the JVM
+  64-fold formulation survives as `minhash_band_rows`), then banded —
+  candidate pairs exist only inside a (band_id, band_hash) bucket. The
+  first exchange in the pipeline is the band join; its volume is
+  bounded by sum(bucket²) over near-duplicate buckets, not n².
 - **SimHash** reduces each doc to one 64-bit signature; candidates are
   pairs sharing any 16-bit chunk (≤3-bit Hamming distance guarantee by
   pigeonhole over 4 chunks).

@@ -5,9 +5,14 @@ similarity search (brute-force + LSH-bucketed), text analysis, and
 multimodal binary plumbing — the training-pipeline surface the brief
 adds beyond the reference (SURVEY.md §7 step 7).
 
-Oracle-checked wherever DuckDB can express the same computation;
-hash-family ops whose results depend on Spark's xxhash64 (MinHash,
-SimHash, hyperplane-LSH) are rows-only here and pinned by tests/.
+Oracle-checked wherever DuckDB can express the same computation. For
+the hash-family ops whose raw outputs depend on seeded hashing, the
+oracle strategy is graded: banded MinHash/sign-LSH candidate plans
+keep EXACT all-pairs oracles (the exact verify/rerank makes the result
+hash-independent, and recall is pinned in tests); IVF is self-checking
+(in-plan recall bound vs exact, oracle asserts TRUE); only SimHash
+candidates stay rows-only (their ground truth would need the all-pairs
+product the registered plans forbid), pinned by tests/.
 """
 
 from __future__ import annotations
