@@ -244,5 +244,6 @@ class TestSeaportEndToEnd:
             assert r["recipient"] == "0x" + "aa" * 20
             assert r["orderHash"] == "0x" + f"{i:02x}" * 32
             assert r["n_offer"] == i + 1
-            assert r["first_offer_amount"] == 1000 * (i + 1)
+            # decimal compared as a digit string (driver hash-stability rule)
+            assert r["first_offer_amount"] == str(1000 * (i + 1))
             assert r["consideration_recipient"] == "0x" + "fe" * 20
