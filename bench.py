@@ -114,6 +114,12 @@ def main() -> None:
     for name, fn in bench_queries.items():
         best = None
         for _ in range(2):
+            # queries that persist() intermediates (minhash sets etc.)
+            # would otherwise hand run 2 a warm InMemoryRelation via the
+            # CacheManager and the min would report cache-hit time, not
+            # steady-state plan cost — and caches would pile up across
+            # the whole query list
+            spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -547,13 +547,17 @@ def simhash_signatures(
     per Arrow batch over the per-doc hash ARRAY — a pure map with zero
     shuffles, replacing an explode + 64-conditional-sum groupBy (64
     unrolled aggregate expressions are the codegen-hostile shape; see
-    `minhash_band_rows_np`). Empty/whitespace-only docs are floored to
-    a single empty token so they keep a signature (all of them the
-    same one — mutual near-dups, which is the right call for empty
-    documents) instead of vanishing.
+    `minhash_band_rows_np`). Empty/whitespace-only/NULL docs are
+    floored to a single empty token so they keep a signature (all of
+    them the same one — mutual near-dups, the right call for
+    content-free documents) instead of vanishing — or, for NULL text,
+    crashing the numpy kernel.
     """
     toks = tokenize(F.col(text_col))
-    toks = F.when(F.size(toks) == 0, F.array(F.lit(""))).otherwise(toks)
+    # size(NULL) is -1/NULL, so test <= 0 AND the array itself
+    toks = F.when(
+        toks.isNull() | (F.size(toks) <= 0), F.array(F.lit(""))
+    ).otherwise(toks)
     hashed = docs.select(
         F.col(id_col).alias("id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("hs"),
@@ -567,6 +571,8 @@ def simhash_signatures(
     def sig(hs: pd.Series) -> pd.Series:
         out = np.zeros(len(hs), dtype=np.uint64)
         for row, arr in enumerate(hs):
+            if arr is None:  # belt-and-braces with the floor above
+                continue
             h = np.asarray(arr, dtype=np.int64).view(np.uint64)
             if h.size == 0:
                 continue

@@ -26,10 +26,22 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["merge_additive", "merge_additive_bucket_pruned"]
+
+
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through Hadoop's FileSystem API, so bucket
+    probing works on hdfs://, s3a://, etc. — not just the local disk
+    (os.path.isdir on a remote warehouse would report every bucket
+    missing and the merge would silently DROP the accumulated
+    history)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
 
 
 def merge_additive(
@@ -81,7 +93,7 @@ def merge_additive_bucket_pruned(
     existing = [
         b
         for b in touched
-        if os.path.isdir(os.path.join(cum_path, f"key_bucket={b}"))
+        if _dir_exists(spark, os.path.join(cum_path, f"key_bucket={b}"))
     ]
     day_slice = day_b.filter(F.col("key_bucket").isin(touched))
     if existing:

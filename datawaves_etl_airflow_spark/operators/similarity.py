@@ -158,7 +158,16 @@ def neardup_pairs_banded(
 
     @pandas_udf("array<long>")
     def band_hashes(v: pd.Series) -> pd.Series:
-        mat = np.array(v.tolist(), dtype=np.float64)
+        # malformed rows (NULL or wrong-length embedding) map to the
+        # all-zeros vector's signature instead of crashing the task:
+        # any candidates they create are rejected by the exact rerank
+        # (cosine with a NULL/ragged vector is NULL, which fails the
+        # threshold filter) — matching the all-pairs twin's tolerance
+        rows = v.tolist()
+        mat = np.zeros((len(rows), dim), dtype=np.float64)
+        for i, r in enumerate(rows):
+            if r is not None and len(r) == dim:
+                mat[i] = r
         bits = (mat @ planes.T) >= 0  # batch × n_planes
         h = bits.reshape(len(mat), n_bands, band_bits) @ weights
         return pd.Series(list(h.astype(np.int64)))

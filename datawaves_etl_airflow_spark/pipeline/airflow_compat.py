@@ -62,7 +62,7 @@ def evm_day_stages(
     def _stage(phases: frozenset) -> Callable[[], dict]:
         def run() -> dict:
             spark = session_factory(f"evm-{chain}-{ds}")
-            return run_evm_day(
+            ctx = run_evm_day(
                 spark,
                 export_base,
                 warehouse,
@@ -72,6 +72,19 @@ def evm_day_stages(
                 clean=clean,
                 phases=phases,
             )
+            # Airflow pushes the return value to XCom by default —
+            # DataFrames are not serializable, so return only the
+            # JSON-safe slice: completed task names plus scalar results
+            # (the verify counts). The data itself lives in the
+            # warehouse, which is the stages' real interface.
+            return {
+                "completed": sorted(ctx),
+                "scalars": {
+                    k: v
+                    for k, v in ctx.items()
+                    if isinstance(v, (int, float, str, bool, dict))
+                },
+            }
 
         return run
 

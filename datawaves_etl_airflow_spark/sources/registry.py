@@ -55,6 +55,9 @@ class HttpContractRegistry:
         url = f"{self.endpoint}/chain/{chain}"
         try:
             with self._open(url) as res:
+                # injected openers may hand back a non-2xx response
+                # object instead of raising; the default urllib opener
+                # raises HTTPError before this branch
                 status = getattr(res, "status", 200)
                 if not str(status).startswith("2"):
                     raise RegistryError(
@@ -62,6 +65,14 @@ class HttpContractRegistry:
                         f"(HTTP {status})"
                     )
                 payload = json.loads(res.read().decode("utf-8"))
+        except urllib.error.HTTPError as exc:
+            # distinguish "service answered with an error" from
+            # "network down" — an operator debugging a deployment
+            # needs the real status, not 'unreachable'
+            raise RegistryError(
+                f"get contracts by chain failed: {chain} "
+                f"(HTTP {exc.code} from {url})"
+            ) from exc
         except urllib.error.URLError as exc:
             raise RegistryError(
                 f"contract service unreachable at {url}: {exc}"

@@ -138,6 +138,16 @@ class TestSamplingBoundary:
 
 
 class TestSimhashEmptyDocs:
+    def test_null_text_does_not_crash_and_joins_empty_family(self, spark):
+        docs = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "real words here")],
+            "doc_id bigint, text string",
+        )
+        got = {r["id"]: r["simhash"] for r in
+               dedup.simhash_signatures(docs).collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[1] == got[2]  # NULL treated as content-free
+
     def test_empty_docs_keep_signatures_and_pair_up(self, spark):
         docs = spark.createDataFrame(
             [(1, ""), (2, "   "), (3, "real words here")],

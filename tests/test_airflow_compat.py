@@ -36,18 +36,28 @@ class TestStagedExecution:
             f"ethereum_{fx.DS}_verify",
             f"ethereum_{fx.DS}_parse",
         ]
+        import json
+
         results = {}
         for task_id, fn, upstream in stages:
             for u in upstream:
                 assert u in results, f"{task_id} ran before {u}"
             results[task_id] = fn()
+            # the return value is the XCom payload: must be JSON-safe
+            # (a raw ctx of DataFrames would fail the real operator)
+            json.dumps(results[task_id])
 
-        v = results[f"ethereum_{fx.DS}_verify"]["verify"]
+        v = results[f"ethereum_{fx.DS}_verify"]["scalars"]["verify"]
         assert v["blocks"] == 20
         assert v["root_traces"] == 200
-        decoded = results[f"ethereum_{fx.DS}_parse"]["parse_evt_Transfer"]
+        assert "parse_evt_Transfer" in results[
+            f"ethereum_{fx.DS}_parse"
+        ]["completed"]
+        # the stages' real interface is the warehouse
+        decoded = spark.read.parquet(
+            os.path.join(wh, "ethereum", "evt_Transfer")
+        )
         assert decoded.count() == 100
-        # warehouse holds the enriched tables the stages exchanged
         for table, n in [("blocks", 20), ("logs", 300), ("traces", 300)]:
             df = spark.read.parquet(os.path.join(wh, "ethereum", table))
             assert df.count() == n

@@ -154,7 +154,9 @@ class TestHttpRegistry:
 
         with _StubServer() as endpoint:
             reg = HttpContractRegistry(endpoint)
-            with pytest.raises(RegistryError):
+            # a service ERROR must report the real status, not
+            # masquerade as a network failure
+            with pytest.raises(RegistryError, match="HTTP 404"):
                 reg.get_contracts_by_chain("unknown-chain")
         with pytest.raises(RegistryError):
             HttpContractRegistry(

@@ -129,6 +129,9 @@ def main() -> None:
     }
 
     def run(df: DataFrame) -> float:
+        # drop persisted intermediates (minhash sets) so every timed
+        # execution pays the full plan, not a cache hit
+        spark.catalog.clearCache()
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
