@@ -116,6 +116,38 @@ def llm_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash completeness, self-checking (x1-style): over the doubled
+    corpus (exact duplicates planted at id+100000), every planted pair
+    MUST surface as a hamming-0 candidate — identical text gives an
+    identical signature, and the 16-bit-chunk pigeonhole guarantees
+    candidates for any pair within hamming 3. The compared projection
+    emits per original doc a boolean that the planted duplicate was
+    found at hamming 0; the oracle asserts TRUE. (The raw candidate
+    set itself stays xxhash64-dependent and rows-only as
+    llm_simhash_candidates in the full corpus.)"""
+    d = _doubled_corpus(spark, sf_dir)
+    sigs = dedup.simhash_signatures(d)
+    pairs = dedup.simhash_candidate_pairs(sigs)
+    found = (
+        pairs.filter(
+            (F.col("id_b") - F.col("id_a") == 100000)
+            & (F.col("hamming") == 0)
+        )
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("dup_found", F.lit(True))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(found, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("dup_found", F.lit(False)).alias("dup_found")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -486,7 +518,7 @@ DRIVER_QUERIES = [
     "llm_jaccard_pairs",
     "llm_dedup_clusters",
     "llm_decontaminate",
-    "llm_simhash_candidates",
+    "llm_simhash_planted",
     "llm_cosine_topk",
     "llm_ann_ivf",
     "llm_neardup_embeddings",
@@ -513,6 +545,7 @@ QUERIES = {
     "llm_decontaminate": llm_decontaminate,
     "llm_minhash_dedup": llm_minhash_dedup,
     "llm_simhash_candidates": llm_simhash_candidates,
+    "llm_simhash_planted": llm_simhash_planted,
     "llm_cosine_topk": llm_cosine_topk,
     "llm_ann_lsh": llm_ann_lsh,
     "llm_ann_ivf": llm_ann_ivf,
@@ -724,6 +757,9 @@ ORACLES = {
         )
         SELECT query_id, match_id, rank, cosine_sim
         FROM ranked WHERE rank <= 5
+    """,
+    "llm_simhash_planted": """
+        SELECT doc_id, TRUE AS dup_found FROM documents
     """,
     "llm_ann_ivf": """
         SELECT vec_id AS query_id,

@@ -89,11 +89,11 @@ class TestRegistrationPolicy:
         assert any("boom" in r["traceback_line"] for r in rows)
 
     def test_registered_oracle_coverage(self):
-        """49 of the 50 are oracled (seaport decode via a literal
-        golden-VALUES oracle, IVF via an x1-style self-check); the one
-        rows-only query is SimHash, whose ground truth would need an
-        all-pairs product the no-cross-product rule forbids."""
+        """Every registered query is oracled: the seaport decode via a
+        literal golden-VALUES oracle, IVF and SimHash via x1-style
+        self-checks (recall bound / planted-duplicate completeness);
+        the raw hash-dependent candidate queries stay rows-only in the
+        full corpus only."""
         q = entrymod.queries()
         o = entrymod.oracle_sql()
-        rows_only = set(q) - set(o)
-        assert rows_only == {"llm_simhash_candidates"}
+        assert set(q) - set(o) == set()
