@@ -150,6 +150,11 @@ def main() -> None:
         "queries": timings,
         "pipeline_day_sec": pipeline_day,
         "sf": sf,
+        # r02 baseline was single-shot with caches accumulating; a
+        # flagged "regression" on a persist-using query may be the
+        # methodology (cold cache) rather than the code — judge
+        # per-query with this in mind
+        "timing": "min-of-2, cache cleared before each run",
     }
 
     # regression gate: per-query ratio vs the frozen round-2 baseline

@@ -32,16 +32,20 @@ from pyspark.sql import functions as F
 __all__ = ["merge_additive", "merge_additive_bucket_pruned"]
 
 
-def _dir_exists(spark: SparkSession, path: str) -> bool:
-    """Existence check through Hadoop's FileSystem API, so bucket
-    probing works on hdfs://, s3a://, etc. — not just the local disk
-    (os.path.isdir on a remote warehouse would report every bucket
-    missing and the merge would silently DROP the accumulated
-    history)."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(hconf).exists(p)
+def _existing_buckets(spark: SparkSession, cum_path: str) -> set[int]:
+    """Bucket ids present in the layout — ONE Hadoop glob round-trip
+    (sources.fs), not a per-bucket exists() probe: remote stores charge
+    per request, and os.path on a remote warehouse would report every
+    bucket missing and silently DROP the accumulated history."""
+    from ..sources.fs import glob_paths
+
+    out = set()
+    for p in glob_paths(spark, os.path.join(cum_path, "key_bucket=*")):
+        try:
+            out.add(int(p.rsplit("key_bucket=", 1)[1]))
+        except ValueError:
+            continue
+    return out
 
 
 def merge_additive(
@@ -90,11 +94,7 @@ def merge_additive_bucket_pruned(
     if not touched:
         return []
 
-    existing = [
-        b
-        for b in touched
-        if _dir_exists(spark, os.path.join(cum_path, f"key_bucket={b}"))
-    ]
+    existing = sorted(set(touched) & _existing_buckets(spark, cum_path))
     day_slice = day_b.filter(F.col("key_bucket").isin(touched))
     if existing:
         cum_slice = (

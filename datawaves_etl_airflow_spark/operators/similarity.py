@@ -156,17 +156,24 @@ def neardup_pairs_banded(
     )
     weights = 1 << np.arange(band_bits - 1, -1, -1)
 
+    # malformed rows (NULL or wrong-length embedding) are dropped
+    # BEFORE signature generation: letting them through would (a) give
+    # every malformed row the same all-zeros signature — k malformed
+    # rows become k²/2 candidate pairs, the quadratic blowup this
+    # design exists to prevent — and (b) let two same-wrong-length
+    # rows survive the exact rerank with a garbage cosine. The
+    # all-pairs twin tolerates them by emitting NULL cosines; here the
+    # equivalent is exclusion.
+    vectors = vectors.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
+
     @pandas_udf("array<long>")
     def band_hashes(v: pd.Series) -> pd.Series:
-        # malformed rows (NULL or wrong-length embedding) map to the
-        # all-zeros vector's signature instead of crashing the task:
-        # any candidates they create are rejected by the exact rerank
-        # (cosine with a NULL/ragged vector is NULL, which fails the
-        # threshold filter) — matching the all-pairs twin's tolerance
         rows = v.tolist()
         mat = np.zeros((len(rows), dim), dtype=np.float64)
         for i, r in enumerate(rows):
-            if r is not None and len(r) == dim:
+            if r is not None and len(r) == dim:  # belt-and-braces
                 mat[i] = r
         bits = (mat @ planes.T) >= 0  # batch × n_planes
         h = bits.reshape(len(mat), n_bands, band_bits) @ weights

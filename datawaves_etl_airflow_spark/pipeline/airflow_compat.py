@@ -76,13 +76,23 @@ def evm_day_stages(
             # DataFrames are not serializable, so return only the
             # JSON-safe slice: completed task names plus scalar results
             # (the verify counts). The data itself lives in the
-            # warehouse, which is the stages' real interface.
+            # warehouse, which is the stages' real interface. The
+            # json.dumps probe is the actual contract (a shallow
+            # isinstance check would wave through a dict holding a
+            # DataFrame one level down).
+            import json
+
+            def _json_safe(v) -> bool:
+                try:
+                    json.dumps(v)
+                    return True
+                except (TypeError, ValueError):
+                    return False
+
             return {
                 "completed": sorted(ctx),
                 "scalars": {
-                    k: v
-                    for k, v in ctx.items()
-                    if isinstance(v, (int, float, str, bool, dict))
+                    k: v for k, v in ctx.items() if _json_safe(v)
                 },
             }
 

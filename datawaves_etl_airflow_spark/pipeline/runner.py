@@ -141,7 +141,7 @@ def run_evm_day(
     def _load(table: str):
         def fn(ctx):
             path = _exp(table)
-            if not input_exists(path):  # S-6 availability sensor
+            if not input_exists(path, spark):  # S-6 availability sensor
                 raise FileNotFoundError(f"export missing: {path}")
             return read_staging(spark, table, path)
         return fn

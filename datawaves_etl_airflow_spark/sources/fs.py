@@ -1,0 +1,37 @@
+"""Filesystem probes through Hadoop's FileSystem API.
+
+`os.path` / `glob` silently report everything missing on hdfs:// or
+s3a:// paths — the failure mode is never an error, it is wrong
+behavior (a sensor that always times out, a view that never registers,
+an incremental merge that drops history). Every path-existence probe
+in the engine goes through these helpers, which resolve the scheme's
+actual FileSystem (local paths included) via the session's Hadoop
+configuration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf), p
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Does ``path`` (any scheme) exist?"""
+    fs, p = _fs_and_path(spark, path)
+    return fs.exists(p)
+
+
+def glob_paths(spark: SparkSession, pattern: str) -> list[str]:
+    """Paths matching a Hadoop glob ``pattern`` (any scheme) — ONE
+    round-trip, where per-path exists() probes would be one each."""
+    fs, p = _fs_and_path(spark, pattern)
+    statuses = fs.globStatus(p)
+    if statuses is None:
+        return []
+    return [s.getPath().toString() for s in statuses]

@@ -29,10 +29,16 @@ def export_path(base: str, chain: str, table: str, ds: str, fmt: str | None = No
     )
 
 
-def input_exists(path: str) -> bool:
+def input_exists(path: str, spark: SparkSession | None = None) -> bool:
     """Availability check standing in for the reference's S3KeySensor
-    (S-6, reference: dags/chains/loader.py:79-86). Local paths use glob;
-    object stores would use the filesystem client."""
+    (S-6, reference: dags/chains/loader.py:79-86). With a session, the
+    probe goes through Hadoop's FileSystem glob so hdfs://s3a:// export
+    buckets work (sources.fs); without one it falls back to a local
+    glob."""
+    if spark is not None:
+        from .fs import glob_paths
+
+        return bool(glob_paths(spark, path))
     return bool(glob(path))
 
 

@@ -44,12 +44,16 @@ def register_warehouse_views(
     as-is); otherwise they are session temp views named ``{table}``.
     Returns the registered table names.
     """
+    from .fs import path_exists
+
     registered = []
     if database is not None:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     for table in WAREHOUSE_TABLES:
         path = os.path.join(warehouse, chain, table)
-        if not os.path.isdir(path):
+        # Hadoop-FS probe: a remote (hdfs://s3a://) warehouse must not
+        # silently register zero views
+        if not path_exists(spark, path):
             continue
         if database is not None:
             # a catalog view straight over the parquet path (permanent

@@ -103,20 +103,22 @@ class TestNeardupBandedProperties:
         pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
         assert {(i, i + 100) for i in range(30)} <= pairs
 
-    def test_malformed_embeddings_skipped_not_crashed(self, spark):
-        """NULL or wrong-length embeddings must not abort the job: they
-        get the zero-vector signature and the exact rerank drops any
-        candidate they create (NULL cosine fails the threshold)."""
+    def test_malformed_embeddings_excluded_not_crashed(self, spark):
+        """NULL or wrong-length embeddings must not abort the job AND
+        must never pair — including two malformed rows of the SAME
+        wrong length, which would share a signature and a plausible
+        garbage cosine if they reached the rerank."""
         rng = np.random.RandomState(5)
         v = rng.standard_normal(64).tolist()
-        rows = [(0, v), (1, v), (2, None), (3, v[:10])]
+        w = rng.standard_normal(64).tolist()
+        rows = [(0, v), (1, v), (2, None), (3, v[:10]), (4, v[:10]),
+                (5, w[:10])]
         df = spark.createDataFrame(
             rows, "vec_id bigint, embedding array<double>"
         )
         got = similarity.neardup_pairs_banded(df, dim=64, threshold=0.999)
         pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
-        assert (0, 1) in pairs
-        assert all(2 not in p and 3 not in p for p in pairs)
+        assert pairs == {(0, 1)}
 
     def test_orthogonal_vectors_never_pair(self, spark):
         """cos = 0 vectors can collide in bands (half the sign bits
