@@ -113,6 +113,22 @@ class TestMergeBucketPruned:
         assert row["amount"] == 7 * 10 + 100 + 11
         assert row["n"] == 3
 
+    def test_bootstrap_from_nonexistent_path(self, spark, tmp_path):
+        """First-ever merge: the cumulative path does not exist yet —
+        the bucket glob finds nothing and the day's totals create the
+        layout."""
+        path = str(tmp_path / "brand_new")
+        day = spark.createDataFrame(
+            [(1, 10, 1), (2, 20, 1)], ["token", "amount", "n"]
+        )
+        touched = merge_additive_bucket_pruned(
+            path, day, ["token"], ["amount", "n"], n_buckets=self.N_BUCKETS
+        )
+        assert touched
+        got = {r["token"]: r["amount"]
+               for r in spark.read.parquet(path).collect()}
+        assert got == {1: 10, 2: 20}
+
     def test_empty_day_is_noop(self, spark, tmp_path):
         path, _ = self._setup(spark, tmp_path)
         before = _snapshot(path)
