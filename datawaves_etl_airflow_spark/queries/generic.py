@@ -790,6 +790,54 @@ DRIVER_QUERIES = [
     "g3_cube_priority",
 ]
 
+#: columns profiled by x3 (orderable subset of orders)
+_X3_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+
+
+def x3_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (operators.profile) on its oracle-able surface:
+    per-column row/null counts and min/max as strings (the HLL++
+    approx_distinct column is implementation-defined and excluded from
+    the compared projection; its accuracy is pinned in test_profile)."""
+    from ..operators.profile import profile_table
+
+    prof = profile_table(_t(spark, sf_dir, "orders"), columns=_X3_COLS)
+    return prof.select(
+        "column", "dtype", "n_rows", "n_nulls", "min_value", "max_value"
+    )
+
+
+def m3_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental additive aggregate maintenance
+    (operators.incremental.merge_additive): a cumulative per-customer
+    order aggregate (pre-1996 history) folded with a 'day' batch (the
+    rest) must equal the full recomputation, which is exactly what the
+    oracle computes over the raw table."""
+    from ..operators.incremental import merge_additive
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        _cents(F.col("o_totalprice")).alias("cents"),
+        F.lit(1).cast("bigint").alias("n_orders"),
+        "o_orderdate",
+    )
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    cum = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"), F.sum("n_orders").alias("n_orders"))
+    )
+    day = o.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_custkey", "cents", "n_orders"
+    )
+    merged = merge_additive(cum, day, ["o_custkey"], ["cents", "n_orders"])
+    return merged.select(
+        "o_custkey",
+        (F.col("cents") / F.lit(100.0)).cast("double").alias("total_price"),
+        "n_orders",
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "a1_count_existence": a1_count_existence,
@@ -830,6 +878,8 @@ QUERIES = {
     "pv1_pivot_linestatus": pv1_pivot_linestatus,
     "m1_upsert_dimension": m1_upsert_dimension,
     "x1_approx_aggregates": x1_approx_aggregates,
+    "x3_profile_orders": x3_profile_orders,
+    "m3_incremental_merge": m3_incremental_merge,
 }
 
 def _m(x: str) -> str:
@@ -1217,6 +1267,42 @@ ORACLES = {
                     / CAST(100.0 AS DOUBLE) AS qty_filled
         FROM lineitem
         GROUP BY l_returnflag
+    """,
+    "x3_profile_orders": """
+        WITH stats AS (
+            SELECT 'o_orderkey' AS "column", 'bigint' AS dtype,
+                   COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', 'bigint', COUNT(*),
+                   COUNT(*) - COUNT(o_custkey),
+                   CAST(MIN(o_custkey) AS VARCHAR),
+                   CAST(MAX(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', 'double', COUNT(*),
+                   COUNT(*) - COUNT(o_totalprice),
+                   CAST(MIN(o_totalprice) AS VARCHAR),
+                   CAST(MAX(o_totalprice) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', 'string', COUNT(*),
+                   COUNT(*) - COUNT(o_orderpriority),
+                   MIN(o_orderpriority), MAX(o_orderpriority)
+            FROM orders
+        )
+        SELECT * FROM stats
+    """,
+    "m3_incremental_merge": """
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS DOUBLE)
+                   / CAST(100.0 AS DOUBLE) AS total_price,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
     """,
     "x1_approx_aggregates": """
         SELECT event_type,
