@@ -7,4 +7,5 @@ from .ingest import (  # noqa: F401
     windowed_counts,
     write_stream_partitioned,
 )
+from .maintain import stream_merge_additive  # noqa: F401
 from .stateful import running_totals  # noqa: F401

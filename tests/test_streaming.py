@@ -274,3 +274,52 @@ class TestStreamingDecode:
         cols = ["evt_tx_hash", "evt_index", "from", "to", "value"]
         assert got.select(*cols).subtract(want.select(*cols)).count() == 0
         assert want.select(*cols).subtract(got.select(*cols)).count() == 0
+
+
+class TestStreamingCumulativeMaintenance:
+    def test_stream_merge_equals_batch_totals(self, spark, tmp_path, logs_glob):
+        """streaming/maintain.stream_merge_additive: micro-batched
+        folds into the bucketed cumulative layout equal the one-shot
+        batch aggregate, and a second availableNow run with no new
+        files changes nothing (checkpointed exactly-once)."""
+        from datawaves_etl_airflow_spark.streaming import (
+            stream_merge_additive,
+        )
+
+        tx_glob = os.path.dirname(fx.export_file("transactions"))
+        cum, ckpt = str(tmp_path / "cum"), str(tmp_path / "ckpt")
+
+        def run_once():
+            stream = read_staging_stream(
+                spark, "transactions", tx_glob, max_files_per_trigger=1
+            ).select(
+                "to_address",
+                F.col("gas").alias("total_gas"),
+                F.lit(1).cast("bigint").alias("n_tx"),
+            )
+            q = stream_merge_additive(
+                stream, cum, ["to_address"], ["total_gas", "n_tx"],
+                ckpt, n_buckets=8, available_now=True,
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        got = {
+            r["to_address"]: (r["total_gas"], r["n_tx"])
+            for r in spark.read.parquet(cum).collect()
+        }
+        want = {
+            r["to_address"]: (r["g"], r["n"])
+            for r in read_staging(spark, "transactions", tx_glob)
+            .groupBy("to_address")
+            .agg(F.sum("gas").alias("g"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+        run_once()  # no new files -> no re-merge
+        again = {
+            r["to_address"]: (r["total_gas"], r["n_tx"])
+            for r in spark.read.parquet(cum).collect()
+        }
+        assert again == want
