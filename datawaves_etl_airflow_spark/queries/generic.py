@@ -827,9 +827,11 @@ def m3_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("cents").alias("cents"), F.sum("n_orders").alias("n_orders"))
     )
-    day = o.filter(F.col("o_orderdate") >= cutoff).select(
-        "o_custkey", "cents", "n_orders"
-    )
+    # NULL-safe complement: a NULL o_orderdate row must land in exactly
+    # one side (the oracle aggregates the whole table unconditionally)
+    day = o.filter(
+        F.col("o_orderdate").isNull() | (F.col("o_orderdate") >= cutoff)
+    ).select("o_custkey", "cents", "n_orders")
     merged = merge_additive(cum, day, ["o_custkey"], ["cents", "n_orders"])
     return merged.select(
         "o_custkey",

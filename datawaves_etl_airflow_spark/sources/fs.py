@@ -35,3 +35,32 @@ def glob_paths(spark: SparkSession, pattern: str) -> list[str]:
     if statuses is None:
         return []
     return [s.getPath().toString() for s in statuses]
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """Small-file text read through the FileSystem API (None if the
+    file does not exist) — for marker/state files beside a layout."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        out = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            out.append(b)
+        return out.decode("utf-8")
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Small-file text overwrite through the FileSystem API."""
+    fs, p = _fs_and_path(spark, path)
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()

@@ -277,15 +277,22 @@ class TestStreamingDecode:
 
 
 class TestStreamingCumulativeMaintenance:
-    def test_stream_merge_equals_batch_totals(self, spark, tmp_path, logs_glob):
+    def _totals(self, spark, cum):
+        return {
+            r["to_address"]: (r["total_gas"], r["n_tx"])
+            for r in spark.read.parquet(cum).collect()
+        }
+
+    def test_stream_merge_equals_batch_totals(self, spark, tmp_path):
         """streaming/maintain.stream_merge_additive: micro-batched
         folds into the bucketed cumulative layout equal the one-shot
         batch aggregate, and a second availableNow run with no new
-        files changes nothing (checkpointed exactly-once)."""
+        files changes nothing (checkpointed)."""
         from datawaves_etl_airflow_spark.streaming import (
             stream_merge_additive,
         )
 
+        fx.ensure_fixtures()
         tx_glob = os.path.dirname(fx.export_file("transactions"))
         cum, ckpt = str(tmp_path / "cum"), str(tmp_path / "ckpt")
 
@@ -301,13 +308,11 @@ class TestStreamingCumulativeMaintenance:
                 stream, cum, ["to_address"], ["total_gas", "n_tx"],
                 ckpt, n_buckets=8, available_now=True,
             )
-            q.awaitTermination(120)
+            # False = timed out with the query still running — a second
+            # start on the same checkpoint would then collide
+            assert q.awaitTermination(120) is True
 
         run_once()
-        got = {
-            r["to_address"]: (r["total_gas"], r["n_tx"])
-            for r in spark.read.parquet(cum).collect()
-        }
         want = {
             r["to_address"]: (r["g"], r["n"])
             for r in read_staging(spark, "transactions", tx_glob)
@@ -315,11 +320,32 @@ class TestStreamingCumulativeMaintenance:
             .agg(F.sum("gas").alias("g"), F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        assert got == want and len(got) > 0
+        assert self._totals(spark, cum) == want and len(want) > 0
 
         run_once()  # no new files -> no re-merge
-        again = {
-            r["to_address"]: (r["total_gas"], r["n_tx"])
-            for r in spark.read.parquet(cum).collect()
+        assert self._totals(spark, cum) == want
+
+    def test_replayed_batch_id_not_double_counted(self, spark, tmp_path):
+        """foreachBatch is at-least-once: a crash between merge commit
+        and offset commit re-delivers the same batch id. The marker
+        guard must make the replay a no-op instead of doubling sums."""
+        from datawaves_etl_airflow_spark.streaming.maintain import (
+            make_batch_merger,
+        )
+
+        cum = str(tmp_path / "cum")
+        merge = make_batch_merger(
+            cum, ["to_address"], ["total_gas", "n_tx"], n_buckets=8
+        )
+        batch = spark.createDataFrame(
+            [("0xa", 10, 1), ("0xb", 20, 1)],
+            "to_address string, total_gas bigint, n_tx bigint",
+        )
+        merge(batch, 0)
+        once = self._totals(spark, cum)
+        merge(batch, 0)  # replay of the SAME batch id
+        assert self._totals(spark, cum) == once
+        merge(batch, 1)  # a genuinely new batch still applies
+        assert self._totals(spark, cum) == {
+            "0xa": (20, 2), "0xb": (40, 2)
         }
-        assert again == want
