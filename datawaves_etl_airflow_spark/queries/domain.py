@@ -354,29 +354,23 @@ def evt_seaport_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Driver-registered subset in evaluation order. The driver's
 #: correctness run has a hard budget (round 2 evaluated exactly the
-#: first 50 registered queries in ~10 min and stopped), so the decode
-#: family — the reference's core product surface, which had zero
-#: driver evidence in round 2 — goes first, then the verify plans,
-#: then the staging/enrich chain.
+#: first 50 registered queries in ~10 min and stopped; round 3's 50
+#: all ran and all passed). Round-4 rotation: every domain query went
+#: green in round 3, so the family drops to 8 sentinels (the hardest
+#: representative per family: nested-tuple decode, call decode,
+#: extraction, verify, staging scan, 3-way join, composite-key join,
+#: anti-join dedup) and the freed slots go to the never-driver-verified
+#: llm/generic corpus. The 10 rotated-out queries remain parity-green
+#: (tools/parity.py) with their r3 CORRECTNESS rows on record.
 DRIVER_QUERIES = [
-    "evt_transfer_decode",
+    "evt_seaport_decode",
     "call_transfer_decode",
     "d4_token_transfers",
-    "d5_extract_contracts",
-    "evt_seaport_decode",
-    "d_verify_have_latest",
     "d_verify_root_traces",
     "s1_staging_scan_json",
-    "s2_staging_scan_csv",
-    "d_enrich_blocks",
     "d_enrich_transactions",
-    "d_enrich_logs",
-    "d_enrich_traces",
     "d_enrich_geth_traces",
-    "d_enrich_contracts",
-    "d_enrich_token_transfers",
     "d_new_tokens",
-    "d_prices_fill",
 ]
 
 QUERIES = {

@@ -773,11 +773,29 @@ def g2_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Driver-registered subset in evaluation order (see
-#: queries.domain.DRIVER_QUERIES for the budget rationale). One query
-#: per extension-operator family that has no domain twin; everything
-#: else in QUERIES remains parity/pytest-verified (plan shapes pinned
-#: in tests/test_plans.py).
+#: queries.domain.DRIVER_QUERIES for the budget rationale). Round-4
+#: rotation: the 12 never-driver-verified generic queries lead
+#: (rollup, 3-way and composite-key joins, range-clustered scan, time
+#: bucketing, running/rolling windows, pivot/unpivot, upsert,
+#: profiling, incremental merge), followed by the 10 r3-green family
+#: sentinels that have no rotated twin. Everything else in QUERIES
+#: remains parity/pytest-verified (plan shapes pinned in
+#: tests/test_plans.py).
 DRIVER_QUERIES = [
+    # never driver-verified, first
+    "g1_rollup_returnflag",
+    "j1_order_revenue_3way",
+    "j5_composite_key_join",
+    "h1_hourly_events",
+    "h2_range_pruned_scan",
+    "w2_running_sum",
+    "w4_rolling_range_window",
+    "pv1_pivot_linestatus",
+    "pv2_unpivot_metrics",
+    "m1_upsert_dimension",
+    "x3_profile_orders",
+    "m3_incremental_merge",
+    # r3-green family sentinels
     "q1_pricing_summary",
     "f_scalar_surface",
     "w3_sessionization",

@@ -51,13 +51,21 @@ class TestRegistrationPolicy:
             f"50th); got {len(q)}"
         )
 
-    def test_registration_order_decode_first(self):
+    def test_registration_order_never_verified_first(self):
+        """Round-4 rotation: within each module block the
+        never-driver-verified queries precede the r3-green sentinels,
+        so a budget cut still lands on fresh evidence first."""
         names = list(entrymod.queries())
-        # the never-driver-verified families lead; generic picks close
-        assert names[0] == "evt_transfer_decode"
-        assert names.index("llm_dedup_exact") > names.index("d_prices_fill")
-        assert names.index("q1_pricing_summary") > names.index(
-            "llm_corpus_pipeline"
+        assert names[0] == "evt_seaport_decode"  # hardest decode sentinel
+        # llm rotation block precedes llm sentinels
+        assert names.index("llm_minhash_dedup") < names.index("llm_dedup_exact")
+        assert names.index("llm_wordcount") < names.index("llm_jaccard_pairs")
+        # generic rotation block precedes generic sentinels
+        assert names.index("g1_rollup_returnflag") < names.index(
+            "q1_pricing_summary"
+        )
+        assert names.index("m3_incremental_merge") < names.index(
+            "x1_approx_aggregates"
         )
 
     def test_driver_lists_subset_of_full_corpus(self):
@@ -89,11 +97,17 @@ class TestRegistrationPolicy:
         assert any("boom" in r["traceback_line"] for r in rows)
 
     def test_registered_oracle_coverage(self):
-        """Every registered query is oracled: the seaport decode via a
-        literal golden-VALUES oracle, IVF and SimHash via x1-style
-        self-checks (recall bound / planted-duplicate completeness);
-        the raw hash-dependent candidate queries stay rows-only in the
-        full corpus only."""
+        """47 of the 50 registered queries are oracled (seaport decode
+        via a literal golden-VALUES oracle, IVF and SimHash via
+        x1-style self-checks). Exactly three are rows-only BY DESIGN —
+        the raw xxhash64-dependent candidate sets whose ground truth
+        would need the all-pairs product the registered plans forbid;
+        their recall/equivalence is pinned in tests (test_dedup,
+        test_similarity, test_advice_r3)."""
         q = entrymod.queries()
         o = entrymod.oracle_sql()
-        assert set(q) - set(o) == set()
+        assert set(q) - set(o) == {
+            "llm_minhash_dedup",
+            "llm_simhash_candidates",
+            "llm_ann_lsh",
+        }
