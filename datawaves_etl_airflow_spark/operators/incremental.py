@@ -85,6 +85,8 @@ def merge_additive_bucket_pruned(
     hold no key from the day and keep their bytes verbatim.
     """
     spark = day.sparkSession
+    day_key_type = day.schema[keys[0]].dataType.simpleString()
+    _validate_layout(spark, cum_path, n_buckets, keys[0], day_key_type)
     bucket = F.pmod(F.xxhash64(F.col(keys[0])), F.lit(n_buckets))
     day_b = day.select(*keys, *sum_cols).withColumn("key_bucket", bucket)
     touched = sorted(
@@ -117,4 +119,63 @@ def merge_additive_bucket_pruned(
         .partitionBy("key_bucket")
         .parquet(cum_path)
     )
+    from .sinks import read_layout_meta, write_layout_meta
+
+    if read_layout_meta(spark, cum_path) is None:
+        # first write onto a fresh/legacy layout: pin the contract so
+        # every later merge validates against it
+        write_layout_meta(
+            spark, cum_path, n_buckets, keys[0], day_key_type
+        )
     return touched
+
+
+def _validate_layout(
+    spark: SparkSession,
+    cum_path: str,
+    n_buckets: int,
+    key: str,
+    key_type: str,
+) -> None:
+    """Fail loudly when the caller's bucketing parameters don't match
+    the layout on disk. xxhash64 is type-sensitive and pmod is
+    n_buckets-sensitive: a mismatched merge silently reads the WRONG
+    bucket directories, splits keys across buckets, and leaves stale
+    rows with wrong cumulative totals — no error, just corrupt data.
+
+    Layouts written by `sinks.write_key_bucketed` (or a prior merge)
+    carry a ``_bucket_layout.json`` contract; for legacy marker-less
+    layouts, the weaker guard is that no existing bucket id can be
+    ≥ n_buckets (which catches shrinking the bucket count, the most
+    destructive mismatch).
+    """
+    from .sinks import read_layout_meta
+
+    meta = read_layout_meta(spark, cum_path)
+    if meta is not None:
+        problems = []
+        if meta["n_buckets"] != n_buckets:
+            problems.append(
+                f"n_buckets={n_buckets} vs layout {meta['n_buckets']}"
+            )
+        if meta["key"] != key:
+            problems.append(f"key={key!r} vs layout {meta['key']!r}")
+        if meta["key_type"] != key_type:
+            problems.append(
+                f"key type {key_type} vs layout {meta['key_type']} "
+                f"(xxhash64 hashes these differently)"
+            )
+        if problems:
+            raise ValueError(
+                f"bucketed-layout contract mismatch at {cum_path}: "
+                + "; ".join(problems)
+            )
+        return
+    stale = [b for b in _existing_buckets(spark, cum_path) if b >= n_buckets]
+    if stale:
+        raise ValueError(
+            f"bucketed layout at {cum_path} has bucket ids {stale[:5]} "
+            f"≥ n_buckets={n_buckets} — the layout was written with a "
+            f"different bucket count; merging would split keys across "
+            f"buckets and corrupt cumulative totals"
+        )

@@ -16,6 +16,8 @@ decode reads prune to 1/100th of a day. File sizing is AQE's job
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
@@ -140,6 +142,63 @@ def write_key_bucketed(
         .partitionBy("key_bucket")
         .parquet(path)
     )
+    write_layout_meta(
+        df.sparkSession,
+        path,
+        n_buckets=n_buckets,
+        key=key,
+        key_type=df.schema[key].dataType.simpleString(),
+    )
+
+
+#: marker file recording a bucketed layout's hash parameters —
+#: xxhash64 is type-sensitive and pmod is n_buckets-sensitive, so a
+#: reader/merger probing with the wrong key dtype or bucket count
+#: silently misses every row; the marker turns that into a loud error
+#: (see incremental.merge_additive_bucket_pruned).
+LAYOUT_META_FILE = "_bucket_layout.json"
+
+
+def write_layout_meta(
+    spark, path: str, n_buckets: int, key: str, key_type: str
+) -> None:
+    """Persist the layout contract beside the data (atomic write)."""
+    import json
+
+    from ..sources.fs import write_text
+
+    write_text(
+        spark,
+        os.path.join(path, LAYOUT_META_FILE),
+        json.dumps(
+            {"n_buckets": n_buckets, "key": key, "key_type": key_type}
+        ),
+    )
+
+
+def read_layout_meta(spark, path: str) -> dict | None:
+    """The layout contract, or None for a pre-marker (legacy) layout.
+    A present-but-unparseable marker raises — guessing the hash
+    parameters of a warehouse layout is how history gets dropped."""
+    import json
+
+    from ..sources.fs import read_text
+
+    raw = read_text(spark, os.path.join(path, LAYOUT_META_FILE))
+    if raw is None:
+        return None
+    try:
+        meta = json.loads(raw)
+        return {
+            "n_buckets": int(meta["n_buckets"]),
+            "key": str(meta["key"]),
+            "key_type": str(meta["key_type"]),
+        }
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ValueError(
+            f"corrupt bucket-layout marker at "
+            f"{os.path.join(path, LAYOUT_META_FILE)}: {raw!r}"
+        ) from exc
 
 
 def write_range_clustered(

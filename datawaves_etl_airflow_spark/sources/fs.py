@@ -11,6 +11,8 @@ configuration.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import SparkSession
 
 
@@ -39,28 +41,71 @@ def glob_paths(spark: SparkSession, pattern: str) -> list[str]:
 
 def read_text(spark: SparkSession, path: str) -> str | None:
     """Small-file text read through the FileSystem API (None if the
-    file does not exist) — for marker/state files beside a layout."""
+    file does not exist) — for marker/state files beside a layout.
+
+    One JVM round-trip for the whole payload (commons-io ships with
+    Spark): the earlier per-byte ``stream.read()`` loop was one py4j
+    round-trip PER BYTE — fine for a 3-byte marker, pathological for
+    anything else."""
     fs, p = _fs_and_path(spark, path)
     if not fs.exists(p):
         return None
     stream = fs.open(p)
     try:
-        out = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            out.append(b)
-        return out.decode("utf-8")
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
     finally:
         stream.close()
 
 
 def write_text(spark: SparkSession, path: str, content: str) -> None:
-    """Small-file text overwrite through the FileSystem API."""
+    """Small-file text overwrite through the FileSystem API.
+
+    Crash-safe against partial writes: content goes to a same-directory
+    temp file first, then moves into place with delete+rename, so a
+    reader only ever sees the complete old content, the complete new
+    content, or (in the delete→rename window) no file — never a torn
+    half-write. (``fs.create`` + write is NOT atomic on object stores.)
+    """
+    jvm = spark._jvm
     fs, p = _fs_and_path(spark, path)
-    stream = fs.create(p, True)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        path + ".__tmp__" + uuid.uuid4().hex
+    )
+    stream = fs.create(tmp, True)
     try:
         stream.write(bytearray(content.encode("utf-8")))
     finally:
         stream.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        fs.delete(tmp, False)
+        raise OSError(f"rename {tmp} -> {path} failed")
+
+
+def create_text_exclusive(
+    spark: SparkSession, path: str, content: str
+) -> bool:
+    """Atomically create ``path`` with ``content`` IFF it does not
+    already exist (Hadoop create(overwrite=False) — the one primitive
+    plain filesystems give us that is atomic w.r.t. concurrent
+    creators). Returns False if the path already existed: the commit
+    token for manifest-style transactional commits
+    (streaming.txn) — whoever creates the manifest wins the version.
+    """
+    fs, p = _fs_and_path(spark, path)
+    try:
+        stream = fs.create(p, False)
+    except Exception as exc:  # FileAlreadyExistsException via py4j
+        if "AlreadyExists" in str(exc.__class__) or "AlreadyExists" in str(
+            exc
+        ) or "already exists" in str(exc).lower():
+            return False
+        raise
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+    return True

@@ -48,7 +48,7 @@ def register_warehouse_views(
 
     registered = []
     if database is not None:
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {_qident(database)}")
     for table in WAREHOUSE_TABLES:
         path = os.path.join(warehouse, chain, table)
         # Hadoop-FS probe: a remote (hdfs://s3a://) warehouse must not
@@ -57,15 +57,31 @@ def register_warehouse_views(
             continue
         if database is not None:
             # a catalog view straight over the parquet path (permanent
-            # views may not reference temp views, so go direct)
+            # views may not reference temp views, so go direct).
+            # Identifiers are backtick-quoted and the path is checked:
+            # interpolating them raw would let a quote/backtick in a
+            # caller-supplied database or warehouse root break the
+            # statement — or inject SQL.
+            if "`" in path:
+                raise ValueError(
+                    f"warehouse path contains a backtick, which cannot "
+                    f"be escaped inside a parquet.`…` reference: {path!r}"
+                )
             spark.sql(
-                f"CREATE OR REPLACE VIEW {database}.{table} "
+                f"CREATE OR REPLACE VIEW "
+                f"{_qident(database)}.{_qident(table)} "
                 f"AS SELECT * FROM parquet.`{path}`"
             )
         else:
             spark.read.parquet(path).createOrReplaceTempView(table)
         registered.append(table)
     return registered
+
+
+def _qident(name: str) -> str:
+    """Backtick-quote a SQL identifier (embedded backticks doubled,
+    per Spark's identifier-escaping rule)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def render_reference_sql(

@@ -56,8 +56,24 @@ def make_batch_merger(
             return
         spark = batch_df.sparkSession
         last = read_text(spark, marker)
-        if last is not None and batch_id <= int(last):
-            return  # replayed batch — already folded in
+        if last is not None:
+            # defensive parse: a corrupt marker must STOP the stream
+            # with a clear message, never be treated as absent —
+            # absent means "apply", and applying on a corrupt marker
+            # is exactly the double-apply the marker exists to prevent
+            try:
+                last_id = int(last.strip())
+            except ValueError:
+                raise ValueError(
+                    f"corrupt replay marker at {marker!r}: {last!r} — "
+                    f"refusing to merge (treating it as absent would "
+                    f"double-apply a batch). Restore the marker to the "
+                    f"last applied batch id, or use the exactly-once "
+                    f"manifest store (streaming.txn) which has no "
+                    f"marker to corrupt."
+                ) from None
+            if batch_id <= last_id:
+                return  # replayed batch — already folded in
         partials = batch_df.groupBy(*keys).agg(
             *[F.sum(c).alias(c) for c in sum_cols]
         )
