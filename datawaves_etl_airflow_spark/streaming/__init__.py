@@ -9,3 +9,4 @@ from .ingest import (  # noqa: F401
 )
 from .maintain import stream_merge_additive  # noqa: F401
 from .stateful import running_totals  # noqa: F401
+from .txn import ManifestedBucketStore  # noqa: F401

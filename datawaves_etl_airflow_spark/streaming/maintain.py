@@ -8,16 +8,21 @@ cumulative layout touching only the buckets its keys hash into.
 
 Replay safety: foreachBatch is at-least-once — after a crash between a
 successful merge and the stream checkpoint's offset commit, the SAME
-batch id is re-delivered. The merger therefore records the last
-applied batch id in a ``_last_batch_id`` marker beside the layout
-(written AFTER the merge commits) and skips any batch id ≤ it, making
-the ordinary replay path idempotent. The residual window is a crash
-BETWEEN the merge's partition-overwrite commit and the marker write:
-that one batch can double-apply on restart. Closing it requires an
-atomic data+marker commit — i.e. a transactional table format — which
-a plain parquet layout cannot express; deployments needing strict
-exactly-once should put a transactional log in front (documented
-limitation, not a silent one).
+batch id is re-delivered. Two merge modes:
+
+- **exactly-once (default)**: `streaming.txn.ManifestedBucketStore` —
+  immutable batch directories + an atomic create-if-absent manifest as
+  the single commit point carrying both the data references AND the
+  batch id. No interleaving of crashes and replays can double-apply
+  (crash-injection-tested in tests/test_streaming_txn.py). Reads go
+  through ``ManifestedBucketStore.current_df`` (bucket-prunable).
+- **plain layout** (``exactly_once=False``): the bucket-pruned merge
+  writes a plain `sinks.write_key_bucketed`-style hive layout readable
+  by any parquet consumer, guarded by a ``_last_batch_id`` marker
+  written AFTER the merge commits. Ordinary replays are idempotent,
+  but a crash BETWEEN the partition-overwrite commit and the marker
+  write double-applies that one batch on restart — the documented
+  price of keeping the layout plain.
 
 At 100 TB this is the shape a continuously-ingesting warehouse wants:
 per-trigger cost scales with the batch's key count, never with
@@ -37,7 +42,11 @@ from pyspark.sql import functions as F
 from ..operators.incremental import merge_additive_bucket_pruned
 from ..sources.fs import read_text, write_text
 
-__all__ = ["make_batch_merger", "stream_merge_additive"]
+__all__ = [
+    "make_batch_merger",
+    "make_txn_batch_merger",
+    "stream_merge_additive",
+]
 
 
 def make_batch_merger(
@@ -85,6 +94,26 @@ def make_batch_merger(
     return _merge
 
 
+def make_txn_batch_merger(
+    cum_path: str,
+    keys: list[str],
+    sum_cols: list[str],
+    n_buckets: int = 64,
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once per-micro-batch fold through the manifest store
+    (see streaming.txn for the commit protocol)."""
+    from .txn import ManifestedBucketStore
+
+    store = ManifestedBucketStore(cum_path, n_buckets=n_buckets)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.merge_batch(batch_df, batch_id, keys, sum_cols)
+
+    return _merge
+
+
 def stream_merge_additive(
     stream: DataFrame,
     cum_path: str,
@@ -93,18 +122,28 @@ def stream_merge_additive(
     checkpoint: str,
     n_buckets: int = 64,
     available_now: bool = False,
+    exactly_once: bool = True,
 ):
     """Maintain a cumulative additive aggregate from a streaming source.
 
     Returns the started StreamingQuery. Each micro-batch is reduced to
     per-key partials before the bucket-pruned merge, so the merge's
-    input is at most one row per key per trigger; replayed batch ids
-    are skipped via the layout's marker file (see module docstring for
-    the exact guarantee).
+    input is at most one row per key per trigger. With ``exactly_once``
+    (the default) the cumulative state is a
+    `streaming.txn.ManifestedBucketStore` at ``cum_path`` — read it via
+    ``ManifestedBucketStore(cum_path).current_df(spark)``; with
+    ``exactly_once=False`` it is a plain bucketed parquet layout
+    guarded by the replay marker (see module docstring for the exact
+    guarantee each mode gives).
     """
-    writer = stream.writeStream.foreachBatch(
-        make_batch_merger(cum_path, keys, sum_cols, n_buckets)
-    ).option("checkpointLocation", checkpoint)
+    merger = (
+        make_txn_batch_merger(cum_path, keys, sum_cols, n_buckets)
+        if exactly_once
+        else make_batch_merger(cum_path, keys, sum_cols, n_buckets)
+    )
+    writer = stream.writeStream.foreachBatch(merger).option(
+        "checkpointLocation", checkpoint
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -304,9 +304,13 @@ class TestStreamingCumulativeMaintenance:
                 F.col("gas").alias("total_gas"),
                 F.lit(1).cast("bigint").alias("n_tx"),
             )
+            # plain-layout (marker) mode: the layout stays a directly
+            # readable bucketed parquet table; the exactly-once
+            # manifest mode is covered in test_streaming_txn.py
             q = stream_merge_additive(
                 stream, cum, ["to_address"], ["total_gas", "n_tx"],
                 ckpt, n_buckets=8, available_now=True,
+                exactly_once=False,
             )
             # False = timed out with the query still running — a second
             # start on the same checkpoint would then collide
