@@ -105,15 +105,23 @@ def main() -> None:
     _domain._staged(spark, "logs").limit(1).count()
     _domain._staged(spark, "blocks").limit(1).count()
 
-    # two timed executions per query, report the min: the benchmark's
-    # claim is steady-state plan cost, and a single shot folds in
-    # one-time plan compilation and whatever the machine was doing
-    # that second (observed single-shot variance on an otherwise-idle
-    # 32-core box is ±50% for sub-second queries)
+    # three timed executions per query, report the min: the
+    # benchmark's claim is steady-state plan cost, and a single shot
+    # folds in one-time plan compilation and whatever the machine was
+    # doing that second (observed single-shot variance on an
+    # otherwise-idle 32-core box is ±50% for sub-second queries;
+    # min-of-2 still flagged one spurious 1.65× "regression" in r3,
+    # hence min-of-3 per the r3 verdict)
+    # one untimed execution per query first: C2 JIT compilation of the
+    # generated whole-stage code is measured to dominate the first 1-2
+    # executions (q1 runs 0.98 → 0.72 s across six runs with no code
+    # change), and the benchmark's claim is steady-state cost
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():
+        spark.catalog.clearCache()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = None
-        for _ in range(2):
+        for _ in range(3):
             # queries that persist() intermediates (minhash sets etc.)
             # would otherwise hand run 2 a warm InMemoryRelation via the
             # CacheManager and the min would report cache-hit time, not
@@ -150,34 +158,33 @@ def main() -> None:
         "queries": timings,
         "pipeline_day_sec": pipeline_day,
         "sf": sf,
-        # r02 baseline was single-shot with caches accumulating; a
-        # flagged "regression" on a persist-using query may be the
-        # methodology (cold cache) rather than the code — judge
-        # per-query with this in mind
-        "timing": "min-of-2, cache cleared before each run",
+        "timing": "min-of-3, cache cleared before each run",
     }
 
-    # regression gate: per-query ratio vs the frozen round-2 baseline
-    # (BENCH_r02 is the first parseable bench; the judge pins it as the
-    # baseline). Anything >1.3× is surfaced in the JSON itself.
-    baseline_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json"
-    )
-    try:
-        with open(baseline_path) as f:
-            base = json.load(f).get("parsed") or {}
-        base_q = base.get("queries") or {}
-        regressions = {
-            name: round(timings[name] / base_q[name], 2)
-            for name in timings
-            if name in base_q
-            and base_q[name] > 0
-            and timings[name] / base_q[name] > 1.3
-        }
-        if regressions:
-            out["regressions_vs_r02"] = regressions
-    except (OSError, ValueError):
-        pass  # no baseline available — nothing to compare
+    # regression gate (r3 verdict): per-query ratio vs the BEST time
+    # ever recorded across all prior rounds' BENCH_r*.json — not just
+    # last round — so a slow creep over rounds can't hide. >1.3× is
+    # surfaced in the JSON itself.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    best_ever: dict[str, float] = {}
+    import glob as _glob
+
+    for path in sorted(_glob.glob(os.path.join(repo, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+            for name, t in (parsed.get("queries") or {}).items():
+                if isinstance(t, (int, float)) and t > 0:
+                    best_ever[name] = min(best_ever.get(name, t), t)
+        except (OSError, ValueError):
+            continue
+    regressions = {
+        name: round(timings[name] / best_ever[name], 2)
+        for name in timings
+        if name in best_ever and timings[name] / best_ever[name] > 1.3
+    }
+    if regressions:
+        out["regressions_vs_best_ever"] = regressions
 
     print(json.dumps(out))
 

@@ -634,7 +634,9 @@ def simhash_candidate_pairs(
 
 
 def duplicate_clusters(
-    pairs: DataFrame, max_iter: int = 25
+    pairs: DataFrame,
+    max_iter: int = 25,
+    use_reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over duplicate pairs: ``(id, cluster_id)``
     with ``cluster_id`` the minimum doc id in the component — the step
@@ -651,15 +653,41 @@ def duplicate_clusters(
     are ``localCheckpoint``ed: the round body references the previous
     labels TWICE (union + neighbor join), so without truncation the
     logical plan doubles per round — caching alone does not cut
-    lineage, and ~15 rounds is enough to OOM the planner. On a
-    multi-node cluster prefer ``spark.sparkContext.setCheckpointDir``
-    + ``.checkpoint()`` for executor-loss tolerance.
+    lineage, and ~15 rounds is enough to OOM the planner.
+
+    Checkpoint mode: ``localCheckpoint`` (default) keeps round state
+    on executor block storage — fastest, but it does NOT survive
+    executor loss, which on a real cluster kills the job mid-
+    iteration. Pass ``use_reliable_checkpoint=True`` on multi-node
+    deployments: rounds then go through ``.checkpoint()`` into the
+    session's configured checkpoint directory
+    (``spark.sparkContext.setCheckpointDir`` — validated up front so
+    the failure is a clear message, not round-N lineage loss).
 
     At 100 TB this is the published MapReduce-CC shape (label
     propagation; see Kiveris et al., "Connected Components in
     MapReduce and Beyond" for the star-contraction refinement worth
     adopting if components ever become deep chains).
     """
+    if use_reliable_checkpoint:
+        sc = pairs.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "use_reliable_checkpoint=True requires a checkpoint "
+                "directory: call "
+                "spark.sparkContext.setCheckpointDir(<hdfs/s3 path>) "
+                "first (localCheckpoint would silently lose round "
+                "state on executor loss)"
+            )
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(
@@ -672,11 +700,10 @@ def duplicate_clusters(
     # right-sizes each round's shuffle to the actual graph volume — an
     # explicit count+repartition here was measured SLOWER (extra jobs
     # outweigh the savings AQE already delivers).
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint()
     )
     total = labels.agg(
         F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
@@ -685,9 +712,9 @@ def duplicate_clusters(
         nbr = edges.join(
             labels, edges["dst"] == labels["id"], "inner"
         ).select(F.col("src").alias("id"), F.col("lbl"))
-        new_labels = (
+        new_labels = _ckpt(
             labels.unionAll(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
+        )
         new_total = new_labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]

@@ -567,6 +567,27 @@ class TestDuplicateClusters:
         # them; 3 and 4 share no pairs so they never appear
         assert got == {0: 0, 1: 0, 2: 0, 5: 0}
 
+    def test_reliable_checkpoint_mode(self, spark, tmp_path):
+        """use_reliable_checkpoint=True (the multi-node deployment
+        mode, surviving executor loss): requires a configured
+        checkpoint dir — clear error without one, identical labels
+        with one."""
+        import pytest
+
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11)]
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        if spark.sparkContext.getCheckpointDir() is None:
+            with pytest.raises(ValueError, match="setCheckpointDir"):
+                dedup.duplicate_clusters(
+                    pairs, use_reliable_checkpoint=True
+                )
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        out = dedup.duplicate_clusters(
+            pairs, use_reliable_checkpoint=True
+        ).collect()
+        got = {r["id"]: r["cluster_id"] for r in out}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
 
 class TestPiiRedaction:
     def test_redacts_and_counts(self, spark):
