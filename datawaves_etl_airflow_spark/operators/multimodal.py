@@ -242,7 +242,10 @@ def encode_fake_image(
 
 
 def decode_image(
-    payloads: DataFrame, max_side: int = 32, on_error: str = "fail"
+    payloads: DataFrame,
+    max_side: int = 32,
+    on_error: str = "fail",
+    codecs=None,
 ) -> DataFrame:
     """Decode + resize + featurize image payloads → IMAGE_FEATURE_SCHEMA.
 
@@ -252,17 +255,22 @@ def decode_image(
     count). Features: original dims, thumbnail dims, mean brightness,
     thumbnail md5 + bytes.
 
-    The container parse targets the FAKI fake format above; a real
-    deployment swaps the 6-byte header parse + ``np.frombuffer`` for
-    PIL/opencv decode — the Arrow batching, pooling, and output schema
-    stay exactly as written. ``on_error='skip'`` quarantines payloads
-    with a bad magic or truncated pixel grid instead of failing the
-    stage (at 100 TB corrupt items are a certainty, not an edge case).
+    The container parse is pluggable (operators/codecs.py): payloads
+    are sniffed by magic and dispatched to the first codec that claims
+    them — the FAKI fake format, real binary PGM, and (when the
+    library is importable) PIL jpeg/png all flow through the same
+    Arrow batching, pooling, and output schema. ``on_error='skip'``
+    quarantines payloads no codec claims or that fail to parse instead
+    of failing the stage (at 100 TB corrupt items are a certainty, not
+    an edge case).
     """
     if on_error not in ("fail", "skip"):
         raise ValueError("on_error must be 'fail' or 'skip'")
     if max_side < 1:
         raise ValueError("max_side must be >= 1")
+    from .codecs import image_codecs
+
+    codec_list = list(codecs) if codecs is not None else image_codecs()
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -273,21 +281,20 @@ def decode_image(
                 if b is None:
                     continue
                 b = bytes(b)
-                bad = (
-                    len(b) < 8
-                    or b[:4] != FAKE_IMAGE_MAGIC
-                    or len(b) != 8 + int.from_bytes(b[4:6], "big")
-                    * int.from_bytes(b[6:8], "big")
-                )
-                if bad:
+                try:
+                    codec = next(
+                        (c for c in codec_list if c.sniff(b)), None
+                    )
+                    if codec is None:
+                        raise ValueError("bad image container")
+                    img = codec.decode(b)
+                except (ValueError, OSError) as e:
                     if on_error == "fail":
                         raise ValueError(
-                            f"payload id={iid}: bad image container"
-                        )
+                            f"payload id={iid}: bad image container ({e})"
+                        ) from e
                     continue
-                w = int.from_bytes(b[4:6], "big")
-                h = int.from_bytes(b[6:8], "big")
-                img = np.frombuffer(b[8:], dtype=np.uint8).reshape(h, w)
+                h, w = img.shape
                 s = max(1, -(-max(w, h) // max_side))
                 r_idx = np.arange(0, h, s)
                 c_idx = np.arange(0, w, s)
@@ -367,7 +374,10 @@ def encode_fake_audio(
 
 
 def decode_audio_features(
-    payloads: DataFrame, target_rate: int = 8000, on_error: str = "fail"
+    payloads: DataFrame,
+    target_rate: int = 8000,
+    on_error: str = "fail",
+    codecs=None,
 ) -> DataFrame:
     """Decode + featurize + decimation-resample audio payloads →
     AUDIO_FEATURE_SCHEMA.
@@ -377,11 +387,17 @@ def decode_audio_features(
     the post-resample sample count for an integer decimation to
     ``target_rate`` (factor ``max(1, rate // target_rate)`` — a real
     deployment swaps the stride slice for a polyphase filter; batch
-    shape and schema stay put). ``on_error='skip'`` quarantines bad
-    magics / truncated sample buffers.
+    shape and schema stay put). The container parse is pluggable
+    (operators/codecs.py): FAKA, real PCM WAV via the stdlib ``wave``
+    module, and (when importable) soundfile formats dispatch by magic
+    through identical batching. ``on_error='skip'`` quarantines
+    unclaimed magics / truncated sample buffers.
     """
     if on_error not in ("fail", "skip"):
         raise ValueError("on_error must be 'fail' or 'skip'")
+    from .codecs import audio_codecs
+
+    codec_list = list(codecs) if codecs is not None else audio_codecs()
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -392,21 +408,21 @@ def decode_audio_features(
                 if b is None:
                     continue
                 b = bytes(b)
-                bad = (
-                    len(b) < 12
-                    or b[:4] != FAKE_AUDIO_MAGIC
-                    or len(b) != 12 + 2 * int.from_bytes(b[8:12], "big")
-                    or int.from_bytes(b[4:8], "big") == 0
-                )
-                if bad:
+                try:
+                    codec = next(
+                        (c for c in codec_list if c.sniff(b)), None
+                    )
+                    if codec is None:
+                        raise ValueError("bad audio container")
+                    rate, samples = codec.decode(b)
+                except (ValueError, OSError, EOFError) as e:
                     if on_error == "fail":
                         raise ValueError(
-                            f"payload id={iid}: bad audio container"
-                        )
+                            f"payload id={iid}: bad audio container ({e})"
+                        ) from e
                     continue
-                rate = int.from_bytes(b[4:8], "big")
-                n = int.from_bytes(b[8:12], "big")
-                x = np.frombuffer(b[12:], dtype="<i2").astype(np.float64)
+                n = len(samples)
+                x = samples.astype(np.float64)
                 k = max(1, rate // int(target_rate))
                 rows["id"].append(int(iid))
                 rows["sample_rate"].append(rate)
