@@ -83,11 +83,17 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
-    from datawaves_etl_airflow_spark.operators import dedup, similarity
+    from datawaves_etl_airflow_spark.operators import dedup, similarity, text
     from datawaves_etl_airflow_spark.session import get_spark
 
     spark = get_spark(
-        "scalecheck", conf={"spark.ui.showConsoleProgress": "false"}
+        "scalecheck",
+        conf={
+            "spark.ui.showConsoleProgress": "false",
+            # the synthetic N× inputs push real data through the local
+            # JVM; the default 1g heap under-provisions a 32-thread run
+            "spark.driver.memory": "16g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -111,8 +117,43 @@ def main() -> None:
             "l_partkey"
         ).agg(F.count(F.lit(1)).alias("n"))
 
+    def j1(mult: int) -> DataFrame:
+        # 3-way fact⋈fact⋈dim: facts scale with the factor, the
+        # customer dim stays fixed (how real corpora grow)
+        l = _scaled_lineitem(spark, args.sf, mult)
+        o = spark.read.parquet(f"{args.sf}/orders.parquet")
+        orders = o
+        if mult > 1:
+            copies = [
+                o.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000)
+                )
+                for i in range(mult)
+            ]
+            orders = copies[0]
+            for c in copies[1:]:
+                orders = orders.unionByName(c)
+        cust = spark.read.parquet(f"{args.sf}/customer.parquet")
+        # pin the 100 TB plan: fact⋈fact is sort-merge (a unioned
+        # parquet fact side can size-estimate under the broadcast
+        # threshold and OOM the driver — broadcast by ROLE, not by
+        # estimate), dim is broadcast
+        return (
+            l.join(orders.hint("merge"), l["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+                ).alias("rev_cents"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    #: covers the 10 heaviest BENCH_r03 queries' operator cores
     ops = {
         "q1_agg": lambda mult: q1(_scaled_lineitem(spark, args.sf, mult)),
+        "j1_3way_join": j1,
         "j5_factfact_join": lambda mult: j5(
             _scaled_lineitem(spark, args.sf, mult)
         ),
@@ -120,20 +161,40 @@ def main() -> None:
             _scaled_docs(spark, args.sf, mult),
             threshold=0.5, n_hashes=64, n_bands=32,
         ),
+        "dedup_clusters": lambda mult: dedup.duplicate_clusters(
+            dedup.minhash_dedup_pairs(
+                _scaled_docs(spark, args.sf, mult),
+                threshold=0.5, n_hashes=64, n_bands=32,
+            )
+        ),
+        "simhash_candidates": lambda mult: dedup.simhash_candidate_pairs(
+            dedup.simhash_signatures(_scaled_docs(spark, args.sf, mult))
+        ),
+        "decontaminate": lambda mult: dedup.benchmark_contamination(
+            _scaled_docs(spark, args.sf, mult),
+            # fixed-size benchmark: decontamination probes scale by
+            # corpus growth only
+            spark.read.parquet(f"{args.sf}/documents.parquet").limit(300),
+        ),
         "neardup_banded": lambda mult: similarity.neardup_pairs_banded(
             _scaled_embs(spark, args.sf, mult), dim=64, threshold=0.95
         ),
         "exact_dedup": lambda mult: dedup.exact_dedup_groups(
             _scaled_docs(spark, args.sf, mult)
         ),
+        "text_quality": lambda mult: text.quality_logit(
+            _scaled_docs(spark, args.sf, mult)
+        ),
     }
 
-    def run(df: DataFrame) -> float:
+    def run(build, mult: int) -> float:
         # drop persisted intermediates (minhash sets) so every timed
-        # execution pays the full plan, not a cache hit
+        # execution pays the full plan, not a cache hit; time the BUILD
+        # too — iterative ops (duplicate_clusters) execute eagerly at
+        # build time and would otherwise escape the clock
         spark.catalog.clearCache()
         t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
+        build(mult).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
     # warm the readers + python workers once
@@ -142,8 +203,8 @@ def main() -> None:
 
     out = {}
     for name, build in ops.items():
-        t1 = min(run(build(1)) for _ in range(2))
-        tn = min(run(build(args.factor)) for _ in range(2))
+        t1 = min(run(build, 1) for _ in range(2))
+        tn = min(run(build, args.factor) for _ in range(2))
         out[name] = {
             "t1": round(t1, 3),
             f"t{args.factor}": round(tn, 3),
