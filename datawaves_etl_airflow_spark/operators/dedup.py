@@ -633,6 +633,130 @@ def simhash_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _checkpointer(df_session, use_reliable_checkpoint: bool):
+    """Shared round-state truncation policy for the iterative CC
+    algorithms: localCheckpoint (fast, dies with an executor) vs
+    checkpoint into the configured reliable dir (multi-node)."""
+    if use_reliable_checkpoint:
+        sc = df_session.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "use_reliable_checkpoint=True requires a checkpoint "
+                "directory: call "
+                "spark.sparkContext.setCheckpointDir(<hdfs/s3 path>) "
+                "first (localCheckpoint would silently lose round "
+                "state on executor loss)"
+            )
+        return lambda df: df.checkpoint()
+    return lambda df: df.localCheckpoint()
+
+
+def duplicate_clusters_star(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    use_reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — same ``(id, cluster_id)`` contract as
+    ``duplicate_clusters``, but rounds scale with log(diameter), not
+    diameter.
+
+    Use this when components can be DEEP CHAINS (transitive near-dup
+    runs, crawl-mirror link chains): min-label propagation needs one
+    round per hop of the longest path, star contraction halves path
+    depth every round pair. For the shallow LSH-clique components the
+    registered dedup queries produce, label propagation's single
+    cheaper shuffle per round wins — which is why it stays the
+    default.
+
+    Per round pair, both steps are one groupBy + one join on node id:
+
+    - large-star: every node connects its LARGER neighbors to its
+      minimum neighborhood member (keeps edges pointing big→small);
+    - small-star: every node connects its smaller neighbors (and
+      itself) to the minimum — stars collapse onto component minima.
+
+    Convergence = the directed edge set is unchanged (count + xxhash64
+    sum: two driver scalars per round, never a collect). At the fixed
+    point edges are exactly (node, component-min) stars; isolated ids
+    and the roots themselves label as their own cluster.
+    """
+    ckpt = _checkpointer(pairs.sparkSession, use_reliable_checkpoint)
+
+    # big→small canonical direction; drop self-pairs defensively
+    e0 = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"),
+            F.least("id_a", "id_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    all_ids = ckpt(
+        e0.select(F.col("u").alias("id"))
+        .unionAll(e0.select(F.col("v").alias("id")))
+        .distinct()
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select(
+            "u", F.least("mn", F.col("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # invariant: every edge has v < u (large-star emits min-links)
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            e.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return (
+            moved.unionAll(
+                mins.select("u", F.col("m").alias("v"))
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    edges = ckpt(e0)
+    fp = _fingerprint(edges)
+    for _ in range(max_iter):
+        new_edges = ckpt(_small_star(_large_star(edges)))
+        new_fp = _fingerprint(new_edges)
+        edges = new_edges
+        if new_fp == fp:
+            break
+        fp = new_fp
+
+    return all_ids.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("root")),
+        "id",
+        "left",
+    ).select(
+        "id", F.coalesce("root", F.col("id")).alias("cluster_id")
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     max_iter: int = 25,
@@ -665,28 +789,13 @@ def duplicate_clusters(
     the failure is a clear message, not round-N lineage loss).
 
     At 100 TB this is the published MapReduce-CC shape (label
-    propagation; see Kiveris et al., "Connected Components in
-    MapReduce and Beyond" for the star-contraction refinement worth
-    adopting if components ever become deep chains).
+    propagation). Rounds scale with component DIAMETER — for deep
+    chains use ``duplicate_clusters_star`` (same contract,
+    log-diameter rounds via star contraction); for the shallow
+    LSH-clique components dedup actually produces, this one shuffle
+    per round is cheaper.
     """
-    if use_reliable_checkpoint:
-        sc = pairs.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
-            raise ValueError(
-                "use_reliable_checkpoint=True requires a checkpoint "
-                "directory: call "
-                "spark.sparkContext.setCheckpointDir(<hdfs/s3 path>) "
-                "first (localCheckpoint would silently lose round "
-                "state on executor loss)"
-            )
-
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint()
-
-    else:
-
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint()
+    _ckpt = _checkpointer(pairs.sparkSession, use_reliable_checkpoint)
 
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
