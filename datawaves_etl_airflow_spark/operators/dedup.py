@@ -881,3 +881,174 @@ def benchmark_contamination(
             "overlap_frac", F.col("n_overlap") / F.col("n_shingles")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: persisted MinHash band index for batch-vs-corpus
+# ---------------------------------------------------------------------------
+
+#: contract marker for a persisted MinHash index — the band hash chain
+#: is (k, n_hashes, n_bands)-sensitive, so probing with different
+#: parameters silently proposes zero candidates; the marker makes the
+#: parameters travel with the data (same rationale as
+#: sinks.LAYOUT_META_FILE for bucketed layouts)
+INDEX_META_FILE = "_minhash_index.json"
+
+
+def _index_meta_path(path: str) -> str:
+    import os as _os
+
+    return _os.path.join(path, INDEX_META_FILE)
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+) -> None:
+    """Persist the corpus dedup index: ``bands/`` (id, band_id,
+    band_hash — the LSH probe surface) and ``sets/`` (id, shset — the
+    exact-verify surface), plus the parameter contract marker.
+
+    This is what makes daily dedup INCREMENTAL at 100 TB: the corpus
+    is shingled and banded ONCE; each day's batch is banded map-side
+    and joined against the stored bands — new-batch cost is
+    O(|batch| + candidates), never O(|corpus|) recompute. Size: bands
+    are n_bands × ~24 B/doc; sets are the shingle arrays (the larger
+    surface — at full scale lay both out id-bucketed/sorted so the
+    verify join co-locates without a shuffle of the corpus side).
+    """
+    import json as _json
+    import os as _os
+
+    from ..sources.fs import write_text
+
+    sets = word_shingle_hash_sets(docs, text_col, id_col, k).persist()
+    bands = minhash_band_rows_np(sets, n_hashes, n_bands)
+    bands.write.mode("overwrite").parquet(_os.path.join(path, "bands"))
+    sets.write.mode("overwrite").parquet(_os.path.join(path, "sets"))
+    sets.unpersist()
+    write_text(
+        docs.sparkSession,
+        _index_meta_path(path),
+        _json.dumps({"k": k, "n_hashes": n_hashes, "n_bands": n_bands}),
+    )
+
+
+def read_minhash_index_meta(spark, path: str) -> dict:
+    """The index parameter contract. Missing or unparseable markers
+    RAISE: probing with guessed parameters returns silently-empty
+    candidates, which at dedup time means duplicates sail through."""
+    import json as _json
+
+    from ..sources.fs import read_text
+
+    raw = read_text(spark, _index_meta_path(path))
+    if raw is None:
+        raise ValueError(
+            f"no MinHash index marker at {_index_meta_path(path)} — "
+            "not an index directory, or written by a pre-marker tool"
+        )
+    try:
+        meta = _json.loads(raw)
+        return {
+            "k": int(meta["k"]),
+            "n_hashes": int(meta["n_hashes"]),
+            "n_bands": int(meta["n_bands"]),
+        }
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ValueError(
+            f"corrupt MinHash index marker at {_index_meta_path(path)}: "
+            f"{raw!r}"
+        ) from exc
+
+
+def append_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold a new (already-accepted) batch into the index under the
+    STORED parameter contract — append-only writes, no corpus rewrite."""
+    import os as _os
+
+    meta = read_minhash_index_meta(docs.sparkSession, path)
+    sets = word_shingle_hash_sets(
+        docs, text_col, id_col, meta["k"]
+    ).persist()
+    bands = minhash_band_rows_np(sets, meta["n_hashes"], meta["n_bands"])
+    bands.write.mode("append").parquet(_os.path.join(path, "bands"))
+    sets.write.mode("append").parquet(_os.path.join(path, "sets"))
+    sets.unpersist()
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs of a NEW batch against the persisted index
+    (and within the batch itself): ``(id_a, id_b, jaccard)`` with
+    ``id_a`` always a new-batch id.
+
+    Exactly the `minhash_dedup_pairs` plan with the corpus half read
+    from the index instead of recomputed: the batch is shingled and
+    banded map-side (zero exchange), candidates come from the band-key
+    join against stored bands plus the batch's banded self-join, and
+    the exact Jaccard verify runs over stored + fresh shingle sets.
+    Equivalence contract (pinned in tests): identical pairs to a full
+    `minhash_dedup_pairs` over corpus ∪ batch, restricted to pairs
+    touching the batch.
+
+    Re-ingested ids (batch id already present in the index) are
+    matched against the CORPUS copy of everything else but never
+    against themselves; callers rewriting a doc in place should drop
+    the old index rows first.
+    """
+    import os as _os
+
+    spark = new_docs.sparkSession
+    meta = read_minhash_index_meta(spark, path)
+    new_sets = word_shingle_hash_sets(
+        new_docs, text_col, id_col, meta["k"]
+    ).persist()
+    new_bands = minhash_band_rows_np(
+        new_sets, meta["n_hashes"], meta["n_bands"]
+    )
+    idx_bands = spark.read.parquet(_os.path.join(path, "bands"))
+    idx_sets = spark.read.parquet(_os.path.join(path, "sets"))
+
+    vs_corpus = (
+        new_bands.alias("a")
+        .join(
+            idx_bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") != F.col("b.id")),
+            "inner",
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    ba, bb = new_bands.alias("a"), new_bands.alias("b")
+    vs_batch = ba.join(
+        bb,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.id") < F.col("b.id")),
+        "inner",
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    cands = vs_corpus.unionAll(vs_batch).distinct()
+
+    # verify surface: fresh sets win for re-ingested ids (same text →
+    # same set, so the choice only matters for in-place rewrites)
+    all_sets = idx_sets.join(
+        new_sets.select("id"), "id", "left_anti"
+    ).unionByName(new_sets)
+    return verify_pairs_with_sets(all_sets, cands, threshold)

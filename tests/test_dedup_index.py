@@ -1,0 +1,112 @@
+"""Incremental MinHash dedup index: batch-vs-corpus pairs equal a
+full recompute restricted to the batch; parameter contract travels
+with the data."""
+
+from __future__ import annotations
+
+import pytest
+
+from datawaves_etl_airflow_spark.operators.dedup import (
+    append_minhash_index,
+    dedup_against_index,
+    minhash_dedup_pairs,
+    read_minhash_index_meta,
+    write_minhash_index,
+)
+
+BASE = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "pack my box with five dozen liquor jugs before noon today ok"),
+    (3, "a completely unrelated sentence about spark physical planning"),
+    (4, "rows columns partitions shuffles and the optimizer that rules"),
+]
+# near-dup of corpus doc 1, near-dup pair within the batch (11, 12),
+# and a clean doc
+BATCH = [
+    (10, "the quick brown fox jumps over the lazy dog again and again!"),
+    (11, "entirely novel text streaming through watermarked windows now"),
+    (12, "entirely novel text streaming through watermarked windows then"),
+    (13, "nothing here resembles anything else in corpus or batch at all"),
+]
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+@pytest.fixture()
+def index_path(spark, tmp_path):
+    docs = spark.createDataFrame(BASE, "doc_id long, text string")
+    p = str(tmp_path / "mh_index")
+    write_minhash_index(docs, p)
+    return p
+
+
+class TestIncrementalDedup:
+    def test_matches_full_recompute_restricted_to_batch(
+        self, spark, index_path
+    ):
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        got = _pairs(dedup_against_index(batch, index_path, threshold=0.5))
+
+        full = minhash_dedup_pairs(
+            spark.createDataFrame(
+                BASE + BATCH, "doc_id long, text string"
+            ),
+            threshold=0.5,
+        )
+        batch_ids = {r[0] for r in BATCH}
+        want = set()
+        for a, b in _pairs(full):
+            if a in batch_ids or b in batch_ids:
+                # index probe orients new-vs-corpus as (new, corpus)
+                if a in batch_ids and b not in batch_ids:
+                    want.add((a, b))
+                elif b in batch_ids and a not in batch_ids:
+                    want.add((b, a))
+                else:
+                    want.add((min(a, b), max(a, b)))
+        assert got == want
+        assert (10, 1) in got  # batch-vs-corpus near-dup found
+        assert (11, 12) in got  # within-batch near-dup found
+        assert not any(13 in p for p in got)  # clean doc stays clean
+
+    def test_append_then_probe_sees_new_corpus(self, spark, index_path):
+        first = spark.createDataFrame(BATCH, "doc_id long, text string")
+        append_minhash_index(first, index_path)
+        probe = spark.createDataFrame(
+            [(20, "entirely novel text streaming through watermarked "
+                  "windows soon")],
+            "doc_id long, text string",
+        )
+        got = _pairs(dedup_against_index(probe, index_path, threshold=0.5))
+        # matches the APPENDED docs 11/12, not just the original corpus
+        assert got == {(20, 11), (20, 12)}
+
+    def test_meta_contract(self, spark, index_path):
+        meta = read_minhash_index_meta(spark, index_path)
+        assert meta == {"k": 3, "n_hashes": 64, "n_bands": 16}
+
+    def test_missing_marker_raises(self, spark, tmp_path):
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        with pytest.raises(ValueError, match="no MinHash index marker"):
+            dedup_against_index(batch, str(tmp_path / "nope"))
+
+    def test_corrupt_marker_raises(self, spark, tmp_path, index_path):
+        from datawaves_etl_airflow_spark.sources.fs import write_text
+
+        write_text(
+            spark, index_path + "/_minhash_index.json", "{not json"
+        )
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        with pytest.raises(ValueError, match="corrupt MinHash index"):
+            dedup_against_index(batch, index_path)
+
+    def test_reingested_id_not_self_paired(self, spark, index_path):
+        """A batch doc whose id already exists in the index must not
+        pair with itself."""
+        batch = spark.createDataFrame(
+            [BASE[0]], "doc_id long, text string"
+        )
+        got = _pairs(dedup_against_index(batch, index_path, threshold=0.5))
+        assert (1, 1) not in got
