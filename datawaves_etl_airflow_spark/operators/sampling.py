@@ -36,6 +36,8 @@ __all__ = [
     "cap_per_group",
     "cap_per_group_prefiltered",
     "pack_sequences",
+    "shuffle_shards",
+    "write_training_shards",
 ]
 
 
@@ -191,3 +193,67 @@ def pack_sequences(
             "seq_end"
         ),
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle for training export: every row gets
+    ``shard_id = pmod(xxhash64(id, seed), n_shards)`` and rows arrive
+    hash-ordered within their shard — the hash-sharded, hash-sorted
+    layout a reproducible pretraining run reads.
+
+    Determinism is the point: membership and order are pure functions
+    of (id, seed), so they survive re-runs, input repartitioning, and
+    cluster-size changes — unlike ``rand()`` or ``orderBy(rand())``
+    (nondeterministic) and unlike a global ``orderBy(hash)`` (whose
+    range boundaries come from nondeterministic sampling). One shuffle
+    on shard_id + a per-shard sort; shards are independent, so
+    parallelism is ``n_shards`` and a shard's sort is bounded by
+    corpus/n_shards.
+
+    A different ``seed`` is a different-but-equally-deterministic
+    epoch order — the cheap way to get per-epoch reshuffles that are
+    still replayable.
+    """
+    h = F.xxhash64(F.col(id_col), F.lit(int(seed)))
+    return (
+        df.withColumn("shard_id", F.pmod(h, F.lit(int(n_shards))))
+        .withColumn("_order", h)
+        .repartition(int(n_shards), "shard_id")
+        .sortWithinPartitions("shard_id", "_order", id_col)
+        .drop("_order")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: int = 0,
+    fmt: str = "json",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Export the corpus as ``shard_id=N`` directories in deterministic
+    shuffle order (``shuffle_shards``): JSONL by default — the lingua
+    franca training loaders consume — or parquet.
+
+    ``max_records_per_file`` additionally splits a shard into
+    fixed-size files (loader-friendly chunking) without touching
+    membership or order. Idempotent overwrite per export.
+    """
+    if fmt not in ("json", "parquet"):
+        raise ValueError("fmt must be 'json' or 'parquet'")
+    writer = (
+        shuffle_shards(df, id_col, n_shards, seed)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .format(fmt)
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.save(path)
