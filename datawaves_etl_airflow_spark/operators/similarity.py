@@ -440,3 +440,161 @@ def quantize_embeddings_int8(
         q.alias("q"),
         (maxabs / F.lit(127.0)).alias("scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: partition-pruned ANN probes over object storage
+# ---------------------------------------------------------------------------
+
+#: parameter contract marker for a persisted IVF index (same rationale
+#: as dedup.INDEX_META_FILE: the quantizer is (n_centroids,
+#: n_iters)-sensitive, so the parameters travel with the data)
+IVF_META_FILE = "_ivf_index.json"
+
+
+def write_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the IVF index: ``centroids/`` (tiny, broadcast at probe
+    time) and ``cells/`` — the corpus laid out as ``centroid_id=N``
+    hive partitions.
+
+    The layout IS the optimization: a probe reading ``nprobe`` cells
+    scans ``nprobe/n_centroids`` of the corpus BYTES via static
+    partition pruning — on object storage the dominant ANN cost is the
+    scan, and no join strategy can cut a scan the way pruning does
+    (same principle as `sinks.write_key_bucketed` for key probes).
+    Build cost: `train_centroids` (broadcast Lloyd iterations) + one
+    corpus shuffle on cell id for the partitioned write.
+    """
+    import json as _json
+    import os as _os
+
+    from ..sources.fs import write_text
+
+    centroids = train_centroids(
+        vectors, n_centroids, n_iters, vec_col, id_col
+    ).persist()
+    norm = vectors.select(
+        F.col(id_col).alias("_vid"),
+        l2_normalize(F.col(vec_col)).alias("_v"),
+    )
+    cells = _assign_cells(norm, "_v", centroids).join(
+        vectors.withColumnRenamed(id_col, "_vid"), "_vid"
+    ).select(
+        F.col("_vid").alias(id_col), F.col(vec_col), "centroid_id"
+    )
+    (
+        cells.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(_os.path.join(path, "cells"))
+    )
+    centroids.write.mode("overwrite").parquet(
+        _os.path.join(path, "centroids")
+    )
+    centroids.unpersist()
+    write_text(
+        vectors.sparkSession,
+        _os.path.join(path, IVF_META_FILE),
+        _json.dumps(
+            {
+                "n_centroids": n_centroids,
+                "n_iters": n_iters,
+                "vec_col": vec_col,
+                "id_col": id_col,
+            }
+        ),
+    )
+
+
+def read_ivf_index_meta(spark, path: str) -> dict:
+    """The index parameter contract; missing/corrupt markers raise."""
+    import json as _json
+    import os as _os
+
+    from ..sources.fs import read_text
+
+    marker = _os.path.join(path, IVF_META_FILE)
+    raw = read_text(spark, marker)
+    if raw is None:
+        raise ValueError(
+            f"no IVF index marker at {marker} — not an index directory"
+        )
+    try:
+        meta = _json.loads(raw)
+        return {
+            "n_centroids": int(meta["n_centroids"]),
+            "n_iters": int(meta["n_iters"]),
+            "vec_col": str(meta["vec_col"]),
+            "id_col": str(meta["id_col"]),
+        }
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ValueError(
+            f"corrupt IVF index marker at {marker}: {raw!r}"
+        ) from exc
+
+
+def ivf_search_index(
+    queries: DataFrame,
+    path: str,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """ANN top-k against a persisted `write_ivf_index` layout — same
+    output schema and (identical quantizer) same results as `ivf_topk`,
+    but the corpus side reads ONLY the probed cells.
+
+    The probed cell ids are collected to the driver (bounded by
+    ``n_centroids``, thousands at most — the bounded-driver-read
+    pattern) and pushed as a partition filter, so pruning is static
+    and visible in the scan's PartitionFilters, not dependent on
+    runtime DPP kicking in.
+    """
+    import os as _os
+
+    spark = queries.sparkSession
+    meta = read_ivf_index_meta(spark, path)
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+
+    centroids = spark.read.parquet(_os.path.join(path, "centroids"))
+    qn = queries.withColumn("_qv", l2_normalize(F.col("query_vec")))
+    qscored = qn.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", dot(F.col("_qv"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qscored.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "query_vec", "centroid_id")
+    )
+    probe_ids = sorted(
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    cells = spark.read.parquet(_os.path.join(path, "cells")).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    cands = probes.join(cells, "centroid_id").withColumn(
+        "cosine", cosine(F.col("query_vec"), F.col(vec_col))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("match_id"),
+            "rank",
+            F.round("cosine", 6).alias("cosine_sim"),
+        )
+    )
