@@ -978,13 +978,19 @@ def append_minhash_index(
     import os as _os
 
     meta = read_minhash_index_meta(docs.sparkSession, path)
+    # localCheckpoint, NOT persist: callers commonly derive ``docs``
+    # from a probe of THIS index (accept-filter pipelines), so its
+    # lineage reads bands/. The first append below invalidates any
+    # cache whose lineage touches that path, and a recompute during
+    # the sets/ write would probe the HALF-APPENDED index — observed
+    # to drop fresh docs from sets/ while their bands landed. An eager
+    # checkpoint materializes the rows once, before either write.
     sets = word_shingle_hash_sets(
         docs, text_col, id_col, meta["k"]
-    ).persist()
+    ).localCheckpoint()
     bands = minhash_band_rows_np(sets, meta["n_hashes"], meta["n_bands"])
     bands.write.mode("append").parquet(_os.path.join(path, "bands"))
     sets.write.mode("append").parquet(_os.path.join(path, "sets"))
-    sets.unpersist()
 
 
 def dedup_against_index(

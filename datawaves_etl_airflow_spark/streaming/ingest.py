@@ -104,3 +104,107 @@ def write_stream_partitioned(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def make_neardup_ingest(
+    index_path: str,
+    accepted_path: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-micro-batch online NEAR-dup filter (the streaming twin of
+    `operators.dedup.dedup_against_index`), exposed for direct testing
+    like `maintain.make_batch_merger`.
+
+    Each batch: band-probe the persisted MinHash index for near-dup
+    pairs (batch-vs-corpus AND within-batch), drop every duplicate doc
+    (corpus match → drop the new doc; within-batch pair → keep the
+    smaller id, greedy), append the survivors to ``accepted_path`` and
+    fold them into the index — so the NEXT batch deduplicates against
+    everything accepted so far. Per-trigger cost is
+    O(batch + candidates), never O(corpus).
+
+    Replay contract: a ``_last_batch_id`` marker makes ordinary
+    foreachBatch replays no-ops. Like the plain-layout merge mode
+    (streaming/maintain.py), a crash strictly between the accepted
+    write and the marker write can re-append that one batch on
+    restart; ids are unique per doc, so downstream consumers can
+    always reconcile on ``id_col``. Doc ids must be globally unique —
+    re-ingesting an id already in the index matches against the corpus
+    copy of everything else but never itself.
+    """
+    import os as _os
+
+    from ..operators.dedup import append_minhash_index, dedup_against_index
+    from ..sources.fs import read_text, write_text
+
+    marker = _os.path.join(accepted_path, "_last_batch_id")
+    docs_dir = _os.path.join(accepted_path, "docs")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        last = read_text(spark, marker)
+        if last is not None:
+            try:
+                last_id = int(last.strip())
+            except ValueError:
+                raise ValueError(
+                    f"corrupt replay marker at {marker!r}: {last!r} — "
+                    "refusing to ingest (treating it as absent could "
+                    "re-append a batch)"
+                ) from None
+            if batch_id <= last_id:
+                return  # replayed batch — already ingested
+        pairs = dedup_against_index(
+            batch_df, index_path, threshold, text_col, id_col
+        )
+        batch_ids = batch_df.select(F.col(id_col).alias("id_b"))
+        within = pairs.join(batch_ids, "id_b", "semi").select(
+            F.col("id_b").alias(id_col)
+        )
+        vs_corpus = pairs.join(batch_ids, "id_b", "anti").select(
+            F.col("id_a").alias(id_col)
+        )
+        drops = within.unionByName(vs_corpus).distinct()
+        # persisted: referenced by both the accepted write and the
+        # index fold — without the barrier the band-probe join runs
+        # twice per trigger
+        accepted = batch_df.join(drops, id_col, "anti").persist()
+        try:
+            accepted.write.mode("append").parquet(docs_dir)
+            append_minhash_index(accepted, index_path, text_col, id_col)
+        finally:
+            accepted.unpersist()
+        write_text(spark, marker, str(batch_id))
+
+    return _apply
+
+
+def stream_neardup_ingest(
+    stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = False,
+):
+    """Online near-duplicate filtering on a document stream: survivors
+    land in ``accepted_path/docs`` and the MinHash index at
+    ``index_path`` grows with them (build it first with
+    `operators.dedup.write_minhash_index` — seeded with the existing
+    corpus, or an empty DataFrame for a cold start). Returns the
+    started StreamingQuery."""
+    fn = make_neardup_ingest(
+        index_path, accepted_path, threshold, text_col, id_col
+    )
+    writer = stream.writeStream.foreachBatch(fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
