@@ -112,7 +112,15 @@ def _pgm_tokens(b: bytes, n: int) -> tuple[list[int], int]:
             raise ValueError("truncated PGM header")
         vals.append(int(b[i:j]))
         i = j
-    return vals, i + 1  # exactly one whitespace terminates the header
+    # the spec terminates the header with a SINGLE whitespace byte,
+    # but Windows writers commonly emit CRLF; treat "\r\n" as one
+    # terminator or the raster silently shifts by a byte (the 0x0A
+    # would decode as pixel 0 and the true last pixel would drop).
+    # The trade: a spec-exact \r-terminated raster whose first pixel
+    # is 10 misparses — a far rarer artifact than CRLF headers.
+    if b[i : i + 2] == b"\r\n":
+        return vals, i + 2
+    return vals, i + 1
 
 
 def _decode_pgm(b: bytes) -> np.ndarray:
@@ -134,6 +142,10 @@ def _decode_wav(b: bytes) -> tuple[int, np.ndarray]:
             frames = wf.readframes(wf.getnframes())
     except wave.Error as e:
         raise ValueError(f"malformed WAV: {e}") from e
+    # stdlib wave accepts fmt chunks declaring framerate=0; downstream
+    # duration math divides by rate, so reject here (mirrors FAKA)
+    if rate == 0:
+        raise ValueError("WAV declares zero sample rate")
     x = np.frombuffer(frames, dtype="<i2")
     if nch > 1:  # downmix to mono by channel mean (round toward zero)
         x = (
@@ -167,10 +179,19 @@ def _decode_pil(b: bytes) -> np.ndarray:  # pragma: no cover
 
 
 def _decode_soundfile(b: bytes) -> tuple[int, np.ndarray]:  # pragma: no cover
-    data, rate = _soundfile.read(io.BytesIO(b), dtype="int16")
+    try:
+        data, rate = _soundfile.read(io.BytesIO(b), dtype="int16")
+    except RuntimeError as e:
+        # soundfile.LibsndfileError subclasses RuntimeError, which the
+        # decode quarantine does not catch — normalize to ValueError so
+        # a corrupt flac/ogg payload quarantines instead of killing the
+        # stage in skip mode
+        raise ValueError(f"malformed audio container: {e}") from e
     x = np.asarray(data, dtype=np.int16)
     if x.ndim > 1:
         x = x.astype(np.int32).mean(axis=1).astype(np.int16)
+    if int(rate) == 0:
+        raise ValueError("audio container declares zero sample rate")
     return int(rate), x
 
 

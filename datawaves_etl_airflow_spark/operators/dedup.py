@@ -684,6 +684,14 @@ def duplicate_clusters_star(
     """
     ckpt = _checkpointer(pairs.sparkSession, use_reliable_checkpoint)
 
+    # all ids BEFORE self-pair filtering: an id appearing only in a
+    # self-pair is still a (singleton) node and must get a label, same
+    # as duplicate_clusters
+    all_ids = ckpt(
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
     # big→small canonical direction; drop self-pairs defensively
     e0 = (
         pairs.select(
@@ -691,11 +699,6 @@ def duplicate_clusters_star(
             F.least("id_a", "id_b").alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    all_ids = ckpt(
-        e0.select(F.col("u").alias("id"))
-        .unionAll(e0.select(F.col("v").alias("id")))
         .distinct()
     )
 
@@ -748,11 +751,15 @@ def duplicate_clusters_star(
             break
         fp = new_fp
 
-    return all_ids.join(
-        edges.select(F.col("u").alias("id"), F.col("v").alias("root")),
-        "id",
-        "left",
-    ).select(
+    # min-aggregate the parent: at the fixed point every child has
+    # exactly one parent, but a max_iter exhaustion mid-contraction can
+    # leave a node pointing at two minima — the contract is one row per
+    # id with the best label seen, matching duplicate_clusters'
+    # degrade-gracefully behavior, never duplicate rows
+    roots = edges.groupBy(F.col("u").alias("id")).agg(
+        F.min("v").alias("root")
+    )
+    return all_ids.join(roots, "id", "left").select(
         "id", F.coalesce("root", F.col("id")).alias("cluster_id")
     )
 
@@ -1022,9 +1029,14 @@ def dedup_against_index(
 
     spark = new_docs.sparkSession
     meta = read_minhash_index_meta(spark, path)
+    # localCheckpoint, not persist: the probe runs once per batch in
+    # streaming ingest, and a persist here would leak one cache entry
+    # per trigger (nothing downstream could unpersist it — the
+    # returned plan still references it). Checkpoint blocks free with
+    # the RDD when the result is garbage collected.
     new_sets = word_shingle_hash_sets(
         new_docs, text_col, id_col, meta["k"]
-    ).persist()
+    ).localCheckpoint()
     new_bands = minhash_band_rows_np(
         new_sets, meta["n_hashes"], meta["n_bands"]
     )

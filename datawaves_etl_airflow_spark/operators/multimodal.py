@@ -28,6 +28,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .codecs import FAKE_AUDIO_MAGIC, FAKE_IMAGE_MAGIC  # single source
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -187,8 +189,9 @@ def sample_frames(
 #: width*height grayscale bytes (sha256(id) digest tiled to fill the
 #: grid). Like FAKE_VIDEO_MAGIC above, it stands in for jpeg/png so the
 #: decode → resize → feature plumbing is byte-true and testable without
-#: a codec library.
-FAKE_IMAGE_MAGIC = b"FAKI"
+#: a codec library. The magic byte value lives in codecs.py (imported
+#: at module top) so the encoder here and the sniffing decoder can
+#: never drift apart.
 
 IMAGE_FEATURE_SCHEMA = StructType([
     StructField("id", LongType(), False),
@@ -323,8 +326,8 @@ def decode_image(
 #: deterministic fake audio container: magic + u32 sample rate + u32
 #: sample count + s16le samples (sha256(id) tiled). The audio sibling
 #: of FAKI/FAKV — stands in for wav/flac so decode → feature →
-#: resample plumbing is byte-true without an audio library.
-FAKE_AUDIO_MAGIC = b"FAKA"
+#: resample plumbing is byte-true without an audio library. Magic
+#: value shared from codecs.py (see FAKE_IMAGE_MAGIC note above).
 
 AUDIO_FEATURE_SCHEMA = StructType([
     StructField("id", LongType(), False),

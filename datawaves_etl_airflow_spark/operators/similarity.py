@@ -570,10 +570,15 @@ def ivf_search_index(
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("centroid_id").asc()
     )
+    # localCheckpoint: the probe set (queries × nprobe rows, small) is
+    # consumed twice — the driver-side probe-id collect below AND the
+    # candidate join — and would otherwise recompute the full
+    # queries×centroids scoring + window both times
     probes = (
         qscored.withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= nprobe)
         .select("query_id", "query_vec", "centroid_id")
+        .localCheckpoint()
     )
     probe_ids = sorted(
         r["centroid_id"]

@@ -95,3 +95,25 @@ class TestStarContraction:
         finally:
             if prev:
                 sc.setCheckpointDir(prev)
+
+
+class TestReviewRegressions:
+    """Pins for the r4 review findings."""
+
+    def test_max_iter_exhaustion_one_row_per_id(self, spark):
+        """Early stop mid-contraction must degrade to one (possibly
+        unconverged) label per id — never duplicate rows."""
+        n = 60
+        chain = [(i, i + 1) for i in range(n - 1)]
+        pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+        got = duplicate_clusters_star(pairs, max_iter=1)
+        rows = got.collect()
+        assert len(rows) == n
+        assert len({r["id"] for r in rows}) == n
+
+    def test_self_pair_only_id_gets_singleton_label(self, spark):
+        pairs = spark.createDataFrame(
+            [(5, 5), (1, 2)], "id_a long, id_b long"
+        )
+        got = _clusters(duplicate_clusters_star(pairs))
+        assert got == {5: 5, 1: 1, 2: 1}

@@ -181,3 +181,41 @@ class TestLibraryAdapters:
             assert "pil" not in inames
         if not codecs.HAVE_SOUNDFILE:
             assert "soundfile" not in anames
+
+
+class TestReviewRegressions:
+    """Pins for the r4 review findings."""
+
+    def test_wav_zero_rate_quarantines_not_crashes(self, spark):
+        """A fmt chunk declaring framerate=0 passes stdlib wave; it
+        must quarantine in skip mode, not ZeroDivisionError the
+        stage."""
+        import struct
+
+        x = np.zeros(4, dtype=np.int16)
+        data = x.tobytes()
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 0, 0, 2, 16)
+            + b"data" + struct.pack("<I", len(data))
+        )
+        payload = hdr + data
+        with pytest.raises(ValueError, match="zero sample rate"):
+            codecs._decode_wav(payload)
+        df = spark.createDataFrame(
+            [(1, payload)], "id long, payload binary"
+        )
+        assert multimodal.decode_audio_features(
+            df, on_error="skip"
+        ).count() == 0
+
+    def test_pgm_crlf_header_decodes_exactly(self):
+        raster = bytes(range(10, 16))
+        b = b"P5\r\n3 2\r\n255\r\n" + raster
+        img = codecs._decode_pgm(b)
+        assert img.tobytes() == raster
+        assert img.shape == (2, 3)
+
+    def test_magic_constants_single_source(self):
+        assert multimodal.FAKE_IMAGE_MAGIC is codecs.FAKE_IMAGE_MAGIC
+        assert multimodal.FAKE_AUDIO_MAGIC is codecs.FAKE_AUDIO_MAGIC
