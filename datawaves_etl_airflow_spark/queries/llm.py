@@ -91,6 +91,35 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup probe: docs with ``doc_id % 10 == 7`` arrive
+    as the "new batch" against a persisted MinHash index of the rest
+    (written to a per-call temp dir, 32×2 banding — the same recall
+    regime llm_jaccard_pairs pins against the exact oracle). Output is
+    (id_a, id_b, jaccard) with id_a always batch-side, (min, max)
+    within-batch — the orientation `dedup_against_index` contracts.
+    The DuckDB oracle recomputes the EXACT all-pairs Jaccard and
+    restricts to pairs touching the batch, so a green row certifies
+    both the banded recall and the index round-trip. Executed eagerly
+    (localCheckpoint) so the temp index can be removed before return.
+    """
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    probe = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    idx = tempfile.mkdtemp(prefix="llm_inc_idx_")
+    try:
+        dedup.write_minhash_index(corpus, idx, n_hashes=64, n_bands=32)
+        out = dedup.dedup_against_index(probe, idx, threshold=0.5)
+        return out.select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs sharing ≥1 word-5-gram with a
     held-out 'benchmark' slice (doc_id % 7 == 0) of the corpus."""
@@ -543,6 +572,7 @@ DRIVER_QUERIES = [
 QUERIES = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_jaccard_pairs": llm_jaccard_pairs,
+    "llm_incremental_dedup": llm_incremental_dedup,
     "llm_dedup_clusters": llm_dedup_clusters,
     "llm_decontaminate": llm_decontaminate,
     "llm_minhash_dedup": llm_minhash_dedup,
@@ -639,6 +669,30 @@ ORACLES = {
         JOIN sz sa ON inter.id_a = sa.id
         JOIN sz sb ON inter.id_b = sb.id
         WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5
+    """,
+    "llm_incremental_dedup": f"""
+        WITH sh AS ({_SHINGLES}),
+        sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS ia, b.id AS ib, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        verified AS (
+            SELECT ia, ib,
+                   ROUND(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sz sa ON inter.ia = sa.id
+            JOIN sz sb ON inter.ib = sb.id
+            WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5
+              AND (ia % 10 = 7 OR ib % 10 = 7)
+        )
+        SELECT CASE WHEN ia % 10 = 7 THEN ia ELSE ib END AS id_a,
+               CASE WHEN ia % 10 = 7 THEN ib ELSE ia END AS id_b,
+               jaccard
+        FROM verified
     """,
     "llm_unigram_logprob": f"""
         WITH toks AS (
