@@ -386,17 +386,38 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
-    hyperplane bucket. Recall grows with fewer planes / multi-probe;
-    the shuffle key is the bucket signature, never the cross product.
+    hyperplane bucket. The shuffle key is the bucket signature, never
+    the cross product.
+
+    ``multi_probe=True`` additionally probes every 1-bit-flip neighbor
+    bucket of the query's signature (the planes the vector is closest
+    to crossing are exactly one bit away) — recall rises sharply for
+    (n_planes + 1)× the candidate volume, with the CORPUS side
+    untouched: only the tiny query side explodes, the join stays a
+    bucket-key equi-join.
     """
     planes = _hyperplanes(dim, n_planes, seed)
     v = vectors.withColumn("bucket", plane_signature(F.col(vec_col), planes))
     q = queries.withColumn("bucket", plane_signature(F.col("query_vec"), planes))
+    if multi_probe:
+        neighbors = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(neighbors))
     joined = q.join(v, "bucket", "inner").withColumn(
         "cosine", cosine(F.col("query_vec"), F.col(vec_col))
     )
+    if multi_probe:
+        # a corpus vector can match through several probed buckets;
+        # keep one candidate row per (query, vector)
+        joined = joined.dropDuplicates(["query_id", id_col])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
