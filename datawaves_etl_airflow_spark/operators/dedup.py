@@ -1070,3 +1070,93 @@ def dedup_against_index(
         new_sets.select("id"), "id", "left_anti"
     ).unionByName(new_sets)
     return verify_pairs_with_sets(all_sets, cands, threshold)
+
+
+# ---------------------------------------------------------------------------
+# Passage-level duplication: winnowing fingerprints (Schleimer et al.,
+# "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 16,
+) -> DataFrame:
+    """Winnowed passage fingerprints: ``(id, fp)`` — the distinct
+    window-minimum hashes over word ``k``-gram hashes, one window per
+    position, width ``w``.
+
+    The winnowing guarantee: any shared run of ≥ ``k + w - 1`` words
+    between two documents shares at least one selected fingerprint —
+    so passage-level overlap is detectable from a ~``2/(w+1)`` density
+    sample of positions instead of every k-gram. This is the
+    PASSAGE-level tier between exact dedup (whole doc) and MinHash
+    (whole-doc similarity): it catches a copied paragraph inside two
+    otherwise-unrelated documents, which document-level Jaccard
+    dilutes below any threshold.
+
+    Pure builtin expressions: k-gram hashing and the per-window
+    ``array_min`` run as HOFs inside codegen; cost is O(n·w) longs per
+    doc map-side, output is the deduped minima set. No shuffle.
+    """
+    words = tokenize(F.col(text_col))
+    src = docs.select(
+        F.col(id_col).alias("id"), words.alias("ws")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    n_grams = F.greatest(F.size("ws") - k + 1, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("ws"), i + 1, k))),
+    )
+    src = src.select("id", grams.alias("hs"))
+    n_windows = F.greatest(F.size("hs") - w + 1, F.lit(1))
+    minima = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda j: F.array_min(F.slice(F.col("hs"), j + 1, w)),
+    )
+    return src.select(
+        "id", F.explode(F.array_distinct(minima)).alias("fp")
+    )
+
+
+def duplicate_passages(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 64,
+) -> DataFrame:
+    """Document pairs sharing duplicated PASSAGES:
+    ``(id_a, id_b, n_shared_fps)`` with ``id_a < id_b`` and at least
+    ``min_shared`` winnowed fingerprints in common — the copied-
+    paragraph detector document-level similarity misses.
+
+    Plan shape mirrors the MinHash path: fingerprints are computed
+    map-side, the only exchanges are the fp self-join and the pair
+    count. ``max_docs_per_fp`` drops boilerplate fingerprints shared
+    by more than that many docs (license headers, navigation chrome)
+    — the stop-shingle guard that bounds every fp bucket, and with it
+    the join's worst case, at scale.
+    """
+    fps = winnow_fingerprints(docs, text_col, id_col, k, w)
+    bounded = fps.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("_df") <= max_docs_per_fp).drop("_df")
+    a, b = bounded.alias("a"), bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.id") < F.col("b.id")),
+            "inner",
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )

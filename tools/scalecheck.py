@@ -171,12 +171,42 @@ def main() -> None:
         )
     )
 
+    # pre-built IVF indexes, same rationale: the ANN claim is that a
+    # probe reads nprobe/n_centroids of the corpus, so measure a FIXED
+    # query set against a growing indexed corpus — with the exact
+    # brute-force scan as the what-pruning-avoids baseline
+    ivf_by_mult: dict[int, str] = {}
+    for mult in (1, args.factor):
+        p = os.path.join(idx_root, f"ivf{mult}")
+        similarity.write_ivf_index(
+            _scaled_embs(spark, args.sf, mult), p,
+            n_centroids=64, n_iters=1,
+        )
+        ivf_by_mult[mult] = p
+    ann_queries = (
+        spark.read.parquet(f"{args.sf}/embeddings.parquet")
+        .limit(50)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("query_vec"),
+        )
+        .localCheckpoint()
+    )
+
     #: covers the 10 heaviest BENCH_r03 queries' operator cores
     ops = {
         "incremental_probe_fixed_batch": lambda mult: (
             dedup.dedup_against_index(
                 probe_batch, idx_by_mult[mult], threshold=0.5
             )
+        ),
+        "ann_probe_pruned": lambda mult: similarity.ivf_search_index(
+            ann_queries, ivf_by_mult[mult], nprobe=4, k=5
+        ),
+        "ann_fullscan_baseline": lambda mult: similarity.brute_force_topk(
+            _scaled_embs(spark, args.sf, mult), ann_queries, k=5
         ),
         "q1_agg": lambda mult: q1(_scaled_lineitem(spark, args.sf, mult)),
         "j1_3way_join": j1,
