@@ -120,6 +120,46 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def llm_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing passage dedup, self-checking (the llm_simhash_planted
+    pattern): for every source doc (doc_id % 7 == 0, ≥ 23 words) a
+    synthetic doc is planted at id+1,000,000 whose text is the source's
+    words REVERSED (no shared 8-gram runs) followed by the source's
+    first 23 words — a shared run of exactly k + w − 1 = 23 words. By
+    the winnowing theorem that run MUST yield ≥ 1 shared fingerprint,
+    so `duplicate_passages(min_shared=1)` must pair every planted doc
+    with its source. Projection: (doc_id, passage_found) per source;
+    the oracle asserts TRUE for exactly the qualifying sources. (Raw
+    fingerprints stay xxhash64-dependent — this boolean surface is
+    engine-independent.)"""
+    docs = _docs(spark, sf_dir)
+    toks = dedup.tokenize(F.col("text"))
+    src = docs.select(
+        "doc_id", toks.alias("ws")
+    ).filter((F.col("doc_id") % 7 == 0) & (F.size("ws") >= 23))
+    planted = src.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.reverse("ws"), F.slice("ws", 1, 23)),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    pairs = dedup.duplicate_passages(
+        corpus, k=8, w=16, min_shared=1, max_docs_per_fp=1_000_000
+    )
+    found = (
+        pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("passage_found", F.lit(True))
+    )
+    return src.select("doc_id").join(found, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("passage_found", F.lit(False)).alias("passage_found"),
+    )
+
+
 def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs sharing ≥1 word-5-gram with a
     held-out 'benchmark' slice (doc_id % 7 == 0) of the corpus."""
@@ -573,6 +613,7 @@ QUERIES = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_jaccard_pairs": llm_jaccard_pairs,
     "llm_incremental_dedup": llm_incremental_dedup,
+    "llm_passage_dedup": llm_passage_dedup,
     "llm_dedup_clusters": llm_dedup_clusters,
     "llm_decontaminate": llm_decontaminate,
     "llm_minhash_dedup": llm_minhash_dedup,
@@ -693,6 +734,11 @@ ORACLES = {
                CASE WHEN ia % 10 = 7 THEN ib ELSE ia END AS id_b,
                jaccard
         FROM verified
+    """,
+    "llm_passage_dedup": f"""
+        SELECT doc_id, TRUE AS passage_found
+        FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+        WHERE doc_id % 7 = 0 AND len(ws) >= 23
     """,
     "llm_unigram_logprob": f"""
         WITH toks AS (
