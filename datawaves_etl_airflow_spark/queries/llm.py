@@ -596,7 +596,12 @@ DRIVER_QUERIES = [
     "llm_tfidf_keywords",
     "llm_unigram_logprob",
     "llm_wordcount",
-    # r3-green family sentinels
+    # new-in-r4 surfaces (oracle-backed; never driver-verified)
+    "llm_incremental_dedup",
+    "llm_passage_dedup",
+    # r3-green family sentinels (quantize/pack rotated out this round:
+    # both settled, array-math/property-pinned — the slots go to the
+    # two new-surface queries above per never-verified-first)
     "llm_dedup_exact",
     "llm_jaccard_pairs",
     "llm_dedup_clusters",
@@ -604,8 +609,6 @@ DRIVER_QUERIES = [
     "llm_simhash_planted",
     "llm_ann_ivf",
     "llm_neardup_embeddings",
-    "llm_quantize_embeddings",
-    "llm_pack_sequences",
     "llm_corpus_pipeline",
 ]
 
