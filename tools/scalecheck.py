@@ -241,6 +241,14 @@ def main() -> None:
         "text_quality": lambda mult: text.quality_logit(
             _scaled_docs(spark, args.sf, mult)
         ),
+        # the winnowing MAP stage (k-gram hash + window minima): the
+        # pair join is measured separately by its max_docs_per_fp bound
+        # (test-pinned) because perturbed COPIES share whole-document
+        # runs — pair volume on this synthetic corpus grows by
+        # construction, not by data, and would mismeasure the operator
+        "winnow_fingerprints": lambda mult: dedup.winnow_fingerprints(
+            _scaled_docs(spark, args.sf, mult)
+        ),
     }
 
     def run(build, mult: int) -> float:
