@@ -109,6 +109,21 @@ def word_shingles(
     )
 
 
+def _kgram_hash_array(words_col: Column, k: int) -> Column:
+    """Ordered xxhash64 per word k-gram: position i → hash of
+    words[i..i+k) joined by one space (the final gram truncates; docs
+    shorter than k yield one hash of the whole doc). THE hash chain —
+    every shingle/MinHash/winnowing consumer derives from this single
+    expression so the chains can never drift apart."""
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(words_col) - k, F.lit(0))
+    )
+    return F.transform(
+        idx,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words_col, i + 1, k))),
+    )
+
+
 def word_shingle_hashes(
     docs: DataFrame,
     text_col: str = "text",
@@ -124,13 +139,11 @@ def word_shingle_hashes(
     src = docs.select(
         F.col(id_col).alias("id"), words.alias("w")
     ).repartition(F.col("id"))
-    idx = F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0)))
-    hashes = F.transform(
-        idx,
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("w"), i + 1, k))),
-    )
     return src.select(
-        "id", F.explode(F.array_distinct(hashes)).alias("shingle")
+        "id",
+        F.explode(
+            F.array_distinct(_kgram_hash_array(F.col("w"), k))
+        ).alias("shingle"),
     )
 
 
@@ -299,12 +312,10 @@ def word_shingle_hash_sets(
     src = docs.select(
         F.col(id_col).alias("id"), words.alias("w")
     ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    idx = F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0)))
-    hashes = F.transform(
-        idx,
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("w"), i + 1, k))),
+    return src.select(
+        "id",
+        F.array_distinct(_kgram_hash_array(F.col("w"), k)).alias("shset"),
     )
-    return src.select("id", F.array_distinct(hashes).alias("shset"))
 
 
 _LONG_MAX = (1 << 63) - 1
@@ -1097,20 +1108,27 @@ def winnow_fingerprints(
     otherwise-unrelated documents, which document-level Jaccard
     dilutes below any threshold.
 
-    Pure builtin expressions: k-gram hashing and the per-window
-    ``array_min`` run as HOFs inside codegen; cost is O(n·w) longs per
-    doc map-side, output is the deduped minima set. No shuffle.
+    Docs shorter than ``k`` words emit NOTHING: their only "k-gram"
+    would be the truncated whole text, and a fingerprint of that would
+    make `duplicate_passages` report tiny/empty near-identical docs as
+    sharing a "passage" no k+w−1 run backs — exact dedup is the tier
+    for those.
+
+    Pure builtin expressions: k-gram hashing (the shared
+    `_kgram_hash_array` chain) and the per-window ``array_min`` run as
+    HOFs inside codegen — O(n·w) longs per doc, all map-side. The one
+    exchange is the same round-robin repartition every shingle helper
+    pays (materializes the words array so HOF lambdas don't
+    re-tokenize per reference, and fixes small-file parallelism);
+    nothing shuffles BY a key until a consumer joins the output.
     """
     words = tokenize(F.col(text_col))
     src = docs.select(
         F.col(id_col).alias("id"), words.alias("ws")
     ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    n_grams = F.greatest(F.size("ws") - k + 1, F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(0), n_grams - 1),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("ws"), i + 1, k))),
+    src = src.filter(F.size("ws") >= k).select(
+        "id", _kgram_hash_array(F.col("ws"), k).alias("hs")
     )
-    src = src.select("id", grams.alias("hs"))
     n_windows = F.greatest(F.size("hs") - w + 1, F.lit(1))
     minima = F.transform(
         F.sequence(F.lit(0), n_windows - 1),

@@ -411,13 +411,13 @@ def lsh_topk(
             ],
         )
         q = q.withColumn("bucket", F.explode(neighbors))
+    # no dedup needed after the probe explode: the probed buckets
+    # {b, b^1, b^2, ...} are pairwise distinct and every corpus vector
+    # has exactly ONE bucket, so a (query, vector) pair can match
+    # through at most one probed bucket
     joined = q.join(v, "bucket", "inner").withColumn(
         "cosine", cosine(F.col("query_vec"), F.col(vec_col))
     )
-    if multi_probe:
-        # a corpus vector can match through several probed buckets;
-        # keep one candidate row per (query, vector)
-        joined = joined.dropDuplicates(["query_id", id_col])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )

@@ -177,13 +177,27 @@ class TestMultiProbeLsh:
         row = multi.filter(F.col("match_id") == F.col("query_id")).first()
         assert row["cosine_sim"] > 0.99
 
-    def test_multi_probe_no_duplicate_candidates(self, spark):
+    def test_multi_probe_adds_no_extra_shuffle(self, spark):
+        """The probe explode needs NO candidate dedup (probed buckets
+        are pairwise distinct, a vector lives in exactly one) — so the
+        multi-probe plan must have exactly the single-probe plan's
+        exchanges, and the output must still be pair-unique."""
         from datawaves_etl_airflow_spark.operators.similarity import lsh_topk
 
         vecs = _vectors(spark, n=100, seed=2)
         qs = _queries(spark, n=4, seed=3)
-        out = lsh_topk(
+
+        def exchanges(df):
+            return df._jdf.queryExecution().executedPlan().toString().count(
+                "Exchange"
+            )
+
+        single = lsh_topk(vecs, qs, dim=DIM, k=50, n_planes=4)
+        multi = lsh_topk(
             vecs, qs, dim=DIM, k=50, n_planes=4, multi_probe=True
-        ).collect()
-        seen = [(r["query_id"], r["match_id"]) for r in out]
+        )
+        assert exchanges(multi) == exchanges(single)
+        seen = [
+            (r["query_id"], r["match_id"]) for r in multi.collect()
+        ]
         assert len(seen) == len(set(seen))

@@ -87,9 +87,13 @@ class TestWinnowing:
         # only the passage pair survives
         assert got == {(100, 101)}
 
-    def test_short_doc_no_crash(self, spark):
+    def test_short_docs_emit_nothing(self, spark):
+        """Docs under k words have no k-gram run to fingerprint — they
+        must emit nothing (so min_shared=1 can never pair two empty or
+        tiny docs on a truncated-text hash), and never crash."""
         docs = spark.createDataFrame(
-            [(1, "tiny"), (2, ""), (3, "a b c")],
+            [(1, "tiny"), (2, ""), (3, "a b c"), (4, "a b c")],
             "doc_id long, text string",
         )
-        assert winnow_fingerprints(docs, k=K, w=W).count() >= 1
+        assert winnow_fingerprints(docs, k=K, w=W).count() == 0
+        assert duplicate_passages(docs, k=K, w=W, min_shared=1).count() == 0
