@@ -1,0 +1,70 @@
+"""Global physical-plan invariants over EVERY registered driver query
+(the sweeping form of test_plans.py's per-query pins): at sf0.001,
+no registered plan may contain
+
+- a CartesianProduct or BroadcastNestedLoopJoin (the all-pairs shapes
+  this engine exists to avoid — the exact all-pairs forms live only in
+  DuckDB oracles and test baselines, never in a registered plan);
+- a row-at-a-time Python UDF (BatchEvalPython): the only sanctioned
+  Python surfaces are Arrow-batched (ArrowEvalPython / mapInPandas),
+  per the brief's UDF policy.
+
+Queries that execute eagerly at build time (iterative CC, the
+incremental index round-trip) still end in a final DataFrame whose
+plan these invariants cover.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FORBIDDEN = [
+    "CartesianProduct",
+    "BatchEvalPython",
+]
+
+#: BroadcastNestedLoopJoin is allowed ONLY where the broadcast side is
+#: a bounded-tiny relation — the sanctioned crossJoin-against-broadcast
+#: patterns SCALE.md documents. EXACT whitelist: a new query acquiring
+#: a nested loop (or one of these losing its reason) must fail here.
+ALLOWED_BNLJ = {
+    "d_verify_root_traces": "two 1-row count aggregates compared",
+    "llm_ann_ivf": "corpus x broadcast centroid set (<= n_centroids rows)",
+    "llm_tfidf_keywords": "broadcast 1-row corpus-size aggregate",
+    "llm_unigram_logprob": "broadcast 1-row corpus-size aggregate",
+}
+
+
+def _registered():
+    import __spark_entry__ as e
+
+    return sorted(e.queries().items())
+
+
+@pytest.mark.parametrize(
+    "name,fn", _registered(), ids=[n for n, _ in _registered()]
+)
+def test_no_products_no_row_python(spark, name, fn):
+    df = fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in FORBIDDEN:
+        assert bad not in plan, f"{name}: {bad} in physical plan"
+    if name not in ALLOWED_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unsanctioned BroadcastNestedLoopJoin — if the "
+            "broadcast side is provably tiny, add it to ALLOWED_BNLJ "
+            "with the reason"
+        )
+    else:
+        # the whitelist must not go stale: the sanctioned pattern is
+        # still present and still broadcast-built
+        assert "BroadcastNestedLoopJoin" in plan, (
+            f"{name}: whitelisted but plan no longer has the nested "
+            "loop — remove it from ALLOWED_BNLJ"
+        )
