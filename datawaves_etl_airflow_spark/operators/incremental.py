@@ -29,7 +29,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["merge_additive", "merge_additive_bucket_pruned"]
+__all__ = [
+    "merge_additive",
+    "merge_additive_bucket_pruned",
+    "distinct_sketch_day",
+    "merge_distinct_sketch",
+    "distinct_estimate",
+]
 
 
 def _existing_buckets(spark: SparkSession, cum_path: str) -> set[int]:
@@ -179,3 +185,50 @@ def _validate_layout(
             f"different bucket count; merging would split keys across "
             f"buckets and corrupt cumulative totals"
         )
+
+
+# ---------------------------------------------------------------------------
+# Incremental DISTINCT-count maintenance: mergeable HLL sketches
+# ---------------------------------------------------------------------------
+
+def distinct_sketch_day(
+    day: DataFrame, keys: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-key Datasketches-HLL sketch of a day's distinct
+    ``value_col``: ``(keys..., sketch: binary)``.
+
+    COUNT(DISTINCT) is the aggregate `merge_additive` cannot maintain
+    (distinct does not distribute over days); a mergeable sketch does:
+    store one small binary per key per fold, union instead of recount.
+    ``lg_k=12`` → ~1.6% relative standard error in ~4 KiB/key max.
+    One hash aggregation, all JVM (Spark's built-in Datasketches HLL).
+    """
+    return day.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(int(lg_k))).alias("sketch")
+    )
+
+
+def merge_distinct_sketch(
+    cum: DataFrame, day_sketch: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold a day's per-key sketches into the cumulative sketch table:
+    ``merge(cum, sketch(day)) ≈ sketch(history ∪ day)`` within the
+    sketch's error bound (bit-exactness is NOT promised: a union
+    forces dense-HLL mode while a small direct build may stay sparse)
+    — mergeability, extended from sums to distinct counts. The output
+    stays a sketch (binary), so folds chain indefinitely; call
+    `distinct_estimate` only at read time. One shuffle on the keys."""
+    both = cum.select(*keys, "sketch").unionByName(
+        day_sketch.select(*keys, "sketch")
+    )
+    return both.groupBy(*keys).agg(
+        F.hll_union_agg("sketch").alias("sketch")
+    )
+
+
+def distinct_estimate(sketches: DataFrame, keys: list[str]) -> DataFrame:
+    """Read-time estimates: ``(keys..., n_distinct: long)``."""
+    return sketches.select(
+        *keys,
+        F.hll_sketch_estimate("sketch").alias("n_distinct"),
+    )

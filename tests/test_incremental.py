@@ -141,3 +141,61 @@ class TestMergeBucketPruned:
             == []
         )
         assert _snapshot(path) == before
+
+
+class TestDistinctSketch:
+    """Mergeable HLL distinct-count maintenance: fold ≡ full rebuild,
+    estimates near-exact at small cardinality, chains across folds."""
+
+    def _day(self, spark, lo, hi, key="k1"):
+        from pyspark.sql import functions as F
+
+        return spark.range(lo, hi).select(
+            F.lit(key).alias("k"), F.col("id").alias("v")
+        )
+
+    def test_merge_equals_rebuild(self, spark):
+        from datawaves_etl_airflow_spark.operators.incremental import (
+            distinct_sketch_day,
+            distinct_estimate,
+            merge_distinct_sketch,
+        )
+
+        d1 = self._day(spark, 0, 500)
+        d2 = self._day(spark, 250, 800)  # 250 overlap
+        merged = merge_distinct_sketch(
+            distinct_sketch_day(d1, ["k"], "v"),
+            distinct_sketch_day(d2, ["k"], "v"),
+            ["k"],
+        )
+        rebuilt = distinct_sketch_day(d1.unionByName(d2), ["k"], "v")
+        got = distinct_estimate(merged, ["k"]).collect()[0]["n_distinct"]
+        want = distinct_estimate(rebuilt, ["k"]).collect()[0]["n_distinct"]
+        # union forces dense-HLL mode while a direct build may stay
+        # sparse, so fold ≡ rebuild holds at the ERROR-BOUND level
+        # (~1.6% rse at lg_k=12), not bit level
+        assert abs(got - want) / want < 0.03
+        assert abs(got - 800) / 800 < 0.05
+        assert abs(want - 800) / 800 < 0.05
+
+    def test_chained_folds_and_multiple_keys(self, spark):
+        from datawaves_etl_airflow_spark.operators.incremental import (
+            distinct_sketch_day,
+            distinct_estimate,
+            merge_distinct_sketch,
+        )
+
+        cum = distinct_sketch_day(self._day(spark, 0, 100), ["k"], "v")
+        for lo in (100, 200, 300):
+            day = self._day(spark, lo, lo + 100).unionByName(
+                self._day(spark, 0, 50, key="k2")
+            )
+            cum = merge_distinct_sketch(
+                cum, distinct_sketch_day(day, ["k"], "v"), ["k"]
+            )
+        est = {
+            r["k"]: r["n_distinct"]
+            for r in distinct_estimate(cum, ["k"]).collect()
+        }
+        assert abs(est["k1"] - 400) / 400 < 0.05
+        assert abs(est["k2"] - 50) / 50 < 0.05
