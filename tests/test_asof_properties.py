@@ -82,3 +82,55 @@ class TestAsofEquivalence:
             for r in merged.itertuples()
         )
         assert got_rows == want_rows
+
+
+# (key-free) range containment: randomized facts/intervals vs a naive
+# O(n*m) python reference, with boundary-exact and sub-second cases
+_facts = st.lists(
+    st.integers(0, 400),  # fact offsets in HALF-seconds (forces
+    min_size=1, max_size=20,  # sub-second boundaries)
+)
+_ranges = st.lists(
+    st.tuples(st.integers(0, 400), st.integers(1, 120)),  # (start, len)
+    min_size=0,
+    max_size=10,
+)
+
+
+class TestRangeJoinEquivalence:
+    @settings(max_examples=10, deadline=None)
+    @given(facts=_facts, ranges=_ranges)
+    def test_matches_naive_containment(self, spark, facts, ranges):
+        from datawaves_etl_airflow_spark.operators.temporal import (
+            bucketed_range_join,
+        )
+
+        fdata = [
+            (i, EPOCH + dt.timedelta(milliseconds=500 * o))
+            for i, o in enumerate(facts)
+        ]
+        rdata = [
+            (
+                j,
+                EPOCH + dt.timedelta(milliseconds=500 * s),
+                EPOCH + dt.timedelta(milliseconds=500 * (s + ln)),
+            )
+            for j, (s, ln) in enumerate(ranges)
+        ]
+        fdf = spark.createDataFrame(fdata, "fid long, ts timestamp")
+        rdf = spark.createDataFrame(
+            rdata, "rid long, start timestamp, end timestamp"
+        )
+        got = sorted(
+            (r["fid"], r["rid"])
+            for r in bucketed_range_join(
+                fdf, "ts", rdf, "start", "end", bucket_seconds=60
+            ).collect()
+        )
+        want = sorted(
+            (fi, rj)
+            for fi, fts in fdata
+            for rj, rs, re in rdata
+            if rs <= fts < re
+        )
+        assert got == want
