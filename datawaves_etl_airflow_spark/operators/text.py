@@ -333,3 +333,64 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/pretraining prep
+    step that turns documents into overlapping fixed-width token
+    windows: ``(doc_id, chunk_id, start_token, n_tokens, chunk_text)``.
+
+    Stride is ``chunk_tokens - overlap``; chunk i covers tokens
+    ``[i*stride, i*stride + chunk_tokens)``; the final chunk may be
+    shorter; empty docs emit nothing. Chunk count is
+    ``1 + ceil_div(max(n - chunk_tokens, 0), stride)`` with pure
+    integer arithmetic, so any engine replaying the formula matches
+    row-for-row.
+
+    All higher-order functions map-side (sequence → transform → slice
+    → explode); no UDF, no shuffle. At 100 TB chunking is
+    embarrassingly parallel and output-bounded: ≈ n/stride rows per
+    doc, each carrying one window of text.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    # split('') is [''] (size 1), so emptiness is decided on the
+    # NORMALIZED TEXT, not the token array — the same predicate an
+    # oracle's string_split reproduces
+    norm = normalize_text(F.col(text_col))
+    n = F.size("_ws")
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - chunk_tokens, F.lit(0)) + stride - 1) / stride
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            (i * stride).cast("long").alias("start_token"),
+            F.least(
+                F.lit(chunk_tokens), n - i * stride
+            ).cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("_ws"), i * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        docs.filter(norm != "")
+        .select(F.col(id_col), F.split(norm, " ").alias("_ws"))
+        .select(id_col, F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            "c.chunk_id",
+            "c.start_token",
+            "c.n_tokens",
+            "c.chunk_text",
+        )
+    )

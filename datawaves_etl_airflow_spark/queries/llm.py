@@ -160,6 +160,16 @@ def llm_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, 16-token overlap) —
+    the RAG/pretraining prep step; integer window arithmetic, so the
+    oracle replays the formula row-for-row including the short final
+    chunk and empty-doc exclusion."""
+    return text.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=64, overlap=16
+    )
+
+
 def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs sharing ≥1 word-5-gram with a
     held-out 'benchmark' slice (doc_id % 7 == 0) of the corpus."""
@@ -617,6 +627,7 @@ QUERIES = {
     "llm_jaccard_pairs": llm_jaccard_pairs,
     "llm_incremental_dedup": llm_incremental_dedup,
     "llm_passage_dedup": llm_passage_dedup,
+    "llm_chunking": llm_chunking,
     "llm_dedup_clusters": llm_dedup_clusters,
     "llm_decontaminate": llm_decontaminate,
     "llm_minhash_dedup": llm_minhash_dedup,
@@ -742,6 +753,21 @@ ORACLES = {
         SELECT doc_id, TRUE AS passage_found
         FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
         WHERE doc_id % 7 = 0 AND len(ws) >= 23
+    """,
+    "llm_chunking": f"""
+        WITH base AS (
+            SELECT doc_id, {_WORDS} AS ws, len({_WORDS}) AS n
+            FROM documents
+            WHERE {_NORM.format(t='text')} <> ''
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_id,
+               CAST(i * 48 AS BIGINT) AS start_token,
+               CAST(least(64, n - i * 48) AS BIGINT) AS n_tokens,
+               array_to_string(ws[i*48+1 : i*48+64], ' ') AS chunk_text
+        FROM base,
+             UNNEST(range(0, 1 + (greatest(n - 64, 0) + 47) // 48))
+                 AS u(i)
     """,
     "llm_unigram_logprob": f"""
         WITH toks AS (

@@ -669,3 +669,60 @@ class TestUnigramLogprob:
         assert out[0]["n_tokens"] == 3
         assert abs(out[0]["avg_logprob"] - want0) < 1e-9
         assert abs(out[1]["avg_logprob"] - want1) < 1e-9
+
+
+class TestChunking:
+    def test_window_arithmetic_and_edges(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import chunk_documents
+
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"w{i}" for i in range(10))),
+                (2, "short doc"),
+                (3, ""),      # excluded
+                (4, "   "),   # whitespace-only: excluded
+            ],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            (r["doc_id"], r["chunk_id"], r["start_token"],
+             r["n_tokens"], r["chunk_text"])
+            for r in chunk_documents(
+                docs, chunk_tokens=4, overlap=1
+            ).collect()
+        )
+        assert rows == [
+            (1, 0, 0, 4, "w0 w1 w2 w3"),
+            (1, 1, 3, 4, "w3 w4 w5 w6"),
+            (1, 2, 6, 4, "w6 w7 w8 w9"),
+            (2, 0, 0, 2, "short doc"),
+        ]
+
+    def test_coverage_and_overlap_invariants(self, spark):
+        """Every token position is covered; consecutive chunks overlap
+        by exactly `overlap` except possibly the short last one."""
+        from datawaves_etl_airflow_spark.operators.text import chunk_documents
+
+        n, chunk, ov = 137, 32, 8
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(n)))],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            (r["start_token"], r["n_tokens"])
+            for r in chunk_documents(
+                docs, chunk_tokens=chunk, overlap=ov
+            ).collect()
+        )
+        covered = set()
+        for s, m in rows:
+            covered |= set(range(s, s + m))
+        assert covered == set(range(n))
+        strides = [b[0] - a[0] for a, b in zip(rows, rows[1:])]
+        assert all(s == chunk - ov for s in strides)
+
+    def test_overlap_must_be_smaller(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import chunk_documents
+
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(spark.range(1), chunk_tokens=8, overlap=8)
