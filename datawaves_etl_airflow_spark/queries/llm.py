@@ -609,10 +609,10 @@ DRIVER_QUERIES = [
     # new-in-r4 surfaces (oracle-backed; never driver-verified)
     "llm_incremental_dedup",
     "llm_passage_dedup",
-    # r3-green family sentinels (quantize/pack rotated out this round:
-    # both settled, array-math/property-pinned — the slots go to the
-    # two new-surface queries above per never-verified-first)
-    "llm_dedup_exact",
+    "llm_chunking",
+    # r3-green family sentinels (quantize/pack/exact-dedup rotated out
+    # this round: all settled with r2+r3 CORRECTNESS rows — the slots
+    # go to the three new-surface queries above, never-verified-first)
     "llm_jaccard_pairs",
     "llm_dedup_clusters",
     "llm_decontaminate",
