@@ -947,8 +947,15 @@ def write_minhash_index(
 
     sets = word_shingle_hash_sets(docs, text_col, id_col, k).persist()
     bands = minhash_band_rows_np(sets, n_hashes, n_bands)
-    bands.write.mode("overwrite").parquet(_os.path.join(path, "bands"))
-    sets.write.mode("overwrite").parquet(_os.path.join(path, "sets"))
+    # batch=<token> subdirectory layout from day 0 (appends add more
+    # batch dirs with per-batch OVERWRITE — the idempotency mechanism;
+    # see append_minhash_index)
+    bands.write.mode("overwrite").parquet(
+        _os.path.join(path, "bands", "batch=base")
+    )
+    sets.write.mode("overwrite").parquet(
+        _os.path.join(path, "sets", "batch=base")
+    )
     sets.unpersist()
     write_text(
         docs.sparkSession,
@@ -990,25 +997,51 @@ def append_minhash_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_token: str | None = None,
 ) -> None:
     """Fold a new (already-accepted) batch into the index under the
-    STORED parameter contract — append-only writes, no corpus rewrite."""
-    import os as _os
+    STORED parameter contract — no corpus rewrite.
 
+    Each fold lands in its own ``batch=<token>`` subdirectory with
+    OVERWRITE semantics, which makes the fold crash-safe end to end:
+
+    - re-running the same ``batch_token`` (a foreachBatch replay, a
+      retry after a crash anywhere inside the fold) overwrites that
+      batch's directories instead of appending duplicate rows;
+    - a crash BETWEEN the two writes leaves sets without bands —
+      write order is deliberate: the batch is merely unindexed until
+      the retry (no candidates form). The reverse order would leave
+      bands without verify-sets: candidates would FORM and silently
+      fail verification — wrong results, not missing ones.
+
+    ``batch_token`` defaults to a fresh UUID (ad-hoc callers get plain
+    accumulation); pass a stable token (the streaming batch id) to get
+    the idempotent behavior.
+    """
+    import os as _os
+    import uuid as _uuid
+
+    token = batch_token if batch_token is not None else _uuid.uuid4().hex
+    if "/" in token or "=" in token:
+        raise ValueError(f"batch_token must be path-safe: {token!r}")
     meta = read_minhash_index_meta(docs.sparkSession, path)
     # localCheckpoint, NOT persist: callers commonly derive ``docs``
     # from a probe of THIS index (accept-filter pipelines), so its
-    # lineage reads bands/. The first append below invalidates any
+    # lineage reads bands/. The first write below invalidates any
     # cache whose lineage touches that path, and a recompute during
-    # the sets/ write would probe the HALF-APPENDED index — observed
+    # the second write would probe the HALF-APPENDED index — observed
     # to drop fresh docs from sets/ while their bands landed. An eager
     # checkpoint materializes the rows once, before either write.
     sets = word_shingle_hash_sets(
         docs, text_col, id_col, meta["k"]
     ).localCheckpoint()
     bands = minhash_band_rows_np(sets, meta["n_hashes"], meta["n_bands"])
-    bands.write.mode("append").parquet(_os.path.join(path, "bands"))
-    sets.write.mode("append").parquet(_os.path.join(path, "sets"))
+    sets.write.mode("overwrite").parquet(
+        _os.path.join(path, "sets", f"batch={token}")
+    )
+    bands.write.mode("overwrite").parquet(
+        _os.path.join(path, "bands", f"batch={token}")
+    )
 
 
 def dedup_against_index(
@@ -1051,8 +1084,14 @@ def dedup_against_index(
     new_bands = minhash_band_rows_np(
         new_sets, meta["n_hashes"], meta["n_bands"]
     )
-    idx_bands = spark.read.parquet(_os.path.join(path, "bands"))
-    idx_sets = spark.read.parquet(_os.path.join(path, "sets"))
+    # project away the batch=<token> partition column the idempotent
+    # fold layout adds (see append_minhash_index)
+    idx_bands = spark.read.parquet(_os.path.join(path, "bands")).select(
+        "id", "band_id", "band_hash"
+    )
+    idx_sets = spark.read.parquet(_os.path.join(path, "sets")).select(
+        "id", "shset"
+    )
 
     vs_corpus = (
         new_bands.alias("a")

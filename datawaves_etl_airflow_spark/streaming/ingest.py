@@ -175,7 +175,13 @@ def make_neardup_ingest(
         accepted = batch_df.join(drops, id_col, "anti").persist()
         try:
             accepted.write.mode("append").parquet(docs_dir)
-            append_minhash_index(accepted, index_path, text_col, id_col)
+            # stable batch token → a crash anywhere in this block and
+            # the foreachBatch retry overwrite the SAME index batch
+            # dirs instead of appending duplicates
+            append_minhash_index(
+                accepted, index_path, text_col, id_col,
+                batch_token=f"b{batch_id}",
+            )
         finally:
             accepted.unpersist()
         write_text(spark, marker, str(batch_id))

@@ -110,3 +110,51 @@ class TestIncrementalDedup:
         )
         got = _pairs(dedup_against_index(batch, index_path, threshold=0.5))
         assert (1, 1) not in got
+
+
+class TestCrashSafeFolds:
+    """The batch=<token> fold layout: same-token retries overwrite
+    (never duplicate), and a crash between the two writes leaves the
+    batch merely unindexed — fail-safe, not wrong."""
+
+    def test_same_token_retry_no_duplicates(self, spark, index_path):
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        append_minhash_index(batch, index_path, batch_token="day1")
+        append_minhash_index(batch, index_path, batch_token="day1")
+        sets = spark.read.parquet(index_path + "/sets")
+        ids = [r["id"] for r in sets.select("id").collect()]
+        assert len(ids) == len(set(ids))  # one set row per doc
+
+    def test_crash_between_writes_is_failsafe_then_retry_completes(
+        self, spark, index_path
+    ):
+        """Simulate the crash window: sets written, bands not. The
+        probe must form NO candidates against the half-folded batch
+        (missing, never wrong); the same-token retry completes it."""
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            minhash_band_rows_np,
+            read_minhash_index_meta,
+            word_shingle_hash_sets,
+        )
+
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        meta = read_minhash_index_meta(spark, index_path)
+        half = word_shingle_hash_sets(batch, k=meta["k"])
+        # crash simulation: ONLY the sets write of batch 'day1' lands
+        half.write.mode("overwrite").parquet(
+            index_path + "/sets/batch=day1"
+        )
+        probe = spark.createDataFrame(
+            [(30, BATCH[1][1] + "!")], "doc_id long, text string"
+        )
+        got = dedup_against_index(probe, index_path, threshold=0.5)
+        assert got.count() == 0  # unindexed, not wrong
+        # retry with the same token completes the fold idempotently
+        append_minhash_index(batch, index_path, batch_token="day1")
+        got2 = {
+            (r["id_a"], r["id_b"])
+            for r in dedup_against_index(
+                probe, index_path, threshold=0.5
+            ).collect()
+        }
+        assert got2 == {(30, 11), (30, 12)}  # 11 and 12 are near-dups
