@@ -57,9 +57,16 @@ class TestRegistrationPolicy:
         so a budget cut still lands on fresh evidence first."""
         names = list(entrymod.queries())
         assert names[0] == "evt_seaport_decode"  # hardest decode sentinel
-        # llm rotation block precedes llm sentinels
-        assert names.index("llm_minhash_dedup") < names.index("llm_dedup_exact")
+        # llm rotation block (incl. the new-in-r4 surfaces) precedes
+        # the llm sentinels
+        assert names.index("llm_minhash_dedup") < names.index(
+            "llm_jaccard_pairs"
+        )
         assert names.index("llm_wordcount") < names.index("llm_jaccard_pairs")
+        for new_q in (
+            "llm_incremental_dedup", "llm_passage_dedup", "llm_chunking"
+        ):
+            assert names.index(new_q) < names.index("llm_jaccard_pairs")
         # generic rotation block precedes generic sentinels
         assert names.index("g1_rollup_returnflag") < names.index(
             "q1_pricing_summary"
