@@ -275,6 +275,11 @@ def decode_image(
 
     codec_list = list(codecs) if codecs is not None else image_codecs()
 
+    # hoist per-payload costs out of the hot loop: plain (sniff,
+    # decode) function pairs, no generator/dataclass lookups per item
+    # (measured ~µs/payload — real money at millions of rows/task)
+    dispatch = [(c.sniff, c.decode) for c in codec_list]
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -285,12 +290,13 @@ def decode_image(
                     continue
                 b = bytes(b)
                 try:
-                    codec = next(
-                        (c for c in codec_list if c.sniff(b)), None
-                    )
-                    if codec is None:
+                    img = None
+                    for sniff, decode in dispatch:
+                        if sniff(b):
+                            img = decode(b)
+                            break
+                    if img is None:
                         raise ValueError("bad image container")
-                    img = codec.decode(b)
                 except (ValueError, OSError) as e:
                     if on_error == "fail":
                         raise ValueError(
@@ -402,6 +408,8 @@ def decode_audio_features(
 
     codec_list = list(codecs) if codecs is not None else audio_codecs()
 
+    dispatch = [(c.sniff, c.decode) for c in codec_list]
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -412,12 +420,14 @@ def decode_audio_features(
                     continue
                 b = bytes(b)
                 try:
-                    codec = next(
-                        (c for c in codec_list if c.sniff(b)), None
-                    )
-                    if codec is None:
+                    decoded = None
+                    for sniff, decode in dispatch:
+                        if sniff(b):
+                            decoded = decode(b)
+                            break
+                    if decoded is None:
                         raise ValueError("bad audio container")
-                    rate, samples = codec.decode(b)
+                    rate, samples = decoded
                 except (ValueError, OSError, EOFError) as e:
                     if on_error == "fail":
                         raise ValueError(
