@@ -945,10 +945,17 @@ def write_minhash_index(
 
     from ..sources.fs import write_text
 
+    # a REBUILD must clear every previously folded batch dir, or stale
+    # appends from the old corpus survive beside the new base — and a
+    # parameter change would leave a mixed-parameter index behind the
+    # fresh marker
+    spark = docs.sparkSession
+    for sub in ("bands", "sets"):
+        _delete_dir(spark, _os.path.join(path, sub))
     sets = word_shingle_hash_sets(docs, text_col, id_col, k).persist()
     bands = minhash_band_rows_np(sets, n_hashes, n_bands)
     # batch=<token> subdirectory layout from day 0 (appends add more
-    # batch dirs with per-batch OVERWRITE — the idempotency mechanism;
+    # batch dirs with per-batch overwrite — the idempotency mechanism;
     # see append_minhash_index)
     bands.write.mode("overwrite").parquet(
         _os.path.join(path, "bands", "batch=base")
@@ -958,10 +965,27 @@ def write_minhash_index(
     )
     sets.unpersist()
     write_text(
-        docs.sparkSession,
+        spark,
         _index_meta_path(path),
-        _json.dumps({"k": k, "n_hashes": n_hashes, "n_bands": n_bands}),
+        _json.dumps(
+            {
+                "k": k,
+                "n_hashes": n_hashes,
+                "n_bands": n_bands,
+                "layout": "batch-v1",
+            }
+        ),
     )
+
+
+def _delete_dir(spark, path: str) -> None:
+    """Recursive delete via the Hadoop FS (works on any configured
+    store, not just the local posix view)."""
+    from ..sources.fs import _fs_and_path
+
+    fs, p = _fs_and_path(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def read_minhash_index_meta(spark, path: str) -> dict:
@@ -980,16 +1004,27 @@ def read_minhash_index_meta(spark, path: str) -> dict:
         )
     try:
         meta = _json.loads(raw)
-        return {
+        parsed = {
             "k": int(meta["k"]),
             "n_hashes": int(meta["n_hashes"]),
             "n_bands": int(meta["n_bands"]),
         }
+        layout = meta.get("layout")
     except (ValueError, KeyError, TypeError) as exc:
         raise ValueError(
             f"corrupt MinHash index marker at {_index_meta_path(path)}: "
             f"{raw!r}"
         ) from exc
+    if layout != "batch-v1":
+        # a pre-batch-layout index mixes flat part files with batch=
+        # dirs the moment anything appends — partition discovery then
+        # fails with an opaque 'conflicting directory structures'
+        # error; fail HERE with the actionable message instead
+        raise ValueError(
+            f"MinHash index at {path} uses layout {layout!r}, this "
+            "code expects 'batch-v1' — rebuild with write_minhash_index"
+        )
+    return parsed
 
 
 def append_minhash_index(
@@ -1021,10 +1056,24 @@ def append_minhash_index(
     import os as _os
     import uuid as _uuid
 
+    from ..sources.fs import path_exists
+
     token = batch_token if batch_token is not None else _uuid.uuid4().hex
     if "/" in token or "=" in token:
         raise ValueError(f"batch_token must be path-safe: {token!r}")
-    meta = read_minhash_index_meta(docs.sparkSession, path)
+    spark = docs.sparkSession
+    meta = read_minhash_index_meta(spark, path)
+    sets_dir = _os.path.join(path, "sets", f"batch={token}")
+    bands_dir = _os.path.join(path, "bands", f"batch={token}")
+    # completion is judged by the writer's _SUCCESS marker, and a
+    # COMPLETE sets dir is never rewritten: overwrite is
+    # delete-then-write, and deleting complete sets while this batch's
+    # bands exist would re-open the candidates-without-verify-sets
+    # window the write order exists to close
+    sets_done = path_exists(spark, _os.path.join(sets_dir, "_SUCCESS"))
+    bands_done = path_exists(spark, _os.path.join(bands_dir, "_SUCCESS"))
+    if sets_done and bands_done:
+        return  # fold already durable — same-token retry is a no-op
     # localCheckpoint, NOT persist: callers commonly derive ``docs``
     # from a probe of THIS index (accept-filter pipelines), so its
     # lineage reads bands/. The first write below invalidates any
@@ -1036,12 +1085,9 @@ def append_minhash_index(
         docs, text_col, id_col, meta["k"]
     ).localCheckpoint()
     bands = minhash_band_rows_np(sets, meta["n_hashes"], meta["n_bands"])
-    sets.write.mode("overwrite").parquet(
-        _os.path.join(path, "sets", f"batch={token}")
-    )
-    bands.write.mode("overwrite").parquet(
-        _os.path.join(path, "bands", f"batch={token}")
-    )
+    if not sets_done:
+        sets.write.mode("overwrite").parquet(sets_dir)
+    bands.write.mode("overwrite").parquet(bands_dir)
 
 
 def dedup_against_index(

@@ -358,8 +358,13 @@ def chunk_documents(
     embarrassingly parallel and output-bounded: ≈ n/stride rows per
     doc, each carrying one window of text.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be < chunk_tokens")
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not 0 <= overlap < chunk_tokens:
+        # negative overlap means stride > chunk — tokens BETWEEN
+        # chunks would silently appear in no window, breaking the
+        # full-coverage contract
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     # split('') is [''] (size 1), so emptiness is decided on the
     # NORMALIZED TEXT, not the token array — the same predicate an
@@ -383,8 +388,12 @@ def chunk_documents(
         ),
     )
     return (
-        docs.filter(norm != "")
-        .select(F.col(id_col), F.split(norm, " ").alias("_ws"))
+        # project the normalized text ONCE: referencing `norm` in both
+        # the filter and the split would run the regex chain twice per
+        # row (Filter and Project are separate operators — no CSE)
+        docs.select(F.col(id_col), norm.alias("_n"))
+        .filter(F.col("_n") != "")
+        .select(F.col(id_col), F.split("_n", " ").alias("_ws"))
         .select(id_col, F.explode(chunks).alias("c"))
         .select(
             id_col,

@@ -158,3 +158,52 @@ class TestCrashSafeFolds:
             ).collect()
         }
         assert got2 == {(30, 11), (30, 12)}  # 11 and 12 are near-dups
+
+    def test_rebuild_clears_stale_batches(self, spark, index_path):
+        """write_minhash_index over a used path must wipe previously
+        folded batches — stale appends must not report duplicates
+        against docs no longer in the corpus."""
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        append_minhash_index(batch, index_path, batch_token="day1")
+        # rebuild with a corpus that does NOT contain doc 11
+        rebuilt = spark.createDataFrame(BASE, "doc_id long, text string")
+        write_minhash_index(rebuilt, index_path)
+        probe = spark.createDataFrame(
+            [(20, BATCH[1][1] + "!")], "doc_id long, text string"
+        )
+        got = _pairs(dedup_against_index(probe, index_path, threshold=0.5))
+        assert got == set()  # 11/12 are gone with the rebuild
+
+    def test_retry_after_complete_fold_never_deletes(
+        self, spark, index_path, tmp_path
+    ):
+        """A same-token retry of a COMPLETE fold is a no-op: the sets
+        dir keeps its exact files (mtime-stable), so no crash window
+        can re-open on the retry path."""
+        import glob
+        import os
+
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        append_minhash_index(batch, index_path, batch_token="day1")
+        files_before = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(index_path + "/sets/batch=day1/*")
+        }
+        append_minhash_index(batch, index_path, batch_token="day1")
+        files_after = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(index_path + "/sets/batch=day1/*")
+        }
+        assert files_before == files_after
+
+    def test_pre_batch_layout_rejected_loudly(self, spark, index_path):
+        from datawaves_etl_airflow_spark.sources.fs import write_text
+
+        write_text(
+            spark,
+            index_path + "/_minhash_index.json",
+            '{"k": 3, "n_hashes": 64, "n_bands": 16}',  # no layout key
+        )
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        with pytest.raises(ValueError, match="batch-v1"):
+            dedup_against_index(batch, index_path)

@@ -726,3 +726,11 @@ class TestChunking:
 
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(spark.range(1), chunk_tokens=8, overlap=8)
+
+    def test_negative_overlap_rejected(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import chunk_documents
+
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(spark.range(1), chunk_tokens=4, overlap=-2)
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            chunk_documents(spark.range(1), chunk_tokens=0, overlap=0)
