@@ -62,6 +62,7 @@ def main() -> None:
         "llm_tfidf_keywords": llm.llm_tfidf_keywords,
         "llm_quality_logit": llm.llm_quality_logit,
         "llm_pack_sequences": llm.llm_pack_sequences,
+        "llm_chunking": llm.llm_chunking,
         "llm_corpus_pipeline": llm.llm_corpus_pipeline,
         "llm_image_features": llm.llm_image_features,
         "llm_audio_features": llm.llm_audio_features,
