@@ -1263,3 +1263,34 @@ def duplicate_passages(
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= min_shared)
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str = "score",
+    id_col: str = "id",
+) -> DataFrame:
+    """Pick the doc to KEEP per duplicate cluster: ``(cluster_id,
+    keep_id, keep_score)`` — argmax ``score_col``, ties broken toward
+    the smaller id.
+
+    `duplicate_clusters` labels components by min id, which is the
+    right CLUSTER KEY but an arbitrary KEEP policy; real pipelines keep
+    the best copy (longest, highest quality logit, freshest). This
+    composes the cluster labels with any per-doc score in one hash
+    aggregation — at 100 TB the scores join shuffles on id (or
+    co-locates if both sides are id-bucketed) and the argmax is
+    map-side partial.
+    """
+    joined = clusters.join(
+        scores.select(
+            F.col(id_col), F.col(score_col).alias("_score")
+        ),
+        id_col,
+    )
+    pick = F.struct(F.col("_score"), (-F.col(id_col)).alias("_neg"))
+    return joined.groupBy("cluster_id").agg(
+        F.max_by(F.col(id_col), pick).alias("keep_id"),
+        F.max(pick).getField("_score").alias("keep_score"),
+    )

@@ -160,6 +160,28 @@ def llm_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup policy: connected components over the Jaccard
+    pairs (as llm_dedup_clusters), then the KEPT doc per cluster is
+    the LONGEST copy (token count; ties → smaller id) — the policy a
+    real pipeline wants instead of arbitrary min-id. Oracle replays
+    the recursive-CTE clusters + the argmax."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, threshold=0.5, n_hashes=64, n_bands=32
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    scores = docs.select(
+        F.col("doc_id").alias("id"),
+        F.size(dedup.tokenize(F.col("text"))).cast("long").alias("score"),
+    )
+    return dedup.cluster_representatives(clusters, scores).select(
+        "cluster_id",
+        "keep_id",
+        F.col("keep_score").cast("long").alias("keep_tokens"),
+    )
+
+
 def llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (64-token windows, 16-token overlap) —
     the RAG/pretraining prep step; integer window arithmetic, so the
@@ -628,6 +650,7 @@ QUERIES = {
     "llm_incremental_dedup": llm_incremental_dedup,
     "llm_passage_dedup": llm_passage_dedup,
     "llm_chunking": llm_chunking,
+    "llm_cluster_keep": llm_cluster_keep,
     "llm_dedup_clusters": llm_dedup_clusters,
     "llm_decontaminate": llm_decontaminate,
     "llm_minhash_dedup": llm_minhash_dedup,
@@ -869,6 +892,50 @@ ORACLES = {
             FROM reach r JOIN edges e ON e.src = r.id
         )
         SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    """,
+    "llm_cluster_keep": f"""
+        WITH RECURSIVE sh AS ({_SHINGLES}),
+        sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sz sa ON inter.id_a = sa.id
+            JOIN sz sb ON inter.id_b = sb.id
+            WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src AS id, src AS lbl FROM edges
+            UNION
+            SELECT e.dst AS id, r.lbl AS lbl
+            FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        clusters AS (
+            SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+        ),
+        lens AS (
+            SELECT doc_id AS id, CAST(len({_WORDS}) AS BIGINT) AS score
+            FROM documents
+        ),
+        ranked AS (
+            SELECT c.cluster_id, c.id, l.score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY l.score DESC, c.id ASC
+                   ) AS rn
+            FROM clusters c JOIN lens l USING (id)
+        )
+        SELECT cluster_id, id AS keep_id, score AS keep_tokens
+        FROM ranked WHERE rn = 1
     """,
     "llm_cosine_topk": f"""
         WITH q AS (

@@ -117,3 +117,26 @@ class TestReviewRegressions:
         )
         got = _clusters(duplicate_clusters_star(pairs))
         assert got == {5: 5, 1: 1, 2: 1}
+
+
+class TestClusterRepresentatives:
+    def test_keep_best_with_tiebreak(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            cluster_representatives,
+        )
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+            "id long, cluster_id long",
+        )
+        scores = spark.createDataFrame(
+            # cluster 1: 2 and 3 tie at 9 -> keep 2 (smaller id);
+            # cluster 7: 8 wins outright
+            [(1, 5), (2, 9), (3, 9), (7, 1), (8, 4)],
+            "id long, score long",
+        )
+        got = {
+            r["cluster_id"]: (r["keep_id"], r["keep_score"])
+            for r in cluster_representatives(clusters, scores).collect()
+        }
+        assert got == {1: (2, 9), 7: (8, 4)}
