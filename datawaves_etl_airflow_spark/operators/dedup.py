@@ -943,15 +943,20 @@ def write_minhash_index(
     import json as _json
     import os as _os
 
-    from ..sources.fs import write_text
+    from ..sources.fs import delete_path, write_text
 
-    # a REBUILD must clear every previously folded batch dir, or stale
-    # appends from the old corpus survive beside the new base — and a
-    # parameter change would leave a mixed-parameter index behind the
-    # fresh marker
+    # a REBUILD is destructive-in-place and NOT atomic: the marker is
+    # deleted FIRST, then the data dirs, and the marker is rewritten
+    # only after the new data commits — so a crash anywhere mid-rebuild
+    # leaves a missing-marker index that fails LOUDLY on the next probe
+    # (never an old-parameter marker over new-parameter data, and never
+    # stale folded batches beside a new base). Deployments that need
+    # the old index to survive a failed rebuild should build to a NEW
+    # path and flip a pointer.
     spark = docs.sparkSession
+    delete_path(spark, _index_meta_path(path))
     for sub in ("bands", "sets"):
-        _delete_dir(spark, _os.path.join(path, sub))
+        delete_path(spark, _os.path.join(path, sub))
     sets = word_shingle_hash_sets(docs, text_col, id_col, k).persist()
     bands = minhash_band_rows_np(sets, n_hashes, n_bands)
     # batch=<token> subdirectory layout from day 0 (appends add more
@@ -978,14 +983,6 @@ def write_minhash_index(
     )
 
 
-def _delete_dir(spark, path: str) -> None:
-    """Recursive delete via the Hadoop FS (works on any configured
-    store, not just the local posix view)."""
-    from ..sources.fs import _fs_and_path
-
-    fs, p = _fs_and_path(spark, path)
-    if fs.exists(p):
-        fs.delete(p, True)
 
 
 def read_minhash_index_meta(spark, path: str) -> dict:
@@ -1016,13 +1013,24 @@ def read_minhash_index_meta(spark, path: str) -> dict:
             f"{raw!r}"
         ) from exc
     if layout != "batch-v1":
-        # a pre-batch-layout index mixes flat part files with batch=
-        # dirs the moment anything appends — partition discovery then
-        # fails with an opaque 'conflicting directory structures'
-        # error; fail HERE with the actionable message instead
+        # markers without a layout key can be either a pre-batch FLAT
+        # index (incompatible: appending batch= dirs beside flat part
+        # files makes partition discovery fail with an opaque
+        # 'conflicting directory structures' error) or an early
+        # batch-layout index that simply predates the key — the dirs
+        # disambiguate
+        import os as _os
+
+        from ..sources.fs import glob_paths
+
+        if layout is None and glob_paths(
+            spark, _os.path.join(path, "bands", "batch=*")
+        ):
+            return parsed  # batch layout, pre-versioning marker — fine
         raise ValueError(
-            f"MinHash index at {path} uses layout {layout!r}, this "
-            "code expects 'batch-v1' — rebuild with write_minhash_index"
+            f"MinHash index at {path} uses layout {layout!r} (flat "
+            "part files), this code expects 'batch-v1' — rebuild with "
+            "write_minhash_index"
         )
     return parsed
 
@@ -1088,6 +1096,17 @@ def append_minhash_index(
     if not sets_done:
         sets.write.mode("overwrite").parquet(sets_dir)
     bands.write.mode("overwrite").parquet(bands_dir)
+    # validate the guard's premise: the skip/never-delete logic above
+    # is keyed on _SUCCESS markers, which a cluster tuned with
+    # mapreduce.fileoutputcommitter.marksuccessfuljobs=false never
+    # writes — the retry guarantee would silently evaporate, so fail
+    # loudly at the first fold instead
+    if not path_exists(spark, _os.path.join(bands_dir, "_SUCCESS")):
+        raise RuntimeError(
+            "index fold committed without a _SUCCESS marker — the "
+            "crash-safe retry guard requires "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=true"
+        )
 
 
 def dedup_against_index(
@@ -1277,20 +1296,49 @@ def cluster_representatives(
 
     `duplicate_clusters` labels components by min id, which is the
     right CLUSTER KEY but an arbitrary KEEP policy; real pipelines keep
-    the best copy (longest, highest quality logit, freshest). This
-    composes the cluster labels with any per-doc score in one hash
-    aggregation — at 100 TB the scores join shuffles on id (or
-    co-locates if both sides are id-bucketed) and the argmax is
-    map-side partial.
+    the best copy (longest, highest quality logit, freshest). Cluster
+    labels join the scores on id (co-locates shuffle-free if both
+    sides are id-bucketed) and a per-cluster window picks the winner —
+    rank ordering, not id arithmetic, so string ids (URLs, content
+    hashes) tie-break correctly too.
+
+    Every clustered id MUST have a score row: a missing score could
+    silently crown the wrong copy (or erase a whole cluster from the
+    keep list, deleting every copy downstream), so the join is
+    left + assert rather than a quietly-dropping inner join.
     """
     joined = clusters.join(
         scores.select(
             F.col(id_col), F.col(score_col).alias("_score")
         ),
         id_col,
+        "left",
     )
-    pick = F.struct(F.col("_score"), (-F.col(id_col)).alias("_neg"))
-    return joined.groupBy("cluster_id").agg(
-        F.max_by(F.col(id_col), pick).alias("keep_id"),
-        F.max(pick).getField("_score").alias("keep_score"),
+    # the assertion rides INSIDE the score expression (a dropped helper
+    # column would be pruned by Catalyst, deleting the check): a null
+    # score evaluates the raising branch
+    joined = joined.withColumn(
+        "_score",
+        F.when(
+            F.col("_score").isNull(),
+            F.assert_true(
+                F.lit(False),
+                F.concat(
+                    F.lit("cluster_representatives: no score for id "),
+                    F.col(id_col).cast("string"),
+                ),
+            ).cast(scores.schema[score_col].dataType),
+        ).otherwise(F.col("_score")),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("keep_id"),
+            F.col("_score").alias("keep_score"),
+        )
     )

@@ -366,15 +366,12 @@ def chunk_documents(
         # full-coverage contract
         raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    # split('') is [''] (size 1), so emptiness is decided on the
-    # NORMALIZED TEXT, not the token array — the same predicate an
-    # oracle's string_split reproduces
     norm = normalize_text(F.col(text_col))
     n = F.size("_ws")
     n_chunks = F.lit(1) + F.floor(
         (F.greatest(n - chunk_tokens, F.lit(0)) + stride - 1) / stride
     )
-    chunks = F.transform(
+    windows = F.transform(
         F.sequence(F.lit(0), n_chunks.cast("int") - 1),
         lambda i: F.struct(
             i.cast("long").alias("chunk_id"),
@@ -387,13 +384,17 @@ def chunk_documents(
             ).alias("chunk_text"),
         ),
     )
+    # empty/whitespace-only docs (split('') is [''], size 1) emit an
+    # EMPTY windows array, which explode drops — expressed this way,
+    # not as a filter on the normalized text, because Catalyst pushes
+    # a deterministic filter back through the Project by substitution
+    # and re-evaluates the regex chain per row in both operators;
+    # with no filter the regex lives in exactly ONE Project
+    # (plan-pinned: one regexp_replace).
+    is_empty = (n == 1) & (F.element_at("_ws", 1) == F.lit(""))
+    chunks = F.when(is_empty, F.slice(windows, 1, 0)).otherwise(windows)
     return (
-        # project the normalized text ONCE: referencing `norm` in both
-        # the filter and the split would run the regex chain twice per
-        # row (Filter and Project are separate operators — no CSE)
-        docs.select(F.col(id_col), norm.alias("_n"))
-        .filter(F.col("_n") != "")
-        .select(F.col(id_col), F.split("_n", " ").alias("_ws"))
+        docs.select(F.col(id_col), F.split(norm, " ").alias("_ws"))
         .select(id_col, F.explode(chunks).alias("c"))
         .select(
             id_col,

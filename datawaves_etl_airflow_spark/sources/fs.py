@@ -109,3 +109,11 @@ def create_text_exclusive(
     finally:
         stream.close()
     return True
+
+
+def delete_path(spark: SparkSession, path: str) -> None:
+    """Recursive delete via the Hadoop FS (works on any configured
+    store, not just the local posix view); missing paths are a no-op."""
+    fs, p = _fs_and_path(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)

@@ -140,3 +140,32 @@ class TestClusterRepresentatives:
             for r in cluster_representatives(clusters, scores).collect()
         }
         assert got == {1: (2, 9), 7: (8, 4)}
+
+    def test_string_ids_tiebreak_deterministic(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            cluster_representatives,
+        )
+
+        clusters = spark.createDataFrame(
+            [("u-b", "u-a"), ("u-a", "u-a"), ("u-c", "u-a")],
+            "id string, cluster_id string",
+        )
+        scores = spark.createDataFrame(
+            [("u-a", 3.0), ("u-b", 7.0), ("u-c", 7.0)],
+            "id string, score double",
+        )
+        got = cluster_representatives(clusters, scores).collect()
+        assert len(got) == 1
+        assert got[0]["keep_id"] == "u-b"  # tie at 7.0 -> smaller id
+
+    def test_missing_score_raises_loudly(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            cluster_representatives,
+        )
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1)], "id long, cluster_id long"
+        )
+        scores = spark.createDataFrame([(1, 5.0)], "id long, score double")
+        with pytest.raises(Exception, match="no score for id"):
+            cluster_representatives(clusters, scores).collect()

@@ -196,14 +196,57 @@ class TestCrashSafeFolds:
         }
         assert files_before == files_after
 
-    def test_pre_batch_layout_rejected_loudly(self, spark, index_path):
-        from datawaves_etl_airflow_spark.sources.fs import write_text
+    def test_pre_batch_flat_layout_rejected_loudly(self, spark, index_path):
+        """A layoutless marker over FLAT part files (the truly old
+        layout) is rejected with the rebuild message — while a
+        layoutless marker over batch= dirs is accepted (see
+        test_pre_versioning_batch_marker_accepted)."""
+        from datawaves_etl_airflow_spark.sources.fs import (
+            delete_path,
+            write_text,
+        )
 
         write_text(
             spark,
             index_path + "/_minhash_index.json",
             '{"k": 3, "n_hashes": 64, "n_bands": 16}',  # no layout key
         )
+        # flatten: replace bands/ with part files directly at its root
+        flat = spark.read.parquet(index_path + "/bands").select(
+            "id", "band_id", "band_hash"
+        ).collect()
+        delete_path(spark, index_path + "/bands")
+        spark.createDataFrame(
+            flat, "id long, band_id int, band_hash long"
+        ).write.parquet(index_path + "/bands")
         batch = spark.createDataFrame(BATCH, "doc_id long, text string")
         with pytest.raises(ValueError, match="batch-v1"):
             dedup_against_index(batch, index_path)
+
+    def test_crashed_rebuild_fails_loudly_not_stale(self, spark, index_path):
+        """Marker-first rebuild: simulate a crash after the marker +
+        data deletion but before the new write — the next probe must
+        raise the missing-marker error, never read stale data."""
+        from datawaves_etl_airflow_spark.sources.fs import delete_path
+
+        delete_path(spark, index_path + "/_minhash_index.json")
+        delete_path(spark, index_path + "/bands")
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        with pytest.raises(ValueError, match="no MinHash index marker"):
+            dedup_against_index(batch, index_path)
+
+    def test_pre_versioning_batch_marker_accepted(self, spark, index_path):
+        """A marker without the layout key over a batch=-dir index (the
+        immediately-previous code version) stays readable."""
+        from datawaves_etl_airflow_spark.sources.fs import write_text
+
+        write_text(
+            spark,
+            index_path + "/_minhash_index.json",
+            '{"k": 3, "n_hashes": 64, "n_bands": 16}',
+        )
+        batch = spark.createDataFrame(
+            [BATCH[0]], "doc_id long, text string"
+        )
+        got = _pairs(dedup_against_index(batch, index_path, threshold=0.5))
+        assert got == {(10, 1)}
