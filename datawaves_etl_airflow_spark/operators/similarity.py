@@ -403,10 +403,16 @@ def lsh_topk(
     v = vectors.withColumn("bucket", plane_signature(F.col(vec_col), planes))
     q = queries.withColumn("bucket", plane_signature(F.col("query_vec"), planes))
     if multi_probe:
+        # JVM-side shift, not F.lit(1 << i): at i=63 the Python int
+        # 2**63 exceeds LongType and the literal overflows — shiftleft
+        # matches plane_signature's own CAST(1 AS BIGINT) << i masks,
+        # so n_planes=64 probes the sign bit correctly
         neighbors = F.array(
             F.col("bucket"),
             *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+                F.col("bucket").bitwiseXOR(
+                    F.shiftleft(F.lit(1).cast("bigint"), i)
+                )
                 for i in range(n_planes)
             ],
         )

@@ -112,6 +112,7 @@ def make_neardup_ingest(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    checkpoint: str | None = None,
 ):
     """Per-micro-batch online NEAR-dup filter (the streaming twin of
     `operators.dedup.dedup_against_index`), exposed for direct testing
@@ -126,14 +127,21 @@ def make_neardup_ingest(
     O(batch + candidates), never O(corpus).
 
     Replay contract: a ``_last_batch_id`` marker makes ordinary
-    foreachBatch replays no-ops. Like the plain-layout merge mode
-    (streaming/maintain.py), a crash strictly between the accepted
-    write and the marker write can re-append that one batch on
-    restart; ids are unique per doc, so downstream consumers can
-    always reconcile on ``id_col``. Doc ids must be globally unique —
-    re-ingesting an id already in the index matches against the corpus
-    copy of everything else but never itself.
+    foreachBatch replays no-ops. Batch ids are only monotone WITHIN one
+    checkpoint — a fresh checkpointLocation restarts them at 0, so the
+    marker records the checkpoint identity alongside the id (pass
+    ``checkpoint``; `stream_neardup_ingest` wires it automatically) and
+    a mismatch RAISES instead of silently classifying every new batch
+    as a replay: ``accepted_path`` and its checkpoint live and die
+    together. Like the plain-layout merge mode (streaming/maintain.py),
+    a crash strictly between the accepted write and the marker write
+    can re-append that one batch on restart; ids are unique per doc, so
+    downstream consumers can always reconcile on ``id_col``. Doc ids
+    must be globally unique — re-ingesting an id already in the index
+    matches against the corpus copy of everything else but never
+    itself.
     """
+    import json as _json
     import os as _os
 
     from ..operators.dedup import append_minhash_index, dedup_against_index
@@ -148,14 +156,33 @@ def make_neardup_ingest(
         spark = batch_df.sparkSession
         last = read_text(spark, marker)
         if last is not None:
+            last_ckpt = None
             try:
-                last_id = int(last.strip())
-            except ValueError:
+                parsed = _json.loads(last)
+                last_id = int(parsed["last_batch_id"])
+                last_ckpt = parsed.get("checkpoint")
+            except (ValueError, KeyError, TypeError):
+                try:  # pre-identity marker: bare integer
+                    last_id = int(last.strip())
+                except ValueError:
+                    raise ValueError(
+                        f"corrupt replay marker at {marker!r}: {last!r} — "
+                        "refusing to ingest (treating it as absent could "
+                        "re-append a batch)"
+                    ) from None
+            if (
+                checkpoint is not None
+                and last_ckpt is not None
+                and last_ckpt != checkpoint
+            ):
                 raise ValueError(
-                    f"corrupt replay marker at {marker!r}: {last!r} — "
-                    "refusing to ingest (treating it as absent could "
-                    "re-append a batch)"
-                ) from None
+                    f"accepted_path {accepted_path!r} was written under "
+                    f"checkpoint {last_ckpt!r} but this stream runs under "
+                    f"{checkpoint!r} — a fresh checkpoint restarts batch "
+                    "ids at 0, which the replay guard would misread as "
+                    "replays and silently drop every batch. Reuse the "
+                    "original checkpoint or start a fresh accepted_path."
+                )
             if batch_id <= last_id:
                 return  # replayed batch — already ingested
         pairs = dedup_against_index(
@@ -184,7 +211,13 @@ def make_neardup_ingest(
             )
         finally:
             accepted.unpersist()
-        write_text(spark, marker, str(batch_id))
+        write_text(
+            spark,
+            marker,
+            _json.dumps(
+                {"last_batch_id": batch_id, "checkpoint": checkpoint}
+            ),
+        )
 
     return _apply
 
@@ -206,7 +239,8 @@ def stream_neardup_ingest(
     corpus, or an empty DataFrame for a cold start). Returns the
     started StreamingQuery."""
     fn = make_neardup_ingest(
-        index_path, accepted_path, threshold, text_col, id_col
+        index_path, accepted_path, threshold, text_col, id_col,
+        checkpoint=checkpoint,
     )
     writer = stream.writeStream.foreachBatch(fn).option(
         "checkpointLocation", checkpoint
