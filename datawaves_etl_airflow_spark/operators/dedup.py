@@ -930,7 +930,8 @@ def write_minhash_index(
 ) -> None:
     """Persist the corpus dedup index: ``bands/`` (id, band_id,
     band_hash — the LSH probe surface) and ``sets/`` (id, shset — the
-    exact-verify surface), plus the parameter contract marker.
+    exact-verify surface), under a manifest-committed version
+    directory that also carries the parameter contract.
 
     This is what makes daily dedup INCREMENTAL at 100 TB: the corpus
     is shingled and banded ONCE; each day's batch is banded map-side
@@ -939,56 +940,66 @@ def write_minhash_index(
     are n_bands × ~24 B/doc; sets are the shingle arrays (the larger
     surface — at full scale lay both out id-bucketed/sorted so the
     verify join co-locates without a shuffle of the corpus side).
+
+    A REBUILD is a pointer flip, never in-place: the new bands+sets
+    land in a fresh ``versions/v<n>-<uuid>/`` directory and become
+    visible only when ``_manifests/manifest-<n>.json`` is published
+    via create-if-absent (`sources.manifest.VersionedManifest` — the
+    same commit protocol as the streaming txn store). A crash anywhere
+    mid-rebuild leaves the OLD index live and probes answering; at
+    100 TB a rebuild is days of compute and must never destroy the
+    state it is replacing. Superseded versions are reclaimed by
+    `vacuum_minhash_index`. Pre-manifest indexes (marker file +
+    bands/sets at the root) stay readable through the legacy fallback
+    in `_resolve_minhash_index`.
     """
-    import json as _json
-    import os as _os
+    import posixpath as _pp
+    import uuid as _uuid
 
-    from ..sources.fs import delete_path, write_text
+    from ..sources.manifest import VersionedManifest
 
-    # a REBUILD is destructive-in-place and NOT atomic: the marker is
-    # deleted FIRST, then the data dirs, and the marker is rewritten
-    # only after the new data commits — so a crash anywhere mid-rebuild
-    # leaves a missing-marker index that fails LOUDLY on the next probe
-    # (never an old-parameter marker over new-parameter data, and never
-    # stale folded batches beside a new base). Deployments that need
-    # the old index to survive a failed rebuild should build to a NEW
-    # path and flip a pointer.
     spark = docs.sparkSession
-    delete_path(spark, _index_meta_path(path))
-    for sub in ("bands", "sets"):
-        delete_path(spark, _os.path.join(path, sub))
+    vm = VersionedManifest(path)
+    version = vm.latest_version(spark)
+    rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")
+    vroot = _pp.join(path, rel)
     sets = word_shingle_hash_sets(docs, text_col, id_col, k).persist()
     bands = minhash_band_rows_np(sets, n_hashes, n_bands)
     # batch=<token> subdirectory layout from day 0 (appends add more
     # batch dirs with per-batch overwrite — the idempotency mechanism;
     # see append_minhash_index)
-    bands.write.mode("overwrite").parquet(
-        _os.path.join(path, "bands", "batch=base")
+    bands.write.mode("errorifexists").parquet(
+        _pp.join(vroot, "bands", "batch=base")
     )
-    sets.write.mode("overwrite").parquet(
-        _os.path.join(path, "sets", "batch=base")
+    sets.write.mode("errorifexists").parquet(
+        _pp.join(vroot, "sets", "batch=base")
     )
     sets.unpersist()
-    write_text(
+    committed = vm.publish(
         spark,
-        _index_meta_path(path),
-        _json.dumps(
-            {
-                "k": k,
-                "n_hashes": n_hashes,
-                "n_bands": n_bands,
-                "layout": "batch-v1",
-            }
-        ),
+        {
+            "current": rel,
+            "k": k,
+            "n_hashes": n_hashes,
+            "n_bands": n_bands,
+            "layout": "batch-v1",
+        },
+        version,
     )
+    if not committed:
+        raise RuntimeError(
+            f"MinHash index rebuild at {path} lost the manifest race "
+            f"for version {version + 1}: concurrent rebuilds of one "
+            "index are not supported (the other writer's version is "
+            "now live; this build's directory is vacuumable garbage)"
+        )
 
 
-
-
-def read_minhash_index_meta(spark, path: str) -> dict:
-    """The index parameter contract. Missing or unparseable markers
-    RAISE: probing with guessed parameters returns silently-empty
-    candidates, which at dedup time means duplicates sail through."""
+def _legacy_minhash_meta(spark, path: str) -> dict:
+    """Parameter contract of a PRE-MANIFEST index (marker file beside
+    root-level bands/sets). Missing or unparseable markers RAISE:
+    probing with guessed parameters returns silently-empty candidates,
+    which at dedup time means duplicates sail through."""
     import json as _json
 
     from ..sources.fs import read_text
@@ -996,8 +1007,9 @@ def read_minhash_index_meta(spark, path: str) -> dict:
     raw = read_text(spark, _index_meta_path(path))
     if raw is None:
         raise ValueError(
-            f"no MinHash index marker at {_index_meta_path(path)} — "
-            "not an index directory, or written by a pre-marker tool"
+            f"no MinHash index marker at {_index_meta_path(path)} (and "
+            "no _manifests/) — not an index directory, or written by a "
+            "pre-marker tool"
         )
     try:
         meta = _json.loads(raw)
@@ -1035,6 +1047,65 @@ def read_minhash_index_meta(spark, path: str) -> dict:
     return parsed
 
 
+def _resolve_minhash_index(spark, path: str) -> tuple[dict, str]:
+    """(parameter contract, data root) — manifest-committed layout
+    first (the ``versions/`` dir the latest manifest references),
+    pre-manifest marker layout (bands/sets at the index root) as the
+    fallback."""
+    import posixpath as _pp
+
+    from ..sources.manifest import VersionedManifest
+
+    version, payload = VersionedManifest(path).resolve(spark)
+    if payload is not None:
+        try:
+            meta = {
+                "k": int(payload["k"]),
+                "n_hashes": int(payload["n_hashes"]),
+                "n_bands": int(payload["n_bands"]),
+            }
+            current = str(payload["current"])
+        except (ValueError, KeyError, TypeError) as exc:
+            raise ValueError(
+                f"corrupt MinHash index manifest version {version} "
+                f"under {path}: {payload!r}"
+            ) from exc
+        return meta, _pp.join(path, current)
+    return _legacy_minhash_meta(spark, path), path
+
+
+def read_minhash_index_meta(spark, path: str) -> dict:
+    """The index parameter contract (manifest-first, legacy-marker
+    fallback); missing or corrupt indexes raise."""
+    return _resolve_minhash_index(spark, path)[0]
+
+
+def vacuum_minhash_index(spark, path: str) -> list[str]:
+    """Reclaim superseded index versions: every ``versions/`` dir the
+    LATEST manifest does not reference, every superseded manifest, and
+    any pre-manifest legacy residue (root bands/sets + marker) once a
+    manifest exists. Run AFTER probes draining the old version finish
+    — the manifest keeps crashes safe, vacuum timing is operational.
+    Returns deleted paths."""
+    import posixpath as _pp
+
+    from ..sources.fs import delete_path, path_exists
+    from ..sources.manifest import VersionedManifest
+
+    vm = VersionedManifest(path)
+    _, payload = vm.resolve(spark)
+    if payload is None:
+        return []
+    deleted = vm.vacuum_data(spark, "versions", {str(payload["current"])})
+    deleted.extend(vm.vacuum_superseded(spark))
+    for rel in ("bands", "sets", INDEX_META_FILE):
+        p = _pp.join(path, rel)
+        if path_exists(spark, p):
+            delete_path(spark, p)
+            deleted.append(p)
+    return deleted
+
+
 def append_minhash_index(
     docs: DataFrame,
     path: str,
@@ -1070,9 +1141,14 @@ def append_minhash_index(
     if "/" in token or "=" in token:
         raise ValueError(f"batch_token must be path-safe: {token!r}")
     spark = docs.sparkSession
-    meta = read_minhash_index_meta(spark, path)
-    sets_dir = _os.path.join(path, "sets", f"batch={token}")
-    bands_dir = _os.path.join(path, "bands", f"batch={token}")
+    # folds land under the CURRENT manifest version's data root; a
+    # rebuild racing an append is unsupported (single writer per index,
+    # same contract as the txn store) — an append that resolves the old
+    # version after a rebuild commits is vacuumable garbage, not
+    # corruption
+    meta, data_root = _resolve_minhash_index(spark, path)
+    sets_dir = _os.path.join(data_root, "sets", f"batch={token}")
+    bands_dir = _os.path.join(data_root, "bands", f"batch={token}")
     # completion is judged by the writer's _SUCCESS marker, and a
     # COMPLETE sets dir is never rewritten: overwrite is
     # delete-then-write, and deleting complete sets while this batch's
@@ -1137,7 +1213,7 @@ def dedup_against_index(
     import os as _os
 
     spark = new_docs.sparkSession
-    meta = read_minhash_index_meta(spark, path)
+    meta, data_root = _resolve_minhash_index(spark, path)
     # localCheckpoint, not persist: the probe runs once per batch in
     # streaming ingest, and a persist here would leak one cache entry
     # per trigger (nothing downstream could unpersist it — the
@@ -1151,10 +1227,10 @@ def dedup_against_index(
     )
     # project away the batch=<token> partition column the idempotent
     # fold layout adds (see append_minhash_index)
-    idx_bands = spark.read.parquet(_os.path.join(path, "bands")).select(
-        "id", "band_id", "band_hash"
-    )
-    idx_sets = spark.read.parquet(_os.path.join(path, "sets")).select(
+    idx_bands = spark.read.parquet(
+        _os.path.join(data_root, "bands")
+    ).select("id", "band_id", "band_hash")
+    idx_sets = spark.read.parquet(_os.path.join(data_root, "sets")).select(
         "id", "shset"
     )
 

@@ -258,23 +258,21 @@ def train_centroids(
     norm = vectors.select(
         F.col(id_col).alias("_vid"), l2_normalize(F.col(vec_col)).alias("_v")
     )
-    cand = norm.withColumn("_h", F.xxhash64(F.col("_vid")))
     # top-K-by-hash compiles to per-partition top-K + a driver merge of
-    # K rows PER PARTITION — vectors included. Pre-filter to the hash
-    # range expected to hold ~8K rows first: the K smallest hashes all
-    # survive the filter (same seeds, bit-for-bit), but the ordered set
-    # is O(K) instead of the corpus. Costs one count; the shortfall
-    # guard (hash-uniformity violation) falls back to the full set.
-    n = cand.count()
-    if n > 8 * n_centroids:
-        frac = min(1.0, 8.0 * n_centroids / n)
-        cutoff = -(2**63) + int(frac * 2.0**64)
-        filtered = cand.filter(F.col("_h") < F.lit(cutoff))
-        if filtered.count() >= n_centroids:
-            cand = filtered
-    centroids = (
-        cand.orderBy("_h", "_vid")
+    # K rows PER PARTITION — so run it over the slim (id, hash)
+    # projection only (16-byte rows, vectors never reach the driver)
+    # and fetch the K winning VECTORS back with a broadcast join on the
+    # seed ids. Zero scalar jobs (the old hash-range pre-filter cost
+    # one or two full count()s per build) and bit-identical seeds: the
+    # same K smallest (_h, _vid) keys win either way.
+    seed_ids = (
+        norm.select("_vid", F.xxhash64(F.col("_vid")).alias("_h"))
+        .orderBy("_h", "_vid")
         .limit(n_centroids)
+    )
+    centroids = (
+        F.broadcast(seed_ids)
+        .join(norm, "_vid")
         .select(
             F.row_number()
             .over(Window.orderBy("_h", "_vid"))
@@ -498,12 +496,26 @@ def write_ivf_index(
     (same principle as `sinks.write_key_bucketed` for key probes).
     Build cost: `train_centroids` (broadcast Lloyd iterations) + one
     corpus shuffle on cell id for the partitioned write.
+
+    A REBUILD is a pointer flip (same commit protocol as the MinHash
+    index and the streaming txn store — `sources.manifest`): cells and
+    centroids land together in a fresh ``versions/v<n>-<uuid>/`` dir
+    and become visible only when the manifest publishes, so a crash at
+    ANY point leaves the old index fully live — never new-quantizer
+    cells scored against old centroids (round-4 ADVICE: the old
+    in-place write had exactly that torn window between its two
+    overwrites). Reclaim superseded versions with `vacuum_ivf_index`.
     """
-    import json as _json
-    import os as _os
+    import posixpath as _pp
+    import uuid as _uuid
 
-    from ..sources.fs import write_text
+    from ..sources.manifest import VersionedManifest
 
+    vm = VersionedManifest(path)
+    spark = vectors.sparkSession
+    version = vm.latest_version(spark)
+    rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")
+    vroot = _pp.join(path, rel)
     centroids = train_centroids(
         vectors, n_centroids, n_iters, vec_col, id_col
     ).persist()
@@ -518,40 +530,66 @@ def write_ivf_index(
     )
     (
         cells.repartition("centroid_id")
-        .write.mode("overwrite")
+        .write.mode("errorifexists")
         .partitionBy("centroid_id")
-        .parquet(_os.path.join(path, "cells"))
+        .parquet(_pp.join(vroot, "cells"))
     )
-    centroids.write.mode("overwrite").parquet(
-        _os.path.join(path, "centroids")
+    centroids.write.mode("errorifexists").parquet(
+        _pp.join(vroot, "centroids")
     )
     centroids.unpersist()
-    write_text(
-        vectors.sparkSession,
-        _os.path.join(path, IVF_META_FILE),
-        _json.dumps(
-            {
-                "n_centroids": n_centroids,
-                "n_iters": n_iters,
-                "vec_col": vec_col,
-                "id_col": id_col,
-            }
-        ),
+    committed = vm.publish(
+        spark,
+        {
+            "current": rel,
+            "n_centroids": n_centroids,
+            "n_iters": n_iters,
+            "vec_col": vec_col,
+            "id_col": id_col,
+        },
+        version,
     )
+    if not committed:
+        raise RuntimeError(
+            f"IVF index rebuild at {path} lost the manifest race for "
+            f"version {version + 1}: concurrent rebuilds of one index "
+            "are not supported"
+        )
 
 
-def read_ivf_index_meta(spark, path: str) -> dict:
-    """The index parameter contract; missing/corrupt markers raise."""
+def _resolve_ivf_index(spark, path: str) -> tuple[dict, str]:
+    """(parameter contract, data root) — manifest-committed layout
+    first, pre-manifest marker layout (cells/centroids at the index
+    root) as the fallback. Missing/corrupt indexes raise."""
     import json as _json
     import os as _os
+    import posixpath as _pp
 
     from ..sources.fs import read_text
+    from ..sources.manifest import VersionedManifest
 
+    version, payload = VersionedManifest(path).resolve(spark)
+    if payload is not None:
+        try:
+            meta = {
+                "n_centroids": int(payload["n_centroids"]),
+                "n_iters": int(payload["n_iters"]),
+                "vec_col": str(payload["vec_col"]),
+                "id_col": str(payload["id_col"]),
+            }
+            current = str(payload["current"])
+        except (ValueError, KeyError, TypeError) as exc:
+            raise ValueError(
+                f"corrupt IVF index manifest version {version} under "
+                f"{path}: {payload!r}"
+            ) from exc
+        return meta, _pp.join(path, current)
     marker = _os.path.join(path, IVF_META_FILE)
     raw = read_text(spark, marker)
     if raw is None:
         raise ValueError(
-            f"no IVF index marker at {marker} — not an index directory"
+            f"no IVF index marker at {marker} (and no _manifests/) — "
+            "not an index directory"
         )
     try:
         meta = _json.loads(raw)
@@ -560,11 +598,40 @@ def read_ivf_index_meta(spark, path: str) -> dict:
             "n_iters": int(meta["n_iters"]),
             "vec_col": str(meta["vec_col"]),
             "id_col": str(meta["id_col"]),
-        }
+        }, path
     except (ValueError, KeyError, TypeError) as exc:
         raise ValueError(
             f"corrupt IVF index marker at {marker}: {raw!r}"
         ) from exc
+
+
+def read_ivf_index_meta(spark, path: str) -> dict:
+    """The index parameter contract (manifest-first, legacy-marker
+    fallback); missing/corrupt indexes raise."""
+    return _resolve_ivf_index(spark, path)[0]
+
+
+def vacuum_ivf_index(spark, path: str) -> list[str]:
+    """Reclaim superseded IVF versions: unreferenced ``versions/``
+    dirs, superseded manifests, and legacy root cells/centroids +
+    marker once a manifest exists. Returns deleted paths."""
+    import posixpath as _pp
+
+    from ..sources.fs import delete_path, path_exists
+    from ..sources.manifest import VersionedManifest
+
+    vm = VersionedManifest(path)
+    _, payload = vm.resolve(spark)
+    if payload is None:
+        return []
+    deleted = vm.vacuum_data(spark, "versions", {str(payload["current"])})
+    deleted.extend(vm.vacuum_superseded(spark))
+    for rel in ("cells", "centroids", IVF_META_FILE):
+        p = _pp.join(path, rel)
+        if path_exists(spark, p):
+            delete_path(spark, p)
+            deleted.append(p)
+    return deleted
 
 
 def ivf_search_index(
@@ -586,10 +653,10 @@ def ivf_search_index(
     import os as _os
 
     spark = queries.sparkSession
-    meta = read_ivf_index_meta(spark, path)
+    meta, data_root = _resolve_ivf_index(spark, path)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
 
-    centroids = spark.read.parquet(_os.path.join(path, "centroids"))
+    centroids = spark.read.parquet(_os.path.join(data_root, "centroids"))
     qn = queries.withColumn("_qv", l2_normalize(F.col("query_vec")))
     qscored = qn.crossJoin(F.broadcast(centroids)).withColumn(
         "_sim", dot(F.col("_qv"), F.col("centroid"))
@@ -611,7 +678,7 @@ def ivf_search_index(
         r["centroid_id"]
         for r in probes.select("centroid_id").distinct().collect()
     )
-    cells = spark.read.parquet(_os.path.join(path, "cells")).filter(
+    cells = spark.read.parquet(_os.path.join(data_root, "cells")).filter(
         F.col("centroid_id").isin(probe_ids)
     )
     cands = probes.join(cells, "centroid_id").withColumn(

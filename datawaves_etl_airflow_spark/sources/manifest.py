@@ -1,0 +1,151 @@
+"""Versioned-manifest commit: the one transactional primitive every
+persisted layout in the engine shares.
+
+Plain filesystems (and object stores behind Hadoop's FileSystem API)
+offer exactly one atomic primitive usable for coordination:
+create-if-absent (``fs.create(overwrite=False)``). Everything durable
+the engine maintains — the streaming cumulative bucket store
+(`streaming.txn`), the persisted MinHash dedup index and the IVF ANN
+index (`operators.dedup` / `operators.similarity`) — commits through
+the same protocol built on it:
+
+1. write data to FRESH, uniquely-named, immutable directories (never
+   touching the live set);
+2. publish ``_manifests/manifest-<v+1>.json`` whose creation is the
+   commit point — the payload references the new live directories;
+3. readers resolve the HIGHEST manifest version and read only what it
+   references.
+
+A crash anywhere before step 2 leaves only unreferenced garbage — the
+previous manifest (and therefore the previous index/store state) stays
+live and fully readable throughout. A lost create race means another
+writer took the version; the caller decides whether that is a benign
+replay (txn batch folds) or an unsupported concurrent writer (index
+rebuilds). `vacuum` deletes what no current manifest references.
+
+This module holds the protocol once; the consumers keep only their
+payload schemas. At 100 TB the manifest is a handful of KB read once
+per operation — driver-side state never scales with data.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+
+from pyspark.sql import SparkSession
+
+from .fs import (
+    _fs_and_path,
+    create_text_exclusive,
+    glob_paths,
+    read_text,
+)
+
+__all__ = ["VersionedManifest"]
+
+
+class VersionedManifest:
+    """Resolve/publish/vacuum for one ``_manifests`` directory."""
+
+    def __init__(self, root: str, dirname: str = "_manifests"):
+        self.root = root.rstrip("/")
+        self.dirname = dirname
+
+    def manifest_dir(self) -> str:
+        return posixpath.join(self.root, self.dirname)
+
+    def _path(self, version: int) -> str:
+        return posixpath.join(
+            self.manifest_dir(), f"manifest-{version}.json"
+        )
+
+    def latest_version(self, spark: SparkSession) -> int:
+        """Highest committed version (0 = empty store). One glob."""
+        best = 0
+        for p in glob_paths(
+            spark, posixpath.join(self.manifest_dir(), "manifest-*.json")
+        ):
+            name = p.rsplit("manifest-", 1)[1].removesuffix(".json")
+            try:
+                v = int(name)
+            except ValueError:
+                continue
+            best = max(best, v)
+        return best
+
+    def resolve(self, spark: SparkSession) -> tuple[int, dict | None]:
+        """(latest version, payload) — (0, None) when empty.
+
+        Unparseable payloads RAISE: a torn manifest is impossible by
+        construction (create-if-absent publishes whole files), so one
+        signals real corruption, and guessing would silently reset the
+        store."""
+        v = self.latest_version(spark)
+        if v == 0:
+            return 0, None
+        raw = read_text(spark, self._path(v))
+        if raw is None:
+            # the glob saw it; raced with a vacuum of superseded
+            # manifests — re-resolve once, then treat as corruption
+            v2 = self.latest_version(spark)
+            raw = read_text(spark, self._path(v2)) if v2 else None
+            if raw is None:
+                return 0, None
+            v = v2
+        try:
+            payload = json.loads(raw)
+            if not isinstance(payload, dict):
+                raise ValueError("manifest payload must be an object")
+        except ValueError as exc:
+            raise ValueError(
+                f"corrupt manifest at {self._path(v)}: {raw!r}"
+            ) from exc
+        return v, payload
+
+    def publish(
+        self, spark: SparkSession, payload: dict, base_version: int
+    ) -> bool:
+        """Commit ``payload`` as version ``base_version + 1``. False
+        means another writer took that version first (caller decides
+        replay-vs-error); True means this call is the commit."""
+        return create_text_exclusive(
+            spark, self._path(base_version + 1), json.dumps(payload)
+        )
+
+    def vacuum_superseded(self, spark: SparkSession) -> list[str]:
+        """Delete every manifest below the latest version. Data-dir
+        vacuum stays with the consumer (only it knows its layout)."""
+        latest = self.latest_version(spark)
+        deleted = []
+        for p in glob_paths(
+            spark, posixpath.join(self.manifest_dir(), "manifest-*.json")
+        ):
+            name = p.rsplit("manifest-", 1)[1].removesuffix(".json")
+            try:
+                v = int(name)
+            except ValueError:
+                continue
+            if v < latest:
+                fs, jp = _fs_and_path(spark, p)
+                fs.delete(jp, False)
+                deleted.append(p)
+        return deleted
+
+    def vacuum_data(
+        self, spark: SparkSession, subdir: str, live: set[str]
+    ) -> list[str]:
+        """Delete children of ``root/subdir/`` whose root-relative path
+        ``subdir/<name>`` is not in ``live`` (consumer-computed from
+        the latest manifest). Matching is done on the path TAIL after
+        ``/subdir/`` because Hadoop globs return scheme-qualified paths
+        (``file:/...``) while roots are usually plain. Returns deleted
+        paths."""
+        deleted = []
+        for p in glob_paths(spark, posixpath.join(self.root, subdir, "*")):
+            tail = p.split(f"/{subdir}/", 1)[1]
+            if posixpath.join(subdir, tail) not in live:
+                fs, jp = _fs_and_path(spark, p)
+                fs.delete(jp, True)
+                deleted.append(p)
+        return deleted

@@ -42,64 +42,51 @@ state is O(n_buckets + batches-since-compaction), never O(rows).
 
 from __future__ import annotations
 
-import json
-import os
 import posixpath
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.fs import (
-    create_text_exclusive,
-    glob_paths,
-    path_exists,
-    read_text,
-)
+from ..sources.fs import glob_paths, path_exists
+from ..sources.manifest import VersionedManifest
 
 __all__ = ["ManifestedBucketStore"]
 
 
 class ManifestedBucketStore:
-    """Versioned-manifest bucket store over immutable parquet dirs."""
+    """Versioned-manifest bucket store over immutable parquet dirs.
+
+    The commit protocol (resolve-latest / publish-via-create-if-absent
+    / vacuum) lives in `sources.manifest.VersionedManifest`, shared
+    with the persisted MinHash and IVF index rebuilds; this class owns
+    only the bucket-store payload schema and merge semantics."""
 
     def __init__(self, root: str, n_buckets: int = 64):
         self.root = root.rstrip("/")
         self.n_buckets = n_buckets
+        self._vm = VersionedManifest(self.root)
 
     # -- manifest resolution ------------------------------------------
 
-    def _manifest_dir(self) -> str:
-        return posixpath.join(self.root, "_manifests")
-
     def _resolve(self, spark: SparkSession) -> tuple[int, dict | None]:
         """(latest version, manifest dict) — (0, None) for an empty
-        store. One glob round-trip; unparseable manifests raise (a
-        torn manifest is impossible by construction — create-if-absent
-        publishes whole files — so one signals real corruption)."""
-        best_v, best_path = 0, None
-        for p in glob_paths(
-            spark, posixpath.join(self._manifest_dir(), "manifest-*.json")
-        ):
-            name = p.rsplit("manifest-", 1)[1].removesuffix(".json")
-            try:
-                v = int(name)
-            except ValueError:
-                continue
-            if v > best_v:
-                best_v, best_path = v, p
-        if best_path is None:
+        store. Payloads that don't match the bucket-store schema raise
+        (a torn manifest is impossible by construction — create-if-
+        absent publishes whole files — so one signals real corruption).
+        """
+        version, m = self._vm.resolve(spark)
+        if m is None:
             return 0, None
-        raw = read_text(spark, best_path)
         try:
-            m = json.loads(raw)
             m["buckets"] = {int(k): list(v) for k, v in m["buckets"].items()}
             int(m["last_batch_id"])
         except (ValueError, KeyError, TypeError) as exc:
             raise ValueError(
-                f"corrupt manifest at {best_path}: {raw!r}"
+                f"corrupt manifest version {version} under "
+                f"{self.root}: {m!r}"
             ) from exc
-        return best_v, m
+        return version, m
 
     def last_batch_id(self, spark: SparkSession) -> int | None:
         _, m = self._resolve(spark)
@@ -199,19 +186,14 @@ class ManifestedBucketStore:
         new_buckets = {**live}
         for b in touched:
             new_buckets[b] = [posixpath.join(rel_batch, f"pkb={b}")]
-        manifest = json.dumps(
+        committed = self._vm.publish(
+            spark,
             {
                 "version": version + 1,
                 "last_batch_id": batch_id,
                 "buckets": {str(k): v for k, v in new_buckets.items()},
-            }
-        )
-        committed = create_text_exclusive(
-            spark,
-            posixpath.join(
-                self._manifest_dir(), f"manifest-{version + 1}.json"
-            ),
-            manifest,
+            },
+            version,
         )
         if committed:
             return True
@@ -251,7 +233,8 @@ class ManifestedBucketStore:
                 spark, posixpath.join(self.root, rel, "pkb=*")
             )
         }
-        manifest = json.dumps(
+        return self._vm.publish(
+            spark,
             {
                 "version": version + 1,
                 "last_batch_id": int(m["last_batch_id"]),
@@ -259,23 +242,15 @@ class ManifestedBucketStore:
                     str(b): [posixpath.join(rel, f"pkb={b}")]
                     for b in present
                 },
-            }
-        )
-        return create_text_exclusive(
-            spark,
-            posixpath.join(
-                self._manifest_dir(), f"manifest-{version + 1}.json"
-            ),
-            manifest,
+            },
+            version,
         )
 
     def vacuum(self, spark: SparkSession) -> list[str]:
         """Delete batch directories unreferenced by the LATEST manifest
         and all superseded manifests. Safe after any crash: orphans are
         by definition invisible to readers. Returns deleted paths."""
-        from ..sources.fs import _fs_and_path
-
-        version, m = self._resolve(spark)
+        _, m = self._resolve(spark)
         if m is None:
             return []
         live_roots = {
@@ -283,28 +258,9 @@ class ManifestedBucketStore:
             for dirs in m["buckets"].values()
             for d in dirs
         }
-        deleted = []
-        for p in glob_paths(
-            spark, posixpath.join(self.root, "_batches", "*")
-        ):
-            rel = p.split("/_batches/", 1)[1]
-            if posixpath.join("_batches", rel) not in live_roots:
-                fs, jp = _fs_and_path(spark, p)
-                fs.delete(jp, True)
-                deleted.append(p)
-        for p in glob_paths(
-            spark, posixpath.join(self._manifest_dir(), "manifest-*.json")
-        ):
-            name = p.rsplit("manifest-", 1)[1].removesuffix(".json")
-            try:
-                v = int(name)
-            except ValueError:
-                continue
-            if v < version:
-                fs, jp = _fs_and_path(spark, p)
-                fs.delete(jp, False)
-                deleted.append(p)
+        deleted = self._vm.vacuum_data(spark, "_batches", live_roots)
+        deleted.extend(self._vm.vacuum_superseded(spark))
         return deleted
 
     def exists(self, spark: SparkSession) -> bool:
-        return path_exists(spark, self._manifest_dir())
+        return path_exists(spark, self._vm.manifest_dir())

@@ -7,12 +7,42 @@ from __future__ import annotations
 import pytest
 
 from datawaves_etl_airflow_spark.operators.dedup import (
+    _resolve_minhash_index,
     append_minhash_index,
     dedup_against_index,
     minhash_dedup_pairs,
     read_minhash_index_meta,
+    vacuum_minhash_index,
     write_minhash_index,
 )
+
+
+def _data_root(spark, index_path):
+    """The manifest-resolved versions/ dir holding bands/ and sets/."""
+    return _resolve_minhash_index(spark, index_path)[1]
+
+
+def _write_legacy_index(spark, docs, path, layout_key=True):
+    """A PRE-MANIFEST index (bands/sets at the root + marker file) —
+    what write_minhash_index produced before the pointer-flip commit;
+    kept constructible so the legacy read fallback stays tested."""
+    import json
+
+    from datawaves_etl_airflow_spark.operators.dedup import (
+        minhash_band_rows_np,
+        word_shingle_hash_sets,
+    )
+    from datawaves_etl_airflow_spark.sources.fs import write_text
+
+    sets = word_shingle_hash_sets(docs, k=3).persist()
+    bands = minhash_band_rows_np(sets, 64, 16)
+    bands.write.mode("overwrite").parquet(path + "/bands/batch=base")
+    sets.write.mode("overwrite").parquet(path + "/sets/batch=base")
+    sets.unpersist()
+    marker = {"k": 3, "n_hashes": 64, "n_bands": 16}
+    if layout_key:
+        marker["layout"] = "batch-v1"
+    write_text(spark, path + "/_minhash_index.json", json.dumps(marker))
 
 BASE = [
     (1, "the quick brown fox jumps over the lazy dog again and again"),
@@ -92,15 +122,50 @@ class TestIncrementalDedup:
         with pytest.raises(ValueError, match="no MinHash index marker"):
             dedup_against_index(batch, str(tmp_path / "nope"))
 
-    def test_corrupt_marker_raises(self, spark, tmp_path, index_path):
+    def test_corrupt_manifest_raises(self, spark, tmp_path, index_path):
+        import glob
+        import os
+
         from datawaves_etl_airflow_spark.sources.fs import write_text
 
-        write_text(
-            spark, index_path + "/_minhash_index.json", "{not json"
+        manifests = glob.glob(
+            os.path.join(index_path, "_manifests", "manifest-*.json")
         )
+        assert manifests
+        # write_text, not open(): the local Hadoop FS is checksummed,
+        # and a raw python overwrite corrupts the .crc instead of the
+        # payload
+        write_text(spark, manifests[0], "{not json")
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        with pytest.raises(ValueError, match="corrupt manifest"):
+            dedup_against_index(batch, index_path)
+
+    def test_corrupt_legacy_marker_raises(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.sources.fs import write_text
+
+        p = str(tmp_path / "legacy")
+        docs = spark.createDataFrame(BASE, "doc_id long, text string")
+        _write_legacy_index(spark, docs, p)
+        write_text(spark, p + "/_minhash_index.json", "{not json")
         batch = spark.createDataFrame(BATCH, "doc_id long, text string")
         with pytest.raises(ValueError, match="corrupt MinHash index"):
-            dedup_against_index(batch, index_path)
+            dedup_against_index(batch, p)
+
+    def test_legacy_index_probe_and_append(self, spark, tmp_path):
+        """Pre-manifest indexes stay fully usable through the fallback
+        — probes AND idempotent folds."""
+        p = str(tmp_path / "legacy")
+        docs = spark.createDataFrame(BASE, "doc_id long, text string")
+        _write_legacy_index(spark, docs, p)
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        got = _pairs(dedup_against_index(batch, p, threshold=0.5))
+        assert (10, 1) in got and (11, 12) in got
+        append_minhash_index(batch, p, batch_token="day1")
+        probe = spark.createDataFrame(
+            [(20, BATCH[1][1] + "!")], "doc_id long, text string"
+        )
+        got2 = _pairs(dedup_against_index(probe, p, threshold=0.5))
+        assert got2 == {(20, 11), (20, 12)}
 
     def test_reingested_id_not_self_paired(self, spark, index_path):
         """A batch doc whose id already exists in the index must not
@@ -121,7 +186,7 @@ class TestCrashSafeFolds:
         batch = spark.createDataFrame(BATCH, "doc_id long, text string")
         append_minhash_index(batch, index_path, batch_token="day1")
         append_minhash_index(batch, index_path, batch_token="day1")
-        sets = spark.read.parquet(index_path + "/sets")
+        sets = spark.read.parquet(_data_root(spark, index_path) + "/sets")
         ids = [r["id"] for r in sets.select("id").collect()]
         assert len(ids) == len(set(ids))  # one set row per doc
 
@@ -142,7 +207,7 @@ class TestCrashSafeFolds:
         half = word_shingle_hash_sets(batch, k=meta["k"])
         # crash simulation: ONLY the sets write of batch 'day1' lands
         half.write.mode("overwrite").parquet(
-            index_path + "/sets/batch=day1"
+            _data_root(spark, index_path) + "/sets/batch=day1"
         )
         probe = spark.createDataFrame(
             [(30, BATCH[1][1] + "!")], "doc_id long, text string"
@@ -185,68 +250,154 @@ class TestCrashSafeFolds:
 
         batch = spark.createDataFrame(BATCH, "doc_id long, text string")
         append_minhash_index(batch, index_path, batch_token="day1")
+        sets_day1 = _data_root(spark, index_path) + "/sets/batch=day1/*"
         files_before = {
-            f: os.path.getmtime(f)
-            for f in glob.glob(index_path + "/sets/batch=day1/*")
+            f: os.path.getmtime(f) for f in glob.glob(sets_day1)
         }
+        assert files_before
         append_minhash_index(batch, index_path, batch_token="day1")
         files_after = {
-            f: os.path.getmtime(f)
-            for f in glob.glob(index_path + "/sets/batch=day1/*")
+            f: os.path.getmtime(f) for f in glob.glob(sets_day1)
         }
         assert files_before == files_after
 
-    def test_pre_batch_flat_layout_rejected_loudly(self, spark, index_path):
+    def test_pre_batch_flat_layout_rejected_loudly(self, spark, tmp_path):
         """A layoutless marker over FLAT part files (the truly old
         layout) is rejected with the rebuild message — while a
         layoutless marker over batch= dirs is accepted (see
         test_pre_versioning_batch_marker_accepted)."""
-        from datawaves_etl_airflow_spark.sources.fs import (
-            delete_path,
-            write_text,
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            minhash_band_rows_np,
+            word_shingle_hash_sets,
         )
-
-        write_text(
-            spark,
-            index_path + "/_minhash_index.json",
-            '{"k": 3, "n_hashes": 64, "n_bands": 16}',  # no layout key
-        )
-        # flatten: replace bands/ with part files directly at its root
-        flat = spark.read.parquet(index_path + "/bands").select(
-            "id", "band_id", "band_hash"
-        ).collect()
-        delete_path(spark, index_path + "/bands")
-        spark.createDataFrame(
-            flat, "id long, band_id int, band_hash long"
-        ).write.parquet(index_path + "/bands")
-        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
-        with pytest.raises(ValueError, match="batch-v1"):
-            dedup_against_index(batch, index_path)
-
-    def test_crashed_rebuild_fails_loudly_not_stale(self, spark, index_path):
-        """Marker-first rebuild: simulate a crash after the marker +
-        data deletion but before the new write — the next probe must
-        raise the missing-marker error, never read stale data."""
-        from datawaves_etl_airflow_spark.sources.fs import delete_path
-
-        delete_path(spark, index_path + "/_minhash_index.json")
-        delete_path(spark, index_path + "/bands")
-        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
-        with pytest.raises(ValueError, match="no MinHash index marker"):
-            dedup_against_index(batch, index_path)
-
-    def test_pre_versioning_batch_marker_accepted(self, spark, index_path):
-        """A marker without the layout key over a batch=-dir index (the
-        immediately-previous code version) stays readable."""
         from datawaves_etl_airflow_spark.sources.fs import write_text
 
+        p = str(tmp_path / "flat")
+        docs = spark.createDataFrame(BASE, "doc_id long, text string")
+        sets = word_shingle_hash_sets(docs, k=3)
+        minhash_band_rows_np(sets, 64, 16).write.parquet(p + "/bands")
+        sets.write.parquet(p + "/sets")
         write_text(
             spark,
-            index_path + "/_minhash_index.json",
-            '{"k": 3, "n_hashes": 64, "n_bands": 16}',
+            p + "/_minhash_index.json",
+            '{"k": 3, "n_hashes": 64, "n_bands": 16}',  # no layout key
         )
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        with pytest.raises(ValueError, match="batch-v1"):
+            dedup_against_index(batch, p)
+
+    def test_pre_versioning_batch_marker_accepted(self, spark, tmp_path):
+        """A marker without the layout key over a batch=-dir index (two
+        code versions back) stays readable."""
+        p = str(tmp_path / "noversion")
+        docs = spark.createDataFrame(BASE, "doc_id long, text string")
+        _write_legacy_index(spark, docs, p, layout_key=False)
         batch = spark.createDataFrame(
             [BATCH[0]], "doc_id long, text string"
         )
-        got = _pairs(dedup_against_index(batch, index_path, threshold=0.5))
+        got = _pairs(dedup_against_index(batch, p, threshold=0.5))
         assert got == {(10, 1)}
+
+
+class TestPointerFlipRebuild:
+    """Rebuilds commit by manifest pointer flip: a crash ANYWHERE
+    mid-rebuild leaves the old index live and probes answering — at
+    100 TB a rebuild is days of compute and must never destroy the
+    state it replaces (round-4 verdict task #2 / ADVICE on the old
+    marker-first in-place rebuild)."""
+
+    def _probe_finds_corpus_dup(self, spark, path):
+        probe = spark.createDataFrame(
+            [(10, BASE[0][1] + "!")], "doc_id long, text string"
+        )
+        return _pairs(dedup_against_index(probe, path, threshold=0.5))
+
+    def test_crash_before_manifest_publish_keeps_old_live(
+        self, spark, index_path, monkeypatch
+    ):
+        from datawaves_etl_airflow_spark.sources import manifest as mf
+
+        real = mf.create_text_exclusive
+        state = {"armed": True}
+
+        def crashing(spark_, path_, content):
+            if state["armed"] and "manifest-" in path_:
+                state["armed"] = False
+                raise RuntimeError("injected crash before index commit")
+            return real(spark_, path_, content)
+
+        monkeypatch.setattr(mf, "create_text_exclusive", crashing)
+        other = spark.createDataFrame(
+            [(99, "totally different corpus after the rebuild attempt")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(RuntimeError, match="injected crash"):
+            write_minhash_index(other, index_path)
+        # the old index is STILL live: probes answer with old corpus
+        assert self._probe_finds_corpus_dup(spark, index_path) == {(10, 1)}
+        # retry commits; the orphaned attempt is vacuumable garbage
+        write_minhash_index(other, index_path)
+        assert self._probe_finds_corpus_dup(spark, index_path) == set()
+
+    def test_partial_version_dir_is_invisible_and_vacuumable(
+        self, spark, index_path
+    ):
+        """A crash mid-data-write leaves a partial versions/ dir no
+        manifest references — probes unaffected, vacuum reclaims it."""
+        import os
+
+        stray = os.path.join(index_path, "versions", "v9-deadbeef")
+        os.makedirs(os.path.join(stray, "bands"))
+        with open(os.path.join(stray, "bands", "half.parquet"), "w") as f:
+            f.write("not parquet")
+        assert self._probe_finds_corpus_dup(spark, index_path) == {(10, 1)}
+        deleted = vacuum_minhash_index(spark, index_path)
+        assert any("v9-deadbeef" in p for p in deleted)
+        assert not os.path.exists(stray)
+        assert self._probe_finds_corpus_dup(spark, index_path) == {(10, 1)}
+
+    def test_rebuild_then_vacuum_drops_old_version(
+        self, spark, index_path
+    ):
+        import glob
+        import os
+
+        old_root = _data_root(spark, index_path)
+        other = spark.createDataFrame(
+            [(99, "totally different corpus after this full rebuild ok")],
+            "doc_id long, text string",
+        )
+        write_minhash_index(other, index_path)
+        # both versions on disk until vacuum; probes already see v2
+        assert os.path.isdir(old_root)
+        assert self._probe_finds_corpus_dup(spark, index_path) == set()
+        vacuum_minhash_index(spark, index_path)
+        assert not os.path.exists(old_root)
+        assert (
+            len(glob.glob(os.path.join(index_path, "versions", "*"))) == 1
+        )
+        assert (
+            len(
+                glob.glob(
+                    os.path.join(index_path, "_manifests", "manifest-*")
+                )
+            )
+            == 1
+        )
+
+    def test_legacy_index_rebuild_migrates_and_vacuums_residue(
+        self, spark, tmp_path
+    ):
+        """Rebuilding over a pre-manifest index flips to the manifest
+        layout; vacuum clears the legacy root bands/sets + marker."""
+        import os
+
+        p = str(tmp_path / "legacy")
+        docs = spark.createDataFrame(BASE, "doc_id long, text string")
+        _write_legacy_index(spark, docs, p)
+        write_minhash_index(docs, p)  # migrate: same corpus, new layout
+        assert self._probe_finds_corpus_dup(spark, p) == {(10, 1)}
+        vacuum_minhash_index(spark, p)
+        assert not os.path.exists(os.path.join(p, "bands"))
+        assert not os.path.exists(os.path.join(p, "_minhash_index.json"))
+        assert self._probe_finds_corpus_dup(spark, p) == {(10, 1)}

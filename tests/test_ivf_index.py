@@ -12,13 +12,20 @@ import pytest
 from pyspark.sql import functions as F
 
 from datawaves_etl_airflow_spark.operators.similarity import (
+    _resolve_ivf_index,
     ivf_search_index,
     ivf_topk,
     read_ivf_index_meta,
+    vacuum_ivf_index,
     write_ivf_index,
 )
 
 DIM = 16
+
+
+def _data_root(spark, index_path):
+    """The manifest-resolved versions/ dir holding cells/centroids."""
+    return _resolve_ivf_index(spark, index_path)[1]
 
 
 def _vectors(spark, n=300, seed=11):
@@ -64,7 +71,8 @@ class TestIvfIndex:
         belong to the probed centroid dirs, a strict subset of cells."""
         q = _queries(spark, n=2)
         meta = read_ivf_index_meta(spark, index_path)
-        centroids = spark.read.parquet(index_path + "/centroids")
+        root = _data_root(spark, index_path)
+        centroids = spark.read.parquet(root + "/centroids")
         from datawaves_etl_airflow_spark.operators.similarity import (
             dot,
             l2_normalize,
@@ -90,11 +98,11 @@ class TestIvfIndex:
         }
         all_dirs = {
             int(os.path.basename(d).split("=")[1])
-            for d in glob.glob(index_path + "/cells/centroid_id=*")
+            for d in glob.glob(root + "/cells/centroid_id=*")
         }
         assert probe_ids < all_dirs  # strict subset: pruning possible
 
-        cells = spark.read.parquet(index_path + "/cells").filter(
+        cells = spark.read.parquet(root + "/cells").filter(
             F.col("centroid_id").isin(sorted(probe_ids))
         )
         read_files = {
@@ -119,14 +127,80 @@ class TestIvfIndex:
         quantizer is hash-seeded, not rand-seeded)."""
         p2 = str(tmp_path / "ivf2")
         write_ivf_index(_vectors(spark), p2, n_centroids=8, n_iters=2)
-        a = spark.read.parquet(index_path + "/cells").select(
+        a = spark.read.parquet(_data_root(spark, index_path) + "/cells").select(
             "vec_id", "centroid_id"
         )
-        b = spark.read.parquet(p2 + "/cells").select(
+        b = spark.read.parquet(_data_root(spark, p2) + "/cells").select(
             "vec_id", "centroid_id"
         )
         assert a.exceptAll(b).count() == 0
         assert b.exceptAll(a).count() == 0
+
+
+class TestPointerFlipRebuild:
+    """IVF rebuilds commit by manifest pointer flip (round-4 ADVICE:
+    the in-place cells-then-centroids overwrite had a torn window that
+    scored new-quantizer cells against old centroids — silently wrong
+    neighbors). A crash anywhere mid-rebuild now leaves the old index
+    fully live."""
+
+    def test_crash_before_publish_keeps_old_index_consistent(
+        self, spark, index_path, monkeypatch
+    ):
+        from datawaves_etl_airflow_spark.sources import manifest as mf
+
+        want = {
+            (r["query_id"], r["match_id"], r["rank"])
+            for r in ivf_search_index(
+                _queries(spark), index_path, nprobe=2, k=5
+            ).collect()
+        }
+        real = mf.create_text_exclusive
+        state = {"armed": True}
+
+        def crashing(spark_, path_, content):
+            if state["armed"] and "manifest-" in path_:
+                state["armed"] = False
+                raise RuntimeError("injected crash before index commit")
+            return real(spark_, path_, content)
+
+        monkeypatch.setattr(mf, "create_text_exclusive", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            write_ivf_index(
+                _vectors(spark, n=100, seed=99), index_path,
+                n_centroids=4, n_iters=1,
+            )
+        # probes answer IDENTICALLY to before the crashed rebuild:
+        # centroids and cells are still the same committed version
+        got = {
+            (r["query_id"], r["match_id"], r["rank"])
+            for r in ivf_search_index(
+                _queries(spark), index_path, nprobe=2, k=5
+            ).collect()
+        }
+        assert got == want
+        # the retry commits the new version
+        write_ivf_index(
+            _vectors(spark, n=100, seed=99), index_path,
+            n_centroids=4, n_iters=1,
+        )
+        meta = read_ivf_index_meta(spark, index_path)
+        assert meta["n_centroids"] == 4
+
+    def test_rebuild_then_vacuum_drops_old_version(
+        self, spark, index_path
+    ):
+        old_root = _data_root(spark, index_path)
+        write_ivf_index(
+            _vectors(spark, n=100, seed=99), index_path,
+            n_centroids=4, n_iters=1,
+        )
+        assert os.path.isdir(old_root)
+        deleted = vacuum_ivf_index(spark, index_path)
+        assert any(old_root.rstrip("/") in p for p in deleted)
+        assert not os.path.exists(old_root)
+        got = ivf_search_index(_queries(spark), index_path, nprobe=2, k=5)
+        assert got.count() > 0
 
 
 class TestMultiProbeLsh:

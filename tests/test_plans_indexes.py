@@ -53,9 +53,14 @@ class TestIndexPlans:
         )
         p = str(tmp_path / "ivf")
         write_ivf_index(vecs, p, n_centroids=8, n_iters=1)
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            _resolve_ivf_index,
+        )
+
+        root = _resolve_ivf_index(spark, p)[1]
         # the probe's cell read: an isin over the partition column must
         # reach the scan as a partition filter, with zero data filters
-        cells = spark.read.parquet(p + "/cells").filter(
+        cells = spark.read.parquet(root + "/cells").filter(
             F.col("centroid_id").isin([1, 2])
         )
         s = formatted(cells)

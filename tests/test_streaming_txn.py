@@ -64,7 +64,12 @@ class TestCrashInjection:
     batch-id record."""
 
     def _crash_between_data_and_commit(self, monkeypatch):
-        real = txn_mod.create_text_exclusive
+        # every consumer of the versioned-manifest protocol (txn store,
+        # MinHash/IVF index rebuilds) commits through this one function
+        # — patching it is the unified crash-injection point
+        from datawaves_etl_airflow_spark.sources import manifest as mf
+
+        real = mf.create_text_exclusive
         state = {"armed": True}
 
         def crashing(spark, path, content):
@@ -73,7 +78,7 @@ class TestCrashInjection:
                 raise RuntimeError("injected crash before manifest commit")
             return real(spark, path, content)
 
-        monkeypatch.setattr(txn_mod, "create_text_exclusive", crashing)
+        monkeypatch.setattr(mf, "create_text_exclusive", crashing)
 
     def test_txn_store_survives_the_window_exactly_once(
         self, spark, tmp_path, monkeypatch
