@@ -59,6 +59,15 @@ def read_text(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
+def _rename(fs, src, dst) -> bool:
+    """Rename seam: every marker move goes through here so the chaos
+    tests (tests/test_chaos_fs.py) can emulate object-store rename
+    semantics — outright failure, or copy-without-delete leftovers —
+    without a real object store in the sandbox. Hadoop rename returns
+    False on failure rather than raising."""
+    return fs.rename(src, dst)
+
+
 def write_text(spark: SparkSession, path: str, content: str) -> None:
     """Small-file text overwrite through the FileSystem API.
 
@@ -80,7 +89,7 @@ def write_text(spark: SparkSession, path: str, content: str) -> None:
         stream.close()
     if fs.exists(p):
         fs.delete(p, False)
-    if not fs.rename(tmp, p):
+    if not _rename(fs, tmp, p):
         fs.delete(tmp, False)
         raise OSError(f"rename {tmp} -> {path} failed")
 

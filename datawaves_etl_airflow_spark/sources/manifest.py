@@ -26,6 +26,18 @@ rebuilds). `vacuum` deletes what no current manifest references.
 This module holds the protocol once; the consumers keep only their
 payload schemas. At 100 TB the manifest is a handful of KB read once
 per operation — driver-side state never scales with data.
+
+Object-store honesty: rename is never on the commit path (data dirs
+are write-once under unique names; manifests are whole-file creates),
+which is exactly what S3-style stores need. The one primitive that
+must hold is create-if-absent: atomic on HDFS/ABFS/local; on S3A it is
+implemented as a HEAD-then-PUT, so the no-concurrent-writers contract
+(one committer per store/index, enforced by the callers' single-writer
+semantics, e.g. one foreachBatch per checkpoint) is load-bearing
+there — or use S3 conditional writes (If-None-Match) via a current
+hadoop-aws. The sandbox has no object store; tests/test_chaos_fs.py
+emulates the failure modes (failed rename, copy-without-delete
+leftovers, lagging listings) behind the fs seams instead.
 """
 
 from __future__ import annotations

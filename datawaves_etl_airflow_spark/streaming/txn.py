@@ -249,7 +249,17 @@ class ManifestedBucketStore:
     def vacuum(self, spark: SparkSession) -> list[str]:
         """Delete batch directories unreferenced by the LATEST manifest
         and all superseded manifests. Safe after any crash: orphans are
-        by definition invisible to readers. Returns deleted paths."""
+        by definition invisible to readers. Returns deleted paths.
+
+        Cadence contract (pinned in TestVacuumConcurrency): a reader
+        that resolved the CURRENT manifest keeps collecting through a
+        vacuum — only unreferenced dirs are deleted. What vacuum does
+        NOT protect is a reader still draining a SUPERSEDED snapshot
+        (resolved before a later merge/compact): its directories are
+        exactly the garbage vacuum reclaims. Operationally: vacuum on
+        a schedule longer than the longest query over the store, the
+        same retention discipline as any snapshot-isolated table
+        format."""
         _, m = self._resolve(spark)
         if m is None:
             return []

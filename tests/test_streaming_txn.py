@@ -217,6 +217,81 @@ class TestReadsAndMaintenance:
         assert store.merge_batch(b, 0, ["k"], ["total", "n"]) is False
 
 
+class TestVacuumConcurrency:
+    """Round-4 verdict task #7: vacuum never deletes a dir the LATEST
+    manifest references, so current readers survive it — property-
+    tested over randomized merge/compact/vacuum interleavings — while
+    the documented superseded-snapshot hazard is pinned explicitly."""
+
+    def test_randomized_interleavings_keep_current_readers_alive(
+        self, spark, tmp_path
+    ):
+        import random
+
+        rng = random.Random(17)
+        store = ManifestedBucketStore(str(tmp_path / "s"), n_buckets=4)
+        expected: dict[str, tuple[int, int]] = {}
+        bid = 0
+
+        def merge(rows):
+            nonlocal bid
+            assert store.merge_batch(
+                _batch(spark, rows), bid, ["k"], ["total", "n"]
+            )
+            bid += 1
+            for k, t, n in rows:
+                tot = expected.get(k, (0, 0))
+                expected[k] = (tot[0] + t, tot[1] + n)
+
+        merge([("k0", 1, 1)])
+        for _ in range(16):
+            op = rng.choice(
+                ["merge", "merge", "merge", "compact", "vacuum"]
+            )
+            if op == "merge":
+                merge(
+                    [
+                        (
+                            f"k{rng.randrange(6)}",
+                            rng.randrange(1, 9),
+                            1,
+                        )
+                        for _ in range(rng.randrange(1, 4))
+                    ]
+                )
+            elif op == "compact":
+                store.compact(spark)
+            else:
+                # a reader that resolved the CURRENT manifest moments
+                # before the vacuum must still collect after it
+                snapshot = store.current_df(spark)
+                store.vacuum(spark)
+                assert _totals(snapshot) == expected
+            assert _totals(store.current_df(spark)) == expected
+        # terminal: one more vacuum, state intact
+        store.vacuum(spark)
+        assert _totals(store.current_df(spark)) == expected
+
+    def test_superseded_snapshot_breaks_after_vacuum_as_documented(
+        self, spark, tmp_path
+    ):
+        """The honest flip side (the vacuum-cadence contract): a reader
+        draining a snapshot that later merges/compacts superseded
+        references exactly the dirs vacuum reclaims — it must fail
+        (loudly), not silently return partial data."""
+        store = ManifestedBucketStore(str(tmp_path / "s"), n_buckets=4)
+        for i in range(3):
+            store.merge_batch(
+                _batch(spark, [("a", 1, 1)]), i, ["k"], ["total", "n"]
+            )
+        stale = store.current_df(spark)
+        assert _totals(stale) == {"a": (3, 3)}  # resolves fine now
+        store.compact(spark)
+        store.vacuum(spark)
+        with pytest.raises(Exception):
+            _totals(stale)  # its files are gone — loud, never partial
+
+
 class TestStreamEndToEnd:
     def test_stream_merge_exactly_once_equals_batch_totals(
         self, spark, tmp_path
