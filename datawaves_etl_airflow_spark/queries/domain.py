@@ -362,15 +362,21 @@ def evt_seaport_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: anti-join dedup) and the freed slots go to the never-driver-verified
 #: llm/generic corpus. The 10 rotated-out queries remain parity-green
 #: (tools/parity.py) with their r3 CORRECTNESS rows on record.
+#: Round-5 rotation: every domain query is green in r3 or r4; this
+#: round re-verifies the r3-last-green half (the r4-green half rotates
+#: out, parity-pinned), led by the two queries whose source path
+#: changed this round (prices hardening: CSV ingest + interval fill).
 DRIVER_QUERIES = [
-    "evt_seaport_decode",
-    "call_transfer_decode",
-    "d4_token_transfers",
-    "d_verify_root_traces",
-    "s1_staging_scan_json",
-    "d_enrich_transactions",
-    "d_enrich_geth_traces",
-    "d_new_tokens",
+    "s2_staging_scan_csv",
+    "d_prices_fill",
+    "d_enrich_blocks",
+    "d_enrich_logs",
+    "d_enrich_traces",
+    "d_enrich_contracts",
+    "d_enrich_token_transfers",
+    "d_verify_have_latest",
+    "evt_transfer_decode",
+    "d5_extract_contracts",
 ]
 
 QUERIES = {

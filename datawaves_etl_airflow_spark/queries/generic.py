@@ -781,31 +781,29 @@ def g2_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sentinels that have no rotated twin. Everything else in QUERIES
 #: remains parity/pytest-verified (plan shapes pinned in
 #: tests/test_plans.py).
+#: Round-5 rotation: the 19 r2-last-green queries (not re-verified
+#: since the round-2 run) take every generic slot; the r4-green set
+#: rotates out, parity-pinned.
 DRIVER_QUERIES = [
-    # never driver-verified, first
-    "g1_rollup_returnflag",
-    "j1_order_revenue_3way",
-    "j5_composite_key_join",
-    "h1_hourly_events",
-    "h2_range_pruned_scan",
-    "w2_running_sum",
-    "w4_rolling_range_window",
-    "pv1_pivot_linestatus",
-    "pv2_unpivot_metrics",
-    "m1_upsert_dimension",
-    "x3_profile_orders",
-    "m3_incremental_merge",
-    # r3-green family sentinels
-    "q1_pricing_summary",
-    "f_scalar_surface",
-    "w3_sessionization",
-    "aj1_asof_clicks",
-    "rj1_promo_range_join",
-    "m2_scd2_history",
-    "sk1_salted_agg",
-    "g2_grouped_quantiles",
-    "x1_approx_aggregates",
-    "g3_cube_priority",
+    "a1_count_existence",
+    "a2_count_col_vs_star",
+    "j6_anti_join_customers",
+    "j6b_anti_join_prefiltered",
+    "j6c_anti_join_bucket_pruned",
+    "j7_region_rollup",
+    "e1_except_parts",
+    "p4_date_range_scan",
+    "p5_conjunctive_filter",
+    "w1_topk_per_user",
+    "h3_hopping_windows",
+    "x2_above_global_avg",
+    "f2_array_surface",
+    "g4_purchase_trend",
+    "t1_topk_orders",
+    "u1_intersect_users",
+    "aj2_asof_bucketed",
+    "j8_semi_join_customers",
+    "j9_full_outer_rollup",
 ]
 
 #: columns profiled by x3 (orderable subset of orders)

@@ -616,31 +616,38 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (cosine_topk, the thin text_stats derivatives, image/audio/frame,
 #: hash_split, source_quota) remain parity-green with r3 CORRECTNESS
 #: rows on record.
+#: Round-5 rotation: llm_cluster_keep takes the LAST never-driver-
+#: verified slot (cumulative coverage 95/95 once green); then the two
+#: queries whose persisted-index layout changed this round (manifest
+#: pointer-flip rebuilds), the r3-last-green sentinels, and three
+#: r4-green heavy hitters for continuity. The r4-green remainder
+#: (incl. the three rows-only xxhash64 candidate sets) rotates out,
+#: parity-pinned.
 DRIVER_QUERIES = [
     # never driver-verified, first
-    "llm_minhash_dedup",
-    "llm_simhash_candidates",
-    "llm_ann_lsh",
-    "llm_multimodal_meta",
-    "llm_repetition",
-    "llm_quality_filter",
-    "llm_length_histogram",
-    "llm_tfidf_keywords",
-    "llm_unigram_logprob",
-    "llm_wordcount",
-    # new-in-r4 surfaces (oracle-backed; never driver-verified)
+    "llm_cluster_keep",
+    # changed surface this round: manifest-committed index layouts
     "llm_incremental_dedup",
-    "llm_passage_dedup",
-    "llm_chunking",
-    # r3-green family sentinels (quantize/pack/exact-dedup rotated out
-    # this round: all settled with r2+r3 CORRECTNESS rows — the slots
-    # go to the three new-surface queries above, never-verified-first)
+    "llm_ann_ivf",
+    # r3-last-green re-verification sentinels
+    "llm_dedup_exact",
+    "llm_cosine_topk",
+    "llm_quantize_embeddings",
+    "llm_pack_sequences",
+    "llm_text_stats",
+    "llm_lang_id",
+    "llm_token_counts",
+    "llm_fingerprint",
+    "llm_frame_sample",
+    "llm_image_features",
+    "llm_audio_features",
+    "llm_quality_logit",
+    "llm_source_quota",
+    "llm_hash_split",
+    "llm_pii_scrub",
+    # r4-green heavy-hitter continuity sentinels
     "llm_jaccard_pairs",
     "llm_dedup_clusters",
-    "llm_decontaminate",
-    "llm_simhash_planted",
-    "llm_ann_ivf",
-    "llm_neardup_embeddings",
     "llm_corpus_pipeline",
 ]
 

@@ -52,27 +52,25 @@ class TestRegistrationPolicy:
         )
 
     def test_registration_order_never_verified_first(self):
-        """Round-4 rotation: within each module block the
-        never-driver-verified queries precede the r3-green sentinels,
-        so a budget cut still lands on fresh evidence first."""
+        """Round-5 rotation: the one never-driver-verified query leads
+        its module block, followed by the changed-surface
+        re-verifications (manifest index layouts, prices path), then
+        the oldest-green sentinels — a budget cut still lands on the
+        freshest evidence first."""
         names = list(entrymod.queries())
-        assert names[0] == "evt_seaport_decode"  # hardest decode sentinel
-        # llm rotation block (incl. the new-in-r4 surfaces) precedes
-        # the llm sentinels
-        assert names.index("llm_minhash_dedup") < names.index(
+        # domain block leads with the changed prices path
+        assert names[0] == "s2_staging_scan_csv"
+        assert names[1] == "d_prices_fill"
+        # llm block: never-verified first, then changed index surfaces
+        llm_first = names.index("llm_cluster_keep")
+        assert llm_first < names.index("llm_incremental_dedup")
+        assert names.index("llm_incremental_dedup") < names.index(
+            "llm_dedup_exact"
+        )
+        assert names.index("llm_ann_ivf") < names.index("llm_dedup_exact")
+        # r3-green sentinels precede the r4-green continuity tail
+        assert names.index("llm_pii_scrub") < names.index(
             "llm_jaccard_pairs"
-        )
-        assert names.index("llm_wordcount") < names.index("llm_jaccard_pairs")
-        for new_q in (
-            "llm_incremental_dedup", "llm_passage_dedup", "llm_chunking"
-        ):
-            assert names.index(new_q) < names.index("llm_jaccard_pairs")
-        # generic rotation block precedes generic sentinels
-        assert names.index("g1_rollup_returnflag") < names.index(
-            "q1_pricing_summary"
-        )
-        assert names.index("m3_incremental_merge") < names.index(
-            "x1_approx_aggregates"
         )
 
     def test_driver_lists_subset_of_full_corpus(self):
@@ -104,17 +102,10 @@ class TestRegistrationPolicy:
         assert any("boom" in r["traceback_line"] for r in rows)
 
     def test_registered_oracle_coverage(self):
-        """47 of the 50 registered queries are oracled (seaport decode
-        via a literal golden-VALUES oracle, IVF and SimHash via
-        x1-style self-checks). Exactly three are rows-only BY DESIGN —
-        the raw xxhash64-dependent candidate sets whose ground truth
-        would need the all-pairs product the registered plans forbid;
-        their recall/equivalence is pinned in tests (test_dedup,
-        test_similarity, test_advice_r3)."""
+        """Round 5: ALL 50 registered queries are oracled — the three
+        rows-only xxhash64 candidate sets got their driver rows in r4
+        and rotate out (their recall/equivalence stays pinned in
+        test_dedup/test_similarity/test_advice_r3)."""
         q = entrymod.queries()
         o = entrymod.oracle_sql()
-        assert set(q) - set(o) == {
-            "llm_minhash_dedup",
-            "llm_simhash_candidates",
-            "llm_ann_lsh",
-        }
+        assert set(q) - set(o) == set()

@@ -74,3 +74,76 @@ class TestIndexPlans:
         plan = plan_of(out)
         assert plan.count("Exchange") == 1
         assert "Sort" in plan  # per-shard hash order is a real sort
+
+
+class TestDecodeLayoutPruning:
+    def test_selector_hash_partitioned_decode_scan_is_pruned(
+        self, spark, tmp_path
+    ):
+        """D-1 over the selector_hash-partitioned warehouse layout: the
+        decode's bucket filter must reach the scan as a PartitionFilter
+        (execution-true: the files read all belong to the selector's
+        bucket dir) — the SURVEY.md §4 pruning claim the 10× decode
+        rows in SCALE.md measure."""
+        from datawaves_etl_airflow_spark.functions.evm import (
+            hash_bucket,
+            unhex_0x,
+        )
+        from datawaves_etl_airflow_spark.operators.decode import (
+            decode_log_events,
+        )
+        from datawaves_etl_airflow_spark.queries.domain import (
+            TRANSFER_EVENT,
+        )
+
+        topic0 = TRANSFER_EVENT.event_topic0()
+        word = lambda c: F.lpad(  # noqa: E731
+            F.conv(c.cast("string"), 10, 16), 64, "0"
+        )
+        sel = F.when(
+            (F.col("id") % 4) == 0, F.lit(topic0)
+        ).otherwise(F.concat(F.lit("0x"), word(F.col("id") % 8 + 100)))
+        logs = spark.range(400).select(
+            F.col("id").alias("log_index"),
+            F.concat(F.lit("0xtx"), F.col("id").cast("string")).alias(
+                "transaction_hash"
+            ),
+            F.lit("0x" + "ab" * 20).alias("address"),
+            F.timestamp_seconds(F.col("id")).alias("block_timestamp"),
+            F.col("id").alias("block_number"),
+            F.array(
+                sel,
+                F.concat(F.lit("0x"), word(F.col("id") % 97)),
+                F.concat(F.lit("0x"), word(F.col("id") % 31)),
+            ).alias("topics_arr"),
+            unhex_0x(F.concat(F.lit("0x"), word(F.col("id")))).alias(
+                "unhex_data"
+            ),
+            sel.alias("selector"),
+            hash_bucket(sel).alias("selector_hash"),
+        )
+        p = str(tmp_path / "decoded_layout")
+        logs.write.partitionBy("selector_hash").parquet(p)
+
+        decoded = decode_log_events(spark.read.parquet(p), TRANSFER_EVENT)
+        s = formatted(decoded)
+        assert "PartitionFilters" in s
+        pf = s.split("PartitionFilters")[1].split("]")[0]
+        assert "selector_hash" in pf
+        # execution-true: every file actually read is in ONE bucket dir
+        want_bucket = spark.range(1).select(
+            hash_bucket(F.lit(topic0)).alias("b")
+        ).first()["b"]
+        src = spark.read.parquet(p).filter(
+            (F.col("selector") == topic0)
+            & (F.col("selector_hash") == hash_bucket(F.lit(topic0)))
+        )
+        files = {
+            r["f"]
+            for r in src.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        assert files
+        assert all(f"selector_hash={want_bucket}/" in f for f in files)
+        assert decoded.count() == 100

@@ -195,8 +195,112 @@ def main() -> None:
         .localCheckpoint()
     )
 
+    # decode path (D-1/D-2, the reference's core product — round-4
+    # verdict #5): synthetic enriched logs/traces scaled by row count,
+    # ~1/4 matching the Transfer selector so the filter has realistic
+    # selectivity; payloads decode through the real Arrow-batched codec
+    # UDF. Noise rows carry 8 distinct selectors so the bucketed layout
+    # spreads across selector_hash partitions and pruning has work to do.
+    from datawaves_etl_airflow_spark.functions.evm import (
+        hash_bucket,
+        unhex_0x,
+    )
+    from datawaves_etl_airflow_spark.operators import decode as dec
+    from datawaves_etl_airflow_spark.queries.domain import (
+        TRANSFER_EVENT,
+        TRANSFER_FUNCTION,
+    )
+
+    def _word(c):
+        return F.lpad(F.conv(c.cast("string"), 10, 16), 64, "0")
+
+    def _synth_logs(mult: int) -> DataFrame:
+        topic0 = TRANSFER_EVENT.event_topic0()
+        is_t = (F.col("id") % 4) == 0
+        noise = F.concat(F.lit("0x"), _word(F.col("id") % 8 + 100))
+        sel = F.when(is_t, F.lit(topic0)).otherwise(noise)
+        topics = F.array(
+            sel,
+            F.concat(F.lit("0x"), _word(F.col("id") % 997)),
+            F.concat(F.lit("0x"), _word(F.col("id") % 131)),
+        )
+        data = F.concat(F.lit("0x"), _word(F.col("id") % 100000))
+        return spark.range(200_000 * mult).select(
+            F.col("id").alias("log_index"),
+            F.concat(F.lit("0xtx"), F.col("id").cast("string")).alias(
+                "transaction_hash"
+            ),
+            F.concat(
+                F.lit("0x"),
+                F.lpad(
+                    F.conv((F.col("id") % 500).cast("string"), 10, 16),
+                    40,
+                    "0",
+                ),
+            ).alias("address"),
+            F.timestamp_seconds(F.col("id") % 86400).alias(
+                "block_timestamp"
+            ),
+            (F.col("id") / 100).cast("long").alias("block_number"),
+            topics.alias("topics_arr"),
+            unhex_0x(data).alias("unhex_data"),
+            sel.alias("selector"),
+            hash_bucket(sel).alias("selector_hash"),
+        )
+
+    def _synth_traces(mult: int) -> DataFrame:
+        sel_t = TRANSFER_FUNCTION.function_selector()
+        is_t = (F.col("id") % 4) == 0
+        noise = F.concat(
+            F.lit("0x"),
+            F.lpad(
+                F.conv((F.col("id") % 8 + 1).cast("string"), 10, 16), 8, "0"
+            ),
+        )
+        sel = F.when(is_t, F.lit(sel_t)).otherwise(noise)
+        input_hex = F.concat(
+            sel, _word(F.col("id") % 500), _word(F.col("id") % 100000)
+        )
+        return spark.range(100_000 * mult).select(
+            F.concat(F.lit("0xtx"), F.col("id").cast("string")).alias(
+                "transaction_hash"
+            ),
+            F.concat(F.lit("0x"), F.lpad(F.lit("ab"), 40, "a")).alias(
+                "to_address"
+            ),
+            F.timestamp_seconds(F.col("id") % 86400).alias(
+                "block_timestamp"
+            ),
+            (F.col("id") / 100).cast("long").alias("block_number"),
+            F.lit("").alias("trace_address"),
+            F.lit(1).alias("status"),
+            unhex_0x(input_hex).alias("unhex_input"),
+            unhex_0x(F.lit("0x" + "0" * 63 + "1")).alias("unhex_output"),
+            sel.alias("selector"),
+            hash_bucket(sel).alias("selector_hash"),
+        )
+
+    # persisted selector_hash-partitioned warehouse layout, built
+    # OUTSIDE the clock: the measured claim is that a decode over the
+    # layout READS only the selector's bucket (SURVEY.md §4) — scan
+    # bytes ∝ matching bucket, not corpus
+    logs_by_mult: dict[int, str] = {}
+    for mult in (1, args.factor):
+        p = os.path.join(idx_root, f"declogs{mult}")
+        _synth_logs(mult).write.partitionBy("selector_hash").parquet(p)
+        logs_by_mult[mult] = p
+
     #: covers the 10 heaviest BENCH_r03 queries' operator cores
     ops = {
+        "evt_decode_inplan": lambda mult: dec.decode_log_events(
+            _synth_logs(mult), TRANSFER_EVENT
+        ),
+        "evt_decode_bucket_pruned": lambda mult: dec.decode_log_events(
+            spark.read.parquet(logs_by_mult[mult]), TRANSFER_EVENT
+        ),
+        "call_decode_inplan": lambda mult: dec.decode_call_functions(
+            _synth_traces(mult), TRANSFER_FUNCTION
+        ),
         "incremental_probe_fixed_batch": lambda mult: (
             dedup.dedup_against_index(
                 probe_batch, idx_by_mult[mult], threshold=0.5
