@@ -1080,6 +1080,51 @@ def read_minhash_index_meta(spark, path: str) -> dict:
     return _resolve_minhash_index(spark, path)[0]
 
 
+def compact_minhash_index(spark, path: str) -> bool:
+    """Fold every ``batch=`` directory of the current index version
+    into a single ``batch=base`` under a NEW manifest-committed
+    version — probe read cost grows with directories-per-side between
+    compactions (each batch append adds one bands dir and one sets dir
+    to every probe's scan list), and this resets it to one.
+
+    Same pointer-flip guarantees as `write_minhash_index`: the old
+    version stays live until the manifest publishes; a crash leaves it
+    untouched; `vacuum_minhash_index` reclaims it afterwards. Returns
+    False on a legacy (pre-manifest) index — rebuild first. Single
+    writer per index, as everywhere in this family."""
+    import posixpath as _pp
+    import uuid as _uuid
+
+    from ..sources.manifest import VersionedManifest
+
+    vm = VersionedManifest(path)
+    version, payload = vm.resolve(spark)
+    if payload is None:
+        return False
+    old_root = _pp.join(path, str(payload["current"]))
+    rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")
+    vroot = _pp.join(path, rel)
+    # read drops the batch= partition column; the rewrite is one
+    # file-consolidating pass per side, no shuffle semantics involved
+    for side, cols in (("bands", ["id", "band_id", "band_hash"]),
+                       ("sets", ["id", "shset"])):
+        spark.read.parquet(_pp.join(old_root, side)).select(
+            *cols
+        ).write.mode("errorifexists").parquet(
+            _pp.join(vroot, side, "batch=base")
+        )
+    committed = vm.publish(
+        spark, {**payload, "current": rel}, version
+    )
+    if not committed:
+        raise RuntimeError(
+            f"MinHash index compaction at {path} lost the manifest race "
+            f"for version {version + 1}: concurrent writers are not "
+            "supported"
+        )
+    return True
+
+
 def vacuum_minhash_index(spark, path: str) -> list[str]:
     """Reclaim superseded index versions: every ``versions/`` dir the
     LATEST manifest does not reference, every superseded manifest, and

@@ -528,11 +528,15 @@ def write_ivf_index(
     ).select(
         F.col("_vid").alias(id_col), F.col(vec_col), "centroid_id"
     )
+    # batch=base level from day 0 so `append_ivf_index` can fold daily
+    # vector batches idempotently beside it (same layout rationale as
+    # the MinHash index); centroid_id stays the inner partition level,
+    # so probe pruning on it spans every batch directory
     (
         cells.repartition("centroid_id")
         .write.mode("errorifexists")
         .partitionBy("centroid_id")
-        .parquet(_pp.join(vroot, "cells"))
+        .parquet(_pp.join(vroot, "cells", "batch=base"))
     )
     centroids.write.mode("errorifexists").parquet(
         _pp.join(vroot, "centroids")
@@ -609,6 +613,106 @@ def read_ivf_index_meta(spark, path: str) -> dict:
     """The index parameter contract (manifest-first, legacy-marker
     fallback); missing/corrupt indexes raise."""
     return _resolve_ivf_index(spark, path)[0]
+
+
+def append_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    batch_token: str | None = None,
+) -> None:
+    """Fold a new vector batch into the persisted IVF index WITHOUT a
+    rebuild: assign against the STORED quantizer (centroids unchanged)
+    and land the cells in an idempotent ``cells/batch=<token>/``
+    directory of the current version — daily cost is O(|batch|), never
+    O(|corpus|), and probes see the new vectors immediately through
+    the same centroid_id partition pruning.
+
+    Same-token retries overwrite their own batch directory (the
+    foreachBatch replay contract, as in `append_minhash_index`). The
+    quantizer does not adapt: if the embedding distribution drifts,
+    schedule a `write_ivf_index` rebuild — the pointer flip keeps the
+    old index serving until the new one commits. Requires the
+    manifest layout (rebuild a legacy index first).
+    """
+    import posixpath as _pp
+    import uuid as _uuid
+
+    from ..sources.manifest import VersionedManifest
+
+    token = batch_token if batch_token is not None else _uuid.uuid4().hex
+    if "/" in token or "=" in token:
+        raise ValueError(f"batch_token must be path-safe: {token!r}")
+    spark = vectors.sparkSession
+    # resolve first: a truly-missing index raises the standard
+    # missing-marker error; a LEGACY index (marker but no manifest)
+    # cannot take batch= appends beside its flat cells layout
+    meta, data_root = _resolve_ivf_index(spark, path)
+    _, payload = VersionedManifest(path).resolve(spark)
+    if payload is None:
+        raise ValueError(
+            f"IVF index at {path} predates the manifest layout — "
+            "rebuild with write_ivf_index before appending"
+        )
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    centroids = spark.read.parquet(_pp.join(data_root, "centroids"))
+    norm = vectors.select(
+        F.col(id_col).alias("_vid"),
+        l2_normalize(F.col(vec_col)).alias("_v"),
+    )
+    cells = _assign_cells(norm, "_v", centroids).join(
+        vectors.withColumnRenamed(id_col, "_vid"), "_vid"
+    ).select(
+        F.col("_vid").alias(id_col), F.col(vec_col), "centroid_id"
+    )
+    (
+        cells.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(_pp.join(data_root, "cells", f"batch={token}"))
+    )
+
+
+def compact_ivf_index(spark, path: str) -> bool:
+    """Fold every ``cells/batch=`` directory of the current version
+    into a single ``batch=base`` under a NEW manifest-committed version
+    (probe listing cost grows with batch dirs between compactions).
+    Pointer-flip semantics as everywhere: old version live until the
+    publish, vacuum afterwards. False on a legacy index."""
+    import posixpath as _pp
+    import uuid as _uuid
+
+    from ..sources.manifest import VersionedManifest
+
+    vm = VersionedManifest(path)
+    version, payload = vm.resolve(spark)
+    if payload is None:
+        return False
+    meta = {
+        "vec_col": str(payload["vec_col"]),
+        "id_col": str(payload["id_col"]),
+    }
+    old_root = _pp.join(path, str(payload["current"]))
+    rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")
+    vroot = _pp.join(path, rel)
+    (
+        spark.read.parquet(_pp.join(old_root, "cells"))
+        .select(meta["id_col"], meta["vec_col"], "centroid_id")
+        .repartition("centroid_id")
+        .write.mode("errorifexists")
+        .partitionBy("centroid_id")
+        .parquet(_pp.join(vroot, "cells", "batch=base"))
+    )
+    # the quantizer travels unchanged to the new version
+    spark.read.parquet(_pp.join(old_root, "centroids")).write.mode(
+        "errorifexists"
+    ).parquet(_pp.join(vroot, "centroids"))
+    committed = vm.publish(spark, {**payload, "current": rel}, version)
+    if not committed:
+        raise RuntimeError(
+            f"IVF index compaction at {path} lost the manifest race for "
+            f"version {version + 1}: concurrent writers are not supported"
+        )
+    return True
 
 
 def vacuum_ivf_index(spark, path: str) -> list[str]:

@@ -1,0 +1,200 @@
+"""Round-5 index maintenance surfaces: manifest-committed compaction
+for the MinHash index and incremental append + compaction for the IVF
+index — the operations that keep daily probe cost flat on a growing
+persisted corpus."""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+
+import pytest
+
+from datawaves_etl_airflow_spark.operators.dedup import (
+    _resolve_minhash_index,
+    append_minhash_index,
+    compact_minhash_index,
+    dedup_against_index,
+    vacuum_minhash_index,
+    write_minhash_index,
+)
+from datawaves_etl_airflow_spark.operators.similarity import (
+    _resolve_ivf_index,
+    append_ivf_index,
+    compact_ivf_index,
+    ivf_search_index,
+    vacuum_ivf_index,
+    write_ivf_index,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "pack my box with five dozen liquor jugs before noon today ok"),
+]
+DAY1 = [(11, "entirely novel text streaming through watermarked windows")]
+DAY2 = [(21, "completely fresh second day content with no duplicate peer")]
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _probe_pairs(spark, path, text):
+    probe = _docs_df(spark, [(99, text)])
+    return {
+        (r["id_a"], r["id_b"])
+        for r in dedup_against_index(probe, path, threshold=0.5).collect()
+    }
+
+
+class TestMinhashCompaction:
+    def test_compact_folds_batches_probe_identical(self, spark, tmp_path):
+        p = str(tmp_path / "idx")
+        write_minhash_index(_docs_df(spark, DOCS), p)
+        append_minhash_index(_docs_df(spark, DAY1), p, batch_token="d1")
+        append_minhash_index(_docs_df(spark, DAY2), p, batch_token="d2")
+        before = {
+            t: _probe_pairs(spark, p, t)
+            for t in (DOCS[0][1] + "!", DAY1[0][1] + "!", DAY2[0][1] + "!")
+        }
+        assert before[DAY1[0][1] + "!"] == {(99, 11)}  # appended visible
+        assert compact_minhash_index(spark, p) is True
+        vacuum_minhash_index(spark, p)
+        root = _resolve_minhash_index(spark, p)[1]
+        # one batch dir per side after compact+vacuum
+        assert glob.glob(os.path.join(root, "bands", "batch=*")) == [
+            os.path.join(root, "bands", "batch=base")
+        ]
+        assert glob.glob(os.path.join(root, "sets", "batch=*")) == [
+            os.path.join(root, "sets", "batch=base")
+        ]
+        after = {
+            t: _probe_pairs(spark, p, t)
+            for t in (DOCS[0][1] + "!", DAY1[0][1] + "!", DAY2[0][1] + "!")
+        }
+        assert after == before
+        # appends keep working on the compacted version
+        append_minhash_index(
+            _docs_df(spark, [(31, "post compact day three text here")]),
+            p,
+            batch_token="d3",
+        )
+        assert _probe_pairs(
+            spark, p, "post compact day three text here!"
+        ) == {(99, 31)}
+
+    def test_compact_crash_keeps_old_version_live(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from datawaves_etl_airflow_spark.sources import manifest as mf
+
+        p = str(tmp_path / "idx")
+        write_minhash_index(_docs_df(spark, DOCS), p)
+        append_minhash_index(_docs_df(spark, DAY1), p, batch_token="d1")
+        real = mf.create_text_exclusive
+        state = {"armed": True}
+
+        def crashing(spark_, path_, content):
+            if state["armed"] and "manifest-" in path_:
+                state["armed"] = False
+                raise RuntimeError("injected crash mid-compact")
+            return real(spark_, path_, content)
+
+        monkeypatch.setattr(mf, "create_text_exclusive", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_minhash_index(spark, p)
+        assert _probe_pairs(spark, p, DAY1[0][1] + "!") == {(99, 11)}
+        assert compact_minhash_index(spark, p) is True  # retry commits
+        assert _probe_pairs(spark, p, DAY1[0][1] + "!") == {(99, 11)}
+
+    def test_compact_on_legacy_index_returns_false(self, spark, tmp_path):
+        assert compact_minhash_index(spark, str(tmp_path / "none")) is False
+
+
+DIM = 8
+
+
+def _vecs(spark, ids, seed=3):
+    rng = random.Random(seed)
+    return spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(DIM)]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _query_for(spark, vec_row):
+    return spark.createDataFrame(
+        [(0, vec_row)], "query_id long, query_vec array<double>"
+    )
+
+
+class TestIvfAppend:
+    @pytest.fixture()
+    def index_path(self, spark, tmp_path):
+        p = str(tmp_path / "ivf")
+        write_ivf_index(_vecs(spark, range(100)), p, n_centroids=4, n_iters=1)
+        return p
+
+    def test_appended_vectors_found_by_probe(self, spark, index_path):
+        new = _vecs(spark, range(1000, 1010), seed=7)
+        append_ivf_index(new, index_path, batch_token="d1")
+        target = new.filter("vec_id = 1005").first()["embedding"]
+        got = ivf_search_index(
+            _query_for(spark, target), index_path, nprobe=1, k=1
+        ).first()
+        assert got["match_id"] == 1005 and got["cosine_sim"] == 1.0
+
+    def test_same_token_retry_no_duplicates(self, spark, index_path):
+        new = _vecs(spark, range(1000, 1005), seed=7)
+        append_ivf_index(new, index_path, batch_token="d1")
+        append_ivf_index(new, index_path, batch_token="d1")
+        root = _resolve_ivf_index(spark, index_path)[1]
+        ids = [
+            r["vec_id"]
+            for r in spark.read.parquet(os.path.join(root, "cells"))
+            .select("vec_id")
+            .collect()
+        ]
+        assert len(ids) == len(set(ids))
+
+    def test_append_to_missing_index_raises(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="no IVF index marker"):
+            append_ivf_index(
+                _vecs(spark, range(3)), str(tmp_path / "nope")
+            )
+
+    def test_compact_folds_batches_probe_identical(
+        self, spark, index_path
+    ):
+        append_ivf_index(
+            _vecs(spark, range(1000, 1010), seed=7), index_path,
+            batch_token="d1",
+        )
+        append_ivf_index(
+            _vecs(spark, range(2000, 2010), seed=9), index_path,
+            batch_token="d2",
+        )
+        q = _query_for(
+            spark, _vecs(spark, range(1000, 1010), seed=7)
+            .filter("vec_id = 1003").first()["embedding"]
+        ).localCheckpoint()
+        before = [
+            (r["match_id"], r["rank"], r["cosine_sim"])
+            for r in ivf_search_index(
+                q, index_path, nprobe=2, k=5
+            ).collect()
+        ]
+        assert compact_ivf_index(spark, index_path) is True
+        vacuum_ivf_index(spark, index_path)
+        root = _resolve_ivf_index(spark, index_path)[1]
+        assert glob.glob(os.path.join(root, "cells", "batch=*")) == [
+            os.path.join(root, "cells", "batch=base")
+        ]
+        after = [
+            (r["match_id"], r["rank"], r["cosine_sim"])
+            for r in ivf_search_index(
+                q, index_path, nprobe=2, k=5
+            ).collect()
+        ]
+        assert after == before

@@ -98,7 +98,7 @@ class TestIvfIndex:
         }
         all_dirs = {
             int(os.path.basename(d).split("=")[1])
-            for d in glob.glob(root + "/cells/centroid_id=*")
+            for d in glob.glob(root + "/cells/batch=*/centroid_id=*")
         }
         assert probe_ids < all_dirs  # strict subset: pruning possible
 

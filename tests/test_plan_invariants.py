@@ -38,6 +38,11 @@ ALLOWED_BNLJ = {
     "llm_ann_ivf": "corpus x broadcast centroid set (<= n_centroids rows)",
     "llm_tfidf_keywords": "broadcast 1-row corpus-size aggregate",
     "llm_unigram_logprob": "broadcast 1-row corpus-size aggregate",
+    # registered by the round-5 rotation (previously parity-only):
+    "llm_cosine_topk": "corpus x broadcast 10-row query set (vec_id<10 "
+    "filter) — the documented brute-force ANN baseline",
+    "x2_above_global_avg": "broadcast 1-row global-average aggregate "
+    "(scalar subquery)",
 }
 
 
