@@ -333,6 +333,59 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED-IVF round trip + incremental append, self-checking
+    (x1-style): base corpus (vec_id % 10 != 3) → `write_ivf_index`
+    (the manifest pointer-flip layout), day batch (% 10 == 3) →
+    `append_ivf_index` folded TWICE with one batch token (a replayed
+    fold must not duplicate cells — the distinct-match check below
+    would catch it), then `ivf_search_index` probes the layout.
+    Compared projection per query: result count as DISTINCT match ids
+    (5, duplicates would shrink it) and recall ≥ 0.6 vs the exact
+    top-5 over the FULL corpus computed in-plan; the oracle asserts
+    TRUE. Everything is hash-seeded, so the booleans are reproducible
+    bit-for-bit; executed eagerly (localCheckpoint) so the temp index
+    is removed before return. This is the driver-level certificate for
+    the round-5 persisted-index commit protocol."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir)
+    qs = _query_vecs(spark, sf_dir)
+    base = embs.filter(F.col("vec_id") % 10 != 3)
+    day = embs.filter(F.col("vec_id") % 10 == 3)
+    idx = tempfile.mkdtemp(prefix="llm_ivf_idx_")
+    try:
+        similarity.write_ivf_index(base, idx, n_centroids=16, n_iters=1)
+        similarity.append_ivf_index(day, idx, batch_token="day1")
+        similarity.append_ivf_index(day, idx, batch_token="day1")
+        ivf = similarity.ivf_search_index(qs, idx, nprobe=8, k=5)
+        exact = similarity.brute_force_topk(embs, qs, k=5).select(
+            "query_id", "match_id"
+        )
+        n = ivf.groupBy("query_id").agg(
+            F.countDistinct("match_id").alias("n_results")
+        )
+        hits = (
+            ivf.join(exact, ["query_id", "match_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("_hits"))
+        )
+        return (
+            n.join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                "n_results",
+                (F.coalesce(F.col("_hits"), F.lit(0)) >= 3).alias(
+                    "recall_ok"
+                ),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _planted_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ a deterministically perturbed copy (dim 0 scaled by
     1.2, ids +100000) — a corpus with known near-duplicates at
@@ -629,6 +682,7 @@ DRIVER_QUERIES = [
     # changed surface this round: manifest-committed index layouts
     "llm_incremental_dedup",
     "llm_ann_ivf",
+    "llm_ann_ivf_index",
     # r3-last-green re-verification sentinels
     "llm_dedup_exact",
     "llm_cosine_topk",
@@ -644,7 +698,6 @@ DRIVER_QUERIES = [
     "llm_quality_logit",
     "llm_source_quota",
     "llm_hash_split",
-    "llm_pii_scrub",
     # r4-green heavy-hitter continuity sentinels
     "llm_jaccard_pairs",
     "llm_dedup_clusters",
@@ -666,6 +719,7 @@ QUERIES = {
     "llm_cosine_topk": llm_cosine_topk,
     "llm_ann_lsh": llm_ann_lsh,
     "llm_ann_ivf": llm_ann_ivf,
+    "llm_ann_ivf_index": llm_ann_ivf_index,
     "llm_neardup_embeddings": llm_neardup_embeddings,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
@@ -967,6 +1021,12 @@ ORACLES = {
         SELECT doc_id, TRUE AS dup_found FROM documents
     """,
     "llm_ann_ivf": """
+        SELECT vec_id AS query_id,
+               CAST(5 AS BIGINT) AS n_results,
+               TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < 10
+    """,
+    "llm_ann_ivf_index": """
         SELECT vec_id AS query_id,
                CAST(5 AS BIGINT) AS n_results,
                TRUE AS recall_ok

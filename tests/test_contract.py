@@ -69,7 +69,7 @@ class TestRegistrationPolicy:
         )
         assert names.index("llm_ann_ivf") < names.index("llm_dedup_exact")
         # r3-green sentinels precede the r4-green continuity tail
-        assert names.index("llm_pii_scrub") < names.index(
+        assert names.index("llm_hash_split") < names.index(
             "llm_jaccard_pairs"
         )
 
