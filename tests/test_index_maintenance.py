@@ -198,3 +198,37 @@ class TestIvfAppend:
             ).collect()
         ]
         assert after == before
+
+
+class TestIngestCompactIntegration:
+    """The round-5 surfaces composed: online near-dup ingest grows the
+    index batch-by-batch, compaction folds it mid-stream (between
+    triggers — the single-writer window), and subsequent batches still
+    dedup against everything accepted before."""
+
+    def test_ingest_compact_ingest(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.streaming.ingest import (
+            make_neardup_ingest,
+        )
+
+        idx = str(tmp_path / "idx")
+        acc = str(tmp_path / "acc")
+        write_minhash_index(_docs_df(spark, DOCS), idx)
+        fn = make_neardup_ingest(idx, acc, threshold=0.5, checkpoint="ck")
+        fn(_docs_df(spark, DAY1), 0)
+        # maintenance window between triggers: fold + vacuum
+        assert compact_minhash_index(spark, idx) is True
+        vacuum_minhash_index(spark, idx)
+        # next batch: a near-dup of the DAY1 survivor must still drop
+        dup_of_day1 = [(50, DAY1[0][1] + " ok")]
+        fresh = [(51, "nothing in common with anything ingested before")]
+        fn(_docs_df(spark, dup_of_day1 + fresh), 1)
+        import os as _os
+
+        got = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(
+                _os.path.join(acc, "docs")
+            ).collect()
+        )
+        assert got == [11, 51]  # 50 dropped against the compacted index
