@@ -975,7 +975,7 @@ def write_minhash_index(
         _pp.join(vroot, "sets", "batch=base")
     )
     sets.unpersist()
-    committed = vm.publish(
+    vm.publish_or_raise(
         spark,
         {
             "current": rel,
@@ -985,14 +985,8 @@ def write_minhash_index(
             "layout": "batch-v1",
         },
         version,
+        "MinHash index rebuild",
     )
-    if not committed:
-        raise RuntimeError(
-            f"MinHash index rebuild at {path} lost the manifest race "
-            f"for version {version + 1}: concurrent rebuilds of one "
-            "index are not supported (the other writer's version is "
-            "now live; this build's directory is vacuumable garbage)"
-        )
 
 
 def _legacy_minhash_meta(spark, path: str) -> dict:
@@ -1081,11 +1075,18 @@ def read_minhash_index_meta(spark, path: str) -> dict:
 
 
 def compact_minhash_index(spark, path: str) -> bool:
-    """Fold every ``batch=`` directory of the current index version
-    into a single ``batch=base`` under a NEW manifest-committed
+    """Fold every COMPLETE ``batch=`` directory of the current index
+    version into a single ``batch=base`` under a NEW manifest-committed
     version — probe read cost grows with directories-per-side between
     compactions (each batch append adds one bands dir and one sets dir
     to every probe's scan list), and this resets it to one.
+
+    Completeness is judged per token by the ``_SUCCESS`` markers on
+    BOTH sides, exactly as `append_minhash_index`'s retry guard does:
+    folding a half-written batch would bake partial rows into
+    ``batch=base`` permanently, and the same-token replay would then
+    duplicate them. A skipped incomplete batch stays merely unindexed
+    in the new version — the replay re-folds it whole.
 
     Same pointer-flip guarantees as `write_minhash_index`: the old
     version stays live until the manifest publishes; a crash leaves it
@@ -1095,6 +1096,7 @@ def compact_minhash_index(spark, path: str) -> bool:
     import posixpath as _pp
     import uuid as _uuid
 
+    from ..sources.fs import glob_paths, path_exists
     from ..sources.manifest import VersionedManifest
 
     vm = VersionedManifest(path)
@@ -1102,53 +1104,60 @@ def compact_minhash_index(spark, path: str) -> bool:
     if payload is None:
         return False
     old_root = _pp.join(path, str(payload["current"]))
+
+    def _tokens(side: str) -> set[str]:
+        return {
+            p.rstrip("/").rsplit("batch=", 1)[1]
+            for p in glob_paths(
+                spark, _pp.join(old_root, side, "batch=*")
+            )
+        }
+
+    complete = sorted(
+        t
+        for t in (_tokens("bands") | _tokens("sets"))
+        if path_exists(
+            spark, _pp.join(old_root, "bands", f"batch={t}", "_SUCCESS")
+        )
+        and path_exists(
+            spark, _pp.join(old_root, "sets", f"batch={t}", "_SUCCESS")
+        )
+    )
+    if not complete:
+        return False  # nothing durable to fold
     rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")
     vroot = _pp.join(path, rel)
     # read drops the batch= partition column; the rewrite is one
     # file-consolidating pass per side, no shuffle semantics involved
     for side, cols in (("bands", ["id", "band_id", "band_hash"]),
                        ("sets", ["id", "shset"])):
-        spark.read.parquet(_pp.join(old_root, side)).select(
-            *cols
-        ).write.mode("errorifexists").parquet(
-            _pp.join(vroot, side, "batch=base")
-        )
-    committed = vm.publish(
-        spark, {**payload, "current": rel}, version
+        dirs = [
+            _pp.join(old_root, side, f"batch={t}") for t in complete
+        ]
+        spark.read.parquet(*dirs).select(*cols).write.mode(
+            "errorifexists"
+        ).parquet(_pp.join(vroot, side, "batch=base"))
+    vm.publish_or_raise(
+        spark, {**payload, "current": rel}, version,
+        "MinHash index compaction",
     )
-    if not committed:
-        raise RuntimeError(
-            f"MinHash index compaction at {path} lost the manifest race "
-            f"for version {version + 1}: concurrent writers are not "
-            "supported"
-        )
     return True
 
 
 def vacuum_minhash_index(spark, path: str) -> list[str]:
     """Reclaim superseded index versions: every ``versions/`` dir the
-    LATEST manifest does not reference, every superseded manifest, and
-    any pre-manifest legacy residue (root bands/sets + marker) once a
-    manifest exists. Run AFTER probes draining the old version finish
-    — the manifest keeps crashes safe, vacuum timing is operational.
-    Returns deleted paths."""
-    import posixpath as _pp
-
-    from ..sources.fs import delete_path, path_exists
+    LATEST manifest does not reference (except in-flight rebuilds,
+    numbered above the current version — see
+    `VersionedManifest.vacuum_versions`), every superseded manifest,
+    and any pre-manifest legacy residue (root bands/sets + marker)
+    once a manifest exists. Run AFTER probes draining the old version
+    finish — the manifest keeps crashes safe, vacuum timing is
+    operational. Returns deleted paths."""
     from ..sources.manifest import VersionedManifest
 
-    vm = VersionedManifest(path)
-    _, payload = vm.resolve(spark)
-    if payload is None:
-        return []
-    deleted = vm.vacuum_data(spark, "versions", {str(payload["current"])})
-    deleted.extend(vm.vacuum_superseded(spark))
-    for rel in ("bands", "sets", INDEX_META_FILE):
-        p = _pp.join(path, rel)
-        if path_exists(spark, p):
-            delete_path(spark, p)
-            deleted.append(p)
-    return deleted
+    return VersionedManifest(path).vacuum_versions(
+        spark, ("bands", "sets", INDEX_META_FILE)
+    )
 
 
 def append_minhash_index(

@@ -542,7 +542,7 @@ def write_ivf_index(
         _pp.join(vroot, "centroids")
     )
     centroids.unpersist()
-    committed = vm.publish(
+    vm.publish_or_raise(
         spark,
         {
             "current": rel,
@@ -552,13 +552,32 @@ def write_ivf_index(
             "id_col": id_col,
         },
         version,
+        "IVF index rebuild",
     )
-    if not committed:
-        raise RuntimeError(
-            f"IVF index rebuild at {path} lost the manifest race for "
-            f"version {version + 1}: concurrent rebuilds of one index "
-            "are not supported"
-        )
+
+
+def _ivf_meta_from_payload(
+    version: int, payload: dict, path: str
+) -> tuple[dict, str]:
+    """(parameter contract, data root) from a resolved manifest payload
+    — shared by the probe resolver and the append fold so each pays
+    exactly one manifest round-trip."""
+    import posixpath as _pp
+
+    try:
+        meta = {
+            "n_centroids": int(payload["n_centroids"]),
+            "n_iters": int(payload["n_iters"]),
+            "vec_col": str(payload["vec_col"]),
+            "id_col": str(payload["id_col"]),
+        }
+        current = str(payload["current"])
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ValueError(
+            f"corrupt IVF index manifest version {version} under "
+            f"{path}: {payload!r}"
+        ) from exc
+    return meta, _pp.join(path, current)
 
 
 def _resolve_ivf_index(spark, path: str) -> tuple[dict, str]:
@@ -574,20 +593,7 @@ def _resolve_ivf_index(spark, path: str) -> tuple[dict, str]:
 
     version, payload = VersionedManifest(path).resolve(spark)
     if payload is not None:
-        try:
-            meta = {
-                "n_centroids": int(payload["n_centroids"]),
-                "n_iters": int(payload["n_iters"]),
-                "vec_col": str(payload["vec_col"]),
-                "id_col": str(payload["id_col"]),
-            }
-            current = str(payload["current"])
-        except (ValueError, KeyError, TypeError) as exc:
-            raise ValueError(
-                f"corrupt IVF index manifest version {version} under "
-                f"{path}: {payload!r}"
-            ) from exc
-        return meta, _pp.join(path, current)
+        return _ivf_meta_from_payload(version, payload, path)
     marker = _os.path.join(path, IVF_META_FILE)
     raw = read_text(spark, marker)
     if raw is None:
@@ -643,16 +649,18 @@ def append_ivf_index(
     if "/" in token or "=" in token:
         raise ValueError(f"batch_token must be path-safe: {token!r}")
     spark = vectors.sparkSession
-    # resolve first: a truly-missing index raises the standard
-    # missing-marker error; a LEGACY index (marker but no manifest)
-    # cannot take batch= appends beside its flat cells layout
-    meta, data_root = _resolve_ivf_index(spark, path)
-    _, payload = VersionedManifest(path).resolve(spark)
+    # one manifest round-trip per fold: no manifest means either a
+    # truly-missing index (_resolve raises the standard missing-marker
+    # error) or a LEGACY index, which cannot take batch= appends
+    # beside its flat cells layout
+    version, payload = VersionedManifest(path).resolve(spark)
     if payload is None:
+        _resolve_ivf_index(spark, path)  # raises if truly missing
         raise ValueError(
             f"IVF index at {path} predates the manifest layout — "
             "rebuild with write_ivf_index before appending"
         )
+    meta, data_root = _ivf_meta_from_payload(version, payload, path)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     centroids = spark.read.parquet(_pp.join(data_root, "centroids"))
     norm = vectors.select(
@@ -664,23 +672,45 @@ def append_ivf_index(
     ).select(
         F.col("_vid").alias(id_col), F.col(vec_col), "centroid_id"
     )
+    batch_dir = _pp.join(data_root, "cells", f"batch={token}")
+    # STATIC overwrite scoped to this writer: the session default is
+    # dynamic (for the dt-partitioned sinks), but dynamic overwrite
+    # skips the _SUCCESS marker — and that marker is what lets
+    # compact_ivf_index distinguish a durable fold from a half-written
+    # one, and what makes a same-token retry replace the WHOLE batch
+    # dir rather than only the partitions the retry happens to carry
     (
         cells.repartition("centroid_id")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("centroid_id")
-        .parquet(_pp.join(data_root, "cells", f"batch={token}"))
+        .parquet(batch_dir)
     )
+    from ..sources.fs import path_exists
+
+    if not path_exists(spark, _pp.join(batch_dir, "_SUCCESS")):
+        raise RuntimeError(
+            "IVF fold committed without a _SUCCESS marker — the "
+            "compaction completeness guard requires "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=true"
+        )
 
 
 def compact_ivf_index(spark, path: str) -> bool:
-    """Fold every ``cells/batch=`` directory of the current version
-    into a single ``batch=base`` under a NEW manifest-committed version
-    (probe listing cost grows with batch dirs between compactions).
-    Pointer-flip semantics as everywhere: old version live until the
-    publish, vacuum afterwards. False on a legacy index."""
+    """Fold every COMPLETE ``cells/batch=`` directory of the current
+    version into a single ``batch=base`` under a NEW manifest-committed
+    version (probe listing cost grows with batch dirs between
+    compactions). Completeness is the batch dir's ``_SUCCESS`` marker
+    — folding a half-written append would bake partial cells into the
+    base permanently, and its same-token replay would then duplicate
+    them; a skipped incomplete batch is merely unindexed until the
+    replay re-folds it whole. Pointer-flip semantics as everywhere:
+    old version live until the publish, vacuum afterwards. False on a
+    legacy index."""
     import posixpath as _pp
     import uuid as _uuid
 
+    from ..sources.fs import glob_paths, path_exists
     from ..sources.manifest import VersionedManifest
 
     vm = VersionedManifest(path)
@@ -692,10 +722,23 @@ def compact_ivf_index(spark, path: str) -> bool:
         "id_col": str(payload["id_col"]),
     }
     old_root = _pp.join(path, str(payload["current"]))
+    complete = sorted(
+        p.rstrip("/").rsplit("batch=", 1)[1]
+        for p in glob_paths(spark, _pp.join(old_root, "cells", "batch=*"))
+        if path_exists(spark, _pp.join(p, "_SUCCESS"))
+    )
+    if not complete:
+        return False
     rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")
     vroot = _pp.join(path, rel)
     (
-        spark.read.parquet(_pp.join(old_root, "cells"))
+        # basePath: each selected batch dir contains centroid_id=
+        # partitions, and without a common table root the multi-path
+        # discovery rejects the layout as conflicting
+        spark.read.option("basePath", _pp.join(old_root, "cells"))
+        .parquet(
+            *[_pp.join(old_root, "cells", f"batch={t}") for t in complete]
+        )
         .select(meta["id_col"], meta["vec_col"], "centroid_id")
         .repartition("centroid_id")
         .write.mode("errorifexists")
@@ -706,36 +749,23 @@ def compact_ivf_index(spark, path: str) -> bool:
     spark.read.parquet(_pp.join(old_root, "centroids")).write.mode(
         "errorifexists"
     ).parquet(_pp.join(vroot, "centroids"))
-    committed = vm.publish(spark, {**payload, "current": rel}, version)
-    if not committed:
-        raise RuntimeError(
-            f"IVF index compaction at {path} lost the manifest race for "
-            f"version {version + 1}: concurrent writers are not supported"
-        )
+    vm.publish_or_raise(
+        spark, {**payload, "current": rel}, version, "IVF index compaction"
+    )
     return True
 
 
 def vacuum_ivf_index(spark, path: str) -> list[str]:
     """Reclaim superseded IVF versions: unreferenced ``versions/``
-    dirs, superseded manifests, and legacy root cells/centroids +
-    marker once a manifest exists. Returns deleted paths."""
-    import posixpath as _pp
-
-    from ..sources.fs import delete_path, path_exists
+    dirs (in-flight rebuilds excluded — see
+    `VersionedManifest.vacuum_versions`), superseded manifests, and
+    legacy root cells/centroids + marker once a manifest exists.
+    Returns deleted paths."""
     from ..sources.manifest import VersionedManifest
 
-    vm = VersionedManifest(path)
-    _, payload = vm.resolve(spark)
-    if payload is None:
-        return []
-    deleted = vm.vacuum_data(spark, "versions", {str(payload["current"])})
-    deleted.extend(vm.vacuum_superseded(spark))
-    for rel in ("cells", "centroids", IVF_META_FILE):
-        p = _pp.join(path, rel)
-        if path_exists(spark, p):
-            delete_path(spark, p)
-            deleted.append(p)
-    return deleted
+    return VersionedManifest(path).vacuum_versions(
+        spark, ("cells", "centroids", IVF_META_FILE)
+    )
 
 
 def ivf_search_index(

@@ -98,12 +98,19 @@ class VersionedManifest:
             return 0, None
         raw = read_text(spark, self._path(v))
         if raw is None:
-            # the glob saw it; raced with a vacuum of superseded
-            # manifests — re-resolve once, then treat as corruption
+            # the glob saw it; re-resolve once (a vacuum may have just
+            # rewritten the listing), then fail LOUD: reporting a
+            # listed store as empty would let a writer fork version 1,
+            # publish a manifest referencing only its own batch, and
+            # silently lose everything readers still resolve
             v2 = self.latest_version(spark)
             raw = read_text(spark, self._path(v2)) if v2 else None
             if raw is None:
-                return 0, None
+                raise ValueError(
+                    f"manifest listing under {self.manifest_dir()} shows "
+                    f"version {v} but its payload cannot be read — "
+                    "refusing to treat a listed store as empty"
+                )
             v = v2
         try:
             payload = json.loads(raw)
@@ -124,6 +131,25 @@ class VersionedManifest:
         return create_text_exclusive(
             spark, self._path(base_version + 1), json.dumps(payload)
         )
+
+    def publish_or_raise(
+        self,
+        spark: SparkSession,
+        payload: dict,
+        base_version: int,
+        what: str,
+    ) -> None:
+        """Publish for single-writer consumers (index rebuilds and
+        compactions): a lost create race means an unsupported
+        concurrent writer, so raise — the loser's data directory is
+        vacuumable garbage, the winner's version is live."""
+        if not self.publish(spark, payload, base_version):
+            raise RuntimeError(
+                f"{what} at {self.root} lost the manifest race for "
+                f"version {base_version + 1}: concurrent writers on one "
+                "store are not supported (the other writer's version is "
+                "now live; this build's directory is vacuumable garbage)"
+            )
 
     def vacuum_superseded(self, spark: SparkSession) -> list[str]:
         """Delete every manifest below the latest version. Data-dir
@@ -149,15 +175,63 @@ class VersionedManifest:
     ) -> list[str]:
         """Delete children of ``root/subdir/`` whose root-relative path
         ``subdir/<name>`` is not in ``live`` (consumer-computed from
-        the latest manifest). Matching is done on the path TAIL after
-        ``/subdir/`` because Hadoop globs return scheme-qualified paths
-        (``file:/...``) while roots are usually plain. Returns deleted
+        the latest manifest). ``<name>`` is the child's BASENAME —
+        children are exactly one level deep, and splitting on
+        ``/subdir/`` would mis-key any root whose own path contains a
+        same-named component (e.g. an index rooted under a directory
+        called ``versions``) and delete the live data. Returns deleted
         paths."""
         deleted = []
         for p in glob_paths(spark, posixpath.join(self.root, subdir, "*")):
-            tail = p.split(f"/{subdir}/", 1)[1]
-            if posixpath.join(subdir, tail) not in live:
+            name = p.rstrip("/").rsplit("/", 1)[1]
+            if posixpath.join(subdir, name) not in live:
                 fs, jp = _fs_and_path(spark, p)
                 fs.delete(jp, True)
+                deleted.append(p)
+        return deleted
+
+    def vacuum_versions(
+        self,
+        spark: SparkSession,
+        legacy_rels: tuple[str, ...] = (),
+    ) -> list[str]:
+        """Reclaim superseded state for a ``versions/``-layout consumer
+        (the MinHash and IVF indexes): version directories the latest
+        manifest does not reference, superseded manifests, and any
+        ``legacy_rels`` residue once a manifest exists.
+
+        A directory numbered ABOVE the current manifest version is an
+        IN-FLIGHT rebuild (`v<current+1>-<uuid>` exists on disk before
+        its manifest publishes) and is never touched — deleting it
+        mid-write would destroy a rebuild that may be days of compute.
+        A crashed rebuild's orphan becomes reclaimable as soon as a
+        later rebuild publishes past its number. Empty store: no-op."""
+        from .fs import delete_path, path_exists
+
+        version, payload = self.resolve(spark)
+        if payload is None:
+            return []
+        live = {str(payload["current"])}
+        deleted = []
+        for p in glob_paths(
+            spark, posixpath.join(self.root, "versions", "*")
+        ):
+            name = p.rstrip("/").rsplit("/", 1)[1]
+            if posixpath.join("versions", name) in live:
+                continue
+            try:
+                vnum = int(name.split("-", 1)[0].removeprefix("v"))
+            except ValueError:
+                vnum = None
+            if vnum is not None and vnum > version:
+                continue  # in-flight rebuild — not garbage yet
+            fs, jp = _fs_and_path(spark, p)
+            fs.delete(jp, True)
+            deleted.append(p)
+        deleted.extend(self.vacuum_superseded(spark))
+        for rel in legacy_rels:
+            p = posixpath.join(self.root, rel)
+            if path_exists(spark, p):
+                delete_path(spark, p)
                 deleted.append(p)
         return deleted

@@ -118,3 +118,29 @@ class TestReplayGuardCheckpointIdentity:
         write_text(spark, marker, "3")  # pre-identity marker format
         fn(_df(spark, BATCH), 3)  # replay by id alone — still a no-op
         assert _accepted_ids(spark, acc) == [11, 13]
+
+
+class TestIdentitylessMarkerGuard:
+    """Review hardening: a pre-identity (bare-int) marker cannot prove
+    checkpoint continuity, so a batch id STRICTLY below the marker —
+    impossible for a same-checkpoint replay, which only re-runs the
+    last committed id — must raise rather than silently drop."""
+
+    def test_strictly_lower_id_with_legacy_marker_raises(
+        self, spark, tmp_path
+    ):
+        idx = str(tmp_path / "idx")
+        acc = str(tmp_path / "acc")
+        write_minhash_index(_df(spark, CORPUS), idx)
+        fn = make_neardup_ingest(idx, acc, threshold=0.5, checkpoint="ckA")
+        fn(_df(spark, BATCH), 5)
+        from datawaves_etl_airflow_spark.sources.fs import write_text
+
+        write_text(spark, os.path.join(acc, "_last_batch_id"), "5")
+        # fresh checkpoint restarting at 0 against the legacy marker
+        fn2 = make_neardup_ingest(idx, acc, threshold=0.5, checkpoint="ckB")
+        with pytest.raises(ValueError, match="checkpoint identity"):
+            fn2(_df(spark, [(31, "brand new doc for the restart case")]), 0)
+        # boundary replay (== marker id) stays a silent no-op
+        fn2(_df(spark, BATCH), 5)
+        assert _accepted_ids(spark, acc) == [11, 13]

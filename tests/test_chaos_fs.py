@@ -187,3 +187,51 @@ class TestListingLagManifest:
         assert probe() == {(10, 1)}
         write_minhash_index(other, p)  # retry after lag clears
         assert probe() == set()
+
+
+class TestResolveNeverLiesEmpty:
+    def test_listed_but_unreadable_manifest_raises(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A manifest the listing shows but reads cannot fetch must
+        RAISE: reporting the store empty would let a writer fork
+        version 1 and silently orphan everything readers resolve."""
+        store = ManifestedBucketStore(str(tmp_path / "s"), n_buckets=4)
+        store.merge_batch(
+            _batch(spark, [("a", 1, 1)]), 0, ["k"], ["total", "n"]
+        )
+        monkeypatch.setattr(mf_mod, "read_text", lambda s, p: None)
+        with pytest.raises(ValueError, match="refusing to treat"):
+            store.current_df(spark)
+
+
+class TestVacuumPathRobustness:
+    def test_index_rooted_under_versions_dir_survives_vacuum(
+        self, spark, tmp_path
+    ):
+        """The review finding: splitting paths on '/versions/' mis-keys
+        an index whose ROOT contains a component named 'versions' and
+        vacuum would delete the live data. Matching is by basename."""
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            dedup_against_index,
+            vacuum_minhash_index,
+            write_minhash_index,
+        )
+
+        p = str(tmp_path / "versions" / "minhash_idx")
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        )
+        write_minhash_index(docs, p)
+        write_minhash_index(docs, p)  # supersede v1 so vacuum has work
+        vacuum_minhash_index(spark, p)
+        probe = spark.createDataFrame(
+            [(9, "the quick brown fox jumps over the lazy dog today!")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup_against_index(probe, p, threshold=0.5).collect()
+        }
+        assert got == {(9, 1)}  # live version intact after vacuum

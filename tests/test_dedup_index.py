@@ -343,16 +343,31 @@ class TestPointerFlipRebuild:
         self, spark, index_path
     ):
         """A crash mid-data-write leaves a partial versions/ dir no
-        manifest references — probes unaffected, vacuum reclaims it."""
+        manifest references. Probes are unaffected throughout; vacuum
+        SPARES it while its number is above the current manifest
+        version (it is indistinguishable from an in-flight rebuild —
+        deleting one mid-write would destroy days of compute) and
+        reclaims it once a later rebuild publishes past it."""
         import os
 
-        stray = os.path.join(index_path, "versions", "v9-deadbeef")
+        # current manifest is version 1 → a crashed rebuild's dir is v2
+        stray = os.path.join(index_path, "versions", "v2-deadbeef")
         os.makedirs(os.path.join(stray, "bands"))
         with open(os.path.join(stray, "bands", "half.parquet"), "w") as f:
             f.write("not parquet")
         assert self._probe_finds_corpus_dup(spark, index_path) == {(10, 1)}
         deleted = vacuum_minhash_index(spark, index_path)
-        assert any("v9-deadbeef" in p for p in deleted)
+        assert not any("v2-deadbeef" in p for p in deleted)
+        assert os.path.exists(stray)  # spared: could be in-flight
+        assert self._probe_finds_corpus_dup(spark, index_path) == {(10, 1)}
+        # a successful rebuild publishes version 2 → the orphan is now
+        # provably dead and vacuum reclaims it
+        write_minhash_index(
+            spark.createDataFrame(BASE, "doc_id long, text string"),
+            index_path,
+        )
+        deleted = vacuum_minhash_index(spark, index_path)
+        assert any("v2-deadbeef" in p for p in deleted)
         assert not os.path.exists(stray)
         assert self._probe_finds_corpus_dup(spark, index_path) == {(10, 1)}
 

@@ -232,3 +232,37 @@ class TestIngestCompactIntegration:
             ).collect()
         )
         assert got == [11, 51]  # 50 dropped against the compacted index
+
+
+class TestCompactSkipsIncompleteFolds:
+    """The review finding: folding a half-written batch would bake
+    partial rows into batch=base permanently, and the same-token
+    replay would then duplicate them. Compaction must skip any batch
+    without _SUCCESS on BOTH sides; the replay then re-folds it whole
+    against the compacted version — no duplicates, no loss."""
+
+    def test_minhash_compact_skips_then_replay_heals(
+        self, spark, tmp_path
+    ):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            word_shingle_hash_sets,
+        )
+
+        p = str(tmp_path / "idx")
+        write_minhash_index(_docs_df(spark, DOCS), p)
+        root = _resolve_minhash_index(spark, p)[1]
+        # crash simulation: ONLY the sets side of batch d1 lands
+        half = word_shingle_hash_sets(_docs_df(spark, DAY1), k=3)
+        half.write.mode("overwrite").parquet(root + "/sets/batch=d1")
+        assert compact_minhash_index(spark, p) is True
+        vacuum_minhash_index(spark, p)
+        # the half fold is gone with the old version, not baked in
+        new_root = _resolve_minhash_index(spark, p)[1]
+        sets = spark.read.parquet(new_root + "/sets")
+        assert sorted(r["id"] for r in sets.select("id").collect()) == [1, 2]
+        # replay of the crashed fold, same token, against the new version
+        append_minhash_index(_docs_df(spark, DAY1), p, batch_token="d1")
+        ids = [r["id"] for r in spark.read.parquet(
+            new_root + "/sets").select("id").collect()]
+        assert sorted(ids) == [1, 2, 11]  # folded once, no duplicates
+        assert _probe_pairs(spark, p, DAY1[0][1] + "!") == {(99, 11)}

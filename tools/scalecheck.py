@@ -158,7 +158,7 @@ def main() -> None:
 
     idx_root = tempfile.mkdtemp(prefix="scalecheck_idx_")
     idx_by_mult: dict[int, str] = {}
-    for mult in (1, args.factor):
+    for mult in sorted({1, args.factor}):
         p = os.path.join(idx_root, f"m{mult}")
         dedup.write_minhash_index(_scaled_docs(spark, args.sf, mult), p)
         idx_by_mult[mult] = p
@@ -176,7 +176,7 @@ def main() -> None:
     # query set against a growing indexed corpus — with the exact
     # brute-force scan as the what-pruning-avoids baseline
     ivf_by_mult: dict[int, str] = {}
-    for mult in (1, args.factor):
+    for mult in sorted({1, args.factor}):
         p = os.path.join(idx_root, f"ivf{mult}")
         similarity.write_ivf_index(
             _scaled_embs(spark, args.sf, mult), p,
@@ -285,7 +285,7 @@ def main() -> None:
     # layout READS only the selector's bucket (SURVEY.md §4) — scan
     # bytes ∝ matching bucket, not corpus
     logs_by_mult: dict[int, str] = {}
-    for mult in (1, args.factor):
+    for mult in sorted({1, args.factor}):
         p = os.path.join(idx_root, f"declogs{mult}")
         _synth_logs(mult).write.partitionBy("selector_hash").parquet(p)
         logs_by_mult[mult] = p
