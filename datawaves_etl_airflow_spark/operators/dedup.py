@@ -1081,12 +1081,17 @@ def compact_minhash_index(spark, path: str) -> bool:
     compactions (each batch append adds one bands dir and one sets dir
     to every probe's scan list), and this resets it to one.
 
-    Completeness is judged per token by the ``_SUCCESS`` markers on
-    BOTH sides, exactly as `append_minhash_index`'s retry guard does:
-    folding a half-written batch would bake partial rows into
-    ``batch=base`` permanently, and the same-token replay would then
-    duplicate them. A skipped incomplete batch stays merely unindexed
-    in the new version — the replay re-folds it whole.
+    Completeness is judged per token by COMMITTED data files on BOTH
+    sides (one listing per side): folding a half-written batch would
+    bake partial rows into ``batch=base`` permanently, and the
+    same-token replay would then duplicate them. Part files reach
+    their final names only at job commit under the default v1 file
+    output committer, so their presence proves the write committed —
+    and unlike a _SUCCESS-marker test this also folds batches written
+    by committers configured not to emit markers. A skipped incomplete
+    batch (one side missing its files — the minhash crash window)
+    stays merely unindexed in the new version; the replay re-folds it
+    whole.
 
     Same pointer-flip guarantees as `write_minhash_index`: the old
     version stays live until the manifest publishes; a crash leaves it
@@ -1096,7 +1101,7 @@ def compact_minhash_index(spark, path: str) -> bool:
     import posixpath as _pp
     import uuid as _uuid
 
-    from ..sources.fs import glob_paths, path_exists
+    from ..sources.fs import glob_paths
     from ..sources.manifest import VersionedManifest
 
     vm = VersionedManifest(path)
@@ -1105,24 +1110,16 @@ def compact_minhash_index(spark, path: str) -> bool:
         return False
     old_root = _pp.join(path, str(payload["current"]))
 
-    def _tokens(side: str) -> set[str]:
+    def _data_tokens(side: str) -> set[str]:
+        # ONE listing per side (never per-token exists() probes)
         return {
-            p.rstrip("/").rsplit("batch=", 1)[1]
+            p.rsplit("batch=", 1)[1].split("/", 1)[0]
             for p in glob_paths(
-                spark, _pp.join(old_root, side, "batch=*")
+                spark, _pp.join(old_root, side, "batch=*", "part-*")
             )
         }
 
-    complete = sorted(
-        t
-        for t in (_tokens("bands") | _tokens("sets"))
-        if path_exists(
-            spark, _pp.join(old_root, "bands", f"batch={t}", "_SUCCESS")
-        )
-        and path_exists(
-            spark, _pp.join(old_root, "sets", f"batch={t}", "_SUCCESS")
-        )
-    )
+    complete = sorted(_data_tokens("bands") & _data_tokens("sets"))
     if not complete:
         return False  # nothing durable to fold
     rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")

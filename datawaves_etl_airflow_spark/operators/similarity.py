@@ -674,11 +674,10 @@ def append_ivf_index(
     )
     batch_dir = _pp.join(data_root, "cells", f"batch={token}")
     # STATIC overwrite scoped to this writer: the session default is
-    # dynamic (for the dt-partitioned sinks), but dynamic overwrite
-    # skips the _SUCCESS marker — and that marker is what lets
-    # compact_ivf_index distinguish a durable fold from a half-written
-    # one, and what makes a same-token retry replace the WHOLE batch
-    # dir rather than only the partitions the retry happens to carry
+    # dynamic (for the dt-partitioned sinks), but a same-token retry
+    # must replace the WHOLE batch dir, not only the partitions the
+    # retry's data happens to touch — dynamic mode would leave stale
+    # cells from a previous partial attempt beside the fresh ones
     (
         cells.repartition("centroid_id")
         .write.mode("overwrite")
@@ -686,46 +685,45 @@ def append_ivf_index(
         .partitionBy("centroid_id")
         .parquet(batch_dir)
     )
-    from ..sources.fs import path_exists
-
-    if not path_exists(spark, _pp.join(batch_dir, "_SUCCESS")):
-        raise RuntimeError(
-            "IVF fold committed without a _SUCCESS marker — the "
-            "compaction completeness guard requires "
-            "mapreduce.fileoutputcommitter.marksuccessfuljobs=true"
-        )
 
 
 def compact_ivf_index(spark, path: str) -> bool:
     """Fold every COMPLETE ``cells/batch=`` directory of the current
     version into a single ``batch=base`` under a NEW manifest-committed
     version (probe listing cost grows with batch dirs between
-    compactions). Completeness is the batch dir's ``_SUCCESS`` marker
-    — folding a half-written append would bake partial cells into the
-    base permanently, and its same-token replay would then duplicate
-    them; a skipped incomplete batch is merely unindexed until the
-    replay re-folds it whole. Pointer-flip semantics as everywhere:
-    old version live until the publish, vacuum afterwards. False on a
+    compactions). Completeness is judged by COMMITTED part files in
+    the batch dir (one listing): they reach final names only at job
+    commit under the default v1 committer, so folding a half-written
+    append — which would bake partial cells into the base permanently
+    and make its same-token replay duplicate them — is impossible,
+    while marker-less-but-durable batches (e.g. written under dynamic
+    partition overwrite, which emits no _SUCCESS) still fold. A
+    skipped incomplete batch is merely unindexed until the replay
+    re-folds it whole. Pointer-flip semantics as everywhere: old
+    version live until the publish, vacuum afterwards. False on a
     legacy index."""
     import posixpath as _pp
     import uuid as _uuid
 
-    from ..sources.fs import glob_paths, path_exists
+    from ..sources.fs import glob_paths
     from ..sources.manifest import VersionedManifest
 
     vm = VersionedManifest(path)
     version, payload = vm.resolve(spark)
     if payload is None:
         return False
-    meta = {
-        "vec_col": str(payload["vec_col"]),
-        "id_col": str(payload["id_col"]),
-    }
+    meta, _ = _ivf_meta_from_payload(version, payload, path)
     old_root = _pp.join(path, str(payload["current"]))
     complete = sorted(
-        p.rstrip("/").rsplit("batch=", 1)[1]
-        for p in glob_paths(spark, _pp.join(old_root, "cells", "batch=*"))
-        if path_exists(spark, _pp.join(p, "_SUCCESS"))
+        {
+            p.rsplit("batch=", 1)[1].split("/", 1)[0]
+            for p in glob_paths(
+                spark,
+                _pp.join(
+                    old_root, "cells", "batch=*", "centroid_id=*", "part-*"
+                ),
+            )
+        }
     )
     if not complete:
         return False

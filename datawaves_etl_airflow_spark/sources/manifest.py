@@ -171,7 +171,11 @@ class VersionedManifest:
         return deleted
 
     def vacuum_data(
-        self, spark: SparkSession, subdir: str, live: set[str]
+        self,
+        spark: SparkSession,
+        subdir: str,
+        live: set[str],
+        spare=None,
     ) -> list[str]:
         """Delete children of ``root/subdir/`` whose root-relative path
         ``subdir/<name>`` is not in ``live`` (consumer-computed from
@@ -179,15 +183,19 @@ class VersionedManifest:
         children are exactly one level deep, and splitting on
         ``/subdir/`` would mis-key any root whose own path contains a
         same-named component (e.g. an index rooted under a directory
-        called ``versions``) and delete the live data. Returns deleted
-        paths."""
+        called ``versions``) and delete the live data. ``spare``
+        optionally keeps additional children by name (in-flight
+        builds). Returns deleted paths."""
         deleted = []
         for p in glob_paths(spark, posixpath.join(self.root, subdir, "*")):
             name = p.rstrip("/").rsplit("/", 1)[1]
-            if posixpath.join(subdir, name) not in live:
-                fs, jp = _fs_and_path(spark, p)
-                fs.delete(jp, True)
-                deleted.append(p)
+            if posixpath.join(subdir, name) in live:
+                continue
+            if spare is not None and spare(name):
+                continue
+            fs, jp = _fs_and_path(spark, p)
+            fs.delete(jp, True)
+            deleted.append(p)
         return deleted
 
     def vacuum_versions(
@@ -211,23 +219,16 @@ class VersionedManifest:
         version, payload = self.resolve(spark)
         if payload is None:
             return []
-        live = {str(payload["current"])}
-        deleted = []
-        for p in glob_paths(
-            spark, posixpath.join(self.root, "versions", "*")
-        ):
-            name = p.rstrip("/").rsplit("/", 1)[1]
-            if posixpath.join("versions", name) in live:
-                continue
+
+        def in_flight(name: str) -> bool:
             try:
-                vnum = int(name.split("-", 1)[0].removeprefix("v"))
+                return int(name.split("-", 1)[0].removeprefix("v")) > version
             except ValueError:
-                vnum = None
-            if vnum is not None and vnum > version:
-                continue  # in-flight rebuild — not garbage yet
-            fs, jp = _fs_and_path(spark, p)
-            fs.delete(jp, True)
-            deleted.append(p)
+                return False
+
+        deleted = self.vacuum_data(
+            spark, "versions", {str(payload["current"])}, spare=in_flight
+        )
         deleted.extend(self.vacuum_superseded(spark))
         for rel in legacy_rels:
             p = posixpath.join(self.root, rel)

@@ -183,23 +183,24 @@ def make_neardup_ingest(
                     "replays and silently drop every batch. Reuse the "
                     "original checkpoint or start a fresh accepted_path."
                 )
-            if last_ckpt is None and batch_id < last_id:
-                # identity-less marker (pre-upgrade, or a caller that
-                # never passed checkpoint): a STRICTLY lower id cannot
-                # be a same-checkpoint foreachBatch replay (those only
-                # re-run the last committed id) — it is the fresh-
-                # checkpoint restart this guard exists to catch, so
-                # refuse loudly instead of silently dropping batches.
-                # batch_id == last_id stays a silent no-op so the one
-                # legitimate boundary replay after an upgrade works.
+            if batch_id < last_id:
+                # a STRICTLY lower id cannot be a same-checkpoint
+                # foreachBatch replay (those only re-run the last
+                # committed id) — regardless of what the identities
+                # say, it means the checkpoint was recreated (new
+                # location, a wiped-and-reused path, or an
+                # identity-less marker), so refuse loudly instead of
+                # silently dropping batches. batch_id == last_id stays
+                # a silent no-op: the one legitimate boundary replay.
                 raise ValueError(
                     f"replay marker at {marker!r} records batch "
-                    f"{last_id} with no checkpoint identity, and this "
-                    f"stream delivered batch {batch_id} — ids that far "
-                    "behind mean a NEW checkpointLocation against an "
-                    "old accepted_path. Reuse the original checkpoint, "
-                    "start a fresh accepted_path, or delete the marker "
-                    "after verifying the store matches the stream."
+                    f"{last_id} but this stream delivered batch "
+                    f"{batch_id} — a committed id can never reappear "
+                    "under one checkpoint identity, so the checkpoint "
+                    "was restarted against an old accepted_path. Reuse "
+                    "the original checkpoint, start a fresh "
+                    "accepted_path, or delete the marker after "
+                    "verifying the store matches the stream."
                 )
             if batch_id <= last_id:
                 return  # replayed batch — already ingested

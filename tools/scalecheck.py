@@ -373,9 +373,12 @@ def main() -> None:
     for name, build in ops.items():
         t1 = min(run(build, 1) for _ in range(2))
         tn = min(run(build, args.factor) for _ in range(2))
+        # --factor 1 would collide the two keys and silently drop the
+        # first timing; keep both measurements addressable
+        tn_key = f"t{args.factor}" if args.factor != 1 else "t1_repeat"
         out[name] = {
             "t1": round(t1, 3),
-            f"t{args.factor}": round(tn, 3),
+            tn_key: round(tn, 3),
             "ratio": round(tn / t1, 2) if t1 > 0 else None,
         }
     print(json.dumps({"factor": args.factor, "sf": args.sf, "ops": out}))
