@@ -507,6 +507,7 @@ def minhash_dedup_pairs(
     k: int = 3,
     n_hashes: int = 64,
     n_bands: int = 16,
+    max_docs_per_band: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-verified.
 
@@ -522,9 +523,32 @@ def minhash_dedup_pairs(
     band path and the verify join, so it is persisted (at cluster
     scale this is the one intermediate worth materializing —
     everything downstream is a reduction of it).
-    """
+
+    ``max_docs_per_band`` is the boilerplate-skew valve (the band-join
+    twin of winnowing's ``max_docs_per_fp``): candidate volume is
+    Σ bucket² over band buckets, and a template shared by a million
+    docs makes ONE bucket contribute 10¹² pairs while telling you
+    nothing pairwise-specific. Buckets above the cap are dropped
+    before the self-join (one extra narrow aggregation on the same
+    shuffle key). Recall contract: any pair sharing a *non-crowded*
+    band is still found; members of a dropped mega-bucket can only
+    pair through their other ``n_bands − 1`` bands — near-identical
+    docs (the ones a mega-cluster is made of) agree on almost every
+    band, so in practice a crowd is found through its quieter bands
+    or deliberately left to a dedicated template-dedup pass. Default
+    None preserves exact candidate semantics (the oracle-pinned
+    configuration)."""
     sets = word_shingle_hash_sets(docs, text_col, id_col, k).persist()
     bands = minhash_band_rows_np(sets, n_hashes, n_bands)
+    if max_docs_per_band is not None:
+        crowd = F.count(F.lit(1)).over(
+            Window.partitionBy("band_id", "band_hash")
+        )
+        bands = (
+            bands.withColumn("_n", crowd)
+            .filter(F.col("_n") <= max_docs_per_band)
+            .drop("_n")
+        )
     ba, bb = bands.alias("a"), bands.alias("b")
     cands = (
         ba.join(

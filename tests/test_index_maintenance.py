@@ -266,3 +266,59 @@ class TestCompactSkipsIncompleteFolds:
             new_root + "/sets").select("id").collect()]
         assert sorted(ids) == [1, 2, 11]  # folded once, no duplicates
         assert _probe_pairs(spark, p, DAY1[0][1] + "!") == {(99, 11)}
+
+
+class TestBandCrowdCap:
+    """max_docs_per_band: the boilerplate-skew valve on the MinHash
+    band join — Σbucket² candidate volume is capped by dropping
+    mega-buckets, while pairs sharing any quieter band are still
+    found and everything that survives is still exact-verified."""
+
+    def test_cap_disabled_is_bitwise_default(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            minhash_dedup_pairs,
+        )
+
+        docs = _docs_df(
+            spark,
+            [(i, f"shared prefix words here and tail number {i}")
+             for i in range(12)],
+        )
+        a = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+        }
+        b = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_dedup_pairs(
+                docs, threshold=0.5, max_docs_per_band=10**9
+            ).collect()
+        }
+        assert a == b
+
+    def test_cap_bounds_crowd_but_quieter_bands_still_pair(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            minhash_band_rows_np,
+            minhash_dedup_pairs,
+            word_shingle_hash_sets,
+        )
+
+        # 30 exact copies of one template (a mega-crowd: every band
+        # bucket holds all 30) + one near-dup pair of distinct docs
+        template = "identical boilerplate template text repeated many times"
+        docs = _docs_df(
+            spark,
+            [(i, template) for i in range(30)]
+            + [(100, "a genuinely distinct document about spark plans"),
+               (101, "a genuinely distinct document about spark plans!")],
+        )
+        capped = minhash_dedup_pairs(
+            docs, threshold=0.5, max_docs_per_band=8
+        )
+        got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        # the template crowd exceeds every band's cap -> contributes
+        # no candidates; the quiet near-dup pair is still found
+        assert got == {(100, 101)}
+        # and the cap provably trimmed the band surface
+        sets = word_shingle_hash_sets(docs)
+        assert minhash_band_rows_np(sets, 64, 16).count() > 0
