@@ -79,6 +79,59 @@ def brute_force_topk(
     )
 
 
+def knn_label_predict(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Majority-vote kNN label prediction — the standard embedding-
+    quality eval for a labeled training corpus: each query's label is
+    predicted from its ``k`` nearest corpus neighbors by cosine, with
+    the query's own id excluded so corpus-drawn queries get leave-one-
+    out semantics. High accuracy ⟺ the embedding space separates the
+    labels, which is what decides whether ANN dedup/curation over it
+    can be trusted.
+
+    ``queries`` carries (query_id, query_vec, true_label). Output:
+    (query_id, true_label, pred_label, correct) — fully deterministic
+    (neighbor ties break on corpus id, vote ties on the smaller
+    label). Scale shape: identical to `brute_force_topk` (bounded
+    query set broadcast against the corpus, one window + one
+    aggregation); for full-corpus evals feed a sampled query set, or
+    generate candidates with `ivf_search_index` and vote over those.
+    """
+    joined = (
+        queries.crossJoin(vectors)
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn("cosine", cosine(F.col("query_vec"), F.col(vec_col)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    neighbors = joined.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = neighbors.groupBy(
+        "query_id", "true_label", F.col(label_col).alias("pred_label")
+    ).agg(F.count(F.lit(1)).alias("n_votes"))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("pred_label").asc()
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            (F.col("true_label") == F.col("pred_label")).alias("correct"),
+        )
+    )
+
+
 def neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -333,6 +333,26 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN label prediction over the labeled embeddings
+    (`similarity.knn_label_predict`): 40 corpus vectors are the query
+    set, each predicted by majority vote of its 5 nearest cosine
+    neighbors (self excluded; neighbor ties on id, vote ties on the
+    smaller label — fully deterministic, so the DuckDB oracle replays
+    the exact computation). The embedding-quality gate a labeled
+    training corpus runs before trusting ANN curation over it."""
+    embs = _embs(spark, sf_dir)
+    qs = embs.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").cast("bigint").alias("true_label"),
+    )
+    corpus = embs.select(
+        "vec_id", "embedding", F.col("label").cast("bigint").alias("label")
+    )
+    return similarity.knn_label_predict(corpus, qs, k=5)
+
+
 def llm_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED-IVF round trip + incremental append, self-checking
     (x1-style): base corpus (vec_id % 10 != 3) → `write_ivf_index`
@@ -683,6 +703,7 @@ DRIVER_QUERIES = [
     "llm_incremental_dedup",
     "llm_ann_ivf",
     "llm_ann_ivf_index",
+    "llm_knn_label_eval",
     # r3-last-green re-verification sentinels
     "llm_dedup_exact",
     "llm_cosine_topk",
@@ -690,7 +711,6 @@ DRIVER_QUERIES = [
     "llm_pack_sequences",
     "llm_text_stats",
     "llm_lang_id",
-    "llm_token_counts",
     "llm_fingerprint",
     "llm_frame_sample",
     "llm_image_features",
@@ -720,6 +740,7 @@ QUERIES = {
     "llm_ann_lsh": llm_ann_lsh,
     "llm_ann_ivf": llm_ann_ivf,
     "llm_ann_ivf_index": llm_ann_ivf_index,
+    "llm_knn_label_eval": llm_knn_label_eval,
     "llm_neardup_embeddings": llm_neardup_embeddings,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
@@ -1025,6 +1046,38 @@ ORACLES = {
                CAST(5 AS BIGINT) AS n_results,
                TRUE AS recall_ok
         FROM embeddings WHERE vec_id < 10
+    """,
+    "llm_knn_label_eval": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS query_vec,
+                   CAST(label AS BIGINT) AS true_label
+            FROM embeddings WHERE vec_id < 40
+        ), scored AS (
+            SELECT q.query_id, q.true_label, e.vec_id AS match_id,
+                   CAST(e.label AS BIGINT) AS nlabel,
+                   {_cos('q.query_vec', 'e.embedding')} AS c
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, true_label, nlabel,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY c DESC, match_id ASC
+                   ) AS rank
+            FROM scored
+        ), votes AS (
+            SELECT query_id, true_label, nlabel, COUNT(*) AS n
+            FROM ranked WHERE rank <= 5
+            GROUP BY 1, 2, 3
+        ), pred AS (
+            SELECT query_id, true_label, nlabel AS pred_label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY n DESC, nlabel ASC
+                   ) AS r
+            FROM votes
+        )
+        SELECT query_id, true_label, pred_label,
+               true_label = pred_label AS correct
+        FROM pred WHERE r = 1
     """,
     "llm_ann_ivf_index": """
         SELECT vec_id AS query_id,

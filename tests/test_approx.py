@@ -43,3 +43,63 @@ class TestApproxAggregates:
             # what the driver oracle asserts with TRUE literals)
             assert got["approx_users_ok"] is True
             assert got["approx_median_ok"] is True
+
+
+class TestKnnLabelPredict:
+    def test_matches_naive_numpy_leave_one_out(self, spark):
+        import numpy as np
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            knn_label_predict,
+        )
+
+        rng = np.random.default_rng(5)
+        n, dim = 60, 8
+        X = rng.normal(size=(n, dim))
+        labels = (rng.integers(0, 3, size=n)).astype(int)
+        vecs = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]], int(labels[i])) for i in range(n)],
+            "vec_id long, embedding array<double>, label long",
+        )
+        qs = spark.createDataFrame(
+            [
+                (i, [float(x) for x in X[i]], int(labels[i]))
+                for i in range(20)
+            ],
+            "query_id long, query_vec array<double>, true_label long",
+        )
+        got = {
+            r["query_id"]: (r["pred_label"], r["correct"])
+            for r in knn_label_predict(vecs, qs, k=5).collect()
+        }
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = Xn @ Xn.T
+        for q in range(20):
+            order = sorted(
+                (i for i in range(n) if i != q),
+                key=lambda i: (-sims[q, i], i),
+            )[:5]
+            counts: dict[int, int] = {}
+            for i in order:
+                counts[labels[i]] = counts.get(labels[i], 0) + 1
+            pred = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            assert got[q] == (pred, pred == labels[q]), q
+
+    def test_self_vector_excluded(self, spark):
+        """A query identical to a corpus vector must not vote for
+        itself: with k=1 the prediction comes from the nearest OTHER
+        vector."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            knn_label_predict,
+        )
+
+        vecs = spark.createDataFrame(
+            [(0, [1.0, 0.0], 7), (1, [0.9, 0.1], 8), (2, [-1.0, 0.0], 9)],
+            "vec_id long, embedding array<double>, label long",
+        )
+        qs = spark.createDataFrame(
+            [(0, [1.0, 0.0], 7)],
+            "query_id long, query_vec array<double>, true_label long",
+        )
+        row = knn_label_predict(vecs, qs, k=1).first()
+        assert row["pred_label"] == 8 and row["correct"] is False

@@ -41,6 +41,8 @@ ALLOWED_BNLJ = {
     # registered by the round-5 rotation (previously parity-only):
     "llm_cosine_topk": "corpus x broadcast 10-row query set (vec_id<10 "
     "filter) — the documented brute-force ANN baseline",
+    "llm_knn_label_eval": "corpus x bounded 40-row leave-one-out query "
+    "set — same brute-force baseline shape as llm_cosine_topk",
     "x2_above_global_avg": "broadcast 1-row global-average aggregate "
     "(scalar subquery)",
 }
