@@ -1105,17 +1105,26 @@ def compact_minhash_index(spark, path: str) -> bool:
     compactions (each batch append adds one bands dir and one sets dir
     to every probe's scan list), and this resets it to one.
 
-    Completeness is judged per token by COMMITTED data files on BOTH
-    sides (one listing per side): folding a half-written batch would
+    Completeness is judged per token by the ``_SUCCESS`` markers on
+    BOTH sides (one listing per side, no per-token probes): the marker
+    is written strictly AFTER every commitJob rename, so it is the one
+    signal that cannot be present over partial data — part files alone
+    prove a commit STARTED, not that it finished (v1 commitJob merges
+    task outputs sequentially; a driver crash mid-merge leaves a
+    subset of final-named files). Folding a half-written batch would
     bake partial rows into ``batch=base`` permanently, and the
-    same-token replay would then duplicate them. Part files reach
-    their final names only at job commit under the default v1 file
-    output committer, so their presence proves the write committed —
-    and unlike a _SUCCESS-marker test this also folds batches written
-    by committers configured not to emit markers. A skipped incomplete
-    batch (one side missing its files — the minhash crash window)
-    stays merely unindexed in the new version; the replay re-folds it
-    whole.
+    same-token replay would then DUPLICATE them. Three token states:
+
+    - marked on both sides → folded;
+    - a side has data files but no marker (torn commit) → the whole
+      compaction REFUSES loudly, naming the tokens — restart the
+      ingest so the same-token replay completes the fold, or remove
+      the torn directory (marker-less committers cannot produce these
+      through this engine: `append_minhash_index` rejects them at the
+      first fold);
+    - anything else (side missing or empty — the designed append
+      crash window) → skipped silently, merely unindexed in the new
+      version until the replay re-folds it whole.
 
     Same pointer-flip guarantees as `write_minhash_index`: the old
     version stays live until the manifest publishes; a crash leaves it
@@ -1134,16 +1143,38 @@ def compact_minhash_index(spark, path: str) -> bool:
         return False
     old_root = _pp.join(path, str(payload["current"]))
 
-    def _data_tokens(side: str) -> set[str]:
+    def _glob_tokens(side: str, leaf: str) -> set[str]:
         # ONE listing per side (never per-token exists() probes)
         return {
             p.rsplit("batch=", 1)[1].split("/", 1)[0]
             for p in glob_paths(
-                spark, _pp.join(old_root, side, "batch=*", "part-*")
+                spark, _pp.join(old_root, side, "batch=*", leaf)
             )
         }
 
-    complete = sorted(_data_tokens("bands") & _data_tokens("sets"))
+    marked = _glob_tokens("bands", "_SUCCESS") & _glob_tokens(
+        "sets", "_SUCCESS"
+    )
+    torn = sorted(
+        (
+            _glob_tokens("bands", "part-*")
+            - _glob_tokens("bands", "_SUCCESS")
+        )
+        | (
+            _glob_tokens("sets", "part-*")
+            - _glob_tokens("sets", "_SUCCESS")
+        )
+    )
+    if torn:
+        raise RuntimeError(
+            f"MinHash index at {path}: batch dirs {torn} hold data "
+            "files without a _SUCCESS marker — a torn job commit. "
+            "Folding them could bake partial rows into the compacted "
+            "base and the same-token replay would duplicate them. "
+            "Restart the ingest so the replay completes these folds, "
+            "or remove the torn directories, then compact."
+        )
+    complete = sorted(marked)
     if not complete:
         return False  # nothing durable to fold
     rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")

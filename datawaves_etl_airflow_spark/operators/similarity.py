@@ -738,23 +738,34 @@ def append_ivf_index(
         .partitionBy("centroid_id")
         .parquet(batch_dir)
     )
+    # compaction completeness keys on this marker (written strictly
+    # after every commitJob rename) — a cluster configured not to emit
+    # it would silently void the torn-commit guard, so fail loudly at
+    # the first fold (same contract as append_minhash_index)
+    from ..sources.fs import path_exists
+
+    if not path_exists(spark, _pp.join(batch_dir, "_SUCCESS")):
+        raise RuntimeError(
+            "IVF fold committed without a _SUCCESS marker — the "
+            "compaction torn-commit guard requires "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=true"
+        )
 
 
 def compact_ivf_index(spark, path: str) -> bool:
     """Fold every COMPLETE ``cells/batch=`` directory of the current
     version into a single ``batch=base`` under a NEW manifest-committed
     version (probe listing cost grows with batch dirs between
-    compactions). Completeness is judged by COMMITTED part files in
-    the batch dir (one listing): they reach final names only at job
-    commit under the default v1 committer, so folding a half-written
-    append — which would bake partial cells into the base permanently
-    and make its same-token replay duplicate them — is impossible,
-    while marker-less-but-durable batches (e.g. written under dynamic
-    partition overwrite, which emits no _SUCCESS) still fold. A
-    skipped incomplete batch is merely unindexed until the replay
-    re-folds it whole. Pointer-flip semantics as everywhere: old
-    version live until the publish, vacuum afterwards. False on a
-    legacy index."""
+    compactions). Completeness is the batch dir's ``_SUCCESS`` marker
+    (written strictly after every commitJob rename — part files alone
+    prove a commit STARTED, not finished, and folding a half-committed
+    batch would bake partial cells into the base which its same-token
+    replay then duplicates). Batch dirs holding data files WITHOUT the
+    marker are torn commits and make the compaction REFUSE loudly;
+    marker-less empty dirs are skipped (replay heals them). One
+    listing per check, no per-token probes. Pointer-flip semantics as
+    everywhere: old version live until the publish, vacuum afterwards.
+    False on a legacy index."""
     import posixpath as _pp
     import uuid as _uuid
 
@@ -765,19 +776,26 @@ def compact_ivf_index(spark, path: str) -> bool:
     version, payload = vm.resolve(spark)
     if payload is None:
         return False
-    meta, _ = _ivf_meta_from_payload(version, payload, path)
-    old_root = _pp.join(path, str(payload["current"]))
-    complete = sorted(
-        {
+    meta, old_root = _ivf_meta_from_payload(version, payload, path)
+
+    def _glob_tokens(leaf: str) -> set[str]:
+        return {
             p.rsplit("batch=", 1)[1].split("/", 1)[0]
             for p in glob_paths(
-                spark,
-                _pp.join(
-                    old_root, "cells", "batch=*", "centroid_id=*", "part-*"
-                ),
+                spark, _pp.join(old_root, "cells", "batch=*", leaf)
             )
         }
-    )
+
+    marked = _glob_tokens("_SUCCESS")
+    torn = sorted(_glob_tokens("centroid_id=*/part-*") - marked)
+    if torn:
+        raise RuntimeError(
+            f"IVF index at {path}: cells batch dirs {torn} hold data "
+            "files without a _SUCCESS marker — a torn job commit. "
+            "Restart the ingest so the same-token replay completes "
+            "these folds, or remove the torn directories, then compact."
+        )
+    complete = sorted(marked)
     if not complete:
         return False
     rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")

@@ -235,11 +235,14 @@ class TestIngestCompactIntegration:
 
 
 class TestCompactSkipsIncompleteFolds:
-    """The review finding: folding a half-written batch would bake
-    partial rows into batch=base permanently, and the same-token
-    replay would then duplicate them. Compaction must skip any batch
-    without _SUCCESS on BOTH sides; the replay then re-folds it whole
-    against the compacted version — no duplicates, no loss."""
+    """Folding a half-written batch would bake partial rows into
+    batch=base permanently, and the same-token replay would then
+    duplicate them. Completeness is the _SUCCESS marker (the one
+    signal written strictly after every commitJob rename): a side
+    missing entirely is skipped (the replay re-folds it whole against
+    the compacted version — no duplicates, no loss), while data files
+    WITHOUT a marker are a torn commit and make compaction refuse
+    loudly (see test_torn_commit_refuses below)."""
 
     def test_minhash_compact_skips_then_replay_heals(
         self, spark, tmp_path
@@ -319,6 +322,57 @@ class TestBandCrowdCap:
         # the template crowd exceeds every band's cap -> contributes
         # no candidates; the quiet near-dup pair is still found
         assert got == {(100, 101)}
-        # and the cap provably trimmed the band surface
+        # and the cap genuinely binds: the template crowd fills band
+        # buckets far beyond the cap of 8
         sets = word_shingle_hash_sets(docs)
-        assert minhash_band_rows_np(sets, 64, 16).count() > 0
+        bucket_sizes = (
+            minhash_band_rows_np(sets, 64, 16)
+            .groupBy("band_id", "band_hash")
+            .count()
+        )
+        assert bucket_sizes.agg({"count": "max"}).first()[0] > 8
+
+
+class TestTornCommitRefusal:
+    """Data files without a _SUCCESS marker are a torn job commit
+    (v1 commitJob merges task files sequentially; a crash mid-merge
+    leaves a subset of final-named part files). Folding them would
+    bake partial rows in; skipping them silently would lose durable
+    marker-less batches. Compaction refuses loudly instead."""
+
+    def test_minhash_compact_refuses_on_torn_batch(self, spark, tmp_path):
+        import glob as _glob
+        import os as _os
+
+        p = str(tmp_path / "idx")
+        write_minhash_index(_docs_df(spark, DOCS), p)
+        append_minhash_index(_docs_df(spark, DAY1), p, batch_token="d1")
+        root = _resolve_minhash_index(spark, p)[1]
+        # simulate the torn commit: marker gone, part files remain
+        _os.remove(_os.path.join(root, "bands", "batch=d1", "_SUCCESS"))
+        assert _glob.glob(_os.path.join(root, "bands", "batch=d1", "part-*"))
+        with pytest.raises(RuntimeError, match="torn job commit"):
+            compact_minhash_index(spark, p)
+        # replay completes the fold (same token rewrites both sides),
+        # after which compaction proceeds
+        append_minhash_index(_docs_df(spark, DAY1), p, batch_token="d1")
+        assert compact_minhash_index(spark, p) is True
+        assert _probe_pairs(spark, p, DAY1[0][1] + "!") == {(99, 11)}
+
+    def test_ivf_compact_refuses_on_torn_batch(self, spark, tmp_path):
+        import glob as _glob
+        import os as _os
+
+        p = str(tmp_path / "ivf")
+        write_ivf_index(_vecs(spark, range(60)), p, n_centroids=4, n_iters=1)
+        new = _vecs(spark, range(1000, 1005), seed=7)
+        append_ivf_index(new, p, batch_token="d1")
+        root = _resolve_ivf_index(spark, p)[1]
+        _os.remove(_os.path.join(root, "cells", "batch=d1", "_SUCCESS"))
+        assert _glob.glob(
+            _os.path.join(root, "cells", "batch=d1", "centroid_id=*", "part-*")
+        )
+        with pytest.raises(RuntimeError, match="torn job commit"):
+            compact_ivf_index(spark, p)
+        append_ivf_index(new, p, batch_token="d1")  # replay heals
+        assert compact_ivf_index(spark, p) is True
