@@ -333,6 +333,37 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH with multi-probe, self-checking (the llm_simhash_planted
+    pattern): the 20 query vectors are EXACT copies of corpus vectors,
+    so each query lands in its source's bucket by construction and the
+    source must surface as the top match at cosine ≈ 1.0 — raw bucket
+    contents stay xxhash64-plane-dependent, but this boolean is
+    engine-independent and the oracle asserts TRUE. multi_probe=True
+    drives the 1-bit-flip neighbor expansion (the round-4 ADVICE
+    shiftleft path) through a driver row."""
+    embs = _embs(spark, sf_dir)
+    dim = len(embs.select("embedding").first()["embedding"])
+    qs = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    top = similarity.lsh_topk(
+        embs, qs, dim=dim, k=1, n_planes=12, multi_probe=True
+    )
+    return qs.select("query_id").join(
+        top.filter(
+            (F.col("query_id") == F.col("match_id"))
+            & (F.col("cosine_sim") >= 0.999999)
+        ).select("query_id", F.lit(True).alias("self_found")),
+        "query_id",
+        "left",
+    ).select(
+        "query_id",
+        F.coalesce("self_found", F.lit(False)).alias("self_found"),
+    )
+
+
 def llm_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out kNN label prediction over the labeled embeddings
     (`similarity.knn_label_predict`): 40 corpus vectors are the query
@@ -704,6 +735,7 @@ DRIVER_QUERIES = [
     "llm_ann_ivf",
     "llm_ann_ivf_index",
     "llm_knn_label_eval",
+    "llm_ann_lsh_planted",
     # r3-last-green re-verification sentinels
     "llm_dedup_exact",
     "llm_cosine_topk",
@@ -711,7 +743,6 @@ DRIVER_QUERIES = [
     "llm_pack_sequences",
     "llm_text_stats",
     "llm_lang_id",
-    "llm_fingerprint",
     "llm_frame_sample",
     "llm_image_features",
     "llm_audio_features",
@@ -740,6 +771,7 @@ QUERIES = {
     "llm_ann_lsh": llm_ann_lsh,
     "llm_ann_ivf": llm_ann_ivf,
     "llm_ann_ivf_index": llm_ann_ivf_index,
+    "llm_ann_lsh_planted": llm_ann_lsh_planted,
     "llm_knn_label_eval": llm_knn_label_eval,
     "llm_neardup_embeddings": llm_neardup_embeddings,
     "llm_text_stats": llm_text_stats,
@@ -1078,6 +1110,10 @@ ORACLES = {
         SELECT query_id, true_label, pred_label,
                true_label = pred_label AS correct
         FROM pred WHERE r = 1
+    """,
+    "llm_ann_lsh_planted": """
+        SELECT vec_id AS query_id, TRUE AS self_found
+        FROM embeddings WHERE vec_id < 20
     """,
     "llm_ann_ivf_index": """
         SELECT vec_id AS query_id,
