@@ -992,6 +992,8 @@ def write_minhash_index(
     # batch=<token> subdirectory layout from day 0 (appends add more
     # batch dirs with per-batch overwrite — the idempotency mechanism;
     # see append_minhash_index)
+    from ..sources.fs import require_success_marker
+
     bands.write.mode("errorifexists").parquet(
         _pp.join(vroot, "bands", "batch=base")
     )
@@ -999,6 +1001,11 @@ def write_minhash_index(
         _pp.join(vroot, "sets", "batch=base")
     )
     sets.unpersist()
+    # marker-less committers are rejected at the FIRST write so a
+    # later compaction never misreads the base as a torn commit
+    require_success_marker(
+        spark, _pp.join(vroot, "bands", "batch=base"), "MinHash index build"
+    )
     vm.publish_or_raise(
         spark,
         {
@@ -1120,8 +1127,8 @@ def compact_minhash_index(spark, path: str) -> bool:
       compaction REFUSES loudly, naming the tokens — restart the
       ingest so the same-token replay completes the fold, or remove
       the torn directory (marker-less committers cannot produce these
-      through this engine: `append_minhash_index` rejects them at the
-      first fold);
+      through this engine: the build, fold, AND compaction writers all
+      validate the marker landed at write time);
     - anything else (side missing or empty — the designed append
       crash window) → skipped silently, merely unindexed in the new
       version until the replay re-folds it whole.
@@ -1134,7 +1141,7 @@ def compact_minhash_index(spark, path: str) -> bool:
     import posixpath as _pp
     import uuid as _uuid
 
-    from ..sources.fs import glob_paths
+    from ..sources.fs import glob_paths, require_success_marker
     from ..sources.manifest import VersionedManifest
 
     vm = VersionedManifest(path)
@@ -1152,18 +1159,12 @@ def compact_minhash_index(spark, path: str) -> bool:
             )
         }
 
-    marked = _glob_tokens("bands", "_SUCCESS") & _glob_tokens(
-        "sets", "_SUCCESS"
-    )
+    marked_bands = _glob_tokens("bands", "_SUCCESS")
+    marked_sets = _glob_tokens("sets", "_SUCCESS")
+    marked = marked_bands & marked_sets
     torn = sorted(
-        (
-            _glob_tokens("bands", "part-*")
-            - _glob_tokens("bands", "_SUCCESS")
-        )
-        | (
-            _glob_tokens("sets", "part-*")
-            - _glob_tokens("sets", "_SUCCESS")
-        )
+        (_glob_tokens("bands", "part-*") - marked_bands)
+        | (_glob_tokens("sets", "part-*") - marked_sets)
     )
     if torn:
         raise RuntimeError(
@@ -1189,6 +1190,11 @@ def compact_minhash_index(spark, path: str) -> bool:
         spark.read.parquet(*dirs).select(*cols).write.mode(
             "errorifexists"
         ).parquet(_pp.join(vroot, side, "batch=base"))
+        require_success_marker(
+            spark,
+            _pp.join(vroot, side, "batch=base"),
+            "MinHash index compaction",
+        )
     vm.publish_or_raise(
         spark, {**payload, "current": rel}, version,
         "MinHash index compaction",

@@ -595,6 +595,11 @@ def write_ivf_index(
         _pp.join(vroot, "centroids")
     )
     centroids.unpersist()
+    from ..sources.fs import require_success_marker
+
+    require_success_marker(
+        spark, _pp.join(vroot, "cells", "batch=base"), "IVF index build"
+    )
     vm.publish_or_raise(
         spark,
         {
@@ -742,14 +747,9 @@ def append_ivf_index(
     # after every commitJob rename) — a cluster configured not to emit
     # it would silently void the torn-commit guard, so fail loudly at
     # the first fold (same contract as append_minhash_index)
-    from ..sources.fs import path_exists
+    from ..sources.fs import require_success_marker
 
-    if not path_exists(spark, _pp.join(batch_dir, "_SUCCESS")):
-        raise RuntimeError(
-            "IVF fold committed without a _SUCCESS marker — the "
-            "compaction torn-commit guard requires "
-            "mapreduce.fileoutputcommitter.marksuccessfuljobs=true"
-        )
+    require_success_marker(spark, batch_dir, "IVF fold")
 
 
 def compact_ivf_index(spark, path: str) -> bool:
@@ -813,6 +813,11 @@ def compact_ivf_index(spark, path: str) -> bool:
         .write.mode("errorifexists")
         .partitionBy("centroid_id")
         .parquet(_pp.join(vroot, "cells", "batch=base"))
+    )
+    from ..sources.fs import require_success_marker
+
+    require_success_marker(
+        spark, _pp.join(vroot, "cells", "batch=base"), "IVF index compaction"
     )
     # the quantizer travels unchanged to the new version
     spark.read.parquet(_pp.join(old_root, "centroids")).write.mode(

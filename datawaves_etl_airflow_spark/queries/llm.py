@@ -341,15 +341,18 @@ def llm_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     contents stay xxhash64-plane-dependent, but this boolean is
     engine-independent and the oracle asserts TRUE. multi_probe=True
     drives the 1-bit-flip neighbor expansion (the round-4 ADVICE
-    shiftleft path) through a driver row."""
+    shiftleft path) through a driver row. k=3 membership (not a
+    rank-1 equality) keeps the check tie-proof should the fixture
+    ever gain an exact twin of a query source; dim=64 is the fixture
+    constant (as in llm_ann_lsh) — measuring it would cost an eager
+    job per run and break on an empty table."""
     embs = _embs(spark, sf_dir)
-    dim = len(embs.select("embedding").first()["embedding"])
     qs = embs.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
     top = similarity.lsh_topk(
-        embs, qs, dim=dim, k=1, n_planes=12, multi_probe=True
+        embs, qs, dim=64, k=3, n_planes=12, multi_probe=True
     )
     return qs.select("query_id").join(
         top.filter(

@@ -120,6 +120,24 @@ def create_text_exclusive(
     return True
 
 
+def require_success_marker(
+    spark: SparkSession, directory: str, what: str
+) -> None:
+    """Fail loudly at WRITE time if a job commit left no ``_SUCCESS``
+    marker (mapreduce.fileoutputcommitter.marksuccessfuljobs=false):
+    the index compaction's torn-commit refusal keys on the marker, so
+    a marker-less cluster must be rejected at the first write — not
+    misdiagnosed as data corruption at the first compaction."""
+    import posixpath
+
+    if not path_exists(spark, posixpath.join(directory, "_SUCCESS")):
+        raise RuntimeError(
+            f"{what} committed without a _SUCCESS marker at "
+            f"{directory} — the index torn-commit guard requires "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=true"
+        )
+
+
 def delete_path(spark: SparkSession, path: str) -> None:
     """Recursive delete via the Hadoop FS (works on any configured
     store, not just the local posix view); missing paths are a no-op."""
