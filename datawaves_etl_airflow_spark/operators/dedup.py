@@ -1002,9 +1002,16 @@ def write_minhash_index(
     )
     sets.unpersist()
     # marker-less committers are rejected at the FIRST write so a
-    # later compaction never misreads the base as a torn commit
+    # later compaction never misreads the base as a torn commit —
+    # checked on BOTH sides (compaction completeness requires markers
+    # on both; a committer dropping them per-output rather than
+    # cluster-wide would otherwise pass here and trip only at compact
+    # time, misdiagnosed as a torn commit)
     require_success_marker(
         spark, _pp.join(vroot, "bands", "batch=base"), "MinHash index build"
+    )
+    require_success_marker(
+        spark, _pp.join(vroot, "sets", "batch=base"), "MinHash index build"
     )
     vm.publish_or_raise(
         spark,
@@ -1072,30 +1079,40 @@ def _legacy_minhash_meta(spark, path: str) -> dict:
     return parsed
 
 
+def _minhash_meta_from_payload(
+    version: int, payload: dict, path: str
+) -> tuple[dict, str]:
+    """(parameter contract, data root) from a resolved manifest payload
+    — shared by the probe resolver and the append fold so each pays
+    exactly one manifest round-trip (the IVF index has the same
+    split)."""
+    import posixpath as _pp
+
+    try:
+        meta = {
+            "k": int(payload["k"]),
+            "n_hashes": int(payload["n_hashes"]),
+            "n_bands": int(payload["n_bands"]),
+        }
+        current = str(payload["current"])
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ValueError(
+            f"corrupt MinHash index manifest version {version} "
+            f"under {path}: {payload!r}"
+        ) from exc
+    return meta, _pp.join(path, current)
+
+
 def _resolve_minhash_index(spark, path: str) -> tuple[dict, str]:
     """(parameter contract, data root) — manifest-committed layout
     first (the ``versions/`` dir the latest manifest references),
     pre-manifest marker layout (bands/sets at the index root) as the
     fallback."""
-    import posixpath as _pp
-
     from ..sources.manifest import VersionedManifest
 
     version, payload = VersionedManifest(path).resolve(spark)
     if payload is not None:
-        try:
-            meta = {
-                "k": int(payload["k"]),
-                "n_hashes": int(payload["n_hashes"]),
-                "n_bands": int(payload["n_bands"]),
-            }
-            current = str(payload["current"])
-        except (ValueError, KeyError, TypeError) as exc:
-            raise ValueError(
-                f"corrupt MinHash index manifest version {version} "
-                f"under {path}: {payload!r}"
-            ) from exc
-        return meta, _pp.join(path, current)
+        return _minhash_meta_from_payload(version, payload, path)
     return _legacy_minhash_meta(spark, path), path
 
 
@@ -1132,6 +1149,21 @@ def compact_minhash_index(spark, path: str) -> bool:
     - anything else (side missing or empty — the designed append
       crash window) → skipped silently, merely unindexed in the new
       version until the replay re-folds it whole.
+
+    The published payload records every ingest token ever folded into
+    a base (``folded``, cumulative across compactions) and
+    `append_minhash_index` no-ops for tokens on that list. This closes
+    the replay-after-compaction duplication window: an ingest that
+    crashes after a fold's markers land but BEFORE its stream marker
+    commits will, on restart, replay that batch — and if a compaction
+    ran in between, the fold's rows are already baked into the new
+    version's ``batch=base`` while the new version's empty batch dir
+    makes the markers-exist no-op guard pass, so without the list the
+    replay would re-append the rows and duplicate every candidate
+    pair they produce downstream. The list grows with total tokens
+    ever compacted (a few bytes each — manifest stays KB at any
+    realistic ingest cadence; prune entries older than the stream's
+    checkpoint horizon if it ever matters).
 
     Same pointer-flip guarantees as `write_minhash_index`: the old
     version stays live until the manifest publishes; a crash leaves it
@@ -1195,8 +1227,11 @@ def compact_minhash_index(spark, path: str) -> bool:
             _pp.join(vroot, side, "batch=base"),
             "MinHash index compaction",
         )
+    folded = sorted(
+        (set(payload.get("folded", ())) | set(complete)) - {"base"}
+    )
     vm.publish_or_raise(
-        spark, {**payload, "current": rel}, version,
+        spark, {**payload, "current": rel, "folded": folded}, version,
         "MinHash index compaction",
     )
     return True
@@ -1248,6 +1283,7 @@ def append_minhash_index(
     import uuid as _uuid
 
     from ..sources.fs import path_exists
+    from ..sources.manifest import VersionedManifest
 
     token = batch_token if batch_token is not None else _uuid.uuid4().hex
     if "/" in token or "=" in token:
@@ -1258,7 +1294,20 @@ def append_minhash_index(
     # same contract as the txn store) — an append that resolves the old
     # version after a rebuild commits is vacuumable garbage, not
     # corruption
-    meta, data_root = _resolve_minhash_index(spark, path)
+    version, payload = VersionedManifest(path).resolve(spark)
+    if payload is not None:
+        # a token already folded into a batch=base by a compaction is
+        # durable in EVERY later version — a replay re-appending it
+        # would duplicate its rows (the markers-exist guard below only
+        # sees the new version's empty batch dir). See
+        # compact_minhash_index's folded-token contract.
+        if token in set(payload.get("folded", ())):
+            return
+        meta, data_root = _minhash_meta_from_payload(
+            version, payload, path
+        )
+    else:
+        meta, data_root = _legacy_minhash_meta(spark, path), path
     sets_dir = _os.path.join(data_root, "sets", f"batch={token}")
     bands_dir = _os.path.join(data_root, "bands", f"batch={token}")
     # completion is judged by the writer's _SUCCESS marker, and a

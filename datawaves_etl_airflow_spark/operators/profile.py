@@ -81,3 +81,76 @@ def profile_table(
     return wide.select(
         F.explode(F.array(*per_col)).alias("p")
     ).select("p.*")
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probabilities: list[float] = (0.25, 0.5, 0.75),
+    mode: str = "auto",
+    max_exact_group_rows: int = 10_000_000,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Grouped quantiles with a memory-bounded scale path.
+
+    Spark's exact ``percentile`` BUFFERS every value of a group on the
+    reducer that owns it — per-group memory is O(group rows), which on
+    a 100 TB table with heavy groups (or one runaway hot key) is an
+    executor OOM, not a slowdown. ``approx_percentile`` keeps a
+    Greenwald-Khanna sketch instead: per-group state is O(accuracy)
+    regardless of group size, with rank error ≤ 1/accuracy (so
+    accuracy=10_000 pins every reported quantile q to a value whose
+    true rank is within ±0.01% of q·n — tests pin this bound).
+
+    ``mode``:
+    - ``"exact"`` / ``"approx"`` — caller decides (exact is the
+      oracle-matching form; approx is the unconditional scale form);
+    - ``"auto"`` — one narrow pre-pass (groupBy count, map-side
+      partial, same shuffle key the quantile agg needs anyway) finds
+      the LARGEST group; above ``max_exact_group_rows`` the sketch
+      path is taken. The default bound (10M rows ≈ 80 MB of doubles
+      per group buffer) fits comfortably in a 4 GB executor with room
+      for several concurrent groups; size it to
+      executor_memory / (8 B × concurrent groups per executor).
+      The pre-pass is one extra scan — worth it exactly when the
+      alternative is an unbounded buffer; callers who know their
+      group sizes should pass an explicit mode.
+
+    Output: group_cols + ``q_<pct>`` double columns, identical column
+    names in both modes so a caller can switch without schema churn.
+    """
+    if mode not in ("auto", "exact", "approx"):
+        raise ValueError(f"unknown grouped_quantiles mode {mode!r}")
+    if mode == "auto":
+        largest = (
+            df.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("m"))
+            .collect()[0]["m"]
+        )
+        mode = (
+            "approx"
+            if largest is not None and largest > max_exact_group_rows
+            else "exact"
+        )
+    probs = list(probabilities)
+    if mode == "exact":
+        aggs = [
+            F.percentile(value_col, p).alias(f"q_{int(p * 100)}")
+            for p in probs
+        ]
+    else:
+        # one sketch per group shared across all probabilities, not
+        # one per quantile: approx_percentile takes the array form
+        arr = F.expr(
+            f"approx_percentile({value_col}, "
+            f"array({', '.join(str(p) for p in probs)}), {accuracy})"
+        )
+        aggs = [
+            arr.getItem(i).cast("double").alias(f"q_{int(p * 100)}")
+            for i, p in enumerate(probs)
+        ]
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"), *aggs
+    )

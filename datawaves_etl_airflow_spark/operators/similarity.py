@@ -59,9 +59,13 @@ def brute_force_topk(
     """Exact cosine top-k of every query against the full corpus.
 
     ``queries`` carries (query_id, query_vec). Deterministic tiebreak:
-    (cosine desc, corpus id asc).
+    (cosine desc, corpus id asc). The bounded query set is explicitly
+    broadcast: above the auto-broadcast threshold a bare crossJoin
+    degrades to a cartesian shuffle of the CORPUS, which is exactly
+    the plan this operator's scale contract (replicate the small side,
+    stream the big side) forbids.
     """
-    joined = queries.crossJoin(vectors).withColumn(
+    joined = F.broadcast(queries).crossJoin(vectors).withColumn(
         "cosine", cosine(F.col("query_vec"), F.col(vec_col))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -99,12 +103,14 @@ def knn_label_predict(
     (query_id, true_label, pred_label, correct) — fully deterministic
     (neighbor ties break on corpus id, vote ties on the smaller
     label). Scale shape: identical to `brute_force_topk` (bounded
-    query set broadcast against the corpus, one window + one
-    aggregation); for full-corpus evals feed a sampled query set, or
-    generate candidates with `ivf_search_index` and vote over those.
+    query set broadcast against the corpus — the hint is explicit for
+    the same reason as there, a bare crossJoin above the threshold
+    shuffles the corpus cartesian-style); for full-corpus evals feed a
+    sampled query set, or use `knn_label_predict_index` (candidates
+    from a persisted IVF index, scan bounded by partition pruning).
     """
     joined = (
-        queries.crossJoin(vectors)
+        F.broadcast(queries).crossJoin(vectors)
         .filter(F.col("query_id") != F.col(id_col))
         .withColumn("cosine", cosine(F.col("query_vec"), F.col(vec_col)))
     )
@@ -123,6 +129,67 @@ def knn_label_predict(
     return (
         votes.withColumn("_r", F.row_number().over(wv))
         .filter(F.col("_r") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            (F.col("true_label") == F.col("pred_label")).alias("correct"),
+        )
+    )
+
+
+def knn_label_predict_index(
+    labels: DataFrame,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """`knn_label_predict` backed by a persisted IVF index — the
+    full-corpus-eval path its brute-force twin's docstring prescribes:
+    candidates come from `ivf_search_index` (corpus scan bounded by
+    ``centroid_id=`` partition pruning to ``nprobe/n_centroids`` of
+    the bytes), the majority vote runs over them. Same output schema
+    and tiebreaks as the brute-force form.
+
+    ``labels`` carries (id_col, label_col) — labels live beside the
+    corpus, not inside the index (the index stores only id + vector,
+    so one label backfill never forces an index rebuild); the join is
+    on candidate ids, |queries|·k rows, never the corpus.
+
+    Leave-one-out: the index is probed for ``k + 1`` neighbors and
+    the query's own id dropped, so corpus-drawn query sets get the
+    same self-exclusion as the brute-force form. Ordering reuses the
+    probe's ``rank`` (computed on the UNROUNDED cosine inside
+    `ivf_search_index`), so neighbor selection is exactly the probe's
+    — at ``nprobe = n_centroids`` it is bit-identical to brute force,
+    which is what lets the full-probe eval share the exact-kNN oracle.
+    """
+    cand = ivf_search_index(queries, path, nprobe=nprobe, k=k + 1)
+    qmeta = queries.select("query_id", "true_label")
+    # drop self, then keep the k best surviving ranks per query (rank
+    # order == unrounded cosine order, so no re-scoring is needed)
+    wr = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    neighbors = (
+        cand.filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") <= k)
+    )
+    lab = labels.select(
+        F.col(id_col).alias("match_id"), F.col(label_col).alias("pred_label")
+    )
+    votes = neighbors.join(lab, "match_id").groupBy(
+        "query_id", "pred_label"
+    ).agg(F.count(F.lit(1)).alias("n_votes"))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("pred_label").asc()
+    )
+    return (
+        votes.withColumn("_v", F.row_number().over(wv))
+        .filter(F.col("_v") == 1)
+        .join(qmeta, "query_id")
         .select(
             "query_id",
             "true_label",
@@ -169,10 +236,30 @@ def neardup_pairs_banded(
     n_bands: int = 16,
     band_bits: int = 12,
     seed: int = 7,
+    max_docs_per_band: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded sign-LSH candidates + exact
     cosine rerank — the 100 TB form of :func:`neardup_pairs` (which is
     an all-pairs crossJoin and exists as the oracle twin only).
+
+    ``max_docs_per_band`` is the degenerate-cluster skew valve — the
+    embedding twin of `dedup.minhash_dedup_pairs`'s valve of the same
+    name: candidate volume is Σ bucket² over band buckets, and a
+    failed upstream embedding job that emits thousands of identical
+    (or all-constant) vectors puts them ALL in the same bucket of
+    EVERY band — one bucket then contributes k²/2 pairs, the exact
+    quadratic blowup banding exists to prevent (the all-zero-vector
+    shape is additionally caught by the malformed-row filter only when
+    NULL/mis-sized; a constant non-null vector is legal input). Band
+    buckets above the cap are dropped before the self-join (one extra
+    windowed count on the same shuffle key). Recall contract: a pair
+    sharing any *non-crowded* band is still found; members of a
+    dropped mega-bucket pair only through their other bands — and a
+    degenerate identical-vector crowd collides in ALL bands, so it is
+    deliberately left to an exact-dedup pass (which catches identical
+    vectors outright) rather than allowed to melt the band join.
+    Default None preserves exact candidate semantics (the oracle- and
+    parity-pinned configuration).
 
     Candidates are pairs sharing ANY band's ``band_bits``-bit
     sign-pattern: per-bit collision is p = 1-θ/π, a pair survives with
@@ -238,6 +325,18 @@ def neardup_pairs_banded(
             "band_id", "band_hash"
         ),
     )
+    if max_docs_per_band is not None:
+        # same-key windowed count: AQE reuses the (band_id, band_hash)
+        # exchange the self-join needs anyway, so the valve costs no
+        # extra corpus shuffle
+        crowd = F.count(F.lit(1)).over(
+            Window.partitionBy("band_id", "band_hash")
+        )
+        sigs = (
+            sigs.withColumn("_n", crowd)
+            .filter(F.col("_n") <= max_docs_per_band)
+            .drop("_n")
+        )
     ba, bb = sigs.alias("a"), sigs.alias("b")
     cands = (
         ba.join(
@@ -438,6 +537,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     seed: int = 7,
     multi_probe: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
     hyperplane bucket. The shuffle key is the bucket signature, never
@@ -449,9 +549,32 @@ def lsh_topk(
     (n_planes + 1)× the candidate volume, with the CORPUS side
     untouched: only the tiny query side explodes, the join stays a
     bucket-key equi-join.
+
+    ``max_bucket_size`` is the degenerate-cluster skew valve: a failed
+    upstream embedding job emitting thousands of identical/constant
+    vectors lands them all in ONE corpus bucket, and every query
+    probing it then scores the whole crowd — per-bucket join cost
+    |bucket| × |queries in bucket|, the quadratic shape bucketing
+    exists to prevent. The valve keeps only the ``max_bucket_size``
+    smallest-id corpus rows per bucket (a row_number on the same
+    bucket key the join shuffles by — no extra corpus exchange).
+    Dropping by id-order is recall-exact for the degenerate case that
+    motivates it: an identical-vector crowd ties on cosine, the final
+    tiebreak is id ASC, so the survivors are precisely the rows exact
+    top-k would have returned (for any k ≤ max_bucket_size); for
+    merely-crowded non-identical buckets it is approximate, like
+    every other knob here. Default None = no cap (the pinned-recall
+    configuration).
     """
     planes = _hyperplanes(dim, n_planes, seed)
     v = vectors.withColumn("bucket", plane_signature(F.col(vec_col), planes))
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
+        v = (
+            v.withColumn("_bn", F.row_number().over(wb))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     q = queries.withColumn("bucket", plane_signature(F.col("query_vec"), planes))
     if multi_probe:
         # JVM-side shift, not F.lit(1 << i): at i=63 the Python int
@@ -597,8 +720,15 @@ def write_ivf_index(
     centroids.unpersist()
     from ..sources.fs import require_success_marker
 
+    # both written directories, for symmetry with the compaction's
+    # both-sides completeness rule: a committer that drops markers
+    # per-output (not cluster-wide) must fail at build time, not be
+    # misread downstream
     require_success_marker(
         spark, _pp.join(vroot, "cells", "batch=base"), "IVF index build"
+    )
+    require_success_marker(
+        spark, _pp.join(vroot, "centroids"), "IVF index build"
     )
     vm.publish_or_raise(
         spark,
@@ -718,6 +848,11 @@ def append_ivf_index(
             f"IVF index at {path} predates the manifest layout — "
             "rebuild with write_ivf_index before appending"
         )
+    # a compacted-away token is durable in every later base — a replay
+    # re-appending it would duplicate cells (see compact_ivf_index's
+    # folded-token contract)
+    if token in set(payload.get("folded", ())):
+        return
     meta, data_root = _ivf_meta_from_payload(version, payload, path)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     centroids = spark.read.parquet(_pp.join(data_root, "centroids"))
@@ -823,8 +958,17 @@ def compact_ivf_index(spark, path: str) -> bool:
     spark.read.parquet(_pp.join(old_root, "centroids")).write.mode(
         "errorifexists"
     ).parquet(_pp.join(vroot, "centroids"))
+    # cumulative folded-token record: append_ivf_index no-ops for
+    # these, closing the replay-after-compaction duplication window
+    # (see compact_minhash_index — same contract)
+    folded = sorted(
+        (set(payload.get("folded", ())) | set(complete)) - {"base"}
+    )
     vm.publish_or_raise(
-        spark, {**payload, "current": rel}, version, "IVF index compaction"
+        spark,
+        {**payload, "current": rel, "folded": folded},
+        version,
+        "IVF index compaction",
     )
     return True
 

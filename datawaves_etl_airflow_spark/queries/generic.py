@@ -759,16 +759,26 @@ def rj1_promo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def g2_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact grouped quantiles: Spark's ``percentile`` (exact, linear
-    interpolation) vs DuckDB ``quantile_cont`` — same R-7 formula, and
-    integer-valued quantities make every interpolated value exactly
-    representable."""
+    """Grouped quantiles via `operators.profile.grouped_quantiles` in
+    EXACT mode: Spark's ``percentile`` (linear interpolation) vs DuckDB
+    ``quantile_cont`` — same R-7 formula, and integer-valued quantities
+    make every interpolated value exactly representable. Exact
+    ``percentile`` buffers each group's values on its reducer, so this
+    mode is only for bounded groups — the operator's ``approx`` /
+    ``auto`` modes are the 100 TB path (GK sketch, O(accuracy) state
+    per group, rank-error bound pinned in tests/test_profile.py)."""
+    from ..operators.profile import grouped_quantiles
+
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.percentile("l_quantity", 0.25).alias("q25"),
-        F.percentile("l_quantity", 0.5).alias("q50"),
-        F.percentile("l_quantity", 0.75).alias("q75"),
+    q = grouped_quantiles(
+        l, ["l_returnflag"], "l_quantity", [0.25, 0.5, 0.75], mode="exact"
+    )
+    return q.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("q_25").alias("q25"),
+        F.col("q_50").alias("q50"),
+        F.col("q_75").alias("q75"),
     )
 
 

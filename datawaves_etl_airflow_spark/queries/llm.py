@@ -440,6 +440,44 @@ def llm_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def llm_knn_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-BACKED kNN label eval (`similarity.knn_label_predict_index`
+    — the full-corpus-eval path the brute-force twin's docstring
+    prescribes): candidates come from a persisted `write_ivf_index`
+    layout via `ivf_search_index`, the majority vote runs over them.
+
+    Run at FULL probe (nprobe = n_centroids): every cell is scored, so
+    the neighbor selection is bit-identical to brute force and the
+    DuckDB oracle is the SAME exact-kNN replay as `llm_knn_label_eval`
+    — a real value-level oracle over the whole index round trip
+    (layout, manifest resolve, partition listing, label join, vote),
+    not a self-check. The pruned operating point (nprobe < n_centroids,
+    where the scan reads nprobe/n_centroids of the bytes) is pinned in
+    tests/test_advice_r6.py with an agreement-rate bound. Executed
+    eagerly (localCheckpoint) so the temp index is removed before
+    return."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir)
+    corpus = embs.select(
+        "vec_id", "embedding", F.col("label").cast("bigint").alias("label")
+    )
+    qs = embs.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").cast("bigint").alias("true_label"),
+    )
+    idx = tempfile.mkdtemp(prefix="llm_knn_ivf_")
+    try:
+        similarity.write_ivf_index(corpus, idx, n_centroids=16, n_iters=1)
+        return similarity.knn_label_predict_index(
+            corpus, qs, idx, k=5, nprobe=16
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _planted_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ a deterministically perturbed copy (dim 0 scaled by
     1.2, ids +100000) — a corpus with known near-duplicates at
@@ -776,6 +814,7 @@ QUERIES = {
     "llm_ann_ivf_index": llm_ann_ivf_index,
     "llm_ann_lsh_planted": llm_ann_lsh_planted,
     "llm_knn_label_eval": llm_knn_label_eval,
+    "llm_knn_ivf_eval": llm_knn_ivf_eval,
     "llm_neardup_embeddings": llm_neardup_embeddings,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
@@ -1462,3 +1501,9 @@ ORACLES["llm_wordcount"] = f"""
     ORDER BY n DESC, word ASC
     LIMIT 20
 """
+
+# the index-backed kNN eval runs at FULL probe, making it bit-identical
+# to the brute-force form — so it shares the exact-kNN replay oracle
+# (see llm_knn_ivf_eval's docstring for why this is a stronger check
+# than an x1-style self-assertion)
+ORACLES["llm_knn_ivf_eval"] = ORACLES["llm_knn_label_eval"]

@@ -126,15 +126,25 @@ def make_neardup_ingest(
     everything accepted so far. Per-trigger cost is
     O(batch + candidates), never O(corpus).
 
-    Replay contract: a ``_last_batch_id`` marker makes ordinary
-    foreachBatch replays no-ops. Batch ids are only monotone WITHIN one
-    checkpoint — a fresh checkpointLocation restarts them at 0, so the
-    marker records the checkpoint identity alongside the id (pass
-    ``checkpoint``; `stream_neardup_ingest` wires it automatically) and
-    a mismatch RAISES instead of silently classifying every new batch
-    as a replay: ``accepted_path`` and its checkpoint live and die
+    Replay contract: a replay marker makes ordinary foreachBatch
+    replays no-ops. The marker is a `sources.manifest.VersionedManifest`
+    under ``accepted_path/_manifests`` — the engine's one commit
+    primitive — so each update is a create-if-absent of a NEW version
+    and the previous marker survives on disk until the new one lands:
+    there is no delete→rename window in which a crash loses the marker
+    entirely (the old ``_last_batch_id`` file write had exactly that
+    window, and a lost marker makes the guard treat the store as fresh
+    and re-append the replayed batch). Pre-manifest stores are read
+    through a legacy fallback and migrated on the next commit.
+
+    Batch ids are only monotone WITHIN one checkpoint — a fresh
+    checkpointLocation restarts them at 0, so the marker records the
+    checkpoint identity alongside the id (pass ``checkpoint``;
+    `stream_neardup_ingest` wires it automatically) and a mismatch
+    RAISES instead of silently classifying every new batch as a
+    replay: ``accepted_path`` and its checkpoint live and die
     together. Like the plain-layout merge mode (streaming/maintain.py),
-    a crash strictly between the accepted write and the marker write
+    a crash strictly between the accepted write and the marker commit
     can re-append that one batch on restart; ids are unique per doc, so
     downstream consumers can always reconcile on ``id_col``. Doc ids
     must be globally unique — re-ingesting an id already in the index
@@ -145,31 +155,49 @@ def make_neardup_ingest(
     import os as _os
 
     from ..operators.dedup import append_minhash_index, dedup_against_index
-    from ..sources.fs import read_text, write_text
+    from ..sources.fs import delete_path, path_exists, read_text
+    from ..sources.manifest import VersionedManifest
 
-    marker = _os.path.join(accepted_path, "_last_batch_id")
+    legacy_marker = _os.path.join(accepted_path, "_last_batch_id")
     docs_dir = _os.path.join(accepted_path, "docs")
+    vm = VersionedManifest(accepted_path)
+
+    def _last_state(spark) -> tuple[int, dict | None]:
+        """(manifest version, marker payload or None) — manifest
+        first, the pre-manifest ``_last_batch_id`` file as fallback."""
+        version, payload = vm.resolve(spark)
+        if payload is not None:
+            return version, payload
+        last = read_text(spark, legacy_marker)
+        if last is None:
+            return version, None
+        try:
+            parsed = _json.loads(last)
+            return version, {
+                "last_batch_id": int(parsed["last_batch_id"]),
+                "checkpoint": parsed.get("checkpoint"),
+            }
+        except (ValueError, KeyError, TypeError):
+            try:  # pre-identity marker: bare integer
+                return version, {
+                    "last_batch_id": int(last.strip()),
+                    "checkpoint": None,
+                }
+            except ValueError:
+                raise ValueError(
+                    f"corrupt replay marker at {legacy_marker!r}: "
+                    f"{last!r} — refusing to ingest (treating it as "
+                    "absent could re-append a batch)"
+                ) from None
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        last = read_text(spark, marker)
-        if last is not None:
-            last_ckpt = None
-            try:
-                parsed = _json.loads(last)
-                last_id = int(parsed["last_batch_id"])
-                last_ckpt = parsed.get("checkpoint")
-            except (ValueError, KeyError, TypeError):
-                try:  # pre-identity marker: bare integer
-                    last_id = int(last.strip())
-                except ValueError:
-                    raise ValueError(
-                        f"corrupt replay marker at {marker!r}: {last!r} — "
-                        "refusing to ingest (treating it as absent could "
-                        "re-append a batch)"
-                    ) from None
+        version, state = _last_state(spark)
+        if state is not None:
+            last_id = int(state["last_batch_id"])
+            last_ckpt = state.get("checkpoint")
             if (
                 checkpoint is not None
                 and last_ckpt is not None
@@ -193,7 +221,7 @@ def make_neardup_ingest(
                 # silently dropping batches. batch_id == last_id stays
                 # a silent no-op: the one legitimate boundary replay.
                 raise ValueError(
-                    f"replay marker at {marker!r} records batch "
+                    f"replay marker under {accepted_path!r} records batch "
                     f"{last_id} but this stream delivered batch "
                     f"{batch_id} — a committed id can never reappear "
                     "under one checkpoint identity, so the checkpoint "
@@ -230,13 +258,24 @@ def make_neardup_ingest(
             )
         finally:
             accepted.unpersist()
-        write_text(
+        # commit the marker as a NEW manifest version (create-if-
+        # absent): the previous marker survives until this one lands.
+        # A lost create race means a second writer on one
+        # accepted_path — unsupported, fail loud (publish_or_raise).
+        vm.publish_or_raise(
             spark,
-            marker,
-            _json.dumps(
-                {"last_batch_id": batch_id, "checkpoint": checkpoint}
-            ),
+            {"last_batch_id": batch_id, "checkpoint": checkpoint},
+            version,
+            "near-dup ingest replay marker",
         )
+        # bounded housekeeping, both cheap single-glob operations: old
+        # marker versions are dead weight, and a migrated legacy file
+        # must not linger (a future reader preferring the manifest
+        # would be fine, but a stale file beside a vacuumed manifest
+        # dir invites manual confusion)
+        vm.vacuum_superseded(spark)
+        if path_exists(spark, legacy_marker):
+            delete_path(spark, legacy_marker)
 
     return _apply
 

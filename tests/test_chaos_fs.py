@@ -235,3 +235,189 @@ class TestVacuumPathRobustness:
             for r in dedup_against_index(probe, p, threshold=0.5).collect()
         }
         assert got == {(9, 1)}  # live version intact after vacuum
+
+
+class TestConcurrentRebuildRace:
+    """Round-6 verdict task #3: two full index rebuilds racing on one
+    store, end to end, under randomized commit-time interleavings.
+    Exactly one writer commits a given version (the loser raises
+    loudly), and a reader probing THROUGHOUT observes only complete
+    committed states — the pre-race index or a committed rebuild,
+    never a mix, never an error."""
+
+    # three disjoint corpora; probes tell them apart by which doc id
+    # the near-dup pair lands on
+    ORIG = [(1, "the quick brown fox jumps over the lazy dog again ok")]
+    CA = [(2, "pack my box with five dozen liquor jugs before noon today")]
+    CB = [(3, "sphinx of black quartz judge my vow said the old man now")]
+    PROBES = [
+        (91, "the quick brown fox jumps over the lazy dog again ok!"),
+        (92, "pack my box with five dozen liquor jugs before noon today!"),
+        (93, "sphinx of black quartz judge my vow said the old man now!"),
+    ]
+    #: probe outcome for each corpus the index may legitimately hold
+    EXPECTED = (
+        {(91, 1)},  # pre-race index live
+        {(92, 2)},  # rebuild A committed
+        {(93, 3)},  # rebuild B committed
+    )
+
+    def _probe(self, spark, path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            dedup_against_index,
+        )
+
+        probe_df = spark.createDataFrame(
+            self.PROBES, "doc_id long, text string"
+        )
+        return {
+            (r["id_a"], r["id_b"])
+            for r in dedup_against_index(probe_df, path, threshold=0.5)
+            .collect()
+        }
+
+    @pytest.mark.parametrize("seed", [7, 23, 51])
+    def test_minhash_rebuild_race_is_serializable(
+        self, spark, tmp_path, monkeypatch, seed
+    ):
+        import random
+        import threading
+        import time
+
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            write_minhash_index,
+        )
+
+        p = str(tmp_path / f"race{seed}")
+        docs = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string"
+        )
+        write_minhash_index(docs(self.ORIG), p)
+
+        # jitter the COMMIT step (the create-if-absent publish): a
+        # seeded random sleep before each manifest create explores
+        # different orderings of "read latest version" vs "publish"
+        rng = random.Random(seed)
+        real_create = fs_mod.create_text_exclusive
+        lock = threading.Lock()
+
+        def jittered(s, path_, content):
+            if "manifest-" in path_:
+                with lock:
+                    delay = rng.uniform(0.0, 0.4)
+                time.sleep(delay)
+            return real_create(s, path_, content)
+
+        monkeypatch.setattr(mf_mod, "create_text_exclusive", jittered)
+
+        start = threading.Barrier(2)
+        errors: dict[str, BaseException] = {}
+
+        def rebuild(name, rows):
+            def run():
+                start.wait()
+                try:
+                    write_minhash_index(docs(rows), p)
+                except BaseException as exc:  # noqa: BLE001
+                    errors[name] = exc
+
+            return threading.Thread(target=run, name=name)
+
+        ta, tb = rebuild("A", self.CA), rebuild("B", self.CB)
+        ta.start(), tb.start()
+        # the reader probes throughout the race: every observation
+        # must be ONE committed corpus, never a blend or an error
+        deadline = time.monotonic() + 30
+        while (ta.is_alive() or tb.is_alive()) and time.monotonic() < deadline:
+            assert self._probe(spark, p) in self.EXPECTED
+        ta.join(30), tb.join(30)
+        assert not ta.is_alive() and not tb.is_alive()
+
+        # losers (0 or 1 of them) raised the loud manifest-race error
+        assert len(errors) <= 1
+        for exc in errors.values():
+            assert isinstance(exc, RuntimeError)
+            assert "manifest race" in str(exc)
+        # the final state is a committed WINNER, consistent end to end
+        final = self._probe(spark, p)
+        assert final in (self.EXPECTED[1], self.EXPECTED[2])
+        if "A" in errors:
+            assert final == self.EXPECTED[2]
+        if "B" in errors:
+            assert final == self.EXPECTED[1]
+
+    def test_ivf_rebuild_race_is_serializable(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import random
+        import threading
+        import time
+
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            ivf_search_index,
+            write_ivf_index,
+        )
+
+        def vecs(seed, n=40):
+            rng = random.Random(seed)
+            return spark.createDataFrame(
+                [
+                    (i + seed * 1000, [rng.uniform(-1, 1) for _ in range(8)])
+                    for i in range(n)
+                ],
+                "vec_id long, embedding array<double>",
+            )
+
+        p = str(tmp_path / "ivfrace")
+        write_ivf_index(vecs(0), p, n_centroids=4, n_iters=1)
+
+        rng = random.Random(99)
+        real_create = fs_mod.create_text_exclusive
+        lock = threading.Lock()
+
+        def jittered(s, path_, content):
+            if "manifest-" in path_:
+                with lock:
+                    delay = rng.uniform(0.0, 0.4)
+                time.sleep(delay)
+            return real_create(s, path_, content)
+
+        monkeypatch.setattr(mf_mod, "create_text_exclusive", jittered)
+
+        start = threading.Barrier(2)
+        errors: dict[str, BaseException] = {}
+
+        def rebuild(name, seed):
+            def run():
+                start.wait()
+                try:
+                    write_ivf_index(vecs(seed), p, n_centroids=4, n_iters=1)
+                except BaseException as exc:  # noqa: BLE001
+                    errors[name] = exc
+
+            return threading.Thread(target=run, name=name)
+
+        ta, tb = rebuild("A", 1), rebuild("B", 2)
+        ta.start(), tb.start()
+        ta.join(60), tb.join(60)
+        assert not ta.is_alive() and not tb.is_alive()
+        assert len(errors) <= 1
+        for exc in errors.values():
+            assert isinstance(exc, RuntimeError)
+            assert "manifest race" in str(exc)
+        # probing the live index: every id returned belongs to exactly
+        # ONE writer's corpus — cells and centroids from one committed
+        # version, never new-quantizer cells under old centroids
+        qs = vecs(0, n=3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        ids = {
+            r["match_id"]
+            for r in ivf_search_index(qs, p, nprobe=4, k=5).collect()
+        }
+        assert ids
+        owners = {i // 1000 for i in ids}
+        assert len(owners) == 1 and owners <= {1, 2}

@@ -84,3 +84,79 @@ class TestProfileTable:
         assert prof["o_orderkey"]["n_nulls"] == 0
         # key column: approx distinct within HLL error of exact n
         assert abs(prof["o_orderkey"]["approx_distinct"] - n) <= 0.1 * n
+
+
+class TestGroupedQuantiles:
+    """grouped_quantiles: exact ≡ percentile semantics, the approx
+    switch engages above the group-size bound, and the GK sketch's
+    documented rank-error bound (±n/accuracy) actually holds."""
+
+    def _df(self, spark, n_per_group=4000):
+        from pyspark.sql import functions as F
+
+        return spark.range(3 * n_per_group).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            # deliberately non-uniform values so quantiles are not
+            # trivially index-proportional
+            ((F.col("id") * F.col("id")) % 9973).cast("double").alias("v"),
+        )
+
+    def test_exact_mode_matches_percentile(self, spark):
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.operators.profile import (
+            grouped_quantiles,
+        )
+
+        df = self._df(spark)
+        got = grouped_quantiles(df, ["g"], "v", [0.25, 0.5, 0.75], mode="exact")
+        want = df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.percentile("v", 0.25).alias("q_25"),
+            F.percentile("v", 0.5).alias("q_50"),
+            F.percentile("v", 0.75).alias("q_75"),
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_auto_switches_on_group_size(self, spark):
+        from datawaves_etl_airflow_spark.operators.profile import (
+            grouped_quantiles,
+        )
+
+        df = self._df(spark)
+        # bound above the largest group → exact plan (percentile);
+        # bound below → sketch plan (approx_percentile)
+        exact_plan = grouped_quantiles(
+            df, ["g"], "v", mode="auto", max_exact_group_rows=10_000
+        )._jdf.queryExecution().analyzed().toString()
+        approx_plan = grouped_quantiles(
+            df, ["g"], "v", mode="auto", max_exact_group_rows=100
+        )._jdf.queryExecution().analyzed().toString()
+        assert "approx_percentile" not in exact_plan
+        assert "approx_percentile" in approx_plan
+
+    def test_approx_rank_error_within_documented_bound(self, spark):
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.operators.profile import (
+            grouped_quantiles,
+        )
+
+        accuracy = 100  # coarse on purpose: bound = n/accuracy = 40 rows
+        df = self._df(spark)
+        approx = grouped_quantiles(
+            df, ["g"], "v", [0.25, 0.5, 0.75], mode="approx",
+            accuracy=accuracy,
+        )
+        rows = {r["g"]: r for r in approx.collect()}
+        for g, r in rows.items():
+            n = r["n_rows"]
+            tol = n / accuracy + 1
+            for p, col in ((0.25, "q_25"), (0.5, "q_50"), (0.75, "q_75")):
+                rank = (
+                    df.filter(
+                        (F.col("g") == g) & (F.col("v") <= r[col])
+                    ).count()
+                )
+                assert abs(rank - p * n) <= tol, (g, p, rank, n)

@@ -72,15 +72,49 @@ class TestNeardupIngestBatches:
         fn(_df(spark, B1), 0)  # foreachBatch at-least-once replay
         assert _accepted_ids(spark, acc) == [11, 13]
 
-    def test_corrupt_marker_stops_ingest(self, spark, paths):
+    def test_corrupt_legacy_marker_stops_ingest(self, spark, paths):
+        """A PRE-MANIFEST store whose _last_batch_id file is garbage
+        must refuse loudly (treating it as absent could re-append a
+        batch). Once a manifest exists it wins and the legacy file is
+        ignored — see test_legacy_marker_migrates_to_manifest."""
         idx, acc = paths
-        fn = make_neardup_ingest(idx, acc, threshold=0.5)
-        fn(_df(spark, B1), 0)
         from datawaves_etl_airflow_spark.sources.fs import write_text
 
         write_text(spark, os.path.join(acc, "_last_batch_id"), "zz")
+        fn = make_neardup_ingest(idx, acc, threshold=0.5)
         with pytest.raises(ValueError, match="corrupt replay marker"):
-            fn(_df(spark, B2), 1)
+            fn(_df(spark, B1), 0)
+
+    def test_legacy_marker_migrates_to_manifest(self, spark, paths):
+        """A bare-integer pre-manifest marker is honored (replay of its
+        batch no-ops), then the next commit moves the marker into the
+        versioned manifest and removes the legacy file — the update
+        path with the delete→rename lost-marker window is gone."""
+        idx, acc = paths
+        from datawaves_etl_airflow_spark.sources.fs import (
+            path_exists,
+            write_text,
+        )
+        from datawaves_etl_airflow_spark.sources.manifest import (
+            VersionedManifest,
+        )
+
+        fn = make_neardup_ingest(idx, acc, threshold=0.5)
+        fn(_df(spark, B1), 0)
+        # simulate a store written by the pre-manifest engine: strip
+        # the manifest, plant the old-style bare-integer marker
+        import shutil
+
+        shutil.rmtree(os.path.join(acc, "_manifests"))
+        legacy = os.path.join(acc, "_last_batch_id")
+        write_text(spark, legacy, "0")
+        fn(_df(spark, B1), 0)  # replay honored via the legacy fallback
+        assert _accepted_ids(spark, acc) == [11, 13]
+        fn(_df(spark, B2), 1)  # first post-migration commit
+        assert _accepted_ids(spark, acc) == [11, 13, 21]
+        assert not path_exists(spark, legacy)
+        _, payload = VersionedManifest(acc).resolve(spark)
+        assert payload["last_batch_id"] == 1
 
 
 class TestNeardupIngestStreaming:

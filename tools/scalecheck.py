@@ -81,9 +81,27 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=8)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--ops",
+        default=None,
+        help="comma-separated op subset (default: all) — the "
+        "factor-100 spot-check runs only the flattest paths, whose "
+        "fixed-cost claim is the one worth sampling at two decades: "
+        "--factor 100 --ops evt_decode_bucket_pruned,"
+        "incremental_probe_fixed_batch,ann_probe_pruned",
+    )
     args = ap.parse_args()
+    selected = set(args.ops.split(",")) if args.ops else None
 
-    from datawaves_etl_airflow_spark.operators import dedup, similarity, text
+    def wanted(*names: str) -> bool:
+        return selected is None or bool(selected & set(names))
+
+    from datawaves_etl_airflow_spark.operators import (
+        dedup,
+        profile,
+        similarity,
+        text,
+    )
     from datawaves_etl_airflow_spark.session import get_spark
 
     spark = get_spark(
@@ -158,10 +176,11 @@ def main() -> None:
 
     idx_root = tempfile.mkdtemp(prefix="scalecheck_idx_")
     idx_by_mult: dict[int, str] = {}
-    for mult in sorted({1, args.factor}):
-        p = os.path.join(idx_root, f"m{mult}")
-        dedup.write_minhash_index(_scaled_docs(spark, args.sf, mult), p)
-        idx_by_mult[mult] = p
+    if wanted("incremental_probe_fixed_batch"):
+        for mult in sorted({1, args.factor}):
+            p = os.path.join(idx_root, f"m{mult}")
+            dedup.write_minhash_index(_scaled_docs(spark, args.sf, mult), p)
+            idx_by_mult[mult] = p
     probe_batch = (
         spark.read.parquet(f"{args.sf}/documents.parquet")
         .limit(500)
@@ -176,13 +195,14 @@ def main() -> None:
     # query set against a growing indexed corpus — with the exact
     # brute-force scan as the what-pruning-avoids baseline
     ivf_by_mult: dict[int, str] = {}
-    for mult in sorted({1, args.factor}):
-        p = os.path.join(idx_root, f"ivf{mult}")
-        similarity.write_ivf_index(
-            _scaled_embs(spark, args.sf, mult), p,
-            n_centroids=64, n_iters=1,
-        )
-        ivf_by_mult[mult] = p
+    if wanted("ann_probe_pruned"):
+        for mult in sorted({1, args.factor}):
+            p = os.path.join(idx_root, f"ivf{mult}")
+            similarity.write_ivf_index(
+                _scaled_embs(spark, args.sf, mult), p,
+                n_centroids=64, n_iters=1,
+            )
+            ivf_by_mult[mult] = p
     ann_queries = (
         spark.read.parquet(f"{args.sf}/embeddings.parquet")
         .limit(50)
@@ -285,10 +305,11 @@ def main() -> None:
     # layout READS only the selector's bucket (SURVEY.md §4) — scan
     # bytes ∝ matching bucket, not corpus
     logs_by_mult: dict[int, str] = {}
-    for mult in sorted({1, args.factor}):
-        p = os.path.join(idx_root, f"declogs{mult}")
-        _synth_logs(mult).write.partitionBy("selector_hash").parquet(p)
-        logs_by_mult[mult] = p
+    if wanted("evt_decode_bucket_pruned"):
+        for mult in sorted({1, args.factor}):
+            p = os.path.join(idx_root, f"declogs{mult}")
+            _synth_logs(mult).write.partitionBy("selector_hash").parquet(p)
+            logs_by_mult[mult] = p
 
     #: covers the 10 heaviest BENCH_r03 queries' operator cores
     ops = {
@@ -353,7 +374,22 @@ def main() -> None:
         "winnow_fingerprints": lambda mult: dedup.winnow_fingerprints(
             _scaled_docs(spark, args.sf, mult)
         ),
+        # the g2 scale guard (round-6 verdict #6): grouped quantiles on
+        # the SKETCH path — per-group state O(accuracy) regardless of
+        # group size, so the ratio must track the scan, never the
+        # group-buffer blowup the exact percentile form risks
+        "grouped_quantiles_sketch": lambda mult: profile.grouped_quantiles(
+            _scaled_lineitem(spark, args.sf, mult),
+            ["l_returnflag"],
+            "l_quantity",
+            mode="approx",
+        ),
     }
+    if selected is not None:
+        unknown = selected - set(ops)
+        if unknown:
+            raise SystemExit(f"unknown ops: {sorted(unknown)}")
+        ops = {k: v for k, v in ops.items() if k in selected}
 
     def run(build, mult: int) -> float:
         # drop persisted intermediates (minhash sets) so every timed
