@@ -366,17 +366,18 @@ def evt_seaport_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: round re-verifies the r3-last-green half (the r4-green half rotates
 #: out, parity-pinned), led by the two queries whose source path
 #: changed this round (prices hardening: CSV ingest + interval fill).
+#: Round-6 rotation: the eight r4-last-green domain sentinels (the
+#: r5-green half rotates out, parity-pinned) — no query's last driver
+#: green ages past two rounds.
 DRIVER_QUERIES = [
-    "s2_staging_scan_csv",
-    "d_prices_fill",
-    "d_enrich_blocks",
-    "d_enrich_logs",
-    "d_enrich_traces",
-    "d_enrich_contracts",
-    "d_enrich_token_transfers",
-    "d_verify_have_latest",
-    "evt_transfer_decode",
-    "d5_extract_contracts",
+    "s1_staging_scan_json",
+    "d_enrich_transactions",
+    "d_enrich_geth_traces",
+    "d_new_tokens",
+    "d_verify_root_traces",
+    "evt_seaport_decode",
+    "call_transfer_decode",
+    "d4_token_transfers",
 ]
 
 QUERIES = {

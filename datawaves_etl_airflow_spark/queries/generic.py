@@ -794,26 +794,34 @@ def g2_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Round-5 rotation: the 19 r2-last-green queries (not re-verified
 #: since the round-2 run) take every generic slot; the r4-green set
 #: rotates out, parity-pinned.
+#: Round-6 rotation: g2 leads (rewired through the new
+#: operators.profile.grouped_quantiles scale guard this round), then
+#: every other r4-last-green generic query — except aj1_asof_clicks,
+#: deferred one round (its bucketed twin aj2 went green in r5; the
+#: 50-slot budget needs exactly one deferral). The r5-green set
+#: rotates out, parity-pinned.
 DRIVER_QUERIES = [
-    "a1_count_existence",
-    "a2_count_col_vs_star",
-    "j6_anti_join_customers",
-    "j6b_anti_join_prefiltered",
-    "j6c_anti_join_bucket_pruned",
-    "j7_region_rollup",
-    "e1_except_parts",
-    "p4_date_range_scan",
-    "p5_conjunctive_filter",
-    "w1_topk_per_user",
-    "h3_hopping_windows",
-    "x2_above_global_avg",
-    "f2_array_surface",
-    "g4_purchase_trend",
-    "t1_topk_orders",
-    "u1_intersect_users",
-    "aj2_asof_bucketed",
-    "j8_semi_join_customers",
-    "j9_full_outer_rollup",
+    "g2_grouped_quantiles",
+    "f_scalar_surface",
+    "g1_rollup_returnflag",
+    "g3_cube_priority",
+    "h1_hourly_events",
+    "h2_range_pruned_scan",
+    "j1_order_revenue_3way",
+    "j5_composite_key_join",
+    "m1_upsert_dimension",
+    "m2_scd2_history",
+    "m3_incremental_merge",
+    "pv1_pivot_linestatus",
+    "pv2_unpivot_metrics",
+    "q1_pricing_summary",
+    "rj1_promo_range_join",
+    "sk1_salted_agg",
+    "w2_running_sum",
+    "w3_sessionization",
+    "w4_rolling_range_window",
+    "x1_approx_aggregates",
+    "x3_profile_orders",
 ]
 
 #: columns profiled by x3 (orderable subset of orders)

@@ -768,32 +768,40 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: r4-green heavy hitters for continuity. The r4-green remainder
 #: (incl. the three rows-only xxhash64 candidate sets) rotates out,
 #: parity-pinned.
+#: Round-6 rotation: the new index-backed kNN eval leads (never
+#: driver-verified), then the queries whose source surface changed
+#: this round (folded-token compaction protocol + build-marker
+#: symmetry on the persisted indexes; skew valves + explicit
+#: queries-side broadcast on the similarity operators), then the
+#: three r3-last-green stragglers (stale three rounds), then every
+#: r4-last-green llm query. The r5-green set rotates out,
+#: parity-pinned.
 DRIVER_QUERIES = [
     # never driver-verified, first
-    "llm_cluster_keep",
-    # changed surface this round: manifest-committed index layouts
+    "llm_knn_ivf_eval",
+    # changed surface this round
     "llm_incremental_dedup",
-    "llm_ann_ivf",
     "llm_ann_ivf_index",
-    "llm_knn_label_eval",
+    "llm_neardup_embeddings",
     "llm_ann_lsh_planted",
-    # r3-last-green re-verification sentinels
-    "llm_dedup_exact",
+    "llm_knn_label_eval",
     "llm_cosine_topk",
-    "llm_quantize_embeddings",
-    "llm_pack_sequences",
-    "llm_text_stats",
-    "llm_lang_id",
-    "llm_frame_sample",
-    "llm_image_features",
-    "llm_audio_features",
-    "llm_quality_logit",
-    "llm_source_quota",
-    "llm_hash_split",
-    # r4-green heavy-hitter continuity sentinels
-    "llm_jaccard_pairs",
-    "llm_dedup_clusters",
-    "llm_corpus_pipeline",
+    # r3-last-green re-verification sentinels
+    "llm_fingerprint",
+    "llm_pii_scrub",
+    "llm_token_counts",
+    # r4-last-green re-verification sentinels
+    "llm_chunking",
+    "llm_decontaminate",
+    "llm_length_histogram",
+    "llm_multimodal_meta",
+    "llm_passage_dedup",
+    "llm_quality_filter",
+    "llm_repetition",
+    "llm_simhash_planted",
+    "llm_tfidf_keywords",
+    "llm_unigram_logprob",
+    "llm_wordcount",
 ]
 
 QUERIES = {

@@ -35,9 +35,14 @@ implemented as a HEAD-then-PUT, so the no-concurrent-writers contract
 (one committer per store/index, enforced by the callers' single-writer
 semantics, e.g. one foreachBatch per checkpoint) is load-bearing
 there — or use S3 conditional writes (If-None-Match) via a current
-hadoop-aws. The sandbox has no object store; tests/test_chaos_fs.py
-emulates the failure modes (failed rename, copy-without-delete
-leftovers, lagging listings) behind the fs seams instead.
+hadoop-aws. That upgrade is a config change on exactly ONE seam:
+`fs.create_text_exclusive` is the only primitive the commit path
+uses — pinned by tests/test_advice_r6.py::TestManifestSeamIsolation,
+which runs the full persisted-index lifecycle (build, append,
+compact, vacuum) with the rename-based marker writer forbidden.
+The sandbox has no object store; tests/test_chaos_fs.py emulates the
+failure modes (failed rename, copy-without-delete leftovers, lagging
+listings, racing committers) behind the fs seams instead.
 """
 
 from __future__ import annotations
