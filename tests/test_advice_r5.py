@@ -12,7 +12,6 @@
 
 from __future__ import annotations
 
-import json
 import os
 
 import pytest
@@ -108,16 +107,40 @@ class TestReplayGuardCheckpointIdentity:
         assert _accepted_ids(spark, acc) == [11, 13]
 
     def test_legacy_bare_int_marker_still_honored(self, spark, paths):
+        # round 6 moved the marker onto VersionedManifest: the committed
+        # payload lives in _manifests/ (no loose _last_batch_id file),
+        # and a PRE-MANIFEST store's bare-int marker is honored as a
+        # fallback, then migrated away on the next real commit.
         idx, acc = paths
         fn = make_neardup_ingest(idx, acc, threshold=0.5, checkpoint="ckptA")
         fn(_df(spark, BATCH), 3)
-        from datawaves_etl_airflow_spark.sources.fs import read_text, write_text
+        from datawaves_etl_airflow_spark.sources.fs import (
+            delete_path,
+            path_exists,
+            read_text,
+            write_text,
+        )
+        from datawaves_etl_airflow_spark.sources.manifest import (
+            VersionedManifest,
+        )
 
+        vm = VersionedManifest(acc)
+        _, payload = vm.resolve(spark)
+        assert payload["checkpoint"] == "ckptA"
+        assert payload["last_batch_id"] == 3
         marker = os.path.join(acc, "_last_batch_id")
-        assert json.loads(read_text(spark, marker))["checkpoint"] == "ckptA"
+        assert read_text(spark, marker) is None
+        # strip back to the pre-manifest layout: bare-int marker only
+        delete_path(spark, vm.manifest_dir())
         write_text(spark, marker, "3")  # pre-identity marker format
         fn(_df(spark, BATCH), 3)  # replay by id alone — still a no-op
         assert _accepted_ids(spark, acc) == [11, 13]
+        # next REAL commit migrates: manifest back, legacy file gone
+        fn(_df(spark, [(17, "a genuinely new post-migration doc")]), 4)
+        _, migrated = vm.resolve(spark)
+        assert migrated["last_batch_id"] == 4
+        assert migrated["checkpoint"] == "ckptA"
+        assert not path_exists(spark, marker)
 
 
 class TestIdentitylessMarkerGuard:
@@ -134,8 +157,17 @@ class TestIdentitylessMarkerGuard:
         write_minhash_index(_df(spark, CORPUS), idx)
         fn = make_neardup_ingest(idx, acc, threshold=0.5, checkpoint="ckA")
         fn(_df(spark, BATCH), 5)
-        from datawaves_etl_airflow_spark.sources.fs import write_text
+        from datawaves_etl_airflow_spark.sources.fs import (
+            delete_path,
+            write_text,
+        )
+        from datawaves_etl_airflow_spark.sources.manifest import (
+            VersionedManifest,
+        )
 
+        # strip to the PRE-MANIFEST layout (bare-int marker only) so the
+        # guard sees an identity-less marker, not the committed manifest
+        delete_path(spark, VersionedManifest(acc).manifest_dir())
         write_text(spark, os.path.join(acc, "_last_batch_id"), "5")
         # fresh checkpoint restarting at 0 against the legacy marker
         fn2 = make_neardup_ingest(idx, acc, threshold=0.5, checkpoint="ckB")

@@ -52,25 +52,33 @@ class TestRegistrationPolicy:
         )
 
     def test_registration_order_never_verified_first(self):
-        """Round-5 rotation: the one never-driver-verified query leads
-        its module block, followed by the changed-surface
-        re-verifications (manifest index layouts, prices path), then
-        the oldest-green sentinels — a budget cut still lands on the
-        freshest evidence first."""
+        """Round-6 rotation: the never-driver-verified query leads its
+        module block, followed by this round's changed-surface
+        re-verifications, then the oldest-green sentinels — a budget
+        cut still lands on the freshest evidence first."""
         names = list(entrymod.queries())
-        # domain block leads with the changed prices path
-        assert names[0] == "s2_staging_scan_csv"
-        assert names[1] == "d_prices_fill"
-        # llm block: never-verified first, then changed index surfaces
-        llm_first = names.index("llm_cluster_keep")
-        assert llm_first < names.index("llm_incremental_dedup")
-        assert names.index("llm_incremental_dedup") < names.index(
-            "llm_dedup_exact"
+        # domain block re-verifies the r4-last-green cohort, oldest
+        # evidence first (no domain surface changed this round)
+        assert names[0] == "s1_staging_scan_json"
+        # llm block: the new index-backed kNN eval (never verified)
+        # leads, then the changed surfaces (compaction fold-token
+        # no-ops, both-sides markers, embedding-LSH skew valves)
+        assert names.index("llm_knn_ivf_eval") < names.index(
+            "llm_incremental_dedup"
         )
-        assert names.index("llm_ann_ivf") < names.index("llm_dedup_exact")
-        # r3-green sentinels precede the r4-green continuity tail
-        assert names.index("llm_hash_split") < names.index(
-            "llm_jaccard_pairs"
+        assert names.index("llm_incremental_dedup") < names.index(
+            "llm_wordcount"
+        )
+        assert names.index("llm_neardup_embeddings") < names.index(
+            "llm_wordcount"
+        )
+        assert names.index("llm_ann_lsh_planted") < names.index(
+            "llm_wordcount"
+        )
+        # generic block leads with the g2 path rerouted through
+        # operators.profile.grouped_quantiles this round
+        assert names.index("g2_grouped_quantiles") < names.index(
+            "q1_pricing_summary"
         )
 
     def test_driver_lists_subset_of_full_corpus(self):
