@@ -360,6 +360,148 @@ def neardup_pairs_banded(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    n_centroids: int,
+    threshold: float = 0.9,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: str = "min_id",
+    max_cell_size: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-bucketed semantic deduplication (the SemDeDup recipe:
+    Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", arXiv:2303.09540): spherical
+    k-means partitions the corpus into cells, pairwise cosine runs
+    ONLY within each cell, pairs at ``cos >= threshold`` form
+    duplicate groups (connected components), and one representative
+    per group is kept.
+
+    Returns one row per input row: ``(id_col, sem_cluster_id, kept)``
+    — ``sem_cluster_id`` is the minimum member id of the duplicate
+    group (rows with no duplicate are their own group), ``kept`` the
+    keep/drop decision. Filtering ``kept`` is the curation step; the
+    full decision table is returned so audits can count drops per
+    group.
+
+    ``keep``:
+    - ``"min_id"`` (default): smallest id per group — fully
+      deterministic and replayable by an oracle engine;
+    - ``"far_from_centroid"``: the member LEAST similar to its cell
+      centroid (ties on smaller id) — the paper's diversity-keeping
+      policy (it retains the group's most atypical example, which the
+      paper measures as better for downstream training than random
+      keeps).
+
+    Scale shape (the reason this beats all-pairs near-dup for the
+    diffuse thresholds LSH can't serve — see
+    :func:`neardup_pairs_banded`'s docstring for why sign-LSH needs
+    cos >= ~0.9): the corpus shuffles ONCE on its cell id; candidate
+    volume is sum(cell^2) ~= n^2 / n_centroids, so operating at a
+    fixed cell size means scaling ``n_centroids`` linearly with the
+    corpus (the paper's regime) and the pair stage stays linear in n.
+    Centroid training is broadcast-crossJoin + hash aggregation per
+    Lloyd iteration (:func:`train_centroids` — deterministic
+    hash-order seeding, no corpus shuffle); the component pass runs
+    over the pair graph, orders of magnitude smaller than the corpus
+    (:func:`~..operators.dedup.duplicate_clusters`).
+
+    ``max_cell_size`` is the degenerate-cluster skew valve (same
+    contract as ``max_docs_per_band`` on the banded LSH paths): a
+    failed upstream embedding job emitting thousands of identical or
+    constant vectors collapses them into ONE cell, whose pair stage
+    is k^2/2 — cells above the cap are excluded from the pair join
+    (their rows surface as kept singletons) and such a crowd is
+    deliberately left to an exact-dedup pass, which catches identical
+    vectors outright without pairwise work. Default None keeps exact
+    SemDeDup semantics.
+
+    Pass ``centroids`` (``(centroid_id, centroid)``, unit-norm) to
+    reuse a quantizer — e.g. the one persisted by
+    :func:`write_ivf_index`, so dedup and ANN probe share one cell
+    layout and the corpus's cell assignment is computed once.
+
+    Rows whose vector is NULL take no part in clustering and are
+    returned kept (their own group) — mirroring the banded path's
+    malformed-row contract; zero vectors have cosine 0 to everything
+    and fall out as kept singletons naturally.
+    """
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"unknown semantic_dedup keep policy {keep!r}")
+    ids_all = vectors.select(F.col(id_col).alias("_vid"))
+    valid = vectors.filter(F.col(vec_col).isNotNull())
+    norm = valid.select(
+        F.col(id_col).alias("_vid"), l2_normalize(F.col(vec_col)).alias("_v")
+    )
+    if centroids is None:
+        centroids = train_centroids(
+            valid, n_centroids, n_iters=n_iters,
+            vec_col=vec_col, id_col=id_col,
+        )
+    assigned = _assign_cells(norm, "_v", centroids).join(norm, "_vid")
+    if max_cell_size is not None:
+        assigned = assigned.withColumn(
+            "_cell_n", F.count(F.lit(1)).over(Window.partitionBy("centroid_id"))
+        ).filter(F.col("_cell_n") <= max_cell_size)
+    a = assigned.select(
+        F.col("centroid_id"), F.col("_vid").alias("id_a"), F.col("_v").alias("va")
+    )
+    b = assigned.select(
+        F.col("centroid_id"), F.col("_vid").alias("id_b"), F.col("_v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # unit vectors: dot IS cosine — skip the norm division
+        .filter(dot(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    from .dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(pairs)  # (id, cluster_id), pair ids only
+    if keep == "min_id":
+        decisions = clusters.select(
+            F.col("id").alias("_vid"),
+            F.col("cluster_id").alias("sem_cluster_id"),
+            (F.col("id") == F.col("cluster_id")).alias("kept"),
+        )
+    else:
+        # similarity of each member to ITS cell centroid
+        cent_sim = (
+            assigned.join(F.broadcast(centroids), "centroid_id")
+            .select(
+                F.col("_vid").alias("id"),
+                dot(F.col("_v"), F.col("centroid")).alias("_csim"),
+            )
+        )
+        reps = (
+            clusters.join(cent_sim, "id")
+            .groupBy("cluster_id")
+            .agg(
+                F.min_by(
+                    F.col("id"), F.struct(F.col("_csim"), F.col("id"))
+                ).alias("_rep")
+            )
+        )
+        decisions = clusters.join(reps, "cluster_id").select(
+            F.col("id").alias("_vid"),
+            F.col("cluster_id").alias("sem_cluster_id"),
+            (F.col("id") == F.col("_rep")).alias("kept"),
+        )
+    return (
+        ids_all.join(decisions, "_vid", "left")
+        .select(
+            F.col("_vid").alias(id_col),
+            F.coalesce("sem_cluster_id", F.col("_vid")).alias(
+                "sem_cluster_id"
+            ),
+            F.coalesce("kept", F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     rng = random.Random(seed)
     return [

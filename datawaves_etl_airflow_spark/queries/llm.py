@@ -478,6 +478,52 @@ def llm_knn_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (`similarity.semantic_dedup`:
+    k-means cells -> within-cell cosine pairs -> connected components
+    -> keep-one), self-checking on a planted corpus (the
+    llm_ann_lsh_planted pattern): embeddings ∪ EXACT copies
+    (vec_id + 100000). An exact copy scores identically against every
+    centroid and ties break identically, so each copy co-assigns with
+    its source under ANY hash-order seeding; at threshold 0.999 the
+    only within-cell pairs are {source, copy} (the corpus's own pairs
+    top out at cos 0.60), so every duplicate group is exactly that
+    pair and min-id keep must retain the source. Compared booleans per
+    original id: source kept, copy dropped, both mapped to the same
+    group (= the source id). Raw cell contents stay
+    xxhash64-seed-dependent; these booleans are engine-independent and
+    the oracle asserts TRUE — the full-pipeline certificate for the
+    cluster-bucketed dedup path."""
+    embs = _embs(spark, sf_dir)
+    corpus = embs.select("vec_id", "embedding").unionByName(
+        embs.select(
+            (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
+        )
+    )
+    d = similarity.semantic_dedup(
+        corpus, n_centroids=16, threshold=0.999, n_iters=1
+    )
+    src = d.filter(F.col("vec_id") < 100000).select(
+        "vec_id",
+        F.col("kept").alias("kept_original"),
+        F.col("sem_cluster_id").alias("_src_cluster"),
+    )
+    cp = d.filter(F.col("vec_id") >= 100000).select(
+        (F.col("vec_id") - F.lit(100000)).alias("vec_id"),
+        (~F.col("kept")).alias("dropped_copy"),
+        F.col("sem_cluster_id").alias("_cp_cluster"),
+    )
+    return src.join(cp, "vec_id").select(
+        "vec_id",
+        "kept_original",
+        "dropped_copy",
+        (
+            (F.col("_src_cluster") == F.col("vec_id"))
+            & (F.col("_cp_cluster") == F.col("vec_id"))
+        ).alias("same_cluster"),
+    )
+
+
 def _planted_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ a deterministically perturbed copy (dim 0 scaled by
     1.2, ids +100000) — a corpus with known near-duplicates at
@@ -824,6 +870,7 @@ QUERIES = {
     "llm_knn_label_eval": llm_knn_label_eval,
     "llm_knn_ivf_eval": llm_knn_ivf_eval,
     "llm_neardup_embeddings": llm_neardup_embeddings,
+    "llm_semantic_dedup": llm_semantic_dedup,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
     "llm_token_counts": llm_token_counts,
@@ -1515,3 +1562,14 @@ ORACLES["llm_wordcount"] = f"""
 # (see llm_knn_ivf_eval's docstring for why this is a stronger check
 # than an x1-style self-assertion)
 ORACLES["llm_knn_ivf_eval"] = ORACLES["llm_knn_label_eval"]
+
+# llm_semantic_dedup compares engine-independent planted booleans (see
+# the query docstring): each original must be kept, its exact copy
+# dropped, and both mapped to the source id's duplicate group.
+ORACLES["llm_semantic_dedup"] = """
+    SELECT vec_id,
+           TRUE AS kept_original,
+           TRUE AS dropped_copy,
+           TRUE AS same_cluster
+    FROM embeddings
+"""

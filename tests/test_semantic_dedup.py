@@ -1,0 +1,183 @@
+"""semantic_dedup (SemDeDup-style cluster-bucketed dedup): planted
+duplicates drop, non-duplicates survive, both keep policies are
+deterministic, the skew valve bounds a degenerate cell, and the
+decision table always covers every input row exactly once.
+
+Fixture rule: duplicate-group members are EXACT copies, so they land
+in the same k-means cell under ANY seeding (identical vectors score
+identically against every centroid and ties break identically) —
+the in-call training tests stay robust to hash-order seed choice.
+The one geometry-sensitive test (far_from_centroid on perturbed
+members) supplies explicit centroids instead; cross-cell recall loss
+for straddling near-dups is SemDeDup's documented trade, not a bug
+this suite should encode a hash accident around.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datawaves_etl_airflow_spark.operators.similarity import semantic_dedup
+
+# groups A {1, 2, 3} and B {10, 11} are exact copies within the group;
+# 20 and 21 are lone singletons on their own axes.
+ROWS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [1.0, 0.0, 0.0, 0.0]),
+    (3, [1.0, 0.0, 0.0, 0.0]),
+    (10, [0.0, 1.0, 0.0, 0.0]),
+    (11, [0.0, 1.0, 0.0, 0.0]),
+    (20, [0.0, 0.0, 1.0, 0.0]),
+    (21, [0.0, 0.0, 0.0, 1.0]),
+]
+SCHEMA = "vec_id long, embedding array<float>"
+
+AXIS_CENTROIDS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.0, 1.0, 0.0]),
+    (4, [0.0, 0.0, 0.0, 1.0]),
+]
+CENTROID_SCHEMA = "centroid_id int, centroid array<double>"
+
+
+def _df(spark, rows=ROWS):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _decisions(df):
+    return {
+        r["vec_id"]: (r["sem_cluster_id"], r["kept"]) for r in df.collect()
+    }
+
+
+class TestKeepMinId:
+    def test_groups_drop_to_min_id(self, spark):
+        out = semantic_dedup(
+            _df(spark), n_centroids=4, threshold=0.999, n_iters=2
+        )
+        d = _decisions(out)
+        assert len(d) == len(ROWS)  # one decision per input row
+        assert d[1] == (1, True)
+        assert d[2] == (1, False)
+        assert d[3] == (1, False)
+        assert d[10] == (10, True)
+        assert d[11] == (10, False)
+        # singletons are their own group and always kept
+        assert d[20] == (20, True)
+        assert d[21] == (21, True)
+
+    def test_orthogonal_rows_never_pair(self, spark):
+        # even at a loose threshold the orthogonal singletons (cos 0)
+        # cannot join a group, whatever cell they share
+        d = _decisions(
+            semantic_dedup(_df(spark), n_centroids=2, threshold=0.5)
+        )
+        assert d[20] == (20, True)
+        assert d[21] == (21, True)
+        assert not d[2][1] and not d[11][1]
+
+    def test_deterministic_across_runs(self, spark):
+        a = _decisions(
+            semantic_dedup(_df(spark), n_centroids=4, threshold=0.999)
+        )
+        b = _decisions(
+            semantic_dedup(_df(spark), n_centroids=4, threshold=0.999)
+        )
+        assert a == b
+
+
+class TestKeepFarFromCentroid:
+    # perturbed geometry + explicit centroids: members of A/B differ
+    # in their similarity to the cell centroid, so the policy choice
+    # is observable (exact copies would tie straight back to min_id)
+    PERTURBED = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.001, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.001, 0.0]),
+        (20, [0.0, 0.0, 1.0, 0.0]),
+    ]
+
+    def test_keeps_least_central_member(self, spark):
+        cents = spark.createDataFrame(AXIS_CENTROIDS, CENTROID_SCHEMA)
+        out = semantic_dedup(
+            _df(spark, self.PERTURBED),
+            n_centroids=4,
+            threshold=0.999,
+            keep="far_from_centroid",
+            centroids=cents,
+        )
+        d = _decisions(out)
+        # group A: id 1 sits ON the centroid (cos 1), ids 2 and 3 are
+        # equally off-axis — least-central wins, ties on smaller id
+        assert [i for i in (1, 2, 3) if d[i][1]] == [2]
+        assert d[1][0] == d[2][0] == d[3][0] == 1
+        # group B: 11 is the off-axis member and must be the survivor
+        assert [i for i in (10, 11) if d[i][1]] == [11]
+        assert d[20] == (20, True)
+
+    def test_exact_copies_tie_back_to_min_id(self, spark):
+        d = _decisions(
+            semantic_dedup(
+                _df(spark),
+                n_centroids=4,
+                threshold=0.999,
+                keep="far_from_centroid",
+            )
+        )
+        assert d[1][1] and not d[2][1] and not d[3][1]
+
+    def test_unknown_policy_raises(self, spark):
+        with pytest.raises(ValueError, match="keep policy"):
+            semantic_dedup(_df(spark), n_centroids=2, keep="newest")
+
+
+class TestEdgeCases:
+    def test_null_vector_passes_through_kept(self, spark):
+        rows = ROWS + [(99, None)]
+        out = semantic_dedup(
+            _df(spark, rows), n_centroids=4, threshold=0.999
+        )
+        d = _decisions(out)
+        assert d[99] == (99, True)
+        assert len(d) == len(rows)
+
+    def test_zero_vector_is_kept_singleton(self, spark):
+        rows = ROWS + [(98, [0.0, 0.0, 0.0, 0.0])]
+        d = _decisions(
+            semantic_dedup(_df(spark, rows), n_centroids=4, threshold=0.5)
+        )
+        assert d[98] == (98, True)
+
+    def test_skew_valve_bounds_degenerate_cell(self, spark):
+        # a failed embedding job: 60 identical vectors + the normal
+        # corpus. Uncapped, the degenerate cell alone is 60^2/2 pairs;
+        # with the valve its rows skip the pair join and surface as
+        # kept singletons (the documented exact-dedup handoff), while
+        # dedup still works in the healthy cells.
+        degenerate = [(1000 + i, [0.5, 0.5, 0.5, 0.5]) for i in range(60)]
+        rows = ROWS + degenerate
+        out = semantic_dedup(
+            _df(spark, rows),
+            n_centroids=5,
+            threshold=0.999,
+            max_cell_size=10,
+        )
+        d = _decisions(out)
+        assert all(d[1000 + i] == (1000 + i, True) for i in range(60))
+        assert len(d) == len(rows)
+
+    def test_reused_centroids_skip_training(self, spark):
+        # a caller-supplied quantizer (e.g. the persisted IVF one)
+        # must drive the same decisions as an in-call training run
+        # when it matches the data geometry
+        cents = spark.createDataFrame(AXIS_CENTROIDS, CENTROID_SCHEMA)
+        d = _decisions(
+            semantic_dedup(
+                _df(spark), n_centroids=4, threshold=0.999, centroids=cents
+            )
+        )
+        assert d[2] == (1, False) and d[10] == (10, True)
+        assert d[21] == (21, True)

@@ -333,6 +333,16 @@ def main() -> None:
         "ann_fullscan_baseline": lambda mult: similarity.brute_force_topk(
             _scaled_embs(spark, args.sf, mult), ann_queries, k=5
         ),
+        # SemDeDup operating regime: n_centroids scales WITH the corpus
+        # so cell size stays fixed and sum(cell^2) — the pair stage —
+        # grows linearly in n; a flat-k run would grow quadratically by
+        # construction and measure the config error, not the plan
+        "semantic_dedup": lambda mult: similarity.semantic_dedup(
+            _scaled_embs(spark, args.sf, mult),
+            n_centroids=16 * mult,
+            threshold=0.95,
+            n_iters=1,
+        ),
         "q1_agg": lambda mult: q1(_scaled_lineitem(spark, args.sf, mult)),
         "j1_3way_join": j1,
         "j5_factfact_join": lambda mult: j5(
