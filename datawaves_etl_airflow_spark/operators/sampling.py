@@ -35,6 +35,7 @@ __all__ = [
     "sample_by_hash",
     "cap_per_group",
     "cap_per_group_prefiltered",
+    "temperature_sample",
     "pack_sequences",
     "shuffle_shards",
     "write_training_shards",
@@ -138,6 +139,94 @@ def cap_per_group_prefiltered(
         .drop("_lrk")
     )
     return cap_per_group(local, group_col, order_cols, k, rank_col)
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    total_budget: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    weight_scale: int = 1_000_000,
+    rank_col: str = "rk",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Temperature-weighted source-mixture sampling: allocate a total
+    document budget across groups with weight ``n_group^alpha``, then
+    keep each group's quota deterministically (smallest md5(id) first)
+    — the published mixture-flattening recipe (T5's examples-proportional
+    mixing, arXiv:1910.10683 §3.5.2; the multilingual ``p^alpha``
+    up/down-sampling of mBERT/XLM-R): ``alpha=1`` reproduces natural
+    proportions, ``alpha=0`` a uniform per-source split, ``alpha~0.5``
+    the usual compromise that keeps a mega-crawl from drowning small
+    high-quality sources.
+
+    Determinism across engines (the module's md5-prefix discipline):
+    weights are INTEGERS ``floor(weight_scale * n^alpha)`` and quotas
+    BIGINT floor-division ``total_budget * w DIV sum(w)`` — no float
+    crosses an engine boundary for the alphas with correctly-rounded
+    spellings (0, 0.5 via sqrt, 1); arbitrary alpha goes through
+    ``pow``, stable within Spark but documented as last-ulp
+    engine-dependent. Selection ranks by the full md5 hex of the id
+    (ties on id), so membership survives re-runs and repartitions.
+    Floor rounding leaves ``total_budget - sum(quota) < n_groups``
+    docs unassigned by design — exactness over largest-remainder
+    topping, which would need a cross-group ordering no engine pair
+    computes identically.
+
+    Scale shape: one narrow count aggregation, a tiny
+    broadcast-joined quota table (group cardinality ~ sources, never
+    corpus), and one window shuffle on the group key. A mega-source's
+    window is the same hazard :func:`cap_per_group_prefiltered`
+    handles — pass ``salt_buckets`` to bound it: a salted local
+    top-quota pass caps what the hot group's single reducer sees at
+    ``quota x salt_buckets`` rows (a row outside some salt bucket's
+    top-quota is outranked by quota rows of its own group and can
+    never make the global quota).
+
+    Returns the kept rows with ``rank_col`` (1-based within group) and
+    ``quota`` attached.
+    """
+    n = F.col("_n")
+    if alpha == 0.5:
+        raw = F.sqrt(n)  # correctly-rounded IEEE sqrt, engine-identical
+    elif alpha == 0:
+        raw = F.lit(1.0)
+    elif alpha == 1:
+        raw = n.cast("double")
+    else:
+        raw = F.pow(n, F.lit(float(alpha)))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    weights = counts.select(
+        group_col,
+        F.floor(F.lit(float(weight_scale)) * raw).cast("bigint").alias("_w"),
+    )
+    quotas = (
+        weights.crossJoin(
+            F.broadcast(weights.agg(F.sum("_w").alias("_tot")))
+        )
+        .select(
+            group_col,
+            F.expr(f"CAST({total_budget} AS BIGINT) * _w DIV _tot").alias(
+                "quota"
+            ),
+        )
+    )
+    ordered = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    with_q = df.join(F.broadcast(quotas), group_col)
+    if salt_buckets is not None:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        wl = Window.partitionBy(F.col(group_col), salt).orderBy(*ordered)
+        with_q = (
+            with_q.withColumn("_lrk", F.row_number().over(wl))
+            .filter(F.col("_lrk") <= F.col("quota"))
+            .drop("_lrk")
+        )
+    w = Window.partitionBy(group_col).orderBy(*ordered)
+    return (
+        with_q.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= F.col("quota"))
+    )
 
 
 def pack_sequences(

@@ -735,6 +735,19 @@ def llm_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "source", "n_chars", "rk")
 
 
+def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixture (`sampling.temperature_sample`,
+    alpha=0.5 — the T5-style n^alpha flattening): a 200-doc budget is
+    apportioned across sources by integer sqrt-weights (BIGINT
+    floor-division quotas, no float crosses the engine boundary) and
+    each source keeps its quota's smallest-md5 documents. The oracle
+    replays the identical integer quota math and md5 ranking."""
+    out = sampling.temperature_sample(
+        _docs(spark, sf_dir), "source", total_budget=200, alpha=0.5
+    )
+    return out.select("doc_id", "source", "quota", "rk")
+
+
 def llm_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (md5-bucket membership, 75/
     12.5/12.5) summarized per (split, lang): the re-run-stable dataset
@@ -887,6 +900,7 @@ QUERIES = {
     "llm_quality_filter": llm_quality_filter,
     "llm_length_histogram": llm_length_histogram,
     "llm_source_quota": llm_source_quota,
+    "llm_temperature_sample": llm_temperature_sample,
     "llm_hash_split": llm_hash_split,
     "llm_pii_scrub": llm_pii_scrub,
     "llm_tfidf_keywords": llm_tfidf_keywords,
@@ -1562,6 +1576,25 @@ ORACLES["llm_wordcount"] = f"""
 # (see llm_knn_ivf_eval's docstring for why this is a stronger check
 # than an x1-style self-assertion)
 ORACLES["llm_knn_ivf_eval"] = ORACLES["llm_knn_label_eval"]
+
+ORACLES["llm_temperature_sample"] = """
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source,
+                 CAST(floor(1000000.0 * sqrt(n)) AS BIGINT) AS w
+          FROM c),
+    q AS (SELECT source,
+                 CAST(CAST(200 AS BIGINT) * w
+                      // (SELECT SUM(w) FROM w) AS BIGINT) AS quota
+          FROM w),
+    r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rk
+          FROM documents)
+    SELECT r.doc_id, r.source, q.quota, CAST(r.rk AS BIGINT) AS rk
+    FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+"""
 
 # llm_semantic_dedup compares engine-independent planted booleans (see
 # the query docstring): each original must be kept, its exact copy

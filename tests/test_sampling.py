@@ -156,3 +156,116 @@ class TestPackSequencesProperties:
                 )
                 assert r["seq_start"] <= r["seq_end"]
                 expect_offset += r["n_tokens"]
+
+
+class TestTemperatureSample:
+    """temperature_sample: integer quota math hand-checked per alpha,
+    md5-rank selection deterministic, salted variant identical."""
+
+    ROWS = (
+        [(i, "A") for i in range(16)]
+        + [(i, "B") for i in range(16, 20)]
+        + [(20, "C")]
+    )
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, "doc_id long, source string")
+
+    def _kept(self, out):
+        kept = {}
+        for r in out.collect():
+            kept.setdefault(r["source"], []).append(r["doc_id"])
+        return {k: sorted(v) for k, v in kept.items()}
+
+    def test_alpha_half_quotas(self, spark):
+        # n = {A:16, B:4, C:1} -> w = 1e6*{4,2,1}, tot 7e6,
+        # quotas = 10*w DIV tot = {A:5, B:2, C:1}
+        out = sampling.temperature_sample(
+            self._df(spark), "source", total_budget=10, alpha=0.5
+        )
+        q = {r["source"]: r["quota"] for r in out.collect()}
+        assert q == {"A": 5, "B": 2, "C": 1}
+        kept = self._kept(out)
+        assert [len(kept["A"]), len(kept["B"]), len(kept["C"])] == [5, 2, 1]
+        # ranks are contiguous from 1 within each group
+        rks = sorted(
+            r["rk"] for r in out.collect() if r["source"] == "A"
+        )
+        assert rks == [1, 2, 3, 4, 5]
+
+    def test_alpha_one_is_natural_and_can_zero_out(self, spark):
+        # w = 1e6*{16,4,1}, tot 21e6 -> quotas {A:7, B:1, C:0}:
+        # natural proportions starve the tail source at this budget
+        out = sampling.temperature_sample(
+            self._df(spark), "source", total_budget=10, alpha=1
+        )
+        kept = self._kept(out)
+        assert len(kept["A"]) == 7 and len(kept["B"]) == 1
+        assert "C" not in kept
+
+    def test_alpha_zero_is_uniform(self, spark):
+        # equal weights -> 10 DIV 3 = 3 per source; C has only 1 row
+        out = sampling.temperature_sample(
+            self._df(spark), "source", total_budget=10, alpha=0
+        )
+        kept = self._kept(out)
+        assert [len(kept["A"]), len(kept["B"]), len(kept["C"])] == [3, 3, 1]
+
+    def test_budget_is_an_upper_bound(self, spark):
+        for alpha in (0, 0.5, 1, 0.3):
+            out = sampling.temperature_sample(
+                self._df(spark), "source", total_budget=7, alpha=alpha
+            )
+            assert out.count() <= 7
+
+    def test_deterministic_and_salted_variant_identical(self, spark):
+        base = sampling.temperature_sample(
+            self._df(spark), "source", total_budget=10, alpha=0.5
+        )
+        again = sampling.temperature_sample(
+            self._df(spark), "source", total_budget=10, alpha=0.5
+        )
+        salted = sampling.temperature_sample(
+            self._df(spark),
+            "source",
+            total_budget=10,
+            alpha=0.5,
+            salt_buckets=4,
+        )
+        rows = lambda df: sorted(  # noqa: E731
+            (r["doc_id"], r["source"], r["quota"], r["rk"])
+            for r in df.collect()
+        )
+        assert rows(base) == rows(again) == rows(salted)
+
+    def test_real_table_flattens_mixture(self, spark):
+        # alpha=0.5 must lift the smallest source's share and cut the
+        # largest's, relative to natural proportions at the same budget
+        docs = _docs(spark)
+        natural = sampling.temperature_sample(
+            docs, "source", total_budget=200, alpha=1
+        )
+        flat = sampling.temperature_sample(
+            docs, "source", total_budget=200, alpha=0.5
+        )
+
+        def share(df):
+            per = {
+                r["source"]: r["n"]
+                for r in df.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            return per
+
+        nat, fl = share(natural), share(flat)
+        sizes = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        big = max(sizes, key=sizes.get)
+        small = min(sizes, key=sizes.get)
+        assert fl.get(small, 0) >= nat.get(small, 0)
+        assert fl[big] <= nat[big]
