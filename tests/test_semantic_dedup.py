@@ -181,3 +181,60 @@ class TestEdgeCases:
         )
         assert d[2] == (1, False) and d[10] == (10, True)
         assert d[21] == (21, True)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_base_rows = st.lists(
+    st.tuples(
+        st.integers(0, 400),
+        st.tuples(*(st.integers(-3, 3) for _ in range(4))),
+    ),
+    min_size=2,
+    max_size=18,
+    unique_by=lambda t: t[0],
+)
+
+
+class TestSemanticDedupProperties:
+    """Invariants on randomized corpora with planted exact clones:
+    coverage (one decision per row), exactly one kept per group,
+    min-id representative, and clone-joins-source group membership —
+    whatever merges the random geometry additionally produces."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(rows=_base_rows, data=st.data())
+    def test_invariants_with_planted_clones(self, spark, rows, data):
+        n_clones = data.draw(
+            st.integers(0, min(4, len(rows))), label="n_clones"
+        )
+        clones = [
+            (1000 + i, rows[i][1]) for i in range(n_clones)
+        ]  # ids 1000+ never collide with base ids (<= 400)
+        all_rows = [
+            (i, [float(x) for x in v]) for i, v in rows + clones
+        ]
+        df = spark.createDataFrame(all_rows, SCHEMA)
+        out = semantic_dedup(
+            df, n_centroids=3, threshold=0.9999, n_iters=1
+        ).collect()
+        ids = {r["vec_id"] for r in out}
+        assert ids == {i for i, _ in all_rows}
+        assert len(out) == len(all_rows)
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["sem_cluster_id"], []).append(r)
+        for cid, members in by_cluster.items():
+            kept = [m["vec_id"] for m in members if m["kept"]]
+            # exactly one survivor per group, and it is the min id,
+            # which is also the cluster label
+            assert kept == [cid]
+            assert cid == min(m["vec_id"] for m in members)
+        # each clone co-assigns with its source (identical vector ->
+        # identical cell under any seeding) and pairs at cos ~= 1, so
+        # they must land in the same duplicate group
+        decisions = {r["vec_id"]: r["sem_cluster_id"] for r in out}
+        for i in range(n_clones):
+            src_id = rows[i][0]
+            assert decisions[1000 + i] == decisions[src_id]
