@@ -613,6 +613,72 @@ def _assign_cells(
     )
 
 
+def cell_outliers(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    min_sim: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Prototype-distance outlier flagging: assign each vector to its
+    most-similar centroid (cosine argmax, ties on smaller centroid id
+    — the engine's one assignment rule) and flag rows whose similarity
+    to their OWN cell prototype falls below ``min_sim`` — the
+    embedding-space quality gate of the SemDeDup/DataComp family
+    (SSL-prototype filtering: a row far from every prototype is noise,
+    OCR garbage, or an upstream-embedding failure, not a novel
+    cluster; the text-side logit/repetition filters cannot see it).
+
+    Returns every input row: ``(id_col, centroid_id, centroid_sim,
+    is_outlier)`` with ``centroid_sim`` rounded to 6 (the module's
+    cross-engine float discipline). Rows with NULL vectors are flagged
+    outliers with a NULL cell — they cannot be scored, and a quality
+    gate that silently keeps unscorable rows is how corrupt batches
+    sneak into a corpus.
+
+    Scale shape: ZERO shuffles of the corpus. The centroid set folds
+    to a single array<struct> row (one tiny agg over the prototype
+    set), broadcast-crossJoins onto every corpus partition, and the
+    argmax is a pure map-side ``transform`` + ``array_max`` over that
+    array — no groupBy on the row id, no join-back for the NULL rows
+    (they are flagged inline). The corpus plan is scan → project,
+    whole-stage-codegen end to end. Cosine (not dot) is used so
+    callers can pass raw un-normalized prototypes, e.g. rows sampled
+    straight from the corpus.
+    """
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct(F.col("centroid_id"), F.col("centroid"))
+        ).alias("_cents")
+    )
+    # struct comparison is field-by-field, so max on (sim, -id) is
+    # argmax-cosine with ties to the SMALLER centroid id — the
+    # engine's one assignment rule (_assign_cells uses the same key)
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine(F.col(vec_col), c["centroid"]).alias("s"),
+                (-c["centroid_id"]).alias("nid"),
+            ),
+        )
+    )
+    return (
+        vectors.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_best", F.when(F.col(vec_col).isNotNull(), best)
+        )
+        .select(
+            id_col,
+            (-F.col("_best.nid")).alias("centroid_id"),
+            F.round("_best.s", 6).alias("centroid_sim"),
+            F.coalesce(
+                F.col("_best.s") < F.lit(float(min_sim)), F.lit(True)
+            ).alias("is_outlier"),
+        )
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -524,6 +524,24 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-distance quality gate (`similarity.cell_outliers`):
+    the first 4 corpus vectors serve as deterministic prototypes
+    (cosine is scale-invariant, so raw corpus rows work unnormalized),
+    every embedding is assigned to its argmax-cosine prototype (ties
+    on smaller id) and flagged when its best similarity falls below
+    0.12 (the corpus median is ~0.124, so both flag values are
+    populated). Unlike the planted self-checks, this is a full
+    VALUE-level oracle: DuckDB replays assignment, similarity, and
+    flag for every row."""
+    embs = _embs(spark, sf_dir)
+    cents = embs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return similarity.cell_outliers(embs, cents, min_sim=0.12)
+
+
 def _planted_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ a deterministically perturbed copy (dim 0 scaled by
     1.2, ids +100000) — a corpus with known near-duplicates at
@@ -827,24 +845,34 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: r4-green heavy hitters for continuity. The r4-green remainder
 #: (incl. the three rows-only xxhash64 candidate sets) rotates out,
 #: parity-pinned.
-#: Round-6 rotation: the new index-backed kNN eval leads (never
-#: driver-verified), then the queries whose source surface changed
-#: this round (folded-token compaction protocol + build-marker
-#: symmetry on the persisted indexes; skew valves + explicit
-#: queries-side broadcast on the similarity operators), then the
-#: three r3-last-green stragglers (stale three rounds), then every
-#: r4-last-green llm query. The r5-green set rotates out,
-#: parity-pinned.
+#: Round-6 rotation: the four never-driver-verified queries lead (the
+#: index-backed kNN eval plus this round's three new operators:
+#: SemDeDup semantic dedup, temperature mixture sampling, the
+#: prototype-distance outlier gate), then the queries whose source
+#: surface changed this round (folded-token compaction protocol +
+#: build-marker symmetry on the persisted indexes; skew valves on the
+#: embedding band joins), then the three r3-last-green stragglers
+#: (stale three rounds), then every r4-last-green llm query. The
+#: r5-green set rotates out parity-pinned — incl. llm_knn_label_eval /
+#: llm_cosine_topk / llm_ann_lsh_planted, whose only change this round
+#: is plan-shaped and pinned value-identical in tests/test_advice_r6.py.
 DRIVER_QUERIES = [
-    # never driver-verified, first
+    # never driver-verified, first (the three operators added this
+    # round: SemDeDup cluster dedup, temperature-weighted mixture
+    # sampling, prototype-distance outlier gate)
     "llm_knn_ivf_eval",
-    # changed surface this round
+    "llm_semantic_dedup",
+    "llm_temperature_sample",
+    "llm_cell_outliers",
+    # changed surface this round (folded-token compaction, build-marker
+    # symmetry, skew valves). llm_knn_label_eval / llm_cosine_topk /
+    # llm_ann_lsh_planted rotate out to fund the new slots: all three
+    # are r5-green and their only change this round is plan-shaped
+    # (explicit queries-side broadcast, valve default off), each pinned
+    # value-identical in tests/test_advice_r6.py.
     "llm_incremental_dedup",
     "llm_ann_ivf_index",
     "llm_neardup_embeddings",
-    "llm_ann_lsh_planted",
-    "llm_knn_label_eval",
-    "llm_cosine_topk",
     # r3-last-green re-verification sentinels
     "llm_fingerprint",
     "llm_pii_scrub",
@@ -884,6 +912,7 @@ QUERIES = {
     "llm_knn_ivf_eval": llm_knn_ivf_eval,
     "llm_neardup_embeddings": llm_neardup_embeddings,
     "llm_semantic_dedup": llm_semantic_dedup,
+    "llm_cell_outliers": llm_cell_outliers,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
     "llm_token_counts": llm_token_counts,
@@ -1605,4 +1634,31 @@ ORACLES["llm_semantic_dedup"] = """
            TRUE AS dropped_copy,
            TRUE AS same_cluster
     FROM embeddings
+"""
+
+# Full value-level replay of the prototype-distance gate: argmax-cosine
+# assignment (ties on smaller centroid id), rounded similarity, raw-sim
+# threshold flag. Threshold safety: at every shipped SF the best-sim
+# value nearest 0.12 sits ≥6.7e-5 away (measured), ~1e11× the
+# cross-engine double-summation noise, so the flag can never flip
+# between engines.
+ORACLES["llm_cell_outliers"] = f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < 4
+    ), scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               {_cos('e.embedding', 'c.centroid')} AS s
+        FROM embeddings e CROSS JOIN cents c
+    ), ranked AS (
+        SELECT vec_id, centroid_id, s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY s DESC, centroid_id ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT vec_id, centroid_id,
+           ROUND(s, 6) AS centroid_sim,
+           s < 0.12 AS is_outlier
+    FROM ranked WHERE rn = 1
 """

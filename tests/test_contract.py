@@ -60,19 +60,21 @@ class TestRegistrationPolicy:
         # domain block re-verifies the r4-last-green cohort, oldest
         # evidence first (no domain surface changed this round)
         assert names[0] == "s1_staging_scan_json"
-        # llm block: the new index-backed kNN eval (never verified)
-        # leads, then the changed surfaces (compaction fold-token
-        # no-ops, both-sides markers, embedding-LSH skew valves)
-        assert names.index("llm_knn_ivf_eval") < names.index(
-            "llm_incremental_dedup"
-        )
+        # llm block: the never-driver-verified queries lead (the
+        # index-backed kNN eval plus the round's three new operators),
+        # then the changed surfaces (compaction fold-token no-ops,
+        # both-sides markers, embedding-LSH skew valves)
+        for new in (
+            "llm_knn_ivf_eval",
+            "llm_semantic_dedup",
+            "llm_temperature_sample",
+            "llm_cell_outliers",
+        ):
+            assert names.index(new) < names.index("llm_incremental_dedup")
         assert names.index("llm_incremental_dedup") < names.index(
             "llm_wordcount"
         )
         assert names.index("llm_neardup_embeddings") < names.index(
-            "llm_wordcount"
-        )
-        assert names.index("llm_ann_lsh_planted") < names.index(
             "llm_wordcount"
         )
         # generic block leads with the g2 path rerouted through

@@ -45,6 +45,12 @@ ALLOWED_BNLJ = {
     "set — same brute-force baseline shape as llm_cosine_topk",
     "x2_above_global_avg": "broadcast 1-row global-average aggregate "
     "(scalar subquery)",
+    # registered by the round-6 rotation (new operators):
+    "llm_cell_outliers": "corpus x broadcast 1-row centroid-array "
+    "aggregate (collect_list over the bounded prototype set) — the "
+    "zero-shuffle map-side argmax plan",
+    "llm_temperature_sample": "broadcast 1-row total-weight aggregate "
+    "(sum over the per-source counts, <= n_sources rows upstream)",
 }
 
 

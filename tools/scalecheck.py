@@ -343,6 +343,17 @@ def main() -> None:
             threshold=0.95,
             n_iters=1,
         ),
+        # prototype-distance gate: fixed centroid set broadcast against
+        # a growing corpus — pure map-side argmax, must track the scan
+        "cell_outliers": lambda mult: similarity.cell_outliers(
+            _scaled_embs(spark, args.sf, mult),
+            spark.read.parquet(f"{args.sf}/embeddings.parquet")
+            .filter("vec_id < 16")
+            .selectExpr(
+                "vec_id AS centroid_id", "embedding AS centroid"
+            ),
+            min_sim=0.12,
+        ),
         "q1_agg": lambda mult: q1(_scaled_lineitem(spark, args.sf, mult)),
         "j1_3way_join": j1,
         "j5_factfact_join": lambda mult: j5(
