@@ -83,6 +83,14 @@ def profile_table(
     ).select("p.*")
 
 
+def _quantile_col_name(p: float) -> str:
+    """``q_<pct>`` with the decimals preserved: 0.25 -> ``q_25``,
+    0.125 -> ``q_12_5``, 0.29 -> ``q_29`` (NOT the float-truncated
+    ``q_28``). ``round(..., 10)`` absorbs binary-float noise before
+    formatting so p*100 never truncates a hair below an integer."""
+    return "q_" + format(round(p * 100, 10), "g").replace(".", "_")
+
+
 def grouped_quantiles(
     df: DataFrame,
     group_cols: list[str],
@@ -135,10 +143,16 @@ def grouped_quantiles(
             else "exact"
         )
     probs = list(probabilities)
+    names = [_quantile_col_name(p) for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"duplicate quantile column names {names} for "
+            f"probabilities {probs}"
+        )
     if mode == "exact":
         aggs = [
-            F.percentile(value_col, p).alias(f"q_{int(p * 100)}")
-            for p in probs
+            F.percentile(value_col, p).alias(name)
+            for p, name in zip(probs, names)
         ]
     else:
         # one sketch per group shared across all probabilities, not
@@ -148,8 +162,8 @@ def grouped_quantiles(
             f"array({', '.join(str(p) for p in probs)}), {accuracy})"
         )
         aggs = [
-            arr.getItem(i).cast("double").alias(f"q_{int(p * 100)}")
-            for i, p in enumerate(probs)
+            arr.getItem(i).cast("double").alias(name)
+            for i, name in enumerate(names)
         ]
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows"), *aggs

@@ -166,6 +166,11 @@ def knn_label_predict_index(
     `ivf_search_index`), so neighbor selection is exactly the probe's
     — at ``nprobe = n_centroids`` it is bit-identical to brute force,
     which is what lets the full-probe eval share the exact-kNN oracle.
+
+    Row coverage is always |queries|: a query whose probed cells hold
+    no non-self candidates comes back with NULL ``pred_label`` /
+    ``correct`` rather than vanishing, so pruned-probe evals can't
+    silently shrink their denominator.
     """
     cand = ivf_search_index(queries, path, nprobe=nprobe, k=k + 1)
     qmeta = queries.select("query_id", "true_label")
@@ -186,16 +191,22 @@ def knn_label_predict_index(
     wv = Window.partitionBy("query_id").orderBy(
         F.col("n_votes").desc(), F.col("pred_label").asc()
     )
-    return (
+    preds = (
         votes.withColumn("_v", F.row_number().over(wv))
         .filter(F.col("_v") == 1)
-        .join(qmeta, "query_id")
-        .select(
-            "query_id",
-            "true_label",
-            "pred_label",
-            (F.col("true_label") == F.col("pred_label")).alias("correct"),
-        )
+        .select("query_id", "pred_label")
+    )
+    # LEFT join from the query set: a query whose probed cells yield
+    # no non-self candidates (pruned nprobe against sparse/empty
+    # cells) still emits a row, with NULL pred_label and NULL correct
+    # — row coverage is always |queries|, so an eval aggregating
+    # `correct` can SEE missing predictions instead of silently
+    # averaging over a shrunken denominator.
+    return qmeta.join(preds, "query_id", "left").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        (F.col("true_label") == F.col("pred_label")).alias("correct"),
     )
 
 
@@ -631,10 +642,11 @@ def cell_outliers(
 
     Returns every input row: ``(id_col, centroid_id, centroid_sim,
     is_outlier)`` with ``centroid_sim`` rounded to 6 (the module's
-    cross-engine float discipline). Rows with NULL vectors are flagged
-    outliers with a NULL cell — they cannot be scored, and a quality
-    gate that silently keeps unscorable rows is how corrupt batches
-    sneak into a corpus.
+    cross-engine float discipline). Rows with NULL vectors — and
+    all-zero vectors, whose cosine is 0/0 to every prototype — are
+    flagged outliers with a NULL cell: they cannot be scored, and a
+    quality gate that silently keeps unscorable rows is how corrupt
+    batches sneak into a corpus.
 
     Scale shape: ZERO shuffles of the corpus. The centroid set folds
     to a single array<struct> row (one tiny agg over the prototype
@@ -665,8 +677,18 @@ def cell_outliers(
     )
     return (
         vectors.crossJoin(F.broadcast(cents))
+        # zero vectors score 0/0 = NULL cosine against EVERY centroid;
+        # without the norm guard array_max would fall through to the
+        # nid tiebreak and report a meaningless non-NULL centroid_id
+        # with NULL sim. Route them through the same NULL-cell outlier
+        # branch as NULL vectors — they are equally unscorable.
         .withColumn(
-            "_best", F.when(F.col(vec_col).isNotNull(), best)
+            "_best",
+            F.when(
+                F.col(vec_col).isNotNull()
+                & (l2_norm(F.col(vec_col)) > 0),
+                best,
+            ),
         )
         .select(
             id_col,
@@ -1015,6 +1037,22 @@ def read_ivf_index_meta(spark, path: str) -> dict:
     """The index parameter contract (manifest-first, legacy-marker
     fallback); missing/corrupt indexes raise."""
     return _resolve_ivf_index(spark, path)[0]
+
+
+def read_ivf_centroids(spark, path: str) -> DataFrame:
+    """The persisted quantizer: ``(centroid_id, centroid)`` of the
+    index's CURRENT version (unit-norm — `train_centroids`
+    re-normalizes after every Lloyd step). This is the shared-quantizer
+    seam: pass the result as `semantic_dedup(centroids=...)` so dedup
+    and ANN probes operate on ONE cell layout — the corpus is
+    cell-assigned once per quantizer, and a dedup decision can be
+    joined back to the index's cells without re-clustering."""
+    _, root = _resolve_ivf_index(spark, path)
+    import posixpath as _pp
+
+    return spark.read.parquet(_pp.join(root, "centroids")).select(
+        "centroid_id", "centroid"
+    )
 
 
 def append_ivf_index(

@@ -106,6 +106,22 @@ def write_stream_partitioned(
     return writer.start()
 
 
+def _batch_token(checkpoint: str | None, batch_id: int) -> str:
+    """Index-append token for one micro-batch: the checkpoint identity
+    hashed in so two streams (or one stream restarted under a FRESH
+    checkpoint, whose batch ids restart at 0) folding into one shared
+    index can never collide tokens. Same checkpoint + same batch id →
+    same token, so crash-retry overwrite semantics are preserved.
+    ``checkpoint=None`` (direct `make_neardup_ingest` callers that
+    opted out of identity) keeps the legacy bare form."""
+    if checkpoint is None:
+        return f"b{batch_id}"
+    import hashlib as _hashlib
+
+    ck = _hashlib.sha256(checkpoint.encode("utf-8")).hexdigest()[:12]
+    return f"c{ck}_b{batch_id}"
+
+
 def make_neardup_ingest(
     index_path: str,
     accepted_path: str,
@@ -251,10 +267,15 @@ def make_neardup_ingest(
             accepted.write.mode("append").parquet(docs_dir)
             # stable batch token → a crash anywhere in this block and
             # the foreachBatch retry overwrite the SAME index batch
-            # dirs instead of appending duplicates
+            # dirs instead of appending duplicates. The token carries
+            # the CHECKPOINT identity, not just the batch id: batch
+            # ids restart at 0 per checkpoint, so a bare "b0" from a
+            # fresh stream pointed at an index another stream already
+            # folded would collide with that stream's folded token and
+            # silently no-op — docs accepted but never indexed.
             append_minhash_index(
                 accepted, index_path, text_col, id_col,
-                batch_token=f"b{batch_id}",
+                batch_token=_batch_token(checkpoint, batch_id),
             )
         finally:
             accepted.unpersist()

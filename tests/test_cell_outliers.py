@@ -1,8 +1,9 @@
 """cell_outliers (prototype-distance quality gate): every input row
 gets exactly one decision, assignment is argmax-cosine with the
 engine's tie rule (smaller centroid id), the flag compares the RAW
-similarity against min_sim, and unscorable rows (NULL vector) are
-flagged outliers with a NULL cell rather than silently kept."""
+similarity against min_sim, and unscorable rows (NULL or all-zero
+vector) are flagged outliers with a NULL cell rather than silently
+kept."""
 
 from __future__ import annotations
 
@@ -54,6 +55,20 @@ class TestAssignment:
 class TestUnscorableRows:
     def test_null_vector_is_flagged_with_null_cell(self, spark):
         d = _run(spark, [(10, [1.0, 0.0, 0.0, 0.0]), (11, None)], min_sim=0.5)
+        assert d[11]["is_outlier"] is True
+        assert d[11]["centroid_id"] is None
+        assert d[11]["centroid_sim"] is None
+        assert d[10]["is_outlier"] is False
+
+    def test_zero_vector_is_flagged_with_null_cell(self, spark):
+        # cosine(0, x) is 0/0 for every prototype — the norm guard must
+        # route zero vectors through the same NULL-cell branch as NULL
+        # vectors, never report an argmax-fallthrough centroid_id
+        d = _run(
+            spark,
+            [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.0, 0.0, 0.0, 0.0])],
+            min_sim=0.5,
+        )
         assert d[11]["is_outlier"] is True
         assert d[11]["centroid_id"] is None
         assert d[11]["centroid_sim"] is None

@@ -71,13 +71,13 @@ class TestMatchesNumpyReplay:
         min_sim=st.sampled_from([-0.55, -0.15, 0.05, 0.45, 0.85]),
     )
     def test_assignment_sim_and_flag(self, spark, rows, cents, min_sim):
-        # zero-norm inputs produce NaN cosine on every engine; the
-        # operator's contract is only defined for scorable vectors, so
-        # route zero vectors to the NULL path the contract DOES define
-        rows = [
-            (vid, None if not any(v) else [float(x) for x in v])
-            for vid, v in rows
-        ]
+        # zero vectors stay IN the corpus: the operator's norm guard
+        # must route them through the NULL-cell outlier branch itself
+        # (r6 ADVICE — before the guard, array_max fell through to the
+        # nid tiebreak and reported a meaningless non-NULL centroid_id
+        # with NULL sim). Zero CENTROIDS stay excluded: a prototype
+        # set is caller-curated, a corpus is not.
+        rows = [(vid, [float(x) for x in v]) for vid, v in rows]
         cents = [c for c in cents if any(c[1])]
         if not cents:
             return
@@ -98,11 +98,10 @@ class TestMatchesNumpyReplay:
                 min_sim=min_sim,
             ).collect()
         }
-        want = _reference(
-            [(vid, v) for vid, v in rows if v is not None], cents, min_sim
-        )
+        want = _reference(rows, cents, min_sim)
         for vid, v in rows:
-            if v is None:
+            if not any(v):
+                # zero vector: unscorable → NULL cell, flagged
                 assert got[vid] == (None, None, True)
             else:
                 assert got[vid] == want[vid], (vid, got[vid], want[vid])

@@ -233,8 +233,13 @@ class TestSemanticDedupProperties:
             assert cid == min(m["vec_id"] for m in members)
         # each clone co-assigns with its source (identical vector ->
         # identical cell under any seeding) and pairs at cos ~= 1, so
-        # they must land in the same duplicate group
+        # they must land in the same duplicate group. Zero vectors are
+        # the documented exception: cosine(0, x) is undefined so the
+        # operator keeps them as singletons — an all-zero clone does
+        # NOT join its all-zero source.
         decisions = {r["vec_id"]: r["sem_cluster_id"] for r in out}
         for i in range(n_clones):
-            src_id = rows[i][0]
+            src_id, src_vec = rows[i]
+            if not any(src_vec):
+                continue
             assert decisions[1000 + i] == decisions[src_id]
