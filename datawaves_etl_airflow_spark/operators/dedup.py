@@ -537,7 +537,8 @@ def minhash_dedup_pairs(
     band, so in practice a crowd is found through its quieter bands
     or deliberately left to a dedicated template-dedup pass. Default
     None preserves exact candidate semantics (the oracle-pinned
-    configuration)."""
+    configuration); production pipelines should set the recommended
+    cap in `operators.valves.PRODUCTION_VALVES`."""
     sets = word_shingle_hash_sets(docs, text_col, id_col, k).persist()
     bands = minhash_band_rows_np(sets, n_hashes, n_bands)
     if max_docs_per_band is not None:
@@ -1122,7 +1123,9 @@ def read_minhash_index_meta(spark, path: str) -> dict:
     return _resolve_minhash_index(spark, path)[0]
 
 
-def compact_minhash_index(spark, path: str) -> bool:
+def compact_minhash_index(
+    spark, path: str, folded_retention: int | None = None
+) -> bool:
     """Fold every COMPLETE ``batch=`` directory of the current index
     version into a single ``batch=base`` under a NEW manifest-committed
     version — probe read cost grows with directories-per-side between
@@ -1162,8 +1165,20 @@ def compact_minhash_index(spark, path: str) -> bool:
     replay would re-append the rows and duplicate every candidate
     pair they produce downstream. The list grows with total tokens
     ever compacted (a few bytes each — manifest stays KB at any
-    realistic ingest cadence; prune entries older than the stream's
-    checkpoint horizon if it ever matters).
+    realistic ingest cadence).
+
+    ``folded_retention`` bounds that growth: the published list keeps
+    only the MOST RECENT ``folded_retention`` tokens in fold order
+    (oldest pruned first; the list is stored in fold order for exactly
+    this reason). Pruning is safe at any retention ≥ the number of
+    streams folding into this index, because only a stream's LAST
+    batch can ever legitimately replay: earlier batch ids are refused
+    LOUDLY by the stream's replay marker (``streaming.ingest`` raises
+    on ``batch_id < last_batch_id``) before the index is touched, so
+    a pruned token can only come back through a direct
+    `append_minhash_index` call that reuses a historical token —
+    outside the stable-token contract (ad-hoc callers get fresh
+    UUIDs). Default ``None`` keeps the exact unbounded behavior.
 
     Same pointer-flip guarantees as `write_minhash_index`: the old
     version stays live until the manifest publishes; a crash leaves it
@@ -1227,14 +1242,39 @@ def compact_minhash_index(spark, path: str) -> bool:
             _pp.join(vroot, side, "batch=base"),
             "MinHash index compaction",
         )
-    folded = sorted(
-        (set(payload.get("folded", ())) | set(complete)) - {"base"}
+    folded = _fold_token_list(
+        payload.get("folded", ()), complete, folded_retention
     )
-    vm.publish_or_raise(
-        spark, {**payload, "current": rel, "folded": folded}, version,
-        "MinHash index compaction",
-    )
+    if not vm.publish(
+        spark, {**payload, "current": rel, "folded": folded}, version
+    ):
+        # a fold's version bump (or a rebuild) landed between this
+        # compaction's batch listing and its commit — publishing anyway
+        # would ship a version that silently omits the new batch. The
+        # old version stays live, this compaction's directory is
+        # vacuumable garbage; re-run to pick the new batch up.
+        raise RuntimeError(
+            f"MinHash index compaction at {path} lost the manifest "
+            f"race for version {version + 1}: a concurrent fold or "
+            "rebuild committed first. Nothing is lost — the previous "
+            "version remains live; re-run the compaction."
+        )
     return True
+
+
+def _fold_token_list(
+    prev, complete, retention: int | None
+) -> list[str]:
+    """Fold-order token list: prior entries keep their order, newly
+    folded tokens append (sorted among themselves for determinism),
+    ``base`` never appears, and ``retention`` keeps only the newest N
+    (see `compact_minhash_index` for why pruning old tokens is safe)."""
+    if retention is not None and retention < 1:
+        raise ValueError(f"folded_retention must be >= 1: {retention}")
+    kept = [t for t in prev if t != "base"]
+    seen = set(kept)
+    kept += sorted(t for t in set(complete) - seen if t != "base")
+    return kept[-retention:] if retention is not None else kept
 
 
 def vacuum_minhash_index(spark, path: str) -> list[str]:
@@ -1278,6 +1318,20 @@ def append_minhash_index(
     ``batch_token`` defaults to a fresh UUID (ad-hoc callers get plain
     accumulation); pass a stable token (the streaming batch id) to get
     the idempotent behavior.
+
+    Concurrency: the fold SERIALIZES against compactions and rebuilds
+    through the manifest. After its directories are durable, the fold
+    publishes a version bump (same payload — the commit point exists
+    only to order writers); a compaction that globbed the batch list
+    before this fold landed now loses ITS manifest race and fails
+    loudly instead of publishing a new version that silently omits the
+    batch, and a fold that loses the race (a compaction or rebuild
+    committed mid-fold, stranding the fold's directories in a
+    superseded version) resolves the new current version and REDOES
+    the fold there — an append landing mid-compaction is therefore
+    either folded into the new base, visible as a batch dir of the
+    live version, or no-oped by the folded-token list: never lost,
+    never doubled (tests/test_chaos_fs.py races the interleavings).
     """
     import os as _os
     import uuid as _uuid
@@ -1289,61 +1343,87 @@ def append_minhash_index(
     if "/" in token or "=" in token:
         raise ValueError(f"batch_token must be path-safe: {token!r}")
     spark = docs.sparkSession
-    # folds land under the CURRENT manifest version's data root; a
-    # rebuild racing an append is unsupported (single writer per index,
-    # same contract as the txn store) — an append that resolves the old
-    # version after a rebuild commits is vacuumable garbage, not
-    # corruption
-    version, payload = VersionedManifest(path).resolve(spark)
-    if payload is not None:
-        # a token already folded into a batch=base by a compaction is
-        # durable in EVERY later version — a replay re-appending it
-        # would duplicate its rows (the markers-exist guard below only
-        # sees the new version's empty batch dir). See
-        # compact_minhash_index's folded-token contract.
-        if token in set(payload.get("folded", ())):
+    vm = VersionedManifest(path)
+    for _attempt in range(5):
+        # folds land under the CURRENT manifest version's data root
+        version, payload = vm.resolve(spark)
+        if payload is not None:
+            # a token already folded into a batch=base by a compaction
+            # is durable in EVERY later version — a replay re-appending
+            # it would duplicate its rows (the markers-exist guard
+            # below only sees the new version's empty batch dir). See
+            # compact_minhash_index's folded-token contract.
+            if token in set(payload.get("folded", ())):
+                return
+            meta, data_root = _minhash_meta_from_payload(
+                version, payload, path
+            )
+        else:
+            meta, data_root = _legacy_minhash_meta(spark, path), path
+        sets_dir = _os.path.join(data_root, "sets", f"batch={token}")
+        bands_dir = _os.path.join(data_root, "bands", f"batch={token}")
+        # completion is judged by the writer's _SUCCESS marker, and a
+        # COMPLETE sets dir is never rewritten: overwrite is
+        # delete-then-write, and deleting complete sets while this
+        # batch's bands exist would re-open the
+        # candidates-without-verify-sets window the write order exists
+        # to close
+        sets_done = path_exists(
+            spark, _os.path.join(sets_dir, "_SUCCESS")
+        )
+        bands_done = path_exists(
+            spark, _os.path.join(bands_dir, "_SUCCESS")
+        )
+        if not (sets_done and bands_done):
+            # localCheckpoint, NOT persist: callers commonly derive
+            # ``docs`` from a probe of THIS index (accept-filter
+            # pipelines), so its lineage reads bands/. The first write
+            # below invalidates any cache whose lineage touches that
+            # path, and a recompute during the second write would probe
+            # the HALF-APPENDED index — observed to drop fresh docs
+            # from sets/ while their bands landed. An eager checkpoint
+            # materializes the rows once, before either write.
+            sets = word_shingle_hash_sets(
+                docs, text_col, id_col, meta["k"]
+            ).localCheckpoint()
+            bands = minhash_band_rows_np(
+                sets, meta["n_hashes"], meta["n_bands"]
+            )
+            if not sets_done:
+                sets.write.mode("overwrite").parquet(sets_dir)
+            bands.write.mode("overwrite").parquet(bands_dir)
+            # validate the guard's premise: the skip/never-delete logic
+            # above is keyed on _SUCCESS markers, which a cluster tuned
+            # with mapreduce.fileoutputcommitter.marksuccessfuljobs=
+            # false never writes — the retry guarantee would silently
+            # evaporate, so fail loudly at the first fold instead
+            if not path_exists(
+                spark, _os.path.join(bands_dir, "_SUCCESS")
+            ):
+                raise RuntimeError(
+                    "index fold committed without a _SUCCESS marker — "
+                    "the crash-safe retry guard requires "
+                    "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+                    "=true"
+                )
+        if payload is None:
+            return  # legacy layout: no versions, nothing to race
+        # commit point: the version bump orders this fold against
+        # compactions/rebuilds (docstring's concurrency contract). A
+        # retry whose dirs were already durable still publishes — the
+        # original attempt may have crashed before ITS bump, and a
+        # compaction mid-glob must still be forced to lose.
+        if vm.publish(spark, payload, version):
+            vm.vacuum_superseded(spark)
             return
-        meta, data_root = _minhash_meta_from_payload(
-            version, payload, path
-        )
-    else:
-        meta, data_root = _legacy_minhash_meta(spark, path), path
-    sets_dir = _os.path.join(data_root, "sets", f"batch={token}")
-    bands_dir = _os.path.join(data_root, "bands", f"batch={token}")
-    # completion is judged by the writer's _SUCCESS marker, and a
-    # COMPLETE sets dir is never rewritten: overwrite is
-    # delete-then-write, and deleting complete sets while this batch's
-    # bands exist would re-open the candidates-without-verify-sets
-    # window the write order exists to close
-    sets_done = path_exists(spark, _os.path.join(sets_dir, "_SUCCESS"))
-    bands_done = path_exists(spark, _os.path.join(bands_dir, "_SUCCESS"))
-    if sets_done and bands_done:
-        return  # fold already durable — same-token retry is a no-op
-    # localCheckpoint, NOT persist: callers commonly derive ``docs``
-    # from a probe of THIS index (accept-filter pipelines), so its
-    # lineage reads bands/. The first write below invalidates any
-    # cache whose lineage touches that path, and a recompute during
-    # the second write would probe the HALF-APPENDED index — observed
-    # to drop fresh docs from sets/ while their bands landed. An eager
-    # checkpoint materializes the rows once, before either write.
-    sets = word_shingle_hash_sets(
-        docs, text_col, id_col, meta["k"]
-    ).localCheckpoint()
-    bands = minhash_band_rows_np(sets, meta["n_hashes"], meta["n_bands"])
-    if not sets_done:
-        sets.write.mode("overwrite").parquet(sets_dir)
-    bands.write.mode("overwrite").parquet(bands_dir)
-    # validate the guard's premise: the skip/never-delete logic above
-    # is keyed on _SUCCESS markers, which a cluster tuned with
-    # mapreduce.fileoutputcommitter.marksuccessfuljobs=false never
-    # writes — the retry guarantee would silently evaporate, so fail
-    # loudly at the first fold instead
-    if not path_exists(spark, _os.path.join(bands_dir, "_SUCCESS")):
-        raise RuntimeError(
-            "index fold committed without a _SUCCESS marker — the "
-            "crash-safe retry guard requires "
-            "mapreduce.fileoutputcommitter.marksuccessfuljobs=true"
-        )
+        # lost the race: a compaction/rebuild took the version while
+        # this fold was writing — its dirs sit in a superseded (or
+        # soon-vacuumed) version root. Redo against the new current.
+    raise RuntimeError(
+        f"MinHash index fold {token!r} at {path} lost the manifest "
+        "race 5 times in a row — writers are churning versions faster "
+        "than the fold can land; pause compactions and retry"
+    )
 
 
 def dedup_against_index(

@@ -270,7 +270,8 @@ def neardup_pairs_banded(
     deliberately left to an exact-dedup pass (which catches identical
     vectors outright) rather than allowed to melt the band join.
     Default None preserves exact candidate semantics (the oracle- and
-    parity-pinned configuration).
+    parity-pinned configuration); production pipelines should set the
+    recommended cap in `operators.valves.PRODUCTION_VALVES`.
 
     Candidates are pairs sharing ANY band's ``band_bits``-bit
     sign-pattern: per-bit collision is p = 1-θ/π, a pair survives with
@@ -427,7 +428,8 @@ def semantic_dedup(
     (their rows surface as kept singletons) and such a crowd is
     deliberately left to an exact-dedup pass, which catches identical
     vectors outright without pairwise work. Default None keeps exact
-    SemDeDup semantics.
+    SemDeDup semantics; production pipelines should set the
+    recommended cap in `operators.valves.PRODUCTION_VALVES`.
 
     Pass ``centroids`` (``(centroid_id, centroid)``, unit-norm) to
     reuse a quantizer — e.g. the one persisted by
@@ -794,7 +796,8 @@ def lsh_topk(
     top-k would have returned (for any k ≤ max_bucket_size); for
     merely-crowded non-identical buckets it is approximate, like
     every other knob here. Default None = no cap (the pinned-recall
-    configuration).
+    configuration); production pipelines should set the recommended
+    cap in `operators.valves.PRODUCTION_VALVES`.
     """
     planes = _hyperplanes(dim, n_planes, seed)
     v = vectors.withColumn("bucket", plane_signature(F.col(vec_col), planes))
@@ -1083,57 +1086,76 @@ def append_ivf_index(
     if "/" in token or "=" in token:
         raise ValueError(f"batch_token must be path-safe: {token!r}")
     spark = vectors.sparkSession
-    # one manifest round-trip per fold: no manifest means either a
-    # truly-missing index (_resolve raises the standard missing-marker
-    # error) or a LEGACY index, which cannot take batch= appends
-    # beside its flat cells layout
-    version, payload = VersionedManifest(path).resolve(spark)
-    if payload is None:
-        _resolve_ivf_index(spark, path)  # raises if truly missing
-        raise ValueError(
-            f"IVF index at {path} predates the manifest layout — "
-            "rebuild with write_ivf_index before appending"
-        )
-    # a compacted-away token is durable in every later base — a replay
-    # re-appending it would duplicate cells (see compact_ivf_index's
-    # folded-token contract)
-    if token in set(payload.get("folded", ())):
-        return
-    meta, data_root = _ivf_meta_from_payload(version, payload, path)
-    vec_col, id_col = meta["vec_col"], meta["id_col"]
-    centroids = spark.read.parquet(_pp.join(data_root, "centroids"))
-    norm = vectors.select(
-        F.col(id_col).alias("_vid"),
-        l2_normalize(F.col(vec_col)).alias("_v"),
-    )
-    cells = _assign_cells(norm, "_v", centroids).join(
-        vectors.withColumnRenamed(id_col, "_vid"), "_vid"
-    ).select(
-        F.col("_vid").alias(id_col), F.col(vec_col), "centroid_id"
-    )
-    batch_dir = _pp.join(data_root, "cells", f"batch={token}")
-    # STATIC overwrite scoped to this writer: the session default is
-    # dynamic (for the dt-partitioned sinks), but a same-token retry
-    # must replace the WHOLE batch dir, not only the partitions the
-    # retry's data happens to touch — dynamic mode would leave stale
-    # cells from a previous partial attempt beside the fresh ones
-    (
-        cells.repartition("centroid_id")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("centroid_id")
-        .parquet(batch_dir)
-    )
-    # compaction completeness keys on this marker (written strictly
-    # after every commitJob rename) — a cluster configured not to emit
-    # it would silently void the torn-commit guard, so fail loudly at
-    # the first fold (same contract as append_minhash_index)
     from ..sources.fs import require_success_marker
 
-    require_success_marker(spark, batch_dir, "IVF fold")
+    vm = VersionedManifest(path)
+    for _attempt in range(5):
+        # no manifest means either a truly-missing index (_resolve
+        # raises the standard missing-marker error) or a LEGACY index,
+        # which cannot take batch= appends beside its flat cells layout
+        version, payload = vm.resolve(spark)
+        if payload is None:
+            _resolve_ivf_index(spark, path)  # raises if truly missing
+            raise ValueError(
+                f"IVF index at {path} predates the manifest layout — "
+                "rebuild with write_ivf_index before appending"
+            )
+        # a compacted-away token is durable in every later base — a
+        # replay re-appending it would duplicate cells (see
+        # compact_ivf_index's folded-token contract)
+        if token in set(payload.get("folded", ())):
+            return
+        meta, data_root = _ivf_meta_from_payload(version, payload, path)
+        vec_col, id_col = meta["vec_col"], meta["id_col"]
+        centroids = spark.read.parquet(_pp.join(data_root, "centroids"))
+        norm = vectors.select(
+            F.col(id_col).alias("_vid"),
+            l2_normalize(F.col(vec_col)).alias("_v"),
+        )
+        cells = _assign_cells(norm, "_v", centroids).join(
+            vectors.withColumnRenamed(id_col, "_vid"), "_vid"
+        ).select(
+            F.col("_vid").alias(id_col), F.col(vec_col), "centroid_id"
+        )
+        batch_dir = _pp.join(data_root, "cells", f"batch={token}")
+        # STATIC overwrite scoped to this writer: the session default
+        # is dynamic (for the dt-partitioned sinks), but a same-token
+        # retry must replace the WHOLE batch dir, not only the
+        # partitions the retry's data happens to touch — dynamic mode
+        # would leave stale cells from a previous partial attempt
+        # beside the fresh ones
+        (
+            cells.repartition("centroid_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("centroid_id")
+            .parquet(batch_dir)
+        )
+        # compaction completeness keys on this marker (written strictly
+        # after every commitJob rename) — a cluster configured not to
+        # emit it would silently void the torn-commit guard, so fail
+        # loudly at the first fold (same contract as
+        # append_minhash_index)
+        require_success_marker(spark, batch_dir, "IVF fold")
+        # commit point: the same-payload version bump serializes this
+        # fold against compactions/rebuilds — see
+        # append_minhash_index's concurrency contract (a fold losing
+        # the race redoes against the new current version; a
+        # compaction that globbed before this fold landed loses ITS
+        # race instead of publishing a version that omits the batch)
+        if vm.publish(spark, payload, version):
+            vm.vacuum_superseded(spark)
+            return
+    raise RuntimeError(
+        f"IVF index fold {token!r} at {path} lost the manifest race "
+        "5 times in a row — writers are churning versions faster than "
+        "the fold can land; pause compactions and retry"
+    )
 
 
-def compact_ivf_index(spark, path: str) -> bool:
+def compact_ivf_index(
+    spark, path: str, folded_retention: int | None = None
+) -> bool:
     """Fold every COMPLETE ``cells/batch=`` directory of the current
     version into a single ``batch=base`` under a NEW manifest-committed
     version (probe listing cost grows with batch dirs between
@@ -1146,7 +1168,9 @@ def compact_ivf_index(spark, path: str) -> bool:
     marker-less empty dirs are skipped (replay heals them). One
     listing per check, no per-token probes. Pointer-flip semantics as
     everywhere: old version live until the publish, vacuum afterwards.
-    False on a legacy index."""
+    False on a legacy index. ``folded_retention`` bounds the
+    cumulative folded-token list to the newest N in fold order — same
+    contract and safety argument as `compact_minhash_index`'s."""
     import posixpath as _pp
     import uuid as _uuid
 
@@ -1206,16 +1230,25 @@ def compact_ivf_index(spark, path: str) -> bool:
     ).parquet(_pp.join(vroot, "centroids"))
     # cumulative folded-token record: append_ivf_index no-ops for
     # these, closing the replay-after-compaction duplication window
-    # (see compact_minhash_index — same contract)
-    folded = sorted(
-        (set(payload.get("folded", ())) | set(complete)) - {"base"}
+    # (see compact_minhash_index — same contract, same prune rule)
+    from .dedup import _fold_token_list
+
+    folded = _fold_token_list(
+        payload.get("folded", ()), complete, folded_retention
     )
-    vm.publish_or_raise(
-        spark,
-        {**payload, "current": rel, "folded": folded},
-        version,
-        "IVF index compaction",
-    )
+    if not vm.publish(
+        spark, {**payload, "current": rel, "folded": folded}, version
+    ):
+        # same contract as compact_minhash_index: a concurrent fold's
+        # version bump (or a rebuild) means this compaction's batch
+        # listing is stale — refuse rather than ship a version that
+        # omits the new batch; the old version stays live.
+        raise RuntimeError(
+            f"IVF index compaction at {path} lost the manifest race "
+            f"for version {version + 1}: a concurrent fold or rebuild "
+            "committed first. Nothing is lost — the previous version "
+            "remains live; re-run the compaction."
+        )
     return True
 
 

@@ -1,0 +1,67 @@
+"""Recommended production operating points for the skew valves on the
+band/bucket/cell self-join family.
+
+Every candidate-generation self-join in the engine buckets the corpus
+(MinHash band keys, sign-LSH plane signatures, k-means cells, winnowing
+fingerprints) and pairs WITHIN buckets, so pair volume is Σ bucket² —
+linear in corpus size at a fixed bucket-size operating point. The one
+data shape that breaks the bound is a DEGENERATE crowd: a failed
+upstream job emitting thousands of identical/boilerplate/constant
+rows collapses them into one bucket whose pair stage is k²/2. Each
+operator carries a valve that EXCLUDES buckets above a cap from the
+pair join (the crowd's rows surface unpaired; an exact-dedup pass —
+which catches identical content outright without pairwise work — is
+the documented follow-up for such crowds):
+
+========================================  =======================  =========
+operator                                  valve                    recommended
+========================================  =======================  =========
+``dedup.minhash_dedup_pairs``             ``max_docs_per_band``    10_000
+``dedup.dedup_against_index`` (via idx)   (build-side cap n/a)     —
+``similarity.neardup_pairs_banded``       ``max_docs_per_band``    10_000
+``similarity.lsh_topk``                   ``max_bucket_size``      10_000
+``similarity.semantic_dedup``             ``max_cell_size``        10_000
+``dedup.winnow_dedup_pairs``              ``max_docs_per_fp``      64 (default)
+========================================  =======================  =========
+
+Why 10_000: a bucket at the cap costs ~5·10⁷ within-bucket comparisons
+— seconds of vectorized JVM work on one executor, the most a SINGLE
+skewed key is allowed to cost before the valve calls it pathology. Any
+legitimate near-duplicate group bigger than that is, in practice, an
+exact-duplicate crowd (run exact dedup first — standard curation
+order) or a boilerplate fingerprint (winnowing's 64-doc document-
+frequency cap models the same judgment). Buckets on healthy corpora
+run tens of rows at the documented band/cell sizings, so the valve is
+three orders of magnitude above normal operation and never perturbs
+honest results — pinned by tests/test_valves_production.py, which runs
+every planted-oracle construction with these values and asserts
+results identical to the unvalved form.
+
+Why the in-code defaults stay ``None`` (exact semantics): the valves
+change RESULTS when they fire (excluded buckets emit no pairs), and a
+correctness-graded operator must default to the form its oracle
+replays. Exactness-by-default, explicit-bound-in-production is the
+same posture Spark itself takes with e.g. broadcast thresholds. Wire
+these values (or your own ``affordable_pairs**0.5``) into production
+pipeline configs; `tools/scalecheck.py` measures the factor-100
+elasticity of the band-join family WITH these valves on, so the
+measured 100 TB posture is the valved one.
+"""
+
+from __future__ import annotations
+
+#: operator-qualified recommended caps (see module docstring)
+PRODUCTION_VALVES: dict[str, int] = {
+    "minhash_dedup_pairs.max_docs_per_band": 10_000,
+    "neardup_pairs_banded.max_docs_per_band": 10_000,
+    "lsh_topk.max_bucket_size": 10_000,
+    "semantic_dedup.max_cell_size": 10_000,
+    "winnow_dedup_pairs.max_docs_per_fp": 64,
+}
+
+
+def recommended(operator: str, valve: str) -> int:
+    """The recommended production cap for ``operator.valve`` (raises
+    KeyError for unknown pairs — a misspelled lookup must not silently
+    disable a valve)."""
+    return PRODUCTION_VALVES[f"{operator}.{valve}"]

@@ -369,15 +369,20 @@ def evt_seaport_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Round-6 rotation: the eight r4-last-green domain sentinels (the
 #: r5-green half rotates out, parity-pinned) — no query's last driver
 #: green ages past two rounds.
+#: Round-7 rotation: the ten r5-last-green domain queries (the
+#: r6-green eight rotate out, parity-pinned) — the standing freshness
+#: policy: no query's most recent driver green older than two rounds.
 DRIVER_QUERIES = [
-    "s1_staging_scan_json",
-    "d_enrich_transactions",
-    "d_enrich_geth_traces",
-    "d_new_tokens",
-    "d_verify_root_traces",
-    "evt_seaport_decode",
-    "call_transfer_decode",
-    "d4_token_transfers",
+    "s2_staging_scan_csv",
+    "d_enrich_blocks",
+    "d_enrich_logs",
+    "d_enrich_traces",
+    "d_enrich_contracts",
+    "d_enrich_token_transfers",
+    "d_prices_fill",
+    "d_verify_have_latest",
+    "evt_transfer_decode",
+    "d5_extract_contracts",
 ]
 
 QUERIES = {

@@ -800,28 +800,33 @@ def g2_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: deferred one round (its bucketed twin aj2 went green in r5; the
 #: 50-slot budget needs exactly one deferral). The r5-green set
 #: rotates out, parity-pinned.
+#: Round-7 rotation: aj1_asof_clicks leads (last driver green r4 — the
+#: one r6 deferral; no other query's green is older than r5), then the
+#: r5-last-green generic cohort. aj2_asof_bucketed takes this round's
+#: single 50-slot deferral (the mirror of r6's aj1 deferral: its
+#: unbucketed twin aj1 holds a slot, both are parity-green, and the
+#: as-of operator surface is unchanged); it leads the r8 rotation.
+#: The r6-green set rotates out, parity-pinned.
 DRIVER_QUERIES = [
-    "g2_grouped_quantiles",
-    "f_scalar_surface",
-    "g1_rollup_returnflag",
-    "g3_cube_priority",
-    "h1_hourly_events",
-    "h2_range_pruned_scan",
-    "j1_order_revenue_3way",
-    "j5_composite_key_join",
-    "m1_upsert_dimension",
-    "m2_scd2_history",
-    "m3_incremental_merge",
-    "pv1_pivot_linestatus",
-    "pv2_unpivot_metrics",
-    "q1_pricing_summary",
-    "rj1_promo_range_join",
-    "sk1_salted_agg",
-    "w2_running_sum",
-    "w3_sessionization",
-    "w4_rolling_range_window",
-    "x1_approx_aggregates",
-    "x3_profile_orders",
+    "aj1_asof_clicks",
+    "a1_count_existence",
+    "a2_count_col_vs_star",
+    "e1_except_parts",
+    "f2_array_surface",
+    "g4_purchase_trend",
+    "h3_hopping_windows",
+    "j6_anti_join_customers",
+    "j6b_anti_join_prefiltered",
+    "j6c_anti_join_bucket_pruned",
+    "j7_region_rollup",
+    "j8_semi_join_customers",
+    "j9_full_outer_rollup",
+    "p4_date_range_scan",
+    "p5_conjunctive_filter",
+    "t1_topk_orders",
+    "u1_intersect_users",
+    "w1_topk_per_user",
+    "x2_above_global_avg",
 ]
 
 #: columns profiled by x3 (orderable subset of orders)

@@ -524,6 +524,95 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_semantic_dedup_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`semantic_dedup`'s ``far_from_centroid`` keep policy (the
+    SemDeDup paper's diversity-keeping rule: retain the group member
+    LEAST similar to its cell prototype) under a FULL value-level
+    oracle. Explicit prototypes (the first 4 corpus vectors,
+    normalized) make every stage deterministic, and the planted
+    corpus (`_planted_neardup_corpus`: dim-0 scaled by 1.2, ids
+    +100000) makes the pair graph a perfect matching — each duplicate
+    group is exactly {source, perturbed copy} when co-assigned, so
+    DuckDB can replay assignment (argmax cosine, ties to the smaller
+    centroid id), the within-cell pair test (cos ≥ 0.95), group
+    labeling (min member id) and the keep rule (min centroid-sim,
+    ties to the smaller id) without a connected-components engine.
+    Margins measured at every shipped SF: argmax gap ≥ 1.5e-7,
+    keep-rule sim gap ≥ 1.2e-8, planted pairs ≥ 0.997 vs corpus
+    cross-pairs ≤ 0.61 — all orders of magnitude above cross-engine
+    double-summation noise, and BOTH keep outcomes occur (~50% of
+    groups keep the copy: the member pushed AWAY from its prototype)."""
+    corpus = _planted_neardup_corpus(spark, sf_dir)
+    cents = _embs(spark, sf_dir).filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        similarity.l2_normalize(F.col("embedding")).alias("centroid"),
+    )
+    return similarity.semantic_dedup(
+        corpus,
+        n_centroids=4,
+        threshold=0.95,
+        keep="far_from_centroid",
+        centroids=cents,
+    )
+
+
+def llm_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-quantizer semantic dedup: `write_ivf_index` persists the
+    coarse quantizer, `read_ivf_centroids` hands the STORED centroids
+    to `semantic_dedup(centroids=...)` — dedup and ANN probing share
+    one cell layout, the corpus is cell-assigned exactly once per
+    quantizer (tests/test_plans.py pins the no-retraining plan: no
+    Lloyd `posexplode` lineage when centroids are supplied). Planted
+    exact copies (ids +100000) co-assign with their sources under ANY
+    stored quantizer and pair at cos 1.0 ≥ 0.999, so the compared
+    booleans (source kept / copy dropped / same group) are
+    engine-independent — the same oracle contract as
+    `llm_semantic_dedup`, now certifying the persisted-index
+    quantizer-reuse path end-to-end. Executed eagerly
+    (localCheckpoint) so the temp index is removed before return."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    corpus = embs.unionByName(
+        embs.select(
+            (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
+        )
+    )
+    idx = tempfile.mkdtemp(prefix="llm_semdedup_ivf_")
+    try:
+        similarity.write_ivf_index(embs, idx, n_centroids=16, n_iters=1)
+        cents = similarity.read_ivf_centroids(spark, idx)
+        d = similarity.semantic_dedup(
+            corpus, n_centroids=16, threshold=0.999, centroids=cents
+        )
+        src = d.filter(F.col("vec_id") < 100000).select(
+            "vec_id",
+            F.col("kept").alias("kept_original"),
+            F.col("sem_cluster_id").alias("_src_cluster"),
+        )
+        cp = d.filter(F.col("vec_id") >= 100000).select(
+            (F.col("vec_id") - F.lit(100000)).alias("vec_id"),
+            (~F.col("kept")).alias("dropped_copy"),
+            F.col("sem_cluster_id").alias("_cp_cluster"),
+        )
+        return (
+            src.join(cp, "vec_id")
+            .select(
+                "vec_id",
+                "kept_original",
+                "dropped_copy",
+                (
+                    (F.col("_src_cluster") == F.col("vec_id"))
+                    & (F.col("_cp_cluster") == F.col("vec_id"))
+                ).alias("same_cluster"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def llm_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototype-distance quality gate (`similarity.cell_outliers`):
     the first 4 corpus vectors serve as deterministic prototypes
@@ -856,39 +945,39 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: r5-green set rotates out parity-pinned — incl. llm_knn_label_eval /
 #: llm_cosine_topk / llm_ann_lsh_planted, whose only change this round
 #: is plan-shaped and pinned value-identical in tests/test_advice_r6.py.
+#: Round-7 rotation: the two never-driver-verified queries lead — the
+#: far_from_centroid keep-policy oracle and the shared-quantizer
+#: (persisted-IVF → semantic_dedup) certificate, closing r6 verdict
+#: residual #2 and task #3 — then every r5-last-green llm query. The
+#: r6-green set rotates out parity-pinned (incl. llm_knn_ivf_eval,
+#: whose only change this round — NULL-coverage left join in
+#: knn_label_predict_index — is value-identical at the registered
+#: full-probe operating point, re-verified by tools/parity.py after
+#: the change, and pinned at the pruned point in tests/test_advice_r7).
 DRIVER_QUERIES = [
-    # never driver-verified, first (the three operators added this
-    # round: SemDeDup cluster dedup, temperature-weighted mixture
-    # sampling, prototype-distance outlier gate)
-    "llm_knn_ivf_eval",
-    "llm_semantic_dedup",
-    "llm_temperature_sample",
-    "llm_cell_outliers",
-    # changed surface this round (folded-token compaction, build-marker
-    # symmetry, skew valves). llm_knn_label_eval / llm_cosine_topk /
-    # llm_ann_lsh_planted rotate out to fund the new slots: all three
-    # are r5-green and their only change this round is plan-shaped
-    # (explicit queries-side broadcast, valve default off), each pinned
-    # value-identical in tests/test_advice_r6.py.
-    "llm_incremental_dedup",
-    "llm_ann_ivf_index",
-    "llm_neardup_embeddings",
-    # r3-last-green re-verification sentinels
-    "llm_fingerprint",
-    "llm_pii_scrub",
-    "llm_token_counts",
-    # r4-last-green re-verification sentinels
-    "llm_chunking",
-    "llm_decontaminate",
-    "llm_length_histogram",
-    "llm_multimodal_meta",
-    "llm_passage_dedup",
-    "llm_quality_filter",
-    "llm_repetition",
-    "llm_simhash_planted",
-    "llm_tfidf_keywords",
-    "llm_unigram_logprob",
-    "llm_wordcount",
+    # never driver-verified, first
+    "llm_semantic_dedup_diverse",
+    "llm_semantic_dedup_ivf",
+    # r5-last-green re-verification cohort
+    "llm_ann_ivf",
+    "llm_ann_lsh_planted",
+    "llm_audio_features",
+    "llm_cluster_keep",
+    "llm_corpus_pipeline",
+    "llm_cosine_topk",
+    "llm_dedup_clusters",
+    "llm_dedup_exact",
+    "llm_frame_sample",
+    "llm_hash_split",
+    "llm_image_features",
+    "llm_jaccard_pairs",
+    "llm_knn_label_eval",
+    "llm_lang_id",
+    "llm_pack_sequences",
+    "llm_quality_logit",
+    "llm_quantize_embeddings",
+    "llm_source_quota",
+    "llm_text_stats",
 ]
 
 QUERIES = {
@@ -912,6 +1001,8 @@ QUERIES = {
     "llm_knn_ivf_eval": llm_knn_ivf_eval,
     "llm_neardup_embeddings": llm_neardup_embeddings,
     "llm_semantic_dedup": llm_semantic_dedup,
+    "llm_semantic_dedup_diverse": llm_semantic_dedup_diverse,
+    "llm_semantic_dedup_ivf": llm_semantic_dedup_ivf,
     "llm_cell_outliers": llm_cell_outliers,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
@@ -1634,6 +1725,72 @@ ORACLES["llm_semantic_dedup"] = """
            TRUE AS dropped_copy,
            TRUE AS same_cluster
     FROM embeddings
+"""
+
+# llm_semantic_dedup_ivf plants the SAME exact-copy corpus, so the
+# booleans are engine-independent under ANY stored quantizer — the
+# oracle certifies the persisted-index quantizer-reuse round trip.
+ORACLES["llm_semantic_dedup_ivf"] = ORACLES["llm_semantic_dedup"]
+
+# Full value-level replay of the far_from_centroid keep policy: the
+# planted pair graph is a perfect matching (each group is exactly
+# {source, perturbed copy} when co-assigned — cross-pairs top out at
+# cos 0.61, far under the 0.95 threshold), so group labels and keep
+# decisions are expressible without a connected-components engine:
+# cluster = LEAST(id, partner), kept = the member with the SMALLER
+# centroid similarity (ties to the smaller id — min_by struct order).
+ORACLES["llm_semantic_dedup_diverse"] = f"""
+    WITH corpus AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE))
+                   AS embedding
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(range(1, 65),
+                   i -> CASE WHEN i = 1
+                        THEN CAST(embedding[i] AS DOUBLE)
+                             * CAST(1.2 AS DOUBLE)
+                        ELSE CAST(embedding[i] AS DOUBLE) END)
+        FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+        FROM embeddings WHERE vec_id < 4
+    ), scored AS (
+        SELECT o.vec_id, o.embedding, ct.cid,
+               {_cos('o.embedding', 'ct.c')} AS s
+        FROM corpus o CROSS JOIN cents ct
+    ), assign AS (
+        SELECT vec_id, embedding, cid, s FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, cid ASC
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {_cos('a.embedding', 'b.embedding')} >= 0.95
+    ), partner AS (
+        SELECT id_a AS vec_id, id_b AS other FROM pairs
+        UNION ALL
+        SELECT id_b AS vec_id, id_a AS other FROM pairs
+    ), paired AS (
+        SELECT p.vec_id, LEAST(p.vec_id, p.other) AS sem_cluster_id,
+               sa.s AS my_s, sb.s AS other_s, p.other
+        FROM partner p
+        JOIN assign sa ON sa.vec_id = p.vec_id
+        JOIN assign sb ON sb.vec_id = p.other
+    )
+    SELECT vec_id, sem_cluster_id,
+           (my_s < other_s OR (my_s = other_s AND vec_id < other))
+               AS kept
+    FROM paired
+    UNION ALL
+    SELECT c.vec_id, c.vec_id AS sem_cluster_id, TRUE AS kept
+    FROM corpus c LEFT JOIN partner p USING (vec_id)
+    WHERE p.other IS NULL
 """
 
 # Full value-level replay of the prototype-distance gate: argmax-cosine

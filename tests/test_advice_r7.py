@@ -188,3 +188,144 @@ class TestKnnIndexEvalRowCoverage:
         assert out[1]["correct"] is None
         assert out[1]["true_label"] == 7
         assert (out[100]["pred_label"], out[100]["correct"]) == (9, True)
+
+
+class TestFoldedTokenPrune:
+    """compact_*_index(folded_retention=N): the cumulative folded list
+    keeps only the newest N tokens in fold order — the docstring's
+    prune promise turned into code. A pruned token's replay through
+    the INGEST layer is still refused by the stream's replay marker
+    (loudly: a committed batch id can never reappear under one
+    checkpoint identity), so pruning never re-opens the
+    replay-after-compaction duplication window."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_minhash_retention_keeps_newest_in_fold_order(
+        self, spark, tmp_path
+    ):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            append_minhash_index,
+            write_minhash_index,
+        )
+        from datawaves_etl_airflow_spark.sources.manifest import (
+            VersionedManifest,
+        )
+
+        p = str(tmp_path / "mh")
+        write_minhash_index(
+            self._docs(spark, [(1, "alpha beta gamma delta epsilon")]), p
+        )
+        append_minhash_index(
+            self._docs(spark, [(10, "zeta eta theta iota kappa")]),
+            p, batch_token="t1",
+        )
+        assert compact_minhash_index(spark, p) is True
+        append_minhash_index(
+            self._docs(spark, [(11, "lambda mu nu xi omicron pi")]),
+            p, batch_token="t2",
+        )
+        append_minhash_index(
+            self._docs(spark, [(12, "rho sigma tau upsilon phi chi")]),
+            p, batch_token="t3",
+        )
+        assert compact_minhash_index(spark, p, folded_retention=2) is True
+        _, payload = VersionedManifest(p).resolve(spark)
+        # t1 (oldest) pruned; the two newest kept in fold order
+        assert payload["folded"] == ["t2", "t3"]
+
+    def test_retention_validation(self):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            _fold_token_list,
+        )
+
+        with pytest.raises(ValueError, match="folded_retention"):
+            _fold_token_list([], ["a"], 0)
+        assert _fold_token_list(["a", "c"], ["b", "a"], None) == [
+            "a", "c", "b",
+        ]
+        assert _fold_token_list(["a", "c"], ["b"], 2) == ["c", "b"]
+
+    def test_pruned_token_replay_refused_by_stream_marker(
+        self, spark, tmp_path
+    ):
+        """After pruning b0's token, replaying batch 0 through the
+        ingest layer hits the stream marker's loud refusal (batch_id <
+        last committed id) BEFORE any index write — accepted docs and
+        probe results unchanged."""
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            _resolve_minhash_index,
+            write_minhash_index,
+        )
+        from datawaves_etl_airflow_spark.sources import fs as fs_mod
+
+        idx = str(tmp_path / "idx")
+        acc = str(tmp_path / "acc")
+        ck = str(tmp_path / "ck")
+        write_minhash_index(
+            self._docs(spark, [(1, "seed corpus text goes right here")]),
+            idx,
+        )
+        fn = make_neardup_ingest(idx, acc, threshold=0.5, checkpoint=ck)
+        b0 = self._docs(
+            spark, [(10, "first streamed batch document content")]
+        )
+        fn(b0, 0)
+        fn(
+            self._docs(
+                spark, [(11, "second streamed batch document content!!")]
+            ),
+            1,
+        )
+        # both batch tokens folded, then pruned down to the newest one
+        assert compact_minhash_index(spark, idx, folded_retention=1)
+        from datawaves_etl_airflow_spark.sources.manifest import (
+            VersionedManifest,
+        )
+
+        _, payload = VersionedManifest(idx).resolve(spark)
+        assert len(payload["folded"]) == 1
+        tok0 = _batch_token(ck, 0)
+        assert tok0 not in payload["folded"]
+        # replaying the pruned batch: the STREAM marker refuses loudly
+        with pytest.raises(ValueError, match="can never reappear"):
+            fn(b0, 0)
+        # nothing re-appended: no batch dir reappeared for the pruned
+        # token in the live version
+        root = _resolve_minhash_index(spark, idx)[1]
+        assert (
+            fs_mod.glob_paths(spark, root + f"/bands/batch={tok0}") == []
+        )
+
+    def test_ivf_retention(self, spark, tmp_path):
+        import random
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            append_ivf_index,
+            compact_ivf_index,
+        )
+        from datawaves_etl_airflow_spark.sources.manifest import (
+            VersionedManifest,
+        )
+
+        rng = random.Random(5)
+
+        def vecs(lo, n=20):
+            return spark.createDataFrame(
+                [
+                    (lo + i, [rng.uniform(-1, 1) for _ in range(8)])
+                    for i in range(n)
+                ],
+                "vec_id long, embedding array<double>",
+            )
+
+        p = str(tmp_path / "ivf")
+        write_ivf_index(vecs(0), p, n_centroids=2, n_iters=1)
+        append_ivf_index(vecs(100), p, batch_token="d1")
+        assert compact_ivf_index(spark, p) is True
+        append_ivf_index(vecs(200), p, batch_token="d2")
+        append_ivf_index(vecs(300), p, batch_token="d3")
+        assert compact_ivf_index(spark, p, folded_retention=2) is True
+        _, payload = VersionedManifest(p).resolve(spark)
+        assert payload["folded"] == ["d2", "d3"]

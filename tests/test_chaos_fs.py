@@ -421,3 +421,126 @@ class TestConcurrentRebuildRace:
         assert ids
         owners = {i // 1000 for i in ids}
         assert len(owners) == 1 and owners <= {1, 2}
+
+
+class TestAppendVsCompactionRace:
+    """Round-6 verdict task #6: a LIVE fold racing a concurrent
+    compaction on one index, under randomized commit-time
+    interleavings. The fold's same-payload manifest bump serializes
+    the two writers: a batch landing mid-compaction is either folded
+    into the new base, visible as a batch dir of the live version, or
+    no-oped by the folded-token list — never lost (a compaction whose
+    listing predates the fold loses the manifest race and refuses
+    loudly), never doubled (the folded list no-ops replays)."""
+
+    ORIG = [(1, "the quick brown fox jumps over the lazy dog again ok")]
+    B1 = [(2, "pack my box with five dozen liquor jugs before noon today")]
+    B2 = [(3, "sphinx of black quartz judge my vow said the old man now")]
+
+    def _pairs(self, spark, path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            dedup_against_index,
+        )
+
+        probe = spark.createDataFrame(
+            [(93, "sphinx of black quartz judge my vow said the old man now!")],
+            "doc_id long, text string",
+        )
+        # sorted LIST, not set: a doubled index row would surface as a
+        # duplicated candidate/verify pair before any dedup
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in dedup_against_index(probe, path, threshold=0.5)
+            .collect()
+        )
+
+    @pytest.mark.parametrize("seed", [3, 17, 41])
+    def test_minhash_append_mid_compaction_never_lost_never_doubled(
+        self, spark, tmp_path, monkeypatch, seed
+    ):
+        import random
+        import threading
+        import time
+
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            _resolve_minhash_index,
+            append_minhash_index,
+            compact_minhash_index,
+            write_minhash_index,
+        )
+        from datawaves_etl_airflow_spark.sources.manifest import (
+            VersionedManifest,
+        )
+
+        docs = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, text string"
+        )
+        p = str(tmp_path / f"acrace{seed}")
+        write_minhash_index(docs(self.ORIG), p)
+        append_minhash_index(docs(self.B1), p, batch_token="t1")
+
+        rng = random.Random(seed)
+        real_create = fs_mod.create_text_exclusive
+        lock = threading.Lock()
+
+        def jittered(s, path_, content):
+            if "manifest-" in path_:
+                with lock:
+                    delay = rng.uniform(0.0, 0.4)
+                time.sleep(delay)
+            return real_create(s, path_, content)
+
+        monkeypatch.setattr(mf_mod, "create_text_exclusive", jittered)
+
+        start = threading.Barrier(2)
+        errors: dict[str, BaseException] = {}
+
+        def run_append():
+            start.wait()
+            try:
+                append_minhash_index(docs(self.B2), p, batch_token="t2")
+            except BaseException as exc:  # noqa: BLE001
+                errors["append"] = exc
+
+        def run_compact():
+            start.wait()
+            try:
+                compact_minhash_index(spark, p)
+            except BaseException as exc:  # noqa: BLE001
+                errors["compact"] = exc
+
+        ta = threading.Thread(target=run_append, name="append")
+        tb = threading.Thread(target=run_compact, name="compact")
+        ta.start(), tb.start()
+        ta.join(90), tb.join(90)
+        assert not ta.is_alive() and not tb.is_alive()
+
+        # the FOLD must always land (it redoes on a lost race); the
+        # compaction may succeed or refuse loudly — listing went stale
+        # (manifest race) or it saw the fold's in-flight files (the
+        # torn-commit refusal) — but never fail any other way
+        assert "append" not in errors, errors.get("append")
+        if "compact" in errors:
+            exc = errors["compact"]
+            assert isinstance(exc, RuntimeError)
+            assert (
+                "manifest race" in str(exc)
+                or "torn job commit" in str(exc)
+            )
+
+        # never lost, never doubled: exactly one probe pair against
+        # the appended doc, whichever interleaving won
+        assert self._pairs(spark, p) == [(93, 3)]
+        # and the batch is accounted for in the LIVE version: folded
+        # into base or present as its own complete batch dir
+        version, payload = VersionedManifest(p).resolve(spark)
+        root = _resolve_minhash_index(spark, p)[1]
+        in_folded = "t2" in set(payload.get("folded", ()))
+        as_batch = fs_mod.glob_paths(
+            spark, root + "/bands/batch=t2/_SUCCESS"
+        ) != []
+        assert in_folded or as_batch
+        # a replay of the landed batch stays a no-op either way
+        before = self._pairs(spark, p)
+        append_minhash_index(docs(self.B2), p, batch_token="t2")
+        assert self._pairs(spark, p) == before

@@ -52,35 +52,23 @@ class TestRegistrationPolicy:
         )
 
     def test_registration_order_never_verified_first(self):
-        """Round-6 rotation: the never-driver-verified query leads its
-        module block, followed by this round's changed-surface
-        re-verifications, then the oldest-green sentinels — a budget
-        cut still lands on the freshest evidence first."""
+        """Round-7 rotation: the never-driver-verified queries lead
+        their module block, then the r5-last-green cohorts (freshness
+        policy: no driver green older than two rounds) — a budget cut
+        still lands on the freshest evidence first."""
         names = list(entrymod.queries())
-        # domain block re-verifies the r4-last-green cohort, oldest
-        # evidence first (no domain surface changed this round)
-        assert names[0] == "s1_staging_scan_json"
-        # llm block: the never-driver-verified queries lead (the
-        # index-backed kNN eval plus the round's three new operators),
-        # then the changed surfaces (compaction fold-token no-ops,
-        # both-sides markers, embedding-LSH skew valves)
-        for new in (
-            "llm_knn_ivf_eval",
-            "llm_semantic_dedup",
-            "llm_temperature_sample",
-            "llm_cell_outliers",
-        ):
-            assert names.index(new) < names.index("llm_incremental_dedup")
-        assert names.index("llm_incremental_dedup") < names.index(
-            "llm_wordcount"
-        )
-        assert names.index("llm_neardup_embeddings") < names.index(
-            "llm_wordcount"
-        )
-        # generic block leads with the g2 path rerouted through
-        # operators.profile.grouped_quantiles this round
-        assert names.index("g2_grouped_quantiles") < names.index(
-            "q1_pricing_summary"
+        # domain block: the r5-last-green ten, changed-surface prices
+        # path first
+        assert names[0] == "s2_staging_scan_csv"
+        # llm block: the two never-driver-verified queries lead (the
+        # far_from_centroid value-replay oracle and the
+        # shared-quantizer certificate), then the r5-green cohort
+        for new in ("llm_semantic_dedup_diverse", "llm_semantic_dedup_ivf"):
+            assert names.index(new) < names.index("llm_ann_ivf")
+        # generic block: aj1_asof_clicks leads (last green r4 — the one
+        # query whose evidence aged past two rounds)
+        assert names.index("aj1_asof_clicks") < names.index(
+            "a1_count_existence"
         )
 
     def test_driver_lists_subset_of_full_corpus(self):

@@ -51,6 +51,11 @@ ALLOWED_BNLJ = {
     "zero-shuffle map-side argmax plan",
     "llm_temperature_sample": "broadcast 1-row total-weight aggregate "
     "(sum over the per-source counts, <= n_sources rows upstream)",
+    # registered by the round-7 rotation (new operators):
+    "llm_semantic_dedup_diverse": "corpus x broadcast 4-row explicit "
+    "prototype set (cell assignment; the far_from_centroid "
+    "centroid-sim join keeps the assignment lineage in the final "
+    "plan, unlike min_id which truncates at the CC checkpoint)",
 }
 
 

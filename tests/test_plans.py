@@ -84,6 +84,48 @@ class TestDedupPlans:
         assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
+class TestSemanticDedupQuantizerReuse:
+    def test_stored_quantizer_skips_training(self, spark, tmp_path):
+        """semantic_dedup(centroids=read_ivf_centroids(...)) must reuse
+        the persisted quantizer: the plan reads the stored centroids
+        parquet and contains NO Lloyd-iteration lineage (posexplode is
+        the per-dimension mean's unique plan marker) — the corpus is
+        cell-assigned once against the index's own cell layout, never
+        re-clustered. The far_from_centroid form is inspected because
+        its centroid-similarity join keeps the assignment lineage in
+        the final plan (min_id truncates at the CC checkpoint)."""
+        from datawaves_etl_airflow_spark.operators import similarity
+
+        vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        idx = str(tmp_path / "ivf")
+        similarity.write_ivf_index(vecs, idx, n_centroids=4, n_iters=1)
+        cents = similarity.read_ivf_centroids(spark, idx)
+        d = similarity.semantic_dedup(
+            vecs,
+            n_centroids=4,
+            threshold=0.999,
+            keep="far_from_centroid",
+            centroids=cents,
+        )
+        p = plan_of(d)
+        assert "posexplode" not in p  # no retraining
+        # stored quantizer scan: a parquet read with the persisted
+        # centroid schema (plan toString truncates the file path)
+        assert "struct<centroid_id:int,centroid:array<double>>" in p
+        # control: the in-call training path DOES carry Lloyd lineage,
+        # so the marker can't silently go stale
+        d2 = similarity.semantic_dedup(
+            vecs,
+            n_centroids=4,
+            threshold=0.999,
+            keep="far_from_centroid",
+            n_iters=1,
+        )
+        assert "posexplode" in plan_of(d2)
+
+
 class TestAntiJoinPrefiltered:
     def test_matches_plain_anti_join(self, spark):
         from datawaves_etl_airflow_spark.operators.enrich import (

@@ -1,0 +1,130 @@
+"""operators.valves production operating points: with every skew valve
+set to its recommended cap, each banded/bucketed operator returns
+results IDENTICAL to its exact (unvalved, oracle-replayable) form on
+the planted driver constructions — the caps sit three orders of
+magnitude above healthy bucket sizes, so they only ever fire on
+degenerate crowds (whose behavior is pinned by the per-operator skew
+tests, e.g. test_advice_r6 / test_semantic_dedup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawaves_etl_airflow_spark.operators import dedup, similarity
+from datawaves_etl_airflow_spark.operators.valves import (
+    PRODUCTION_VALVES,
+    recommended,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return d.unionAll(
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    )
+
+
+def _planted_embs(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(
+            i == 0, x.cast("double") * F.lit(1.2)
+        ).otherwise(x.cast("double")),
+    )
+    return e.select("vec_id", as_double.alias("embedding")).unionByName(
+        e.select(
+            (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+            perturbed.alias("embedding"),
+        )
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestRecommendedLookups:
+    def test_known_pairs(self):
+        assert recommended("semantic_dedup", "max_cell_size") == 10_000
+        assert recommended("lsh_topk", "max_bucket_size") == 10_000
+        with pytest.raises(KeyError):
+            recommended("semantic_dedup", "max_cellsize")  # typo → loud
+
+    def test_every_valve_positive(self):
+        assert all(v > 0 for v in PRODUCTION_VALVES.values())
+
+
+class TestValvedEqualsExact:
+    def test_minhash_pairs(self, spark):
+        docs = _docs(spark)
+        exact = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+        valved = dedup.minhash_dedup_pairs(
+            docs,
+            threshold=0.5,
+            max_docs_per_band=recommended(
+                "minhash_dedup_pairs", "max_docs_per_band"
+            ),
+        )
+        assert _rows(valved) == _rows(exact)
+
+    def test_neardup_banded(self, spark):
+        embs = _planted_embs(spark)
+        exact = similarity.neardup_pairs_banded(
+            embs, dim=64, threshold=0.95
+        )
+        valved = similarity.neardup_pairs_banded(
+            embs,
+            dim=64,
+            threshold=0.95,
+            max_docs_per_band=recommended(
+                "neardup_pairs_banded", "max_docs_per_band"
+            ),
+        )
+        assert _rows(valved) == _rows(exact)
+
+    def test_lsh_topk(self, spark):
+        embs = _planted_embs(spark)
+        qs = embs.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        exact = similarity.lsh_topk(embs, qs, dim=64, k=5)
+        valved = similarity.lsh_topk(
+            embs,
+            qs,
+            dim=64,
+            k=5,
+            max_bucket_size=recommended("lsh_topk", "max_bucket_size"),
+        )
+        assert _rows(valved) == _rows(exact)
+
+    def test_semantic_dedup(self, spark):
+        embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        corpus = embs.unionByName(
+            embs.select(
+                (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+                "embedding",
+            )
+        )
+        exact = similarity.semantic_dedup(
+            corpus, n_centroids=16, threshold=0.999, n_iters=1
+        )
+        valved = similarity.semantic_dedup(
+            corpus,
+            n_centroids=16,
+            threshold=0.999,
+            n_iters=1,
+            max_cell_size=recommended("semantic_dedup", "max_cell_size"),
+        )
+        assert _rows(valved) == _rows(exact)
+        # and the planted-oracle booleans hold on the valved form
+        kept = {r["vec_id"]: r["kept"] for r in valved.collect()}
+        assert all(kept[i] for i in kept if i < 100000)
+        assert not any(kept[i] for i in kept if i >= 100000)

@@ -85,10 +85,11 @@ def main() -> None:
         "--ops",
         default=None,
         help="comma-separated op subset (default: all) — the "
-        "factor-100 spot-check runs only the flattest paths, whose "
-        "fixed-cost claim is the one worth sampling at two decades: "
+        "factor-100 spot-check samples the flattest paths plus the "
+        "valved band-join family at two decades: "
         "--factor 100 --ops evt_decode_bucket_pruned,"
-        "incremental_probe_fixed_batch,ann_probe_pruned",
+        "incremental_probe_fixed_batch,ann_probe_pruned,cell_outliers,"
+        "neardup_banded,semantic_dedup",
     )
     args = ap.parse_args()
     selected = set(args.ops.split(",")) if args.ops else None
@@ -101,6 +102,7 @@ def main() -> None:
         profile,
         similarity,
         text,
+        valves,
     )
     from datawaves_etl_airflow_spark.session import get_spark
 
@@ -336,12 +338,17 @@ def main() -> None:
         # SemDeDup operating regime: n_centroids scales WITH the corpus
         # so cell size stays fixed and sum(cell^2) — the pair stage —
         # grows linearly in n; a flat-k run would grow quadratically by
-        # construction and measure the config error, not the plan
+        # construction and measure the config error, not the plan.
+        # Valve ON at the recommended production cap (operators.valves)
+        # — the measured posture is the one a 100 TB pipeline runs.
         "semantic_dedup": lambda mult: similarity.semantic_dedup(
             _scaled_embs(spark, args.sf, mult),
             n_centroids=16 * mult,
             threshold=0.95,
             n_iters=1,
+            max_cell_size=valves.recommended(
+                "semantic_dedup", "max_cell_size"
+            ),
         ),
         # prototype-distance gate: fixed centroid set broadcast against
         # a growing corpus — pure map-side argmax, must track the scan
@@ -378,8 +385,15 @@ def main() -> None:
             # corpus growth only
             spark.read.parquet(f"{args.sf}/documents.parquet").limit(300),
         ),
+        # valve ON at the production cap, same rationale as
+        # semantic_dedup above
         "neardup_banded": lambda mult: similarity.neardup_pairs_banded(
-            _scaled_embs(spark, args.sf, mult), dim=64, threshold=0.95
+            _scaled_embs(spark, args.sf, mult),
+            dim=64,
+            threshold=0.95,
+            max_docs_per_band=valves.recommended(
+                "neardup_pairs_banded", "max_docs_per_band"
+            ),
         ),
         "exact_dedup": lambda mult: dedup.exact_dedup_groups(
             _scaled_docs(spark, args.sf, mult)
