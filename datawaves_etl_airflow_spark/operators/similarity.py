@@ -285,6 +285,17 @@ def neardup_pairs_banded(
     both prunes and recalls) — that regime wants the IVF path or an
     exact pass.
 
+    Scaling recipe (the same corpus-scaled operating point as
+    :func:`semantic_dedup`'s n_centroids): grow ``band_bits`` with
+    log₂ of the corpus growth so expected bucket occupancy — and with
+    it Σ bucket², the candidate volume per row — stays constant, and
+    grow ``n_bands`` to hold the S-curve recall at the new width
+    (e.g. 100× rows → 19 bits / 32 bands keeps miss ≈1% at cos 0.95).
+    Fixed 12-bit buckets at 100× rows hold ~500 docs each, and the
+    band join pays that occupancy QUADRATICALLY — the factor-100
+    scalecheck measured 187× (and >50 GB of shuffle spill) flat-config
+    vs the scaled operating point recorded in SCALE.md.
+
     Signature generation is an Arrow-batched pandas UDF — one numpy
     ``(batch×dim) @ (dim×planes)`` matmul per batch — because the
     n_bands·band_bits sign bits are exactly the shape builtin
@@ -453,7 +464,8 @@ def semantic_dedup(
             valid, n_centroids, n_iters=n_iters,
             vec_col=vec_col, id_col=id_col,
         )
-    assigned = _assign_cells(norm, "_v", centroids).join(norm, "_vid")
+    # map-side assignment keeps _v — no join-back shuffle
+    assigned = _assign_cells(norm, "_v", centroids)
     if max_cell_size is not None:
         assigned = assigned.withColumn(
             "_cell_n", F.count(F.lit(1)).over(Window.partitionBy("centroid_id"))
@@ -590,7 +602,7 @@ def train_centroids(
     for _ in range(n_iters):
         assigned = _assign_cells(norm, "_v", centroids)
         centroids = (
-            assigned.join(norm, "_vid")
+            assigned
             .select("centroid_id", F.posexplode("_v").alias("_pos", "_x"))
             .groupBy("centroid_id", "_pos")
             .agg(F.avg("_x").alias("_m"))
@@ -614,15 +626,50 @@ def train_centroids(
 def _assign_cells(
     norm: DataFrame, vcol: str, centroids: DataFrame
 ) -> DataFrame:
-    """(_vid → centroid_id) by max cosine; ties on centroid id."""
-    scored = norm.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", dot(F.col(vcol), F.col("centroid"))
+    """All input columns + ``centroid_id`` by max cosine on ``vcol``.
+
+    Zero-shuffle plan (the :func:`cell_outliers` pattern): the centroid
+    set folds to ONE broadcast array row, and the argmax is a map-side
+    ``transform`` + ``array_max`` in whole-stage codegen — one output
+    row per input row, no n×k row materialization, no ``groupBy`` on
+    the row id. The previous form (crossJoin → n·k rows → hash-agg
+    ``max_by``) shuffled n·k rows through the aggregate; with the
+    SemDeDup operating regime scaling ``n_centroids`` WITH the corpus
+    that stage was quadratic in rows moved — the factor-100 scalecheck
+    measured it at 156× the base time before this rewrite.
+
+    Because assignment is now a per-row projection, the input's other
+    columns ride along for free — callers must NOT join the result
+    back to the corpus on the row id (the old (_vid → centroid_id)
+    contract forced that join, two shuffle legs + a sort per call
+    site); carry whatever columns the downstream needs in ``norm``.
+
+    Tie rule unchanged and shared with :func:`cell_outliers`: struct
+    comparison on ``(sim, -centroid_id)`` picks max similarity, then
+    the SMALLER centroid id. Rows whose vector is NULL keep a NULL
+    ``centroid_id`` (same as the old all-NULL ``max_by``).
+    """
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct(F.col("centroid_id"), F.col("centroid"))
+        ).alias("_cents")
     )
-    return scored.groupBy("_vid").agg(
-        F.max_by(
-            F.col("centroid_id"),
-            F.struct(F.col("_sim"), -F.col("centroid_id")),
-        ).alias("centroid_id")
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                dot(F.col(vcol), c["centroid"]).alias("s"),
+                (-c["centroid_id"]).alias("nid"),
+            ),
+        )
+    )
+    return (
+        norm.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_best", F.when(F.col(vcol).isNotNull(), best)
+        )
+        .withColumn("centroid_id", -F.col("_best.nid"))
+        .drop("_cents", "_best")
     )
 
 
@@ -723,12 +770,11 @@ def ivf_topk(
     centroids = train_centroids(
         vectors, n_centroids, n_iters, vec_col, id_col
     ).persist()
-    norm = vectors.select(
-        F.col(id_col).alias("_vid"), l2_normalize(F.col(vec_col)).alias("_v")
+    norm = vectors.withColumnRenamed(id_col, "_vid").withColumn(
+        "_v", l2_normalize(F.col(vec_col))
     )
-    index = _assign_cells(norm, "_v", centroids).join(
-        vectors.withColumnRenamed(id_col, "_vid"), "_vid"
-    )
+    # map-side assignment carries the original columns — no join-back
+    index = _assign_cells(norm, "_v", centroids).drop("_v")
     qn = queries.withColumn("_qv", l2_normalize(F.col("query_vec")))
     qscored = qn.crossJoin(F.broadcast(centroids)).withColumn(
         "_sim", dot(F.col("_qv"), F.col("centroid"))
@@ -930,11 +976,10 @@ def write_ivf_index(
     ).persist()
     norm = vectors.select(
         F.col(id_col).alias("_vid"),
+        F.col(vec_col),
         l2_normalize(F.col(vec_col)).alias("_v"),
     )
-    cells = _assign_cells(norm, "_v", centroids).join(
-        vectors.withColumnRenamed(id_col, "_vid"), "_vid"
-    ).select(
+    cells = _assign_cells(norm, "_v", centroids).select(
         F.col("_vid").alias(id_col), F.col(vec_col), "centroid_id"
     )
     # batch=base level from day 0 so `append_ivf_index` can fold daily
@@ -1110,11 +1155,10 @@ def append_ivf_index(
         centroids = spark.read.parquet(_pp.join(data_root, "centroids"))
         norm = vectors.select(
             F.col(id_col).alias("_vid"),
+            F.col(vec_col),
             l2_normalize(F.col(vec_col)).alias("_v"),
         )
-        cells = _assign_cells(norm, "_v", centroids).join(
-            vectors.withColumnRenamed(id_col, "_vid"), "_vid"
-        ).select(
+        cells = _assign_cells(norm, "_v", centroids).select(
             F.col("_vid").alias(id_col), F.col(vec_col), "centroid_id"
         )
         batch_dir = _pp.join(data_root, "cells", f"batch={token}")

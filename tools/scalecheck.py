@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -58,19 +59,38 @@ def _scaled_docs(spark, sf_dir: str, factor: int) -> DataFrame:
 
 
 def _scaled_embs(spark, sf_dir: str, factor: int) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    copies = [
-        e.select(
-            (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+    # Copies get a per-(copy, dim) deterministic SIGN pattern, not a
+    # one-dim rescale: rescaling flips no signs, so every copy of a
+    # vector shared the same sign-LSH signature AND cosine ≈ 0.99 with
+    # every other copy — the 100× corpus became 100-cliques of true
+    # near-dups in every band/cell, and the pair stage measured that
+    # quadratic construction artifact (the 100× neardup run spilled
+    # >50 GB of candidate pairs), not the plan. Sign-flipping half the
+    # dims per copy keeps norms and marginals identical while
+    # decorrelating copies, so candidate selectivity stays realistic
+    # as the corpus grows. Copy 0 is the untouched original.
+    copies = []
+    for i in range(factor):
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        flip = (
             F.transform(
                 F.col("embedding"),
                 lambda x, j: F.when(
-                    j == 0, x.cast("double") * F.lit(1.0 + 0.37 * i)
-                ).otherwise(x.cast("double")),
-            ).alias("embedding"),
+                    F.pmod(F.xxhash64(F.lit(i), j), F.lit(2)) == 0,
+                    x.cast("double"),
+                ).otherwise(-x.cast("double")),
+            )
+            if i
+            else F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            )
         )
-        for i in range(factor)
-    ]
+        copies.append(
+            e.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                flip.alias("embedding"),
+            )
+        )
     out = copies[0]
     for c in copies[1:]:
         out = out.unionByName(c)
@@ -386,11 +406,22 @@ def main() -> None:
             spark.read.parquet(f"{args.sf}/documents.parquet").limit(300),
         ),
         # valve ON at the production cap, same rationale as
-        # semantic_dedup above
+        # semantic_dedup above. The LSH OPERATING POINT scales with the
+        # corpus exactly as semantic_dedup's n_centroids does: band_bits
+        # grows with log2(mult) so expected bucket occupancy (and with
+        # it Σ bucket², the candidate volume) stays constant per row,
+        # and n_bands doubles to hold the S-curve recall at the 0.95
+        # threshold (12 bits/16 bands miss ~0.6%; 19 bits/32 bands at
+        # 100× miss ~1.1%). A flat-12-bit run at 100× rows packs ~500
+        # docs into every band bucket and measures that quadratic
+        # config error, not the plan — same reasoning as the scaled-k
+        # note above.
         "neardup_banded": lambda mult: similarity.neardup_pairs_banded(
             _scaled_embs(spark, args.sf, mult),
             dim=64,
             threshold=0.95,
+            n_bands=16 if mult == 1 else 32,
+            band_bits=12 + int(round(math.log2(mult))),
             max_docs_per_band=valves.recommended(
                 "neardup_pairs_banded", "max_docs_per_band"
             ),
