@@ -393,6 +393,7 @@ def semantic_dedup(
     keep: str = "min_id",
     max_cell_size: int | None = None,
     centroids: DataFrame | None = None,
+    coarse_centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-bucketed semantic deduplication (the SemDeDup recipe:
     Abbas et al., "SemDeDup: Data-efficient learning at web-scale
@@ -447,6 +448,16 @@ def semantic_dedup(
     :func:`write_ivf_index`, so dedup and ANN probe share one cell
     layout and the corpus's cell assignment is computed once.
 
+    Pass ``coarse_centroids`` ALONGSIDE ``centroids`` for the
+    two-level quantizer (``centroids`` is then the fine table
+    ``(centroid_id, coarse_id, centroid)`` from
+    :func:`train_centroids_2level`): assignment runs the hierarchical
+    argmax of :func:`_assign_cells_2level` — O(√k + √k) dots per row
+    instead of k, the operating point for the paper's regime once k
+    scales past ~10³ with the corpus. Cell semantics downstream (pair
+    stage, valve, keep policies) are identical; the fine centroid id
+    IS the cell id.
+
     Rows whose vector is NULL take no part in clustering and are
     returned kept (their own group) — mirroring the banded path's
     malformed-row contract; zero vectors have cosine 0 to everything
@@ -454,6 +465,11 @@ def semantic_dedup(
     """
     if keep not in ("min_id", "far_from_centroid"):
         raise ValueError(f"unknown semantic_dedup keep policy {keep!r}")
+    if coarse_centroids is not None and centroids is None:
+        raise ValueError(
+            "coarse_centroids requires centroids (the fine-level "
+            "quantizer table from train_centroids_2level)"
+        )
     ids_all = vectors.select(F.col(id_col).alias("_vid"))
     valid = vectors.filter(F.col(vec_col).isNotNull())
     norm = valid.select(
@@ -465,7 +481,12 @@ def semantic_dedup(
             vec_col=vec_col, id_col=id_col,
         )
     # map-side assignment keeps _v — no join-back shuffle
-    assigned = _assign_cells(norm, "_v", centroids)
+    if coarse_centroids is not None:
+        assigned = _assign_cells_2level(
+            norm, "_v", coarse_centroids, centroids
+        ).filter(F.col("centroid_id").isNotNull())
+    else:
+        assigned = _assign_cells(norm, "_v", centroids)
     if max_cell_size is not None:
         assigned = assigned.withColumn(
             "_cell_n", F.count(F.lit(1)).over(Window.partitionBy("centroid_id"))
@@ -671,6 +692,155 @@ def _assign_cells(
         .withColumn("centroid_id", -F.col("_best.nid"))
         .drop("_cents", "_best")
     )
+
+
+def _assign_cells_2level(
+    norm: DataFrame, vcol: str, coarse: DataFrame, fine: DataFrame
+) -> DataFrame:
+    """All input columns + ``centroid_id`` via a TWO-LEVEL argmax:
+    coarse argmax over ``coarse`` (``(centroid_id, centroid)``), then
+    fine argmax over only the winning coarse cell's fine centroids
+    (``fine``: ``(centroid_id, coarse_id, centroid)``; fine centroid
+    ids are the global cell ids).
+
+    This is the inverted-multi-index / hierarchical-quantizer shape
+    (Babenko & Lempitsky, "The Inverted Multi-Index", CVPR 2012; the
+    same two-level coarse quantizer FAISS uses for billion-scale IVF):
+    flat assignment against k cells is O(n·k) dot products, and the
+    SemDeDup operating regime scales k WITH the corpus, so flat
+    assignment is quadratic in FLOPs even after the broadcast-argmax
+    rewrite killed the shuffle. Two balanced levels cost
+    O(n·(√k + √k)) — at k = 1600 that is 80 dots/row instead of 1600.
+
+    Plan shape: still ZERO corpus shuffles. Level 1 is
+    :func:`_assign_cells` (1-row broadcast fold + map-side argmax);
+    level 2 groups the fine table into one array<struct> row PER
+    coarse cell (a tiny shuffle of k fine centroids, never the
+    corpus), broadcast-hash-joins it on the coarse id, and runs the
+    same transform/array_max argmax over the ~√k-element array.
+
+    Tie rule at both levels: max similarity, then smaller centroid id
+    (the engine's one assignment rule). NULL vectors keep a NULL
+    ``centroid_id``; rows whose coarse cell has NO fine centroids
+    (possible only with hand-built fine tables — training seeds every
+    non-empty cell) also get NULL, the same kept-singleton contract.
+    """
+    c1 = _assign_cells(norm, vcol, coarse).withColumnRenamed(
+        "centroid_id", "_coarse_id"
+    )
+    fine_arr = fine.groupBy(F.col("coarse_id").alias("_coarse_id")).agg(
+        F.collect_list(
+            F.struct(F.col("centroid_id"), F.col("centroid"))
+        ).alias("_fc")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("_fc"),
+            lambda c: F.struct(
+                dot(F.col(vcol), c["centroid"]).alias("s"),
+                (-c["centroid_id"]).alias("nid"),
+            ),
+        )
+    )
+    return (
+        c1.join(F.broadcast(fine_arr), "_coarse_id", "left")
+        .withColumn(
+            "_best",
+            F.when(
+                F.col(vcol).isNotNull() & F.col("_fc").isNotNull(), best
+            ),
+        )
+        .withColumn("centroid_id", -F.col("_best.nid"))
+        .drop("_fc", "_best", "_coarse_id")
+    )
+
+
+def train_centroids_2level(
+    vectors: DataFrame,
+    n_coarse: int,
+    n_fine: int,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Hierarchical spherical k-means → ``(coarse, fine)`` quantizer
+    tables for :func:`_assign_cells_2level` /
+    :func:`semantic_dedup` (``coarse_centroids=``).
+
+    ``coarse`` is :func:`train_centroids`'s output
+    (``(centroid_id, centroid)``, ids 1..n_coarse). ``fine`` is
+    ``(centroid_id, coarse_id, centroid)`` with the GLOBAL cell id
+    ``centroid_id = (coarse_id-1)·n_fine + j`` (j = 1..n_fine within
+    the cell) — arithmetic both engines and the Lloyd loop can invert
+    (``coarse_id = (centroid_id-1) div n_fine + 1``), so the fine
+    update never joins back to a lookup table.
+
+    Determinism matches :func:`train_centroids`: fine seeds are each
+    coarse cell's ``n_fine`` members with the smallest
+    ``xxhash64(id)`` (per-cell hash-order window — the ONE corpus
+    shuffle in the build, at train time only), assignment ties break
+    on centroid id, means are per-dimension hash aggregations,
+    centroids re-normalize every iteration. Cells with fewer than
+    ``n_fine`` members seed fewer fine centroids; a fine centroid
+    whose cell assigns it no rows in an iteration drops out (standard
+    Lloyd behavior, same as the flat trainer).
+
+    Scale shape: per Lloyd iteration the corpus does ZERO shuffles for
+    assignment (two broadcast argmaxes) and one posexplode hash
+    aggregation for the mean — identical stage structure to the flat
+    trainer, but each row computes √k + √k dots instead of k.
+    """
+    coarse = train_centroids(vectors, n_coarse, n_iters, vec_col, id_col)
+    norm = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_vid"),
+        l2_normalize(F.col(vec_col)).alias("_v"),
+    )
+    assigned = _assign_cells(norm, "_v", coarse).withColumnRenamed(
+        "centroid_id", "_cid"
+    )
+    w = Window.partitionBy("_cid").orderBy("_h", "_vid")
+    fine = (
+        assigned.withColumn("_h", F.xxhash64(F.col("_vid")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_fine)
+        .select(
+            (
+                (F.col("_cid") - 1) * F.lit(n_fine) + F.col("_rn")
+            ).alias("centroid_id"),
+            F.col("_cid").alias("coarse_id"),
+            F.col("_v").alias("centroid"),
+        )
+    )
+    for _ in range(n_iters):
+        a2 = _assign_cells_2level(norm, "_v", coarse, fine)
+        fine = (
+            a2.filter(F.col("centroid_id").isNotNull())
+            .select(
+                "centroid_id", F.posexplode("_v").alias("_pos", "_x")
+            )
+            .groupBy("centroid_id", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_m"))
+                    ),
+                    lambda s: s["_m"],
+                ).alias("centroid")
+            )
+            .select(
+                "centroid_id",
+                (
+                    F.floor((F.col("centroid_id") - 1) / F.lit(n_fine))
+                    + 1
+                )
+                .cast("int")
+                .alias("coarse_id"),
+                l2_normalize(F.col("centroid")).alias("centroid"),
+            )
+        )
+    return coarse, fine
 
 
 def cell_outliers(

@@ -556,6 +556,55 @@ def llm_semantic_dedup_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_semantic_dedup_2level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-level (coarse→fine) quantizer semantic dedup under a FULL
+    value-level oracle — certifies
+    `semantic_dedup(coarse_centroids=...)`, the inverted-multi-index
+    assignment path (O(√k + √k) dots per row instead of k) that the
+    SemDeDup scaled-k regime needs once cells number in the
+    thousands. Explicit prototypes keep every stage deterministic:
+    coarse = corpus vectors 0–1 normalized, fine = vectors 2–9
+    normalized with their coarse cell computed by the SAME argmax
+    rule (ties to the smaller id) the corpus assignment uses — so
+    DuckDB replays the fine table's coarse membership, BOTH argmax
+    stages per corpus row, the within-cell pair test (cos ≥ 0.95 on
+    the planted perturbed corpus, whose cross pairs top out at 0.61)
+    and the min-id keep rule without a connected-components engine.
+    A corpus row whose coarse cell holds no fine centroid surfaces as
+    a kept singleton in both engines (NULL cell / anti-join branch).
+    Margins measured at every shipped SF (r7 margin sweep): corpus
+    coarse argmax gap ≥ 7.9e-6, fine-prototype coarse-membership gap
+    ≥ 1.6e-4, corpus fine argmax gap ≥ 6.2e-6, planted pairs ≥ 0.996
+    vs cross pairs ≤ 0.61 — all orders of magnitude above
+    cross-engine double-summation noise."""
+    corpus = _planted_neardup_corpus(spark, sf_dir)
+    e = _embs(spark, sf_dir)
+    coarse = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        similarity.l2_normalize(F.col("embedding")).alias("centroid"),
+    )
+    fine_protos = e.filter(
+        (F.col("vec_id") >= 2) & (F.col("vec_id") < 10)
+    ).select(
+        F.col("vec_id").cast("int").alias("_vid"),
+        similarity.l2_normalize(F.col("embedding")).alias("_v"),
+    )
+    fine = similarity._assign_cells(fine_protos, "_v", coarse).select(
+        F.col("_vid").alias("centroid_id"),
+        F.col("centroid_id").alias("coarse_id"),
+        F.col("_v").alias("centroid"),
+    )
+    return similarity.semantic_dedup(
+        corpus,
+        n_centroids=8,
+        threshold=0.95,
+        centroids=fine,
+        coarse_centroids=coarse,
+    )
+
+
 def llm_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-quantizer semantic dedup: `write_ivf_index` persists the
     coarse quantizer, `read_ivf_centroids` hands the STORED centroids
@@ -956,9 +1005,15 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the change, and pinned at the pruned point in tests/test_advice_r7).
 DRIVER_QUERIES = [
     # never driver-verified, first
+    "llm_semantic_dedup_2level",
     "llm_semantic_dedup_diverse",
     "llm_semantic_dedup_ivf",
-    # r5-last-green re-verification cohort
+    # r5-last-green re-verification cohort. llm_frame_sample yields
+    # its slot to the new two-level-quantizer oracle (the budget is a
+    # hard 50): codec-tier surface frozen since r5, parity-green at
+    # every SF this round, deterministic planted construction — the
+    # one documented r7 deferral, leads the r8 rotation (the aj1
+    # precedent from r6).
     "llm_ann_ivf",
     "llm_ann_lsh_planted",
     "llm_audio_features",
@@ -967,7 +1022,6 @@ DRIVER_QUERIES = [
     "llm_cosine_topk",
     "llm_dedup_clusters",
     "llm_dedup_exact",
-    "llm_frame_sample",
     "llm_hash_split",
     "llm_image_features",
     "llm_jaccard_pairs",
@@ -1002,6 +1056,7 @@ QUERIES = {
     "llm_neardup_embeddings": llm_neardup_embeddings,
     "llm_semantic_dedup": llm_semantic_dedup,
     "llm_semantic_dedup_diverse": llm_semantic_dedup_diverse,
+    "llm_semantic_dedup_2level": llm_semantic_dedup_2level,
     "llm_semantic_dedup_ivf": llm_semantic_dedup_ivf,
     "llm_cell_outliers": llm_cell_outliers,
     "llm_text_stats": llm_text_stats,
@@ -1731,6 +1786,85 @@ ORACLES["llm_semantic_dedup"] = """
 # booleans are engine-independent under ANY stored quantizer — the
 # oracle certifies the persisted-index quantizer-reuse round trip.
 ORACLES["llm_semantic_dedup_ivf"] = ORACLES["llm_semantic_dedup"]
+
+# Full value-level replay of the TWO-LEVEL quantizer path: the fine
+# table's coarse membership, both per-row argmax stages (coarse, then
+# fine within the winning coarse cell; ties to the smaller id), the
+# within-cell pair test and the min-id keep rule. The planted pair
+# graph is a perfect matching (cross pairs ≤ cos 0.61), so groups are
+# pairwise-expressible; a corpus row whose coarse cell holds no fine
+# centroid falls through the inner join to the kept-singleton branch —
+# the same NULL-cell contract as the engine.
+ORACLES["llm_semantic_dedup_2level"] = f"""
+    WITH corpus AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE))
+                   AS embedding
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(range(1, 65),
+                   i -> CASE WHEN i = 1
+                        THEN CAST(embedding[i] AS DOUBLE)
+                             * CAST(1.2 AS DOUBLE)
+                        ELSE CAST(embedding[i] AS DOUBLE) END)
+        FROM embeddings
+    ), coarse AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+        FROM embeddings WHERE vec_id < 2
+    ), finep AS (
+        SELECT vec_id AS fid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+        FROM embeddings WHERE vec_id >= 2 AND vec_id < 10
+    ), fine AS (
+        SELECT fid, cid, c FROM (
+            SELECT f.fid, co.cid, f.c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY f.fid
+                       ORDER BY {_cos('f.c', 'co.c')} DESC, co.cid ASC
+                   ) AS rn
+            FROM finep f CROSS JOIN coarse co
+        ) WHERE rn = 1
+    ), s1 AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT o.vec_id, o.embedding, co.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o.vec_id
+                       ORDER BY {_cos('o.embedding', 'co.c')} DESC,
+                                co.cid ASC
+                   ) AS rn
+            FROM corpus o CROSS JOIN coarse co
+        ) WHERE rn = 1
+    ), assign AS (
+        SELECT vec_id, embedding, fid FROM (
+            SELECT s.vec_id, s.embedding, f.fid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY {_cos('s.embedding', 'f.c')} DESC,
+                                f.fid ASC
+                   ) AS rn
+            FROM s1 s JOIN fine f ON f.cid = s.cid
+        ) WHERE rn = 1
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a JOIN assign b
+          ON a.fid = b.fid AND a.vec_id < b.vec_id
+        WHERE {_cos('a.embedding', 'b.embedding')} >= 0.95
+    ), partner AS (
+        SELECT id_a AS vec_id, id_b AS other FROM pairs
+        UNION ALL
+        SELECT id_b AS vec_id, id_a AS other FROM pairs
+    )
+    SELECT vec_id,
+           LEAST(vec_id, other) AS sem_cluster_id,
+           vec_id < other AS kept
+    FROM partner
+    UNION ALL
+    SELECT c.vec_id, c.vec_id AS sem_cluster_id, TRUE AS kept
+    FROM corpus c LEFT JOIN partner p USING (vec_id)
+    WHERE p.other IS NULL
+"""
 
 # Full value-level replay of the far_from_centroid keep policy: the
 # planted pair graph is a perfect matching (each group is exactly

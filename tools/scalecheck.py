@@ -370,6 +370,29 @@ def main() -> None:
                 "semantic_dedup", "max_cell_size"
             ),
         ),
+        # the same regime through the two-level quantizer: balanced
+        # levels of ~sqrt(k) each (16 = 4x4, 1600 = 40x40), so
+        # per-row assignment work grows with sqrt(k) instead of k —
+        # the flat row above pays 1600 dots/row at 100x, this one 80
+        "semantic_dedup_2level": lambda mult: (
+            lambda cf: similarity.semantic_dedup(
+                _scaled_embs(spark, args.sf, mult),
+                n_centroids=16 * mult,
+                threshold=0.95,
+                centroids=cf[1],
+                coarse_centroids=cf[0],
+                max_cell_size=valves.recommended(
+                    "semantic_dedup", "max_cell_size"
+                ),
+            )
+        )(
+            similarity.train_centroids_2level(
+                _scaled_embs(spark, args.sf, mult),
+                n_coarse=4 * int(round(math.sqrt(mult))),
+                n_fine=4 * int(round(math.sqrt(mult))),
+                n_iters=1,
+            )
+        ),
         # prototype-distance gate: fixed centroid set broadcast against
         # a growing corpus — pure map-side argmax, must track the scan
         "cell_outliers": lambda mult: similarity.cell_outliers(
