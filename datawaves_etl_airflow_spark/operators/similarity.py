@@ -929,22 +929,41 @@ def ivf_topk(
     n_iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_fine: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: build the coarse quantizer, assign every
     corpus vector to its cell, then score each query only against the
     cells of its ``nprobe`` nearest centroids. Output schema matches
     ``brute_force_topk`` so recall is directly comparable.
+
+    ``n_fine`` switches the build to the two-level quantizer
+    (``n_centroids`` coarse × ``n_fine`` fine cells, corpus assignment
+    via the hierarchical argmax — see `write_ivf_index`); the probe
+    side scores queries flat over the fine centroids either way, so a
+    probe over the same cells is identical regardless of how the
+    corpus was assigned to them.
     """
-    # tiny (n_centroids rows) but referenced twice (index assignment +
-    # query probing) — persist so the Lloyd-iteration lineage runs once
-    centroids = train_centroids(
-        vectors, n_centroids, n_iters, vec_col, id_col
-    ).persist()
     norm = vectors.withColumnRenamed(id_col, "_vid").withColumn(
         "_v", l2_normalize(F.col(vec_col))
     )
-    # map-side assignment carries the original columns — no join-back
-    index = _assign_cells(norm, "_v", centroids).drop("_v")
+    # tiny (n_centroids rows) but referenced twice (index assignment +
+    # query probing) — persist so the Lloyd-iteration lineage runs once
+    if n_fine is not None:
+        coarse, centroids = train_centroids_2level(
+            vectors, n_centroids, n_fine, n_iters, vec_col, id_col
+        )
+        coarse = coarse.persist()
+        centroids = centroids.persist()
+        # map-side two-stage assignment — original columns ride along
+        index = _assign_cells_2level(norm, "_v", coarse, centroids).drop(
+            "_v"
+        )
+    else:
+        centroids = train_centroids(
+            vectors, n_centroids, n_iters, vec_col, id_col
+        ).persist()
+        # map-side assignment carries the original columns — no join-back
+        index = _assign_cells(norm, "_v", centroids).drop("_v")
     qn = queries.withColumn("_qv", l2_normalize(F.col("query_vec")))
     qscored = qn.crossJoin(F.broadcast(centroids)).withColumn(
         "_sim", dot(F.col("_qv"), F.col("centroid"))
@@ -1109,6 +1128,7 @@ def write_ivf_index(
     n_iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_fine: int | None = None,
 ) -> None:
     """Persist the IVF index: ``centroids/`` (tiny, broadcast at probe
     time) and ``cells/`` — the corpus laid out as ``centroid_id=N``
@@ -1121,6 +1141,23 @@ def write_ivf_index(
     (same principle as `sinks.write_key_bucketed` for key probes).
     Build cost: `train_centroids` (broadcast Lloyd iterations) + one
     corpus shuffle on cell id for the partitioned write.
+
+    Pass ``n_fine`` to build with the TWO-LEVEL quantizer
+    (`train_centroids_2level`): ``n_centroids`` coarse cells ×
+    ``n_fine`` fine cells each, corpus assignment via the hierarchical
+    argmax (`_assign_cells_2level` — O(√k+√k) dots per row instead of
+    k). This is the billion-vector operating point: flat assignment
+    against k cells is O(n·k) FLOPs, and at scaled-k (k ∝ n, the
+    IVF/SemDeDup regime) the build's assignment stage goes quadratic —
+    the r7 factor-100 scalecheck measured exactly that term. The
+    LAYOUT is unchanged: fine centroid ids are the global
+    ``centroid_id=`` partition values (``centroids/`` carries the fine
+    table with its ``coarse_id`` column; the coarse table lands beside
+    it under ``coarse/``), so probes, appends, compaction and the
+    shared-quantizer dedup seam all work identically — a probe over
+    the same cells is bit-identical to a flat probe (query-side
+    scoring is flat over the fine centroids; queries are few, the
+    corpus is what must never pay O(k)).
 
     A REBUILD is a pointer flip (same commit protocol as the MinHash
     index and the streaming txn store — `sources.manifest`): cells and
@@ -1141,15 +1178,25 @@ def write_ivf_index(
     version = vm.latest_version(spark)
     rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")
     vroot = _pp.join(path, rel)
-    centroids = train_centroids(
-        vectors, n_centroids, n_iters, vec_col, id_col
-    ).persist()
     norm = vectors.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col),
         l2_normalize(F.col(vec_col)).alias("_v"),
     )
-    cells = _assign_cells(norm, "_v", centroids).select(
+    if n_fine is not None:
+        coarse, centroids = train_centroids_2level(
+            vectors, n_centroids, n_fine, n_iters, vec_col, id_col
+        )
+        coarse = coarse.persist()
+        centroids = centroids.persist()
+        cells = _assign_cells_2level(norm, "_v", coarse, centroids)
+    else:
+        coarse = None
+        centroids = train_centroids(
+            vectors, n_centroids, n_iters, vec_col, id_col
+        ).persist()
+        cells = _assign_cells(norm, "_v", centroids)
+    cells = cells.select(
         F.col("_vid").alias(id_col), F.col(vec_col), "centroid_id"
     )
     # batch=base level from day 0 so `append_ivf_index` can fold daily
@@ -1166,6 +1213,11 @@ def write_ivf_index(
         _pp.join(vroot, "centroids")
     )
     centroids.unpersist()
+    if coarse is not None:
+        coarse.write.mode("errorifexists").parquet(
+            _pp.join(vroot, "coarse")
+        )
+        coarse.unpersist()
     from ..sources.fs import require_success_marker
 
     # both written directories, for symmetry with the compaction's
@@ -1178,18 +1230,22 @@ def write_ivf_index(
     require_success_marker(
         spark, _pp.join(vroot, "centroids"), "IVF index build"
     )
-    vm.publish_or_raise(
-        spark,
-        {
-            "current": rel,
-            "n_centroids": n_centroids,
-            "n_iters": n_iters,
-            "vec_col": vec_col,
-            "id_col": id_col,
-        },
-        version,
-        "IVF index rebuild",
-    )
+    if n_fine is not None:
+        require_success_marker(
+            spark, _pp.join(vroot, "coarse"), "IVF index build"
+        )
+    payload = {
+        "current": rel,
+        "n_centroids": n_centroids,
+        "n_iters": n_iters,
+        "vec_col": vec_col,
+        "id_col": id_col,
+    }
+    # absent for flat builds: old manifests stay valid and readers
+    # treat a missing key as the flat quantizer
+    if n_fine is not None:
+        payload["n_fine"] = n_fine
+    vm.publish_or_raise(spark, payload, version, "IVF index rebuild")
 
 
 def _ivf_meta_from_payload(
@@ -1206,6 +1262,10 @@ def _ivf_meta_from_payload(
             "n_iters": int(payload["n_iters"]),
             "vec_col": str(payload["vec_col"]),
             "id_col": str(payload["id_col"]),
+            # absent on flat builds (and every pre-r8 manifest)
+            "n_fine": (
+                int(payload["n_fine"]) if "n_fine" in payload else None
+            ),
         }
         current = str(payload["current"])
     except (ValueError, KeyError, TypeError) as exc:
@@ -1244,6 +1304,7 @@ def _resolve_ivf_index(spark, path: str) -> tuple[dict, str]:
             "n_iters": int(meta["n_iters"]),
             "vec_col": str(meta["vec_col"]),
             "id_col": str(meta["id_col"]),
+            "n_fine": None,  # legacy layout predates the 2-level build
         }, path
     except (ValueError, KeyError, TypeError) as exc:
         raise ValueError(
@@ -1271,6 +1332,31 @@ def read_ivf_centroids(spark, path: str) -> DataFrame:
     return spark.read.parquet(_pp.join(root, "centroids")).select(
         "centroid_id", "centroid"
     )
+
+
+def read_ivf_quantizer(
+    spark, path: str
+) -> tuple[DataFrame | None, DataFrame]:
+    """The persisted quantizer in assignment-ready form:
+    ``(coarse, fine)`` where ``coarse`` is None for flat indexes and
+    ``fine`` is the full centroid table (``(centroid_id, coarse_id,
+    centroid)`` on two-level indexes, ``(centroid_id, centroid)`` on
+    flat ones). The two-level shared-quantizer seam: pass both straight
+    to ``semantic_dedup(centroids=fine, coarse_centroids=coarse)`` so
+    a dedup over a 2-level index assigns hierarchically (O(√k+√k)
+    dots/row) against the SAME global cell ids the index's
+    ``centroid_id=`` partitions use — never the flat O(k) scan of the
+    fine table that `read_ivf_centroids` alone would imply."""
+    import posixpath as _pp
+
+    meta, root = _resolve_ivf_index(spark, path)
+    fine = spark.read.parquet(_pp.join(root, "centroids"))
+    if meta["n_fine"] is None:
+        return None, fine.select("centroid_id", "centroid")
+    coarse = spark.read.parquet(_pp.join(root, "coarse")).select(
+        "centroid_id", "centroid"
+    )
+    return coarse, fine.select("centroid_id", "coarse_id", "centroid")
 
 
 def append_ivf_index(
@@ -1328,7 +1414,17 @@ def append_ivf_index(
             F.col(vec_col),
             l2_normalize(F.col(vec_col)).alias("_v"),
         )
-        cells = _assign_cells(norm, "_v", centroids).select(
+        # the batch assigns against the STORED quantizer in its own
+        # geometry: hierarchical argmax on 2-level indexes (same
+        # O(√k+√k) dots/row as the build — an append that flat-scanned
+        # the fine table would reintroduce the O(n·k) term the 2-level
+        # build exists to kill), flat argmax otherwise
+        if meta["n_fine"] is not None:
+            coarse = spark.read.parquet(_pp.join(data_root, "coarse"))
+            assigned = _assign_cells_2level(norm, "_v", coarse, centroids)
+        else:
+            assigned = _assign_cells(norm, "_v", centroids)
+        cells = assigned.select(
             F.col("_vid").alias(id_col), F.col(vec_col), "centroid_id"
         )
         batch_dir = _pp.join(data_root, "cells", f"batch={token}")
@@ -1438,10 +1534,16 @@ def compact_ivf_index(
     require_success_marker(
         spark, _pp.join(vroot, "cells", "batch=base"), "IVF index compaction"
     )
-    # the quantizer travels unchanged to the new version
+    # the quantizer travels unchanged to the new version (both levels
+    # on a 2-level index — the fine table under centroids/, the coarse
+    # table beside it)
     spark.read.parquet(_pp.join(old_root, "centroids")).write.mode(
         "errorifexists"
     ).parquet(_pp.join(vroot, "centroids"))
+    if meta["n_fine"] is not None:
+        spark.read.parquet(_pp.join(old_root, "coarse")).write.mode(
+            "errorifexists"
+        ).parquet(_pp.join(vroot, "coarse"))
     # cumulative folded-token record: append_ivf_index no-ops for
     # these, closing the replay-after-compaction duplication window
     # (see compact_minhash_index — same contract, same prune rule)
@@ -1475,7 +1577,7 @@ def vacuum_ivf_index(spark, path: str) -> list[str]:
     from ..sources.manifest import VersionedManifest
 
     return VersionedManifest(path).vacuum_versions(
-        spark, ("cells", "centroids", IVF_META_FILE)
+        spark, ("cells", "centroids", "coarse", IVF_META_FILE)
     )
 
 

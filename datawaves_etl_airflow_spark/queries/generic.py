@@ -807,26 +807,35 @@ def g2_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: unbucketed twin aj1 holds a slot, both are parity-green, and the
 #: as-of operator surface is unchanged); it leads the r8 rotation.
 #: The r6-green set rotates out, parity-pinned.
+#: Round-8 rotation: aj2_asof_bucketed leads (last green r5 — the r7
+#: deferral), then 17 of the 21 r6-last-green generic queries. The
+#: round's 54 freshness candidates (50 r6-green + 2 r5-stale + 2 new
+#: surfaces) exceed the hard 50-slot budget by exactly 4, so four
+#: r6-green queries defer one round — chosen as pure-SQL extension
+#: queries whose operator surface is untouched this round and whose
+#: same-family twin IS re-verified this round: w2_running_sum (twin
+#: w4 in), pv2_unpivot_metrics (twin pv1 in), g3_cube_priority (twin
+#: g1 in), h1_hourly_events (twins h2 in / h3 r7-green). All four
+#: stay parity-green and lead the r9 rotation.
 DRIVER_QUERIES = [
-    "aj1_asof_clicks",
-    "a1_count_existence",
-    "a2_count_col_vs_star",
-    "e1_except_parts",
-    "f2_array_surface",
-    "g4_purchase_trend",
-    "h3_hopping_windows",
-    "j6_anti_join_customers",
-    "j6b_anti_join_prefiltered",
-    "j6c_anti_join_bucket_pruned",
-    "j7_region_rollup",
-    "j8_semi_join_customers",
-    "j9_full_outer_rollup",
-    "p4_date_range_scan",
-    "p5_conjunctive_filter",
-    "t1_topk_orders",
-    "u1_intersect_users",
-    "w1_topk_per_user",
-    "x2_above_global_avg",
+    "aj2_asof_bucketed",
+    "f_scalar_surface",
+    "g1_rollup_returnflag",
+    "g2_grouped_quantiles",
+    "h2_range_pruned_scan",
+    "j1_order_revenue_3way",
+    "j5_composite_key_join",
+    "m1_upsert_dimension",
+    "m2_scd2_history",
+    "m3_incremental_merge",
+    "pv1_pivot_linestatus",
+    "q1_pricing_summary",
+    "rj1_promo_range_join",
+    "sk1_salted_agg",
+    "w3_sessionization",
+    "w4_rolling_range_window",
+    "x1_approx_aggregates",
+    "x3_profile_orders",
 ]
 
 #: columns profiled by x3 (orderable subset of orders)

@@ -662,6 +662,169 @@ def llm_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def llm_ann_ivf_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED 2-LEVEL IVF index under a FULL value-level oracle —
+    the driver certificate for `write_ivf_index(n_fine=...)` (r7
+    verdict task 1): the corpus is assigned by the hierarchical
+    coarse→fine argmax (O(√k+√k) dots/row — the fix for the
+    flat-assignment FLOPs quadratic the r7 factor-100 scalecheck
+    measured), fine centroid ids are the global ``centroid_id=``
+    partition values, and `ivf_search_index` probes the layout at
+    nprobe = all 16 cells. Full probe scores every partition, so
+    whatever cells the two-stage assignment produced, the result is
+    the EXACT cosine top-5 — the oracle is the same brute-force
+    replay as `llm_cosine_topk`, a real value-level check over the
+    whole 2-level build → layout → manifest resolve → probe chain
+    (not a planted self-check). Executed eagerly (localCheckpoint) so
+    the temp index is removed before return."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    qs = _query_vecs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="llm_ivf2l_")
+    try:
+        similarity.write_ivf_index(
+            embs, idx, n_centroids=4, n_iters=1, n_fine=4
+        )
+        return similarity.ivf_search_index(
+            qs, idx, nprobe=16, k=5
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def llm_semantic_dedup_ivf_diverse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The `far_from_centroid` keep policy OVER A STORED QUANTIZER —
+    the composition a real curation pipeline runs (r7 verdict task 4:
+    `llm_semantic_dedup_diverse` used explicit prototypes,
+    `llm_semantic_dedup_ivf` used min-id keep; this query runs the
+    diversity rule against `read_ivf_centroids` of a persisted
+    `write_ivf_index`). The trained quantizer is xxhash64-seeded, so
+    raw cells aren't DuckDB-expressible — instead the planted
+    perturbed corpus (`_planted_neardup_corpus`: cross pairs ≤ 0.61,
+    planted pairs ≥ 0.996) makes the pair graph a perfect matching
+    under ANY quantizer, and the query replays the expected decisions
+    IN-PLAN from the same stored centroids with bit-identical
+    expressions (`_assign_cells` argmax + unrounded dot, exactly what
+    `semantic_dedup`'s keep rule computes): a planted pair that
+    co-assigns must form a group labeled by the source id with ONE
+    survivor — the member LEAST similar to the cell prototype (ties
+    to the smaller id); a split pair must surface as two kept
+    singletons. The compared booleans (`rule_ok`, `grouping_ok`) are
+    engine-independent and the oracle asserts TRUE; pytest pins that
+    both keep outcomes and the paired branch actually occur at
+    sf0.001 so the booleans can't go vacuous. Executed eagerly
+    (localCheckpoint) so the temp index is removed before return."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    corpus = _planted_neardup_corpus(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="llm_semdedup_ivfd_")
+    try:
+        similarity.write_ivf_index(embs, idx, n_centroids=16, n_iters=1)
+        cents = similarity.read_ivf_centroids(spark, idx)
+        d = similarity.semantic_dedup(
+            corpus,
+            n_centroids=16,
+            threshold=0.95,
+            keep="far_from_centroid",
+            centroids=cents,
+        )
+        # in-plan replay with semantic_dedup's own expressions over the
+        # same stored centroids: cell (argmax dot, ties to smaller id)
+        # and UNROUNDED own-prototype similarity per row
+        norm = corpus.select(
+            F.col("vec_id").alias("_vid"),
+            similarity.l2_normalize(F.col("embedding")).alias("_v"),
+        )
+        sims = (
+            similarity._assign_cells(norm, "_v", cents)
+            .join(F.broadcast(cents), "centroid_id")
+            .select(
+                F.col("_vid").alias("vec_id"),
+                F.col("centroid_id").alias("cell"),
+                similarity.dot(F.col("_v"), F.col("centroid")).alias(
+                    "csim"
+                ),
+                F.col("_v").alias("nv"),
+            )
+        )
+        s = sims.filter(F.col("vec_id") < 100000).alias("s")
+        c = (
+            sims.filter(F.col("vec_id") >= 100000)
+            .select(
+                (F.col("vec_id") - F.lit(100000)).alias("vec_id"),
+                F.col("cell").alias("c_cell"),
+                F.col("csim").alias("c_csim"),
+                F.col("nv").alias("c_nv"),
+            )
+            .alias("c")
+        )
+        expect = s.join(c, "vec_id").select(
+            "vec_id",
+            (
+                (F.col("cell") == F.col("c_cell"))
+                & (
+                    similarity.dot(F.col("nv"), F.col("c_nv"))
+                    >= F.lit(0.95)
+                )
+            ).alias("paired"),
+            # far-from-centroid keep: min csim wins, ties to the
+            # smaller id — the source (smaller id) survives a tie
+            (
+                (F.col("csim") < F.col("c_csim"))
+                | (F.col("csim") == F.col("c_csim"))
+            ).alias("exp_src_kept_if_paired"),
+        )
+        obs_s = d.filter(F.col("vec_id") < 100000).select(
+            "vec_id",
+            F.col("kept").alias("s_kept"),
+            F.col("sem_cluster_id").alias("s_cluster"),
+        )
+        obs_c = d.filter(F.col("vec_id") >= 100000).select(
+            (F.col("vec_id") - F.lit(100000)).alias("vec_id"),
+            F.col("kept").alias("c_kept"),
+            F.col("sem_cluster_id").alias("c_cluster"),
+        )
+        return (
+            expect.join(obs_s, "vec_id")
+            .join(obs_c, "vec_id")
+            .select(
+                "vec_id",
+                F.when(
+                    F.col("paired"),
+                    (
+                        F.col("s_kept")
+                        == F.col("exp_src_kept_if_paired")
+                    )
+                    & (F.col("c_kept") != F.col("s_kept")),
+                )
+                .otherwise(F.col("s_kept") & F.col("c_kept"))
+                .alias("rule_ok"),
+                F.when(
+                    F.col("paired"),
+                    (F.col("s_cluster") == F.col("vec_id"))
+                    & (F.col("c_cluster") == F.col("vec_id")),
+                )
+                .otherwise(
+                    (F.col("s_cluster") == F.col("vec_id"))
+                    & (
+                        F.col("c_cluster")
+                        == F.col("vec_id") + F.lit(100000)
+                    )
+                )
+                .alias("grouping_ok"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def llm_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototype-distance quality gate (`similarity.cell_outliers`):
     the first 4 corpus vectors serve as deterministic prototypes
@@ -1003,35 +1166,44 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: knn_label_predict_index — is value-identical at the registered
 #: full-probe operating point, re-verified by tools/parity.py after
 #: the change, and pinned at the pruned point in tests/test_advice_r7).
+#: Round-8 rotation: the two never-driver-verified queries lead — the
+#: persisted 2-level-quantizer index under the exact brute-force
+#: oracle (r7 verdict task 1) and the far_from_centroid × stored-
+#: quantizer composition (task 4) — then llm_frame_sample (last green
+#: r5, the deferral the r7 verdict flagged), then EVERY r6-last-green
+#: llm query (the whole cohort takes slots this round; freshness
+#: criterion: nothing older than r7 after this run). The r7-green set
+#: rotates out parity-pinned; the only r8 source change they share is
+#: the n_fine plumbing, which is parameter-gated off on every flat
+#: call path (`n_fine=None` falls through to the r7 expressions).
 DRIVER_QUERIES = [
     # never driver-verified, first
-    "llm_semantic_dedup_2level",
-    "llm_semantic_dedup_diverse",
-    "llm_semantic_dedup_ivf",
-    # r5-last-green re-verification cohort. llm_frame_sample yields
-    # its slot to the new two-level-quantizer oracle (the budget is a
-    # hard 50): codec-tier surface frozen since r5, parity-green at
-    # every SF this round, deterministic planted construction — the
-    # one documented r7 deferral, leads the r8 rotation (the aj1
-    # precedent from r6).
-    "llm_ann_ivf",
-    "llm_ann_lsh_planted",
-    "llm_audio_features",
-    "llm_cluster_keep",
-    "llm_corpus_pipeline",
-    "llm_cosine_topk",
-    "llm_dedup_clusters",
-    "llm_dedup_exact",
-    "llm_hash_split",
-    "llm_image_features",
-    "llm_jaccard_pairs",
-    "llm_knn_label_eval",
-    "llm_lang_id",
-    "llm_pack_sequences",
-    "llm_quality_logit",
-    "llm_quantize_embeddings",
-    "llm_source_quota",
-    "llm_text_stats",
+    "llm_ann_ivf_2level",
+    "llm_semantic_dedup_ivf_diverse",
+    # r5-last-green (the r7 deferral)
+    "llm_frame_sample",
+    # r6-last-green cohort, complete
+    "llm_ann_ivf_index",
+    "llm_cell_outliers",
+    "llm_chunking",
+    "llm_decontaminate",
+    "llm_fingerprint",
+    "llm_incremental_dedup",
+    "llm_knn_ivf_eval",
+    "llm_length_histogram",
+    "llm_multimodal_meta",
+    "llm_neardup_embeddings",
+    "llm_passage_dedup",
+    "llm_pii_scrub",
+    "llm_quality_filter",
+    "llm_repetition",
+    "llm_semantic_dedup",
+    "llm_simhash_planted",
+    "llm_temperature_sample",
+    "llm_tfidf_keywords",
+    "llm_token_counts",
+    "llm_unigram_logprob",
+    "llm_wordcount",
 ]
 
 QUERIES = {
@@ -1058,6 +1230,8 @@ QUERIES = {
     "llm_semantic_dedup_diverse": llm_semantic_dedup_diverse,
     "llm_semantic_dedup_2level": llm_semantic_dedup_2level,
     "llm_semantic_dedup_ivf": llm_semantic_dedup_ivf,
+    "llm_semantic_dedup_ivf_diverse": llm_semantic_dedup_ivf_diverse,
+    "llm_ann_ivf_2level": llm_ann_ivf_2level,
     "llm_cell_outliers": llm_cell_outliers,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
@@ -1786,6 +1960,26 @@ ORACLES["llm_semantic_dedup"] = """
 # booleans are engine-independent under ANY stored quantizer — the
 # oracle certifies the persisted-index quantizer-reuse round trip.
 ORACLES["llm_semantic_dedup_ivf"] = ORACLES["llm_semantic_dedup"]
+
+# llm_ann_ivf_2level probes the persisted 2-level index at nprobe =
+# all cells: every centroid_id= partition is scored, so whatever cells
+# the hierarchical assignment produced, the result IS the exact cosine
+# top-5 — the same brute-force replay oracle as llm_cosine_topk, here
+# certifying the whole 2-level build → layout → probe chain at value
+# level.
+ORACLES["llm_ann_ivf_2level"] = ORACLES["llm_cosine_topk"]
+
+# llm_semantic_dedup_ivf_diverse: the trained quantizer is
+# xxhash64-seeded (not DuckDB-expressible), but the planted perfect
+# matching makes the far_from_centroid decisions replayable IN-PLAN
+# from the stored centroids (bit-identical expressions), so the
+# compared booleans are engine-independent under ANY quantizer; pytest
+# (test_semantic_dedup.py) pins that both keep outcomes and the paired
+# branch occur, keeping the booleans non-vacuous.
+ORACLES["llm_semantic_dedup_ivf_diverse"] = """
+    SELECT vec_id, TRUE AS rule_ok, TRUE AS grouping_ok
+    FROM embeddings
+"""
 
 # Full value-level replay of the TWO-LEVEL quantizer path: the fine
 # table's coarse membership, both per-row argmax stages (coarse, then

@@ -275,3 +275,162 @@ class TestMultiProbeLsh:
             (r["query_id"], r["match_id"]) for r in multi.collect()
         ]
         assert len(seen) == len(set(seen))
+
+
+class Test2LevelIvfIndex:
+    """`write_ivf_index(n_fine=...)` — the two-level quantizer wired
+    into the persisted layout (r7 verdict task 1): the corpus assigns
+    hierarchically (O(√k+√k) dots/row, never the O(n·k) flat scan),
+    fine centroid ids ARE the global `centroid_id=` partition values,
+    and every lifecycle op (probe, append, compaction, vacuum,
+    shared-quantizer dedup) works unchanged over the layout."""
+
+    @pytest.fixture()
+    def index2_path(self, spark, tmp_path):
+        p = str(tmp_path / "ivf2l")
+        write_ivf_index(
+            _vectors(spark), p, n_centroids=4, n_iters=1, n_fine=4
+        )
+        return p
+
+    def test_meta_and_quantizer_reader(self, spark, index2_path, index_path):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            read_ivf_quantizer,
+        )
+
+        meta = read_ivf_index_meta(spark, index2_path)
+        assert meta["n_fine"] == 4 and meta["n_centroids"] == 4
+        coarse, fine = read_ivf_quantizer(spark, index2_path)
+        assert coarse.count() == 4
+        assert set(fine.columns) == {"centroid_id", "coarse_id", "centroid"}
+        # global-id arithmetic: coarse_id = (centroid_id-1) div n_fine + 1
+        bad = fine.filter(
+            F.col("coarse_id")
+            != (F.floor((F.col("centroid_id") - 1) / 4) + 1)
+        )
+        assert bad.count() == 0
+        # flat index: no coarse level, 2-col fine table
+        c0, f0 = read_ivf_quantizer(spark, index_path)
+        assert c0 is None
+        assert set(f0.columns) == {"centroid_id", "centroid"}
+
+    def test_full_probe_is_exact(self, spark, index2_path):
+        """nprobe = all cells scores every partition, so the persisted
+        2-level probe must equal brute force bit-for-bit — the
+        value-level certificate that build, layout, manifest resolve
+        and probe compose (the driver twin is llm_ann_ivf_2level)."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        q = _queries(spark)
+        got = ivf_search_index(q, index2_path, nprobe=16, k=5)
+        want = brute_force_topk(_vectors(spark), q, k=5)
+        cols = ["query_id", "match_id", "rank", "cosine_sim"]
+        assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+        assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+
+    def test_matches_in_session_2level(self, spark, index2_path):
+        """Persisted probe ≡ in-session ivf_topk(n_fine=...) at a
+        PRUNED nprobe: same deterministic quantizer → same cells →
+        same candidates."""
+        q = _queries(spark)
+        got = ivf_search_index(q, index2_path, nprobe=3, k=5)
+        want = ivf_topk(
+            _vectors(spark), q, n_centroids=4, nprobe=3, k=5,
+            n_iters=1, n_fine=4,
+        )
+        cols = ["query_id", "match_id", "rank", "cosine_sim"]
+        assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+        assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+
+    def test_append_assigns_hierarchically_and_idempotent(
+        self, spark, tmp_path
+    ):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            _assign_cells_2level,
+            append_ivf_index,
+            l2_normalize,
+            read_ivf_quantizer,
+        )
+
+        p = str(tmp_path / "ivf2l_app")
+        vecs = _vectors(spark)
+        base = vecs.filter(F.col("vec_id") % 5 != 0)
+        day = vecs.filter(F.col("vec_id") % 5 == 0)
+        write_ivf_index(base, p, n_centroids=4, n_iters=1, n_fine=4)
+        append_ivf_index(day, p, batch_token="d1")
+        append_ivf_index(day, p, batch_token="d1")  # replay no-ops
+        root = _data_root(spark, p)
+        stored = spark.read.parquet(root + "/cells")
+        # no duplicates from the replayed fold
+        assert stored.count() == vecs.count()
+        # the batch's stored cells match the hierarchical argmax
+        # against the stored quantizer (NOT a flat argmax over fine)
+        coarse, fine = read_ivf_quantizer(spark, p)
+        norm = day.select(
+            F.col("vec_id").alias("_vid"),
+            l2_normalize(F.col("embedding")).alias("_v"),
+        )
+        want = _assign_cells_2level(norm, "_v", coarse, fine).select(
+            F.col("_vid").alias("vec_id"), "centroid_id"
+        )
+        got = stored.join(
+            day.select("vec_id"), "vec_id", "left_semi"
+        ).select("vec_id", "centroid_id")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_compaction_preserves_quantizer_and_results(
+        self, spark, tmp_path
+    ):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            append_ivf_index,
+            brute_force_topk,
+            compact_ivf_index,
+        )
+
+        p = str(tmp_path / "ivf2l_cmp")
+        vecs = _vectors(spark)
+        base = vecs.filter(F.col("vec_id") % 5 != 0)
+        day = vecs.filter(F.col("vec_id") % 5 == 0)
+        write_ivf_index(base, p, n_centroids=4, n_iters=1, n_fine=4)
+        append_ivf_index(day, p, batch_token="d1")
+        q = _queries(spark)
+        before = ivf_search_index(q, p, nprobe=16, k=5)
+        want = brute_force_topk(vecs, q, k=5)
+        cols = ["query_id", "match_id", "rank", "cosine_sim"]
+        assert before.select(cols).exceptAll(want.select(cols)).count() == 0
+        assert compact_ivf_index(spark, p) is True
+        meta = read_ivf_index_meta(spark, p)
+        assert meta["n_fine"] == 4  # parameter contract survives
+        after = ivf_search_index(q, p, nprobe=16, k=5)
+        assert after.select(cols).exceptAll(want.select(cols)).count() == 0
+        assert want.select(cols).exceptAll(after.select(cols)).count() == 0
+        # superseded version reclaimed, probe still green
+        vacuum_ivf_index(spark, p)
+        again = ivf_search_index(q, p, nprobe=16, k=5)
+        assert again.select(cols).exceptAll(want.select(cols)).count() == 0
+
+    def test_shared_quantizer_dedup_no_retraining(self, spark, index2_path):
+        """semantic_dedup over read_ivf_quantizer of a 2-level index:
+        hierarchical assignment against the STORED tables — the plan
+        carries no Lloyd lineage (posexplode) and no flat scan of the
+        fine table on the corpus side (the fine argmax array is built
+        per-coarse-cell, joined broadcast)."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            read_ivf_quantizer,
+            semantic_dedup,
+        )
+
+        coarse, fine = read_ivf_quantizer(spark, index2_path)
+        d = semantic_dedup(
+            _vectors(spark),
+            n_centroids=16,
+            threshold=0.999,
+            centroids=fine,
+            coarse_centroids=coarse,
+        )
+        p = d._jdf.queryExecution().executedPlan().toString()
+        assert "posexplode" not in p  # no retraining
+        assert d.count() == 300  # every row decided

@@ -243,3 +243,65 @@ class TestSemanticDedupProperties:
             if not any(src_vec):
                 continue
             assert decisions[1000 + i] == decisions[src_id]
+
+
+class TestIvfDiverseQueryNonVacuous:
+    def test_both_branches_and_both_keep_outcomes_occur(self, spark):
+        """llm_semantic_dedup_ivf_diverse's oracle asserts two
+        booleans per planted pair; this pins that the booleans are
+        NOT vacuous at sf0.001 — the paired branch fires for most
+        groups, and among paired groups BOTH far-from-centroid keep
+        outcomes occur (some groups keep the perturbed copy, the
+        member pushed AWAY from its prototype). Also re-asserts every
+        row is TRUE/TRUE, the driver contract."""
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.queries import llm
+
+        out = llm.llm_semantic_dedup_ivf_diverse(
+            spark, "/root/testdata/sf0.001"
+        )
+        rows = out.collect()
+        assert rows and all(
+            r["rule_ok"] and r["grouping_ok"] for r in rows
+        )
+        # rebuild the decision table to count branches: rerun the
+        # composition and look at observed keeps directly
+        import shutil
+        import tempfile
+
+        from datawaves_etl_airflow_spark.operators import similarity
+
+        embs = (
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+            .select("vec_id", "embedding")
+        )
+        corpus = llm._planted_neardup_corpus(spark, "/root/testdata/sf0.001")
+        idx = tempfile.mkdtemp(prefix="ivfd_pin_")
+        try:
+            similarity.write_ivf_index(embs, idx, n_centroids=16, n_iters=1)
+            cents = similarity.read_ivf_centroids(spark, idx)
+            d = similarity.semantic_dedup(
+                corpus,
+                n_centroids=16,
+                threshold=0.95,
+                keep="far_from_centroid",
+                centroids=cents,
+            ).localCheckpoint()
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+        src = d.filter(F.col("vec_id") < 100000).select(
+            "vec_id", F.col("kept").alias("s_kept")
+        )
+        cp = d.filter(F.col("vec_id") >= 100000).select(
+            (F.col("vec_id") - F.lit(100000)).alias("vec_id"),
+            F.col("kept").alias("c_kept"),
+        )
+        j = src.join(cp, "vec_id")
+        paired = j.filter(F.col("s_kept") != F.col("c_kept"))
+        n_pairs = paired.count()
+        assert n_pairs > 0  # the paired branch fires
+        kept_src = paired.filter(F.col("s_kept")).count()
+        # both keep outcomes occur — the diversity rule is exercised,
+        # not collapsed to the tie rule
+        assert 0 < kept_src < n_pairs
