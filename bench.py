@@ -117,6 +117,42 @@ def main() -> None:
     # generated whole-stage code is measured to dominate the first 1-2
     # executions (q1 runs 0.98 → 0.72 s across six runs with no code
     # change), and the benchmark's claim is steady-state cost
+    # --- box-calibration probe (r7 verdict task 5) ---------------------
+    # BENCH_r07's 17 "regressions_vs_best_ever" flags were 100% box
+    # scatter (same-box A/B: r6 snapshot 22.46s vs r7 HEAD 21.05s —
+    # HEAD faster, recorded file slower), but the recorded file had no
+    # way to show that. This probe is a FIXED synthetic workload —
+    # spark.range → xxhash64 → 1024-bucket hash aggregate, no repo
+    # operators, no files, identical plan every round by construction —
+    # so its ratio to the best calibration ever recorded estimates
+    # today's box speed, and the regression gate below can report
+    # box-normalized ratios that a future reader can trust without
+    # re-running an A/B.
+    def _calibration_sec() -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            (
+                spark.range(0, 20_000_000, 1, 32)
+                .selectExpr("xxhash64(id) AS h")
+                .groupBy((F.col("h") % 1024).alias("b"))
+                # pmod keeps the SUM far from long overflow (ANSI mode
+                # raises on it; raw xxhash64 sums overflow immediately)
+                .agg(
+                    F.sum(F.pmod(F.col("h"), F.lit(1000000))).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
+
+    _calibration_sec()  # untimed: JIT the generated code first
+    calibration = _calibration_sec()
+
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():
         spark.catalog.clearCache()
@@ -158,6 +194,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "pipeline_day_sec": pipeline_day,
+        "calibration_sec": calibration,
         "sf": sf,
         "timing": "min-of-3, cache cleared before each run",
     }
@@ -170,6 +207,7 @@ def main() -> None:
     best_ever: dict[str, float] = {}
     import glob as _glob
 
+    best_cal: float | None = None
     for path in sorted(_glob.glob(os.path.join(repo, "BENCH_r*.json"))):
         try:
             with open(path) as f:
@@ -177,8 +215,21 @@ def main() -> None:
             for name, t in (parsed.get("queries") or {}).items():
                 if isinstance(t, (int, float)) and t > 0:
                     best_ever[name] = min(best_ever.get(name, t), t)
+            c = parsed.get("calibration_sec")
+            if isinstance(c, (int, float)) and c > 0:
+                best_cal = c if best_cal is None else min(best_cal, c)
         except (OSError, ValueError):
             continue
+    # box speed today vs the fastest box any recorded round ran on:
+    # 1.0 = as fast as ever measured; 1.25 = everything should read
+    # ~25% slower for reasons that have nothing to do with the code
+    box = (
+        round(calibration / best_cal, 3)
+        if best_cal is not None
+        else None
+    )
+    if box is not None:
+        out["box_speed_vs_best"] = box
     regressions = {
         name: round(timings[name] / best_ever[name], 2)
         for name in timings
@@ -186,6 +237,17 @@ def main() -> None:
     }
     if regressions:
         out["regressions_vs_best_ever"] = regressions
+        # the self-explaining companion: raw ratio ÷ box ratio. A
+        # query that is slow ONLY because the box is slow normalizes
+        # back under the gate; what survives here is a real candidate
+        # regression worth an A/B.
+        if box is not None and box > 0:
+            normalized = {
+                name: round(r / box, 2)
+                for name, r in regressions.items()
+                if r / box > 1.3
+            }
+            out["regressions_box_normalized"] = normalized
 
     print(json.dumps(out))
 

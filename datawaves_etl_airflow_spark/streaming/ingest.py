@@ -327,3 +327,194 @@ def stream_neardup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def make_semantic_ingest(
+    index_path: str,
+    accepted_path: str,
+    threshold: float = 0.9,
+    checkpoint: str | None = None,
+):
+    """Per-micro-batch online EMBEDDING near-dup filter — the semantic
+    twin of `make_neardup_ingest` (which covers the MinHash/text path)
+    and the streaming form of `operators.similarity.semantic_dedup`,
+    probing the persisted IVF index at ``index_path`` (build it first
+    with `similarity.write_ivf_index` — flat or ``n_fine=`` 2-level;
+    the batch assigns with the index's own geometry either way).
+
+    Each batch: assign every vector to its cell against the STORED
+    quantizer (hierarchical argmax on 2-level indexes — a stream that
+    flat-scanned the fine table would reintroduce the O(n·k) term the
+    2-level build exists to kill), then drop (a) within-batch
+    within-cell pairs at ``cos >= threshold`` keeping the smaller id
+    (greedy, the `make_neardup_ingest` contract), and (b) batch rows
+    within ``threshold`` of ANY corpus vector in their cell — the
+    corpus side reads ONLY the batch's cell partitions (a bounded
+    driver-side cell list pushed as a partition filter, pruning cost
+    |batch cells|/k of the corpus bytes, never a corpus scan).
+    Survivors land in ``accepted_path/docs`` and fold into the index
+    via `append_ivf_index` under a checkpoint-scoped batch token — so
+    the NEXT batch deduplicates against everything accepted so far,
+    and a foreachBatch retry overwrites its own fold instead of
+    duplicating cells. Rows with NULL (or uncovered-cell) vectors are
+    kept singletons, `semantic_dedup`'s contract; duplicates that
+    straddle cells are SemDeDup's documented recall trade, identical
+    in batch and stream.
+
+    Replay contract: the `sources.manifest.VersionedManifest` marker
+    under ``accepted_path/_manifests`` records (last_batch_id,
+    checkpoint identity); a replayed id no-ops, a FOREIGN checkpoint
+    or a rewound id RAISES (same rules, same rationale as
+    `make_neardup_ingest` — batch ids restart at 0 per checkpoint).
+    Ids must be globally unique across the corpus and all batches.
+    """
+    import posixpath as _pp
+
+    from ..operators.similarity import (
+        _assign_cells,
+        _assign_cells_2level,
+        _resolve_ivf_index,
+        append_ivf_index,
+        cosine,
+        dot,
+        l2_normalize,
+        read_ivf_quantizer,
+    )
+    from ..sources.manifest import VersionedManifest
+
+    docs_dir = _pp.join(accepted_path, "docs")
+    vm = VersionedManifest(accepted_path)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        version, state = vm.resolve(spark)
+        if state is not None:
+            last_id = int(state["last_batch_id"])
+            last_ckpt = state.get("checkpoint")
+            if (
+                checkpoint is not None
+                and last_ckpt is not None
+                and last_ckpt != checkpoint
+            ):
+                raise ValueError(
+                    f"accepted_path {accepted_path!r} was written under "
+                    f"checkpoint {last_ckpt!r} but this stream runs under "
+                    f"{checkpoint!r} — a fresh checkpoint restarts batch "
+                    "ids at 0, which the replay guard would misread as "
+                    "replays and silently drop every batch. Reuse the "
+                    "original checkpoint or start a fresh accepted_path."
+                )
+            if batch_id < last_id:
+                raise ValueError(
+                    f"replay marker under {accepted_path!r} records batch "
+                    f"{last_id} but this stream delivered batch "
+                    f"{batch_id} — a committed id can never reappear "
+                    "under one checkpoint identity, so the checkpoint "
+                    "was restarted against an old accepted_path."
+                )
+            if batch_id <= last_id:
+                return  # replayed batch — already ingested
+        meta, data_root = _resolve_ivf_index(spark, index_path)
+        vec_col, id_col = meta["vec_col"], meta["id_col"]
+        coarse, fine = read_ivf_quantizer(spark, index_path)
+        norm = batch_df.select(
+            F.col(id_col).alias("_vid"),
+            l2_normalize(F.col(vec_col)).alias("_v"),
+        )
+        if coarse is not None:
+            assigned = _assign_cells_2level(norm, "_v", coarse, fine)
+        else:
+            assigned = _assign_cells(norm, "_v", fine)
+        # referenced three times (pair join ×2 legs, corpus probe, cell
+        # list) — localCheckpoint so the argmax lineage runs once and
+        # the bounded collect below doesn't recompute it
+        assigned = assigned.localCheckpoint()
+        a = assigned.select(
+            "centroid_id",
+            F.col("_vid").alias("id_a"),
+            F.col("_v").alias("va"),
+        )
+        b = assigned.select(
+            "centroid_id",
+            F.col("_vid").alias("id_b"),
+            F.col("_v").alias("vb"),
+        )
+        within = (
+            a.join(b, "centroid_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(dot(F.col("va"), F.col("vb")) >= threshold)
+            .select(F.col("id_b").alias("_vid"))
+        )
+        # bounded driver read: ≤ n_centroids values, pushed as a
+        # static partition filter on the cells layout
+        cell_ids = sorted(
+            r["centroid_id"]
+            for r in assigned.select("centroid_id").distinct().collect()
+            if r["centroid_id"] is not None
+        )
+        drops = within
+        if cell_ids:
+            cells = spark.read.parquet(
+                _pp.join(data_root, "cells")
+            ).filter(F.col("centroid_id").isin(cell_ids))
+            vs_corpus = (
+                assigned.join(
+                    cells.select(
+                        "centroid_id", F.col(vec_col).alias("_cv")
+                    ),
+                    "centroid_id",
+                )
+                .filter(cosine(F.col("_v"), F.col("_cv")) >= threshold)
+                .select("_vid")
+            )
+            drops = within.unionByName(vs_corpus)
+        accepted = batch_df.join(
+            drops.select(F.col("_vid").alias(id_col)).distinct(),
+            id_col,
+            "anti",
+        ).persist()
+        try:
+            accepted.write.mode("append").parquet(docs_dir)
+            append_ivf_index(
+                accepted,
+                index_path,
+                batch_token=_batch_token(checkpoint, batch_id),
+            )
+        finally:
+            accepted.unpersist()
+        vm.publish_or_raise(
+            spark,
+            {"last_batch_id": batch_id, "checkpoint": checkpoint},
+            version,
+            "semantic ingest replay marker",
+        )
+        vm.vacuum_superseded(spark)
+
+    return _apply
+
+
+def stream_semantic_ingest(
+    stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint: str,
+    threshold: float = 0.9,
+    available_now: bool = False,
+):
+    """Online semantic (embedding near-dup) filtering on a vector
+    stream: survivors land in ``accepted_path/docs`` and the persisted
+    IVF index at ``index_path`` grows with them via O(batch) folds —
+    the embedding-side completion of the streaming dedup story
+    (`stream_neardup_ingest` covers text). Returns the started
+    StreamingQuery."""
+    fn = make_semantic_ingest(
+        index_path, accepted_path, threshold, checkpoint=checkpoint
+    )
+    writer = stream.writeStream.foreachBatch(fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
