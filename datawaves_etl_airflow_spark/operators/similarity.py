@@ -1121,6 +1121,52 @@ def quantize_embeddings_int8(
 IVF_META_FILE = "_ivf_index.json"
 
 
+def _int8_cell_cols(vec_col: str) -> tuple[Column, Column]:
+    """``(q, scale)`` storage columns for ``cell_storage="int8"`` —
+    `quantize_embeddings_int8`'s exact transform (floor, IEEE-exact)
+    narrowed to ``array<tinyint>`` so a 64-dim float64 vector's 512
+    cell bytes become 64+8: build and append MUST share one expression
+    tree so a replayed fold lands bit-identical bytes."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    maxabs = F.array_max(F.transform(x, F.abs))
+    q = F.when(
+        maxabs == 0, F.transform(x, lambda v: F.lit(0).cast("tinyint"))
+    ).otherwise(
+        F.transform(
+            x,
+            lambda v: F.floor((v * F.lit(127.0)) / maxabs).cast("tinyint"),
+        )
+    )
+    return q, (maxabs / F.lit(127.0)).alias("scale")
+
+
+def _cells_projection(
+    assigned: DataFrame, cell_storage: str, vec_col: str, id_col: str
+) -> DataFrame:
+    """The stored cell row for one assigned corpus row — shared by the
+    build and the append fold so both storages land identical schemas:
+    ``(id, vec, centroid_id)`` raw, ``(id, q, scale, centroid_id)``
+    int8."""
+    if cell_storage == "int8":
+        q, scale = _int8_cell_cols(vec_col)
+        return assigned.select(
+            F.col("_vid").alias(id_col), q.alias("q"), scale, "centroid_id"
+        )
+    return assigned.select(
+        F.col("_vid").alias(id_col), F.col(vec_col), "centroid_id"
+    )
+
+
+def _dequantized_vec() -> Column:
+    """``q × scale`` back to ``array<double>`` — the probe-side
+    reconstruction for int8 cells (error ≤ 1 LSB = max|x|/127 per
+    dim; direction preserved, so cosine ranking degrades only at
+    near-ties)."""
+    return F.transform(
+        F.col("q"), lambda v: v.cast("double") * F.col("scale")
+    )
+
+
 def write_ivf_index(
     vectors: DataFrame,
     path: str,
@@ -1129,10 +1175,27 @@ def write_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_fine: int | None = None,
+    cell_storage: str = "raw",
 ) -> None:
     """Persist the IVF index: ``centroids/`` (tiny, broadcast at probe
     time) and ``cells/`` — the corpus laid out as ``centroid_id=N``
     hive partitions.
+
+    ``cell_storage="int8"`` stores each cell vector scalar-quantized
+    (`quantize_embeddings_int8`'s exact floor transform, narrowed to
+    ``array<tinyint>`` + one double ``scale``) instead of raw: a
+    64-dim float64 row's 512 vector bytes become 72, so a probe scans
+    ~7× fewer corpus bytes — and on object storage the probed cells'
+    SCAN is the dominant ANN cost, which partition pruning already
+    cut to nprobe/k of the corpus and this cuts again within the
+    probed cells. Probes dequantize in-plan (``q × scale``, codegen)
+    and rank by cosine over the reconstruction; error is ≤ 1 LSB
+    (max|x|/127) per dim, so ranking moves only at near-ties —
+    `tests/test_ivf_index.py::TestInt8IvfIndex` pins recall and the
+    on-disk byte ratio. Appends quantize with the SAME expression
+    tree (a replayed fold lands bit-identical bytes); compaction and
+    vacuum are storage-agnostic. Default ``"raw"`` keeps exact
+    cosines — the registered driver queries use raw.
 
     The layout IS the optimization: a probe reading ``nprobe`` cells
     scans ``nprobe/n_centroids`` of the corpus BYTES via static
@@ -1173,6 +1236,8 @@ def write_ivf_index(
 
     from ..sources.manifest import VersionedManifest
 
+    if cell_storage not in ("raw", "int8"):
+        raise ValueError(f"unknown cell_storage {cell_storage!r}")
     vm = VersionedManifest(path)
     spark = vectors.sparkSession
     version = vm.latest_version(spark)
@@ -1196,9 +1261,7 @@ def write_ivf_index(
             vectors, n_centroids, n_iters, vec_col, id_col
         ).persist()
         cells = _assign_cells(norm, "_v", centroids)
-    cells = cells.select(
-        F.col("_vid").alias(id_col), F.col(vec_col), "centroid_id"
-    )
+    cells = _cells_projection(cells, cell_storage, vec_col, id_col)
     # batch=base level from day 0 so `append_ivf_index` can fold daily
     # vector batches idempotently beside it (same layout rationale as
     # the MinHash index); centroid_id stays the inner partition level,
@@ -1241,10 +1304,12 @@ def write_ivf_index(
         "vec_col": vec_col,
         "id_col": id_col,
     }
-    # absent for flat builds: old manifests stay valid and readers
-    # treat a missing key as the flat quantizer
+    # absent for flat/raw builds: old manifests stay valid and readers
+    # treat missing keys as the flat quantizer / raw storage
     if n_fine is not None:
         payload["n_fine"] = n_fine
+    if cell_storage != "raw":
+        payload["cell_storage"] = cell_storage
     vm.publish_or_raise(spark, payload, version, "IVF index rebuild")
 
 
@@ -1266,6 +1331,7 @@ def _ivf_meta_from_payload(
             "n_fine": (
                 int(payload["n_fine"]) if "n_fine" in payload else None
             ),
+            "cell_storage": str(payload.get("cell_storage", "raw")),
         }
         current = str(payload["current"])
     except (ValueError, KeyError, TypeError) as exc:
@@ -1305,6 +1371,7 @@ def _resolve_ivf_index(spark, path: str) -> tuple[dict, str]:
             "vec_col": str(meta["vec_col"]),
             "id_col": str(meta["id_col"]),
             "n_fine": None,  # legacy layout predates the 2-level build
+            "cell_storage": "raw",  # and the int8 storage tier
         }, path
     except (ValueError, KeyError, TypeError) as exc:
         raise ValueError(
@@ -1424,8 +1491,8 @@ def append_ivf_index(
             assigned = _assign_cells_2level(norm, "_v", coarse, centroids)
         else:
             assigned = _assign_cells(norm, "_v", centroids)
-        cells = assigned.select(
-            F.col("_vid").alias(id_col), F.col(vec_col), "centroid_id"
+        cells = _cells_projection(
+            assigned, meta["cell_storage"], vec_col, id_col
         )
         batch_dir = _pp.join(data_root, "cells", f"batch={token}")
         # STATIC overwrite scoped to this writer: the session default
@@ -1523,7 +1590,13 @@ def compact_ivf_index(
         .parquet(
             *[_pp.join(old_root, "cells", f"batch={t}") for t in complete]
         )
-        .select(meta["id_col"], meta["vec_col"], "centroid_id")
+        .select(
+            *(
+                [meta["id_col"], "q", "scale", "centroid_id"]
+                if meta["cell_storage"] == "int8"
+                else [meta["id_col"], meta["vec_col"], "centroid_id"]
+            )
+        )
         .repartition("centroid_id")
         .write.mode("errorifexists")
         .partitionBy("centroid_id")
@@ -1628,6 +1701,13 @@ def ivf_search_index(
     cells = spark.read.parquet(_os.path.join(data_root, "cells")).filter(
         F.col("centroid_id").isin(probe_ids)
     )
+    # int8 cells: reconstruct q×scale in-plan (codegen) and rank over
+    # the dequantized vector — the scan reads ~7× fewer bytes, the
+    # cosine moves by ≤ 1 LSB per dim (TestInt8IvfIndex pins recall)
+    if meta["cell_storage"] == "int8":
+        cells = cells.withColumn(vec_col, _dequantized_vec()).drop(
+            "q", "scale"
+        )
     cands = probes.join(cells, "centroid_id").withColumn(
         "cosine", cosine(F.col("query_vec"), F.col(vec_col))
     )

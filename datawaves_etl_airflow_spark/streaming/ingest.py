@@ -373,6 +373,7 @@ def make_semantic_ingest(
     from ..operators.similarity import (
         _assign_cells,
         _assign_cells_2level,
+        _dequantized_vec,
         _resolve_ivf_index,
         append_ivf_index,
         cosine,
@@ -459,6 +460,12 @@ def make_semantic_ingest(
             cells = spark.read.parquet(
                 _pp.join(data_root, "cells")
             ).filter(F.col("centroid_id").isin(cell_ids))
+            # int8 indexes store q×scale — reconstruct before scoring
+            # (same in-plan dequantize as the probe path)
+            if meta["cell_storage"] == "int8":
+                cells = cells.withColumn(
+                    vec_col, _dequantized_vec()
+                ).drop("q", "scale")
             vs_corpus = (
                 assigned.join(
                     cells.select(

@@ -52,23 +52,27 @@ class TestRegistrationPolicy:
         )
 
     def test_registration_order_never_verified_first(self):
-        """Round-7 rotation: the never-driver-verified queries lead
-        their module block, then the r5-last-green cohorts (freshness
+        """Round-8 rotation: the never-driver-verified queries lead
+        their module block, then the stalest cohorts (freshness
         policy: no driver green older than two rounds) — a budget cut
         still lands on the freshest evidence first."""
         names = list(entrymod.queries())
-        # domain block: the r5-last-green ten, changed-surface prices
-        # path first
-        assert names[0] == "s2_staging_scan_csv"
+        # domain block: the r6-last-green eight
+        assert names[0] == "s1_staging_scan_json"
         # llm block: the two never-driver-verified queries lead (the
-        # far_from_centroid value-replay oracle and the
-        # shared-quantizer certificate), then the r5-green cohort
-        for new in ("llm_semantic_dedup_diverse", "llm_semantic_dedup_ivf"):
-            assert names.index(new) < names.index("llm_ann_ivf")
-        # generic block: aj1_asof_clicks leads (last green r4 — the one
-        # query whose evidence aged past two rounds)
-        assert names.index("aj1_asof_clicks") < names.index(
-            "a1_count_existence"
+        # persisted 2-level-index exact oracle and the
+        # far_from_centroid × stored-quantizer composition), then the
+        # r5-stale frame_sample, then the r6-green cohort
+        for new in (
+            "llm_ann_ivf_2level",
+            "llm_semantic_dedup_ivf_diverse",
+            "llm_frame_sample",
+        ):
+            assert names.index(new) < names.index("llm_ann_ivf_index")
+        # generic block: aj2_asof_bucketed leads (last green r5 — the
+        # documented r7 deferral)
+        assert names.index("aj2_asof_bucketed") < names.index(
+            "f_scalar_surface"
         )
 
     def test_driver_lists_subset_of_full_corpus(self):

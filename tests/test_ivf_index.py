@@ -434,3 +434,181 @@ class Test2LevelIvfIndex:
         p = d._jdf.queryExecution().executedPlan().toString()
         assert "posexplode" not in p  # no retraining
         assert d.count() == 300  # every row decided
+
+
+class Test2LevelKnnEval:
+    def test_full_probe_knn_eval_matches_brute_force(self, spark, tmp_path):
+        """knn_label_predict_index over a 2-LEVEL index at full probe:
+        every cell is scored, so neighbor selection — and therefore
+        every prediction — must be bit-identical to the brute-force
+        form regardless of how the two-stage assignment distributed
+        the corpus over cells (the same invariant the flat
+        llm_knn_ivf_eval driver row certifies)."""
+        import random as _random
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            knn_label_predict,
+            knn_label_predict_index,
+        )
+
+        rng = _random.Random(5)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(DIM)], i % 3)
+            for i in range(200)
+        ]
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label long"
+        )
+        qs = corpus.filter(F.col("vec_id") < 30).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("true_label"),
+        )
+        p = str(tmp_path / "knn2l")
+        write_ivf_index(corpus, p, n_centroids=3, n_iters=1, n_fine=3)
+        got = knn_label_predict_index(
+            corpus.select("vec_id", "label"), qs, p, k=5, nprobe=9
+        )
+        want = knn_label_predict(corpus, qs, k=5)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+class TestInt8IvfIndex:
+    """cell_storage="int8": cells store quantize_embeddings_int8's
+    exact floor transform narrowed to array<tinyint> + one double
+    scale — the probe scans ~7× fewer corpus bytes (the dominant ANN
+    cost on object storage, on top of partition pruning) and ranks
+    over the in-plan q×scale reconstruction."""
+
+    def test_meta_recall_and_cosine_error(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        p = str(tmp_path / "ivf8")
+        vecs = _vectors(spark)
+        write_ivf_index(
+            vecs, p, n_centroids=8, n_iters=1, cell_storage="int8"
+        )
+        assert read_ivf_index_meta(spark, p)["cell_storage"] == "int8"
+        q = _queries(spark)
+        got = ivf_search_index(q, p, nprobe=8, k=5)  # full probe
+        want = brute_force_topk(vecs, q, k=5)
+        # quantization moves cosines ≤ ~1 LSB/dim: exact-id recall
+        # stays high and every surfaced cosine sits within 0.02 of
+        # the true cosine for that (query, match) pair
+        hits = got.join(
+            want.select("query_id", "match_id"),
+            ["query_id", "match_id"],
+            "left_semi",
+        ).count()
+        assert hits >= 0.8 * want.count()
+        err = (
+            got.withColumnRenamed("cosine_sim", "approx")
+            .join(
+                brute_force_topk(vecs, q, k=300)
+                .select("query_id", "match_id", "cosine_sim"),
+                ["query_id", "match_id"],
+            )
+            .selectExpr("max(abs(approx - cosine_sim)) AS e")
+            .first()["e"]
+        )
+        assert err is not None and err < 0.02
+
+    def test_cells_bytes_under_half_of_raw(self, spark, tmp_path):
+        """The claim is scan BYTES, so measure on a corpus large
+        enough that parquet per-file overhead (~2 KB of footer and
+        page headers per part file) doesn't drown the payload — at
+        2000×64d the raw vector payload is ~1 MB and the measured
+        ratio lands near the 512→72 bytes/row arithmetic."""
+        import pathlib
+        import random as _random
+
+        rng = _random.Random(3)
+        vecs = spark.createDataFrame(
+            [
+                (i, [rng.uniform(-1, 1) for _ in range(64)])
+                for i in range(2000)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        p_raw = str(tmp_path / "raw")
+        p_int8 = str(tmp_path / "int8")
+        write_ivf_index(vecs, p_raw, n_centroids=4, n_iters=1)
+        write_ivf_index(
+            vecs, p_int8, n_centroids=4, n_iters=1, cell_storage="int8"
+        )
+
+        def cell_bytes(path):
+            root = pathlib.Path(_data_root(spark, path)) / "cells"
+            return sum(
+                f.stat().st_size
+                for f in root.rglob("part-*")
+                if f.is_file()
+            )
+
+        assert cell_bytes(p_int8) < 0.5 * cell_bytes(p_raw)
+
+    def test_append_and_compact_preserve_storage(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            append_ivf_index,
+            compact_ivf_index,
+        )
+
+        p = str(tmp_path / "ivf8app")
+        vecs = _vectors(spark)
+        base = vecs.filter(F.col("vec_id") % 5 != 0)
+        day = vecs.filter(F.col("vec_id") % 5 == 0)
+        write_ivf_index(
+            base, p, n_centroids=8, n_iters=1, cell_storage="int8"
+        )
+        append_ivf_index(day, p, batch_token="d1")
+        append_ivf_index(day, p, batch_token="d1")  # replay no-op
+        root = _data_root(spark, p)
+        stored = spark.read.parquet(root + "/cells")
+        assert set(stored.columns) >= {"vec_id", "q", "scale"}
+        assert stored.count() == vecs.count()
+        q = _queries(spark)
+        before = {
+            (r.query_id, r.match_id)
+            for r in ivf_search_index(q, p, nprobe=8, k=5).collect()
+        }
+        assert compact_ivf_index(spark, p) is True
+        assert read_ivf_index_meta(spark, p)["cell_storage"] == "int8"
+        after = {
+            (r.query_id, r.match_id)
+            for r in ivf_search_index(q, p, nprobe=8, k=5).collect()
+        }
+        assert after == before
+
+    def test_int8_composes_with_two_level(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        p = str(tmp_path / "ivf8_2l")
+        vecs = _vectors(spark)
+        write_ivf_index(
+            vecs, p, n_centroids=4, n_iters=1, n_fine=4,
+            cell_storage="int8",
+        )
+        meta = read_ivf_index_meta(spark, p)
+        assert meta["n_fine"] == 4 and meta["cell_storage"] == "int8"
+        q = _queries(spark)
+        got = ivf_search_index(q, p, nprobe=16, k=5)
+        want = brute_force_topk(vecs, q, k=5)
+        hits = got.join(
+            want.select("query_id", "match_id"),
+            ["query_id", "match_id"],
+            "left_semi",
+        ).count()
+        assert hits >= 0.8 * want.count()
+
+    def test_unknown_storage_rejected(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="cell_storage"):
+            write_ivf_index(
+                _vectors(spark),
+                str(tmp_path / "bad"),
+                cell_storage="fp4",
+            )

@@ -207,3 +207,29 @@ class TestSemanticIngestStreaming:
         )
         q2.awaitTermination(120)
         assert _accepted_ids(spark, acc) == before == [11, 13]
+
+
+class TestSemanticIngestInt8Index:
+    def test_batch_dedups_against_int8_cells(self, spark, tmp_path):
+        """The ingest scores batch-vs-corpus over the DEQUANTIZED int8
+        cells: a 0.995-cosine near-dup of a corpus vector still drops
+        (quantization moves cosine ≤ ~1 LSB/dim, far from the 0.9
+        threshold), novel rows survive and fold back quantized."""
+        idx = str(tmp_path / "idx8")
+        acc = str(tmp_path / "acc8")
+        write_ivf_index(
+            _df(spark, CORPUS), idx, n_centroids=2, n_iters=1,
+            cell_storage="int8",
+        )
+        fn = make_semantic_ingest(idx, acc, threshold=0.9)
+        fn(_df(spark, B1), 0)
+        assert _accepted_ids(spark, acc) == [11, 13]
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            _resolve_ivf_index,
+        )
+
+        root = _resolve_ivf_index(spark, idx)[1]
+        stored = spark.read.parquet(root + "/cells")
+        assert set(stored.columns) >= {"q", "scale"}  # folds quantized
+        fn(_df(spark, B2), 1)
+        assert _accepted_ids(spark, acc) == [11, 13, 21]
