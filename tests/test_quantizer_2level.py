@@ -216,3 +216,48 @@ class TestAssign2LevelPlan:
         assert "SortMergeJoin" not in p
         assert "BroadcastNestedLoopJoin" in p  # folded coarse row
         assert "BroadcastHashJoin" in p  # per-cell fine arrays
+
+
+class TestFarFromCentroid2Level:
+    def test_keep_policy_composes_with_hierarchical_assignment(
+        self, spark
+    ):
+        """`keep="far_from_centroid"` × the two-level quantizer (the
+        last keep-policy/quantizer combination without a pin): planted
+        exact copies co-assign under the hierarchical argmax too, so
+        each group is {source, copy} with IDENTICAL centroid
+        similarity — the far rule degenerates to its id tiebreak and
+        must keep the SOURCE, while singletons stay kept. The
+        centroid-similarity join runs against the FINE table (which
+        carries the extra coarse_id column — the join must tolerate
+        it)."""
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 0.0, 1.0]),
+        ]
+        corpus = spark.createDataFrame(
+            rows + [(i + 100, v) for i, v in rows[:2]],
+            "vec_id long, embedding array<double>",
+        )
+        coarse, fine = S.train_centroids_2level(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ),
+            n_coarse=2,
+            n_fine=2,
+            n_iters=1,
+        )
+        d = S.semantic_dedup(
+            corpus,
+            n_centroids=4,
+            threshold=0.999,
+            keep="far_from_centroid",
+            centroids=fine,
+            coarse_centroids=coarse,
+        )
+        got = {r["vec_id"]: (r["kept"], r["sem_cluster_id"]) for r in d.collect()}
+        assert got[1] == (True, 1) and got[101] == (False, 1)
+        assert got[2] == (True, 2) and got[102] == (False, 2)
+        assert got[3] == (True, 3) and got[4] == (True, 4)
