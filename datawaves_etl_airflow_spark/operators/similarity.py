@@ -1096,19 +1096,12 @@ def quantize_embeddings_int8(
     integer-for-integer. Max error vs the float input is one LSB
     (max|x|/127) instead of half — irrelevant at ANN recall levels.
     Pure array transforms inside codegen: no UDF, no shuffle.
+    The ONE quantization expression (`_quantize_cols`) is shared with
+    the int8 IVF cell storage, which merely narrows the output cast
+    to tinyint — there is no second copy to drift.
     """
-    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    maxabs = F.array_max(F.transform(x, F.abs))
-    q = F.when(maxabs == 0, F.transform(x, lambda v: F.lit(0))).otherwise(
-        F.transform(
-            x, lambda v: F.floor((v * F.lit(127.0)) / maxabs).cast("int")
-        )
-    )
-    return vectors.select(
-        F.col(id_col),
-        q.alias("q"),
-        (maxabs / F.lit(127.0)).alias("scale"),
-    )
+    q, scale = _quantize_cols(vec_col, "int")
+    return vectors.select(F.col(id_col), q.alias("q"), scale)
 
 
 # ---------------------------------------------------------------------------
@@ -1121,20 +1114,22 @@ def quantize_embeddings_int8(
 IVF_META_FILE = "_ivf_index.json"
 
 
-def _int8_cell_cols(vec_col: str) -> tuple[Column, Column]:
-    """``(q, scale)`` storage columns for ``cell_storage="int8"`` —
-    `quantize_embeddings_int8`'s exact transform (floor, IEEE-exact)
-    narrowed to ``array<tinyint>`` so a 64-dim float64 vector's 512
-    cell bytes become 64+8: build and append MUST share one expression
-    tree so a replayed fold lands bit-identical bytes."""
+def _quantize_cols(vec_col: str, int_type: str) -> tuple[Column, Column]:
+    """``(q, scale)`` for scalar int8 quantization — the ONE
+    expression tree behind both `quantize_embeddings_int8` (``"int"``,
+    the public DuckDB-oracled op) and the IVF ``cell_storage="int8"``
+    tier (``"tinyint"`` — so a 64-dim float64 vector's 512 cell bytes
+    become 64+8). Build and append must share it so a replayed fold
+    lands bit-identical bytes; the two casts are the only divergence
+    allowed, and both are value-preserving on [-128, 127]."""
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     maxabs = F.array_max(F.transform(x, F.abs))
     q = F.when(
-        maxabs == 0, F.transform(x, lambda v: F.lit(0).cast("tinyint"))
+        maxabs == 0, F.transform(x, lambda v: F.lit(0).cast(int_type))
     ).otherwise(
         F.transform(
             x,
-            lambda v: F.floor((v * F.lit(127.0)) / maxabs).cast("tinyint"),
+            lambda v: F.floor((v * F.lit(127.0)) / maxabs).cast(int_type),
         )
     )
     return q, (maxabs / F.lit(127.0)).alias("scale")
@@ -1148,7 +1143,7 @@ def _cells_projection(
     ``(id, vec, centroid_id)`` raw, ``(id, q, scale, centroid_id)``
     int8."""
     if cell_storage == "int8":
-        q, scale = _int8_cell_cols(vec_col)
+        q, scale = _quantize_cols(vec_col, "tinyint")
         return assigned.select(
             F.col("_vid").alias(id_col), q.alias("q"), scale, "centroid_id"
         )

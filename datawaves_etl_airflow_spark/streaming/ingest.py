@@ -122,6 +122,53 @@ def _batch_token(checkpoint: str | None, batch_id: int) -> str:
     return f"c{ck}_b{batch_id}"
 
 
+def _replay_guard(
+    state: dict | None,
+    checkpoint: str | None,
+    batch_id: int,
+    accepted_path: str,
+) -> bool:
+    """True = this batch id is a same-checkpoint foreachBatch replay
+    and the caller must no-op. The shared contract of both ingest
+    twins (`make_neardup_ingest` / `make_semantic_ingest`): batch ids
+    are only monotone WITHIN one checkpoint identity, so a FOREIGN
+    checkpoint raises (its ids restart at 0 and would all misread as
+    replays), and a STRICTLY lower id raises too — it cannot be a
+    same-checkpoint replay (those only re-run the last committed id),
+    so the checkpoint was restarted against an old accepted_path.
+    ``batch_id == last_id`` stays the one legitimate boundary replay.
+    """
+    if state is None:
+        return False
+    last_id = int(state["last_batch_id"])
+    last_ckpt = state.get("checkpoint")
+    if (
+        checkpoint is not None
+        and last_ckpt is not None
+        and last_ckpt != checkpoint
+    ):
+        raise ValueError(
+            f"accepted_path {accepted_path!r} was written under "
+            f"checkpoint {last_ckpt!r} but this stream runs under "
+            f"{checkpoint!r} — a fresh checkpoint restarts batch "
+            "ids at 0, which the replay guard would misread as "
+            "replays and silently drop every batch. Reuse the "
+            "original checkpoint or start a fresh accepted_path."
+        )
+    if batch_id < last_id:
+        raise ValueError(
+            f"replay marker under {accepted_path!r} records batch "
+            f"{last_id} but this stream delivered batch "
+            f"{batch_id} — a committed id can never reappear "
+            "under one checkpoint identity, so the checkpoint "
+            "was restarted against an old accepted_path. Reuse "
+            "the original checkpoint, start a fresh "
+            "accepted_path, or delete the marker after "
+            "verifying the store matches the stream."
+        )
+    return batch_id <= last_id
+
+
 def make_neardup_ingest(
     index_path: str,
     accepted_path: str,
@@ -211,43 +258,8 @@ def make_neardup_ingest(
             return
         spark = batch_df.sparkSession
         version, state = _last_state(spark)
-        if state is not None:
-            last_id = int(state["last_batch_id"])
-            last_ckpt = state.get("checkpoint")
-            if (
-                checkpoint is not None
-                and last_ckpt is not None
-                and last_ckpt != checkpoint
-            ):
-                raise ValueError(
-                    f"accepted_path {accepted_path!r} was written under "
-                    f"checkpoint {last_ckpt!r} but this stream runs under "
-                    f"{checkpoint!r} — a fresh checkpoint restarts batch "
-                    "ids at 0, which the replay guard would misread as "
-                    "replays and silently drop every batch. Reuse the "
-                    "original checkpoint or start a fresh accepted_path."
-                )
-            if batch_id < last_id:
-                # a STRICTLY lower id cannot be a same-checkpoint
-                # foreachBatch replay (those only re-run the last
-                # committed id) — regardless of what the identities
-                # say, it means the checkpoint was recreated (new
-                # location, a wiped-and-reused path, or an
-                # identity-less marker), so refuse loudly instead of
-                # silently dropping batches. batch_id == last_id stays
-                # a silent no-op: the one legitimate boundary replay.
-                raise ValueError(
-                    f"replay marker under {accepted_path!r} records batch "
-                    f"{last_id} but this stream delivered batch "
-                    f"{batch_id} — a committed id can never reappear "
-                    "under one checkpoint identity, so the checkpoint "
-                    "was restarted against an old accepted_path. Reuse "
-                    "the original checkpoint, start a fresh "
-                    "accepted_path, or delete the marker after "
-                    "verifying the store matches the stream."
-                )
-            if batch_id <= last_id:
-                return  # replayed batch — already ingested
+        if _replay_guard(state, checkpoint, batch_id, accepted_path):
+            return  # replayed batch — already ingested
         pairs = dedup_against_index(
             batch_df, index_path, threshold, text_col, id_col
         )
@@ -364,9 +376,18 @@ def make_semantic_ingest(
     Replay contract: the `sources.manifest.VersionedManifest` marker
     under ``accepted_path/_manifests`` records (last_batch_id,
     checkpoint identity); a replayed id no-ops, a FOREIGN checkpoint
-    or a rewound id RAISES (same rules, same rationale as
-    `make_neardup_ingest` — batch ids restart at 0 per checkpoint).
-    Ids must be globally unique across the corpus and all batches.
+    or a rewound id RAISES (`_replay_guard` — the same rules as
+    `make_neardup_ingest`: batch ids restart at 0 per checkpoint).
+    Like the MinHash twin, a crash strictly between the accepted
+    write (or the index fold) and the marker commit re-appends that
+    one batch's docs on restart — ids are unique per row, so
+    downstream consumers reconcile on ``id_col``; the index side is
+    safe because the fold is same-token idempotent AND the corpus
+    probe excludes self-id matches, so the retry re-accepts the same
+    survivors instead of dropping them against their own previous
+    fold. Ids must be globally unique across the corpus and all
+    batches (a re-ingested id matches the corpus copy of everything
+    else but never itself).
     """
     import posixpath as _pp
 
@@ -379,7 +400,6 @@ def make_semantic_ingest(
         cosine,
         dot,
         l2_normalize,
-        read_ivf_quantizer,
     )
     from ..sources.manifest import VersionedManifest
 
@@ -391,40 +411,22 @@ def make_semantic_ingest(
             return
         spark = batch_df.sparkSession
         version, state = vm.resolve(spark)
-        if state is not None:
-            last_id = int(state["last_batch_id"])
-            last_ckpt = state.get("checkpoint")
-            if (
-                checkpoint is not None
-                and last_ckpt is not None
-                and last_ckpt != checkpoint
-            ):
-                raise ValueError(
-                    f"accepted_path {accepted_path!r} was written under "
-                    f"checkpoint {last_ckpt!r} but this stream runs under "
-                    f"{checkpoint!r} — a fresh checkpoint restarts batch "
-                    "ids at 0, which the replay guard would misread as "
-                    "replays and silently drop every batch. Reuse the "
-                    "original checkpoint or start a fresh accepted_path."
-                )
-            if batch_id < last_id:
-                raise ValueError(
-                    f"replay marker under {accepted_path!r} records batch "
-                    f"{last_id} but this stream delivered batch "
-                    f"{batch_id} — a committed id can never reappear "
-                    "under one checkpoint identity, so the checkpoint "
-                    "was restarted against an old accepted_path."
-                )
-            if batch_id <= last_id:
-                return  # replayed batch — already ingested
+        if _replay_guard(state, checkpoint, batch_id, accepted_path):
+            return  # replayed batch — already ingested
+        # ONE manifest resolve per batch: meta, quantizer tables and
+        # the probed cells all come from the SAME resolved version — a
+        # rebuild committing mid-batch can otherwise hand the
+        # assignment a NEW quantizer while the probe reads the OLD
+        # version's cells, joining cell ids from different quantizers
         meta, data_root = _resolve_ivf_index(spark, index_path)
         vec_col, id_col = meta["vec_col"], meta["id_col"]
-        coarse, fine = read_ivf_quantizer(spark, index_path)
+        fine = spark.read.parquet(_pp.join(data_root, "centroids"))
         norm = batch_df.select(
             F.col(id_col).alias("_vid"),
             l2_normalize(F.col(vec_col)).alias("_v"),
         )
-        if coarse is not None:
+        if meta["n_fine"] is not None:
+            coarse = spark.read.parquet(_pp.join(data_root, "coarse"))
             assigned = _assign_cells_2level(norm, "_v", coarse, fine)
         else:
             assigned = _assign_cells(norm, "_v", fine)
@@ -466,13 +468,26 @@ def make_semantic_ingest(
                 cells = cells.withColumn(
                     vec_col, _dequantized_vec()
                 ).drop("q", "scale")
+            # the corpus row's ID travels with its vector and
+            # self-matches are excluded — a foreachBatch retry that
+            # lands AFTER the index fold committed but BEFORE the
+            # replay marker would otherwise see the previous attempt's
+            # survivors in the index, drop them as duplicates of
+            # themselves at cosine 1.0, and the same-token overwrite
+            # would erase the fold (the exact failure
+            # `dedup_against_index`'s a.id != b.id exists to prevent
+            # on the MinHash twin; pinned in
+            # test_retry_after_fold_before_marker_preserves_index)
             vs_corpus = (
                 assigned.join(
                     cells.select(
-                        "centroid_id", F.col(vec_col).alias("_cv")
+                        "centroid_id",
+                        F.col(id_col).alias("_cid"),
+                        F.col(vec_col).alias("_cv"),
                     ),
                     "centroid_id",
                 )
+                .filter(F.col("_cid") != F.col("_vid"))
                 .filter(cosine(F.col("_v"), F.col("_cv")) >= threshold)
                 .select("_vid")
             )

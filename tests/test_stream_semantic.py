@@ -233,3 +233,40 @@ class TestSemanticIngestInt8Index:
         assert set(stored.columns) >= {"q", "scale"}  # folds quantized
         fn(_df(spark, B2), 1)
         assert _accepted_ids(spark, acc) == [11, 13, 21]
+
+
+class TestRetryCrashWindow:
+    def test_retry_after_fold_before_marker_preserves_index(
+        self, spark, paths
+    ):
+        """The review-found failure mode: a foreachBatch retry landing
+        AFTER the index fold committed but BEFORE the replay marker.
+        Without self-id exclusion the retry sees the previous
+        attempt's survivors in the index, drops them as duplicates of
+        THEMSELVES at cosine 1.0, and the same-token overwrite erases
+        the fold — index and accepted store permanently diverge. With
+        the exclusion the retry re-accepts the same survivors (docs
+        re-appended — the documented crash window, reconcilable on
+        vec_id) and the idempotent fold lands the same cells."""
+        import shutil
+
+        idx, acc = paths
+        fn = make_semantic_ingest(idx, acc, threshold=0.9)
+        fn(_df(spark, B1), 0)
+        # simulate the crash strictly between the fold and the marker:
+        # the fold is durable, the marker never landed
+        shutil.rmtree(os.path.join(acc, "_manifests"))
+        fn(_df(spark, B1), 0)  # the restart's redelivery
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            _resolve_ivf_index,
+        )
+
+        root = _resolve_ivf_index(spark, idx)[1]
+        stored = sorted(
+            r["vec_id"]
+            for r in spark.read.parquet(root + "/cells").collect()
+        )
+        assert stored == [1, 2, 11, 13]  # fold intact, no duplicates
+        # docs: same survivor set (the documented re-append window
+        # may duplicate rows; ids reconcile)
+        assert sorted(set(_accepted_ids(spark, acc))) == [11, 13]
