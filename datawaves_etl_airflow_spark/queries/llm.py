@@ -825,6 +825,56 @@ def llm_semantic_dedup_ivf_diverse(
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def llm_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8-cell IVF index, planted self-check (the
+    llm_ann_lsh_planted pattern): the 20 query vectors are EXACT
+    copies of corpus vectors, so at full probe each query's source
+    must surface among the top-3 with cosine ≥ 0.995 over the
+    DEQUANTIZED reconstruction (per-dim error ≤ 1 LSB = max|x|/127
+    keeps an exact copy's cosine within ~0.004 of 1.0 — orders of
+    magnitude above the corpus's next-nearest neighbor at ≤ 0.60).
+    Raw int8 cosines are quantizer-layout-dependent; these booleans
+    are engine-independent and the oracle asserts TRUE — the driver
+    surface for the `cell_storage="int8"` scan-bytes tier (queued to
+    lead the r9 rotation; recall/byte-ratio/append/compaction pinned
+    in TestInt8IvfIndex meanwhile). Executed eagerly (localCheckpoint)
+    so the temp index is removed before return."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    qs = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    idx = tempfile.mkdtemp(prefix="llm_ivf8_")
+    try:
+        similarity.write_ivf_index(
+            embs, idx, n_centroids=8, n_iters=1, cell_storage="int8"
+        )
+        top = similarity.ivf_search_index(qs, idx, nprobe=8, k=3)
+        return (
+            qs.select("query_id")
+            .join(
+                top.filter(
+                    (F.col("query_id") == F.col("match_id"))
+                    & (F.col("cosine_sim") >= 0.995)
+                ).select("query_id", F.lit(True).alias("self_found")),
+                "query_id",
+                "left",
+            )
+            .select(
+                "query_id",
+                F.coalesce("self_found", F.lit(False)).alias(
+                    "self_found"
+                ),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def llm_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototype-distance quality gate (`similarity.cell_outliers`):
     the first 4 corpus vectors serve as deterministic prototypes
@@ -1232,6 +1282,7 @@ QUERIES = {
     "llm_semantic_dedup_ivf": llm_semantic_dedup_ivf,
     "llm_semantic_dedup_ivf_diverse": llm_semantic_dedup_ivf_diverse,
     "llm_ann_ivf_2level": llm_ann_ivf_2level,
+    "llm_ann_ivf_int8": llm_ann_ivf_int8,
     "llm_cell_outliers": llm_cell_outliers,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
@@ -1968,6 +2019,15 @@ ORACLES["llm_semantic_dedup_ivf"] = ORACLES["llm_semantic_dedup"]
 # certifying the whole 2-level build → layout → probe chain at value
 # level.
 ORACLES["llm_ann_ivf_2level"] = ORACLES["llm_cosine_topk"]
+
+# llm_ann_ivf_int8: planted exact-copy queries must self-match over
+# the dequantized int8 cells at full probe (cos within ~0.004 of 1.0,
+# far above the corpus's 0.60 next-nearest) — engine-independent
+# booleans, the llm_ann_lsh_planted contract.
+ORACLES["llm_ann_ivf_int8"] = """
+    SELECT vec_id AS query_id, TRUE AS self_found
+    FROM embeddings WHERE vec_id < 20
+"""
 
 # llm_semantic_dedup_ivf_diverse: the trained quantizer is
 # xxhash64-seeded (not DuckDB-expressible), but the planted perfect

@@ -225,6 +225,18 @@ def main() -> None:
                 n_centroids=64, n_iters=1,
             )
             ivf_by_mult[mult] = p
+    # int8-cell twin of the same layout: the probe's residual cost is
+    # the probed cells' scan, and this tier cuts those bytes ~7× — so
+    # its ratio must track ann_probe_pruned's or better
+    ivf8_by_mult: dict[int, str] = {}
+    if wanted("ann_probe_pruned_int8"):
+        for mult in sorted({1, args.factor}):
+            p = os.path.join(idx_root, f"ivf8_{mult}")
+            similarity.write_ivf_index(
+                _scaled_embs(spark, args.sf, mult), p,
+                n_centroids=64, n_iters=1, cell_storage="int8",
+            )
+            ivf8_by_mult[mult] = p
     ann_queries = (
         spark.read.parquet(f"{args.sf}/embeddings.parquet")
         .limit(50)
@@ -351,6 +363,9 @@ def main() -> None:
         ),
         "ann_probe_pruned": lambda mult: similarity.ivf_search_index(
             ann_queries, ivf_by_mult[mult], nprobe=4, k=5
+        ),
+        "ann_probe_pruned_int8": lambda mult: similarity.ivf_search_index(
+            ann_queries, ivf8_by_mult[mult], nprobe=4, k=5
         ),
         "ann_fullscan_baseline": lambda mult: similarity.brute_force_topk(
             _scaled_embs(spark, args.sf, mult), ann_queries, k=5
