@@ -1162,6 +1162,24 @@ def _dequantized_vec() -> Column:
     )
 
 
+def _load_quantizer(
+    spark, data_root: str, n_fine: int | None
+) -> tuple[DataFrame | None, DataFrame]:
+    """``(coarse, fine)`` assignment tables from a RESOLVED index data
+    root — the one loader behind `read_ivf_quantizer`, the append fold
+    and the streaming semantic ingest, so the layout contract
+    (``centroids/`` = fine table, ``coarse/`` beside it iff 2-level)
+    lives in exactly one place. Callers that already hold
+    ``(meta, data_root)`` from `_resolve_ivf_index` use this directly
+    and keep their one-resolve-per-operation property."""
+    import posixpath as _pp
+
+    fine = spark.read.parquet(_pp.join(data_root, "centroids"))
+    if n_fine is None:
+        return None, fine
+    return spark.read.parquet(_pp.join(data_root, "coarse")), fine
+
+
 def write_ivf_index(
     vectors: DataFrame,
     path: str,
@@ -1409,16 +1427,13 @@ def read_ivf_quantizer(
     dots/row) against the SAME global cell ids the index's
     ``centroid_id=`` partitions use — never the flat O(k) scan of the
     fine table that `read_ivf_centroids` alone would imply."""
-    import posixpath as _pp
-
     meta, root = _resolve_ivf_index(spark, path)
-    fine = spark.read.parquet(_pp.join(root, "centroids"))
-    if meta["n_fine"] is None:
+    coarse, fine = _load_quantizer(spark, root, meta["n_fine"])
+    if coarse is None:
         return None, fine.select("centroid_id", "centroid")
-    coarse = spark.read.parquet(_pp.join(root, "coarse")).select(
-        "centroid_id", "centroid"
+    return coarse.select("centroid_id", "centroid"), fine.select(
+        "centroid_id", "coarse_id", "centroid"
     )
-    return coarse, fine.select("centroid_id", "coarse_id", "centroid")
 
 
 def append_ivf_index(
@@ -1470,7 +1485,6 @@ def append_ivf_index(
             return
         meta, data_root = _ivf_meta_from_payload(version, payload, path)
         vec_col, id_col = meta["vec_col"], meta["id_col"]
-        centroids = spark.read.parquet(_pp.join(data_root, "centroids"))
         norm = vectors.select(
             F.col(id_col).alias("_vid"),
             F.col(vec_col),
@@ -1481,8 +1495,10 @@ def append_ivf_index(
         # O(√k+√k) dots/row as the build — an append that flat-scanned
         # the fine table would reintroduce the O(n·k) term the 2-level
         # build exists to kill), flat argmax otherwise
-        if meta["n_fine"] is not None:
-            coarse = spark.read.parquet(_pp.join(data_root, "coarse"))
+        coarse, centroids = _load_quantizer(
+            spark, data_root, meta["n_fine"]
+        )
+        if coarse is not None:
             assigned = _assign_cells_2level(norm, "_v", coarse, centroids)
         else:
             assigned = _assign_cells(norm, "_v", centroids)

@@ -385,9 +385,13 @@ def make_semantic_ingest(
     safe because the fold is same-token idempotent AND the corpus
     probe excludes self-id matches, so the retry re-accepts the same
     survivors instead of dropping them against their own previous
-    fold. Ids must be globally unique across the corpus and all
-    batches (a re-ingested id matches the corpus copy of everything
-    else but never itself).
+    fold — the corpus probe anti-joins out the ENTIRE batch id set
+    (not just self-matches), so the retry's corpus leg is independent
+    of anything the first attempt folded on every storage tier,
+    including int8 cells whose dequantized copies drift by up to the
+    quantization error. Ids must be globally unique across the corpus
+    and all batches (a re-ingested id matches the corpus copy of
+    everything else but never itself).
     """
     import posixpath as _pp
 
@@ -395,6 +399,7 @@ def make_semantic_ingest(
         _assign_cells,
         _assign_cells_2level,
         _dequantized_vec,
+        _load_quantizer,
         _resolve_ivf_index,
         append_ivf_index,
         cosine,
@@ -420,13 +425,12 @@ def make_semantic_ingest(
         # version's cells, joining cell ids from different quantizers
         meta, data_root = _resolve_ivf_index(spark, index_path)
         vec_col, id_col = meta["vec_col"], meta["id_col"]
-        fine = spark.read.parquet(_pp.join(data_root, "centroids"))
+        coarse, fine = _load_quantizer(spark, data_root, meta["n_fine"])
         norm = batch_df.select(
             F.col(id_col).alias("_vid"),
             l2_normalize(F.col(vec_col)).alias("_v"),
         )
-        if meta["n_fine"] is not None:
-            coarse = spark.read.parquet(_pp.join(data_root, "coarse"))
+        if coarse is not None:
             assigned = _assign_cells_2level(norm, "_v", coarse, fine)
         else:
             assigned = _assign_cells(norm, "_v", fine)
@@ -468,26 +472,37 @@ def make_semantic_ingest(
                 cells = cells.withColumn(
                     vec_col, _dequantized_vec()
                 ).drop("q", "scale")
-            # the corpus row's ID travels with its vector and
-            # self-matches are excluded — a foreachBatch retry that
-            # lands AFTER the index fold committed but BEFORE the
-            # replay marker would otherwise see the previous attempt's
-            # survivors in the index, drop them as duplicates of
-            # themselves at cosine 1.0, and the same-token overwrite
-            # would erase the fold (the exact failure
-            # `dedup_against_index`'s a.id != b.id exists to prevent
-            # on the MinHash twin; pinned in
-            # test_retry_after_fold_before_marker_preserves_index)
+            # the corpus leg sees only PRE-BATCH corpus rows: every id
+            # in the current batch is anti-joined out of the probed
+            # cells (batch-vs-batch comparisons belong exclusively to
+            # the raw-vector `within` leg above). This is what makes a
+            # foreachBatch retry STRUCTURALLY idempotent on every
+            # storage tier — a retry landing after the index fold
+            # committed but before the replay marker would otherwise
+            # (a) drop survivors as duplicates of themselves at cosine
+            # 1.0 and erase the fold via the same-token overwrite (the
+            # failure `dedup_against_index`'s a.id != b.id prevents on
+            # the MinHash twin), and (b) on int8 cells, score
+            # borderline batch pairs against their DEQUANTIZED fold
+            # copies, where the ≤0.02 quantization drift can flip a
+            # near-threshold decision and shrink the refolded survivor
+            # set below what docs already committed. Excluding the
+            # whole batch id set kills both: the corpus leg is
+            # independent of anything attempt 1 folded, and the within
+            # leg recomputes bit-identically from raw batch vectors.
+            # Pinned in TestRetryCrashWindow (raw + int8).
+            batch_keys = assigned.select(F.col("_vid").alias("_bid"))
             vs_corpus = (
                 assigned.join(
-                    cells.select(
-                        "centroid_id",
-                        F.col(id_col).alias("_cid"),
-                        F.col(vec_col).alias("_cv"),
+                    cells.join(
+                        F.broadcast(batch_keys),
+                        F.col(id_col) == F.col("_bid"),
+                        "left_anti",
+                    ).select(
+                        "centroid_id", F.col(vec_col).alias("_cv")
                     ),
                     "centroid_id",
                 )
-                .filter(F.col("_cid") != F.col("_vid"))
                 .filter(cosine(F.col("_v"), F.col("_cv")) >= threshold)
                 .select("_vid")
             )

@@ -270,3 +270,33 @@ class TestRetryCrashWindow:
         # docs: same survivor set (the documented re-append window
         # may duplicate rows; ids reconcile)
         assert sorted(set(_accepted_ids(spark, acc))) == [11, 13]
+
+    def test_retry_crash_window_int8_storage(self, spark, tmp_path):
+        """The same crash window over an int8 index (second review
+        pass): the retry's corpus leg anti-joins out the ENTIRE batch
+        id set, so batch rows are never scored against their own
+        dequantized fold copies — the refolded survivor set is
+        bit-identical to the first attempt's on every storage tier."""
+        import shutil
+
+        idx = str(tmp_path / "idx8r")
+        acc = str(tmp_path / "acc8r")
+        write_ivf_index(
+            _df(spark, CORPUS), idx, n_centroids=2, n_iters=1,
+            cell_storage="int8",
+        )
+        fn = make_semantic_ingest(idx, acc, threshold=0.9)
+        fn(_df(spark, B1), 0)
+        shutil.rmtree(os.path.join(acc, "_manifests"))
+        fn(_df(spark, B1), 0)
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            _resolve_ivf_index,
+        )
+
+        root = _resolve_ivf_index(spark, idx)[1]
+        stored = sorted(
+            r["vec_id"]
+            for r in spark.read.parquet(root + "/cells").collect()
+        )
+        assert stored == [1, 2, 11, 13]
+        assert sorted(set(_accepted_ids(spark, acc))) == [11, 13]
