@@ -1670,6 +1670,8 @@ def ivf_search_index(
     path: str,
     nprobe: int = 2,
     k: int = 5,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """ANN top-k against a persisted `write_ivf_index` layout — same
     output schema and (identical quantizer) same results as `ivf_topk`,
@@ -1680,6 +1682,19 @@ def ivf_search_index(
     pattern) and pushed as a partition filter, so pruning is static
     and visible in the scan's PartitionFilters, not dependent on
     runtime DPP kicking in.
+
+    ``rerank`` (a ``(id_col, vec_col)`` table holding the RAW
+    vectors — normally the corpus the index was built from) turns the
+    int8 tier exact-capable, the classic two-stage ADC pipeline: the
+    probed-cell scan ranks ``rerank_factor × k`` candidates per query
+    on the cheap quantized reconstruction, then ONLY that shortlist
+    (|queries|·rerank_factor·k rows — broadcast-sized) joins back to
+    the raw vectors for an exact cosine re-rank. The expensive scan
+    stays on the small bytes; the exact math runs on a bounded set.
+    The shortlist join broadcasts the SHORTLIST side, so the raw
+    corpus is scanned once and never shuffled. With raw cell storage
+    ``rerank`` is a no-op semantically (same vectors both stages) and
+    simply costs the extra join — callers use it with int8 indexes.
     """
     import os as _os
 
@@ -1725,6 +1740,18 @@ def ivf_search_index(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
+    if rerank is not None:
+        shortlist = (
+            cands.withColumn("_ar", F.row_number().over(w))
+            .filter(F.col("_ar") <= k * rerank_factor)
+            .select("query_id", "query_vec", id_col)
+        )
+        exact = F.broadcast(shortlist).join(
+            rerank.select(id_col, F.col(vec_col).alias("_raw")), id_col
+        )
+        cands = exact.withColumn(
+            "cosine", cosine(F.col("query_vec"), F.col("_raw"))
+        )
     return (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -612,3 +612,42 @@ class TestInt8IvfIndex:
                 str(tmp_path / "bad"),
                 cell_storage="fp4",
             )
+
+    def test_rerank_restores_exact_results(self, spark, tmp_path):
+        """Two-stage ADC probe: int8 cells rank a 4k shortlist on the
+        quantized reconstruction, the raw-vector rerank then restores
+        EXACT top-k — bit-identical to brute force at full probe on
+        this seeded fixture (the exact top-5 sits comfortably inside
+        the approx top-20: max quantized-cosine drift is pinned at
+        < 0.02 while the fixture's rank-5→rank-20 cosine gap is much
+        wider for every query)."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        p = str(tmp_path / "ivf8rr")
+        vecs = _vectors(spark)
+        write_ivf_index(
+            vecs, p, n_centroids=8, n_iters=1, cell_storage="int8"
+        )
+        q = _queries(spark)
+        got = ivf_search_index(q, p, nprobe=8, k=5, rerank=vecs)
+        want = brute_force_topk(vecs, q, k=5)
+        cols = ["query_id", "match_id", "rank", "cosine_sim"]
+        assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+        assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+
+    def test_rerank_broadcasts_shortlist_not_corpus(self, spark, tmp_path):
+        """The rerank join must broadcast the |queries|·4k SHORTLIST;
+        the raw corpus is scanned once, never shuffled or broadcast."""
+        p = str(tmp_path / "ivf8rp")
+        vecs = _vectors(spark)
+        write_ivf_index(
+            vecs, p, n_centroids=8, n_iters=1, cell_storage="int8"
+        )
+        got = ivf_search_index(
+            _queries(spark), p, nprobe=2, k=5, rerank=vecs
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
