@@ -875,6 +875,39 @@ def llm_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def llm_ann_ivf_int8_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-stage ADC probe under a FULL value-level oracle: an int8
+    index probed at nprobe = all cells ranks a `rerank_factor·k`
+    shortlist on the quantized reconstruction, and the raw-vector
+    re-rank restores the EXACT cosine top-5 — so the oracle is the
+    same brute-force replay as `llm_cosine_topk`, certifying the
+    whole quantize → layout → probe → shortlist → exact-rerank chain
+    value-for-value (strictly stronger evidence than
+    `llm_ann_ivf_int8`'s planted booleans). rerank_factor=8 gives a
+    40-candidate shortlist per query: the corpus's rank-5 → rank-40
+    cosine gap dwarfs the ≤0.02 quantization drift at every shipped
+    SF, and everything is deterministic, so equality is reproducible
+    bit-for-bit. Executed eagerly (localCheckpoint) so the temp index
+    is removed before return."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    qs = _query_vecs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="llm_ivf8rr_")
+    try:
+        similarity.write_ivf_index(
+            embs, idx, n_centroids=8, n_iters=1, cell_storage="int8"
+        )
+        return similarity.ivf_search_index(
+            qs, idx, nprobe=8, k=5, rerank=embs, rerank_factor=8
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def llm_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototype-distance quality gate (`similarity.cell_outliers`):
     the first 4 corpus vectors serve as deterministic prototypes
@@ -1283,6 +1316,7 @@ QUERIES = {
     "llm_semantic_dedup_ivf_diverse": llm_semantic_dedup_ivf_diverse,
     "llm_ann_ivf_2level": llm_ann_ivf_2level,
     "llm_ann_ivf_int8": llm_ann_ivf_int8,
+    "llm_ann_ivf_int8_rerank": llm_ann_ivf_int8_rerank,
     "llm_cell_outliers": llm_cell_outliers,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
@@ -2028,6 +2062,12 @@ ORACLES["llm_ann_ivf_int8"] = """
     SELECT vec_id AS query_id, TRUE AS self_found
     FROM embeddings WHERE vec_id < 20
 """
+
+# llm_ann_ivf_int8_rerank: full probe + raw-vector rerank over a
+# 40-candidate quantized shortlist restores the exact top-5, so the
+# oracle is the brute-force cosine replay itself — a value-level
+# certificate over the whole two-stage ADC chain.
+ORACLES["llm_ann_ivf_int8_rerank"] = ORACLES["llm_cosine_topk"]
 
 # llm_semantic_dedup_ivf_diverse: the trained quantizer is
 # xxhash64-seeded (not DuckDB-expressible), but the planted perfect
