@@ -146,6 +146,7 @@ def knn_label_predict_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     label_col: str = "label",
+    rerank: DataFrame | None = None,
 ) -> DataFrame:
     """`knn_label_predict` backed by a persisted IVF index — the
     full-corpus-eval path its brute-force twin's docstring prescribes:
@@ -171,8 +172,15 @@ def knn_label_predict_index(
     no non-self candidates comes back with NULL ``pred_label`` /
     ``correct`` rather than vanishing, so pruned-probe evals can't
     silently shrink their denominator.
+
+    ``rerank`` passes straight through to `ivf_search_index` — over
+    an int8 index, supply the raw corpus so neighbor selection (and
+    therefore every vote) runs on exact cosines instead of the
+    quantized reconstruction.
     """
-    cand = ivf_search_index(queries, path, nprobe=nprobe, k=k + 1)
+    cand = ivf_search_index(
+        queries, path, nprobe=nprobe, k=k + 1, rerank=rerank
+    )
     qmeta = queries.select("query_id", "true_label")
     # drop self, then keep the k best surviving ranks per query (rank
     # order == unrounded cosine order, so no re-scoring is needed)

@@ -651,3 +651,47 @@ class TestInt8IvfIndex:
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestKnnEvalInt8Rerank:
+    def test_votes_run_on_exact_cosines(self, spark, tmp_path):
+        """knn_label_predict_index(rerank=raw) over an int8 index at
+        full probe must predict EXACTLY what the brute-force form
+        predicts — the rerank makes neighbor selection exact, so the
+        label pipeline can run on the cheap-scan tier without
+        accepting approximate votes."""
+        import random as _random
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            knn_label_predict,
+            knn_label_predict_index,
+        )
+
+        rng = _random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(DIM)], i % 3)
+            for i in range(200)
+        ]
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label long"
+        )
+        qs = corpus.filter(F.col("vec_id") < 30).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("true_label"),
+        )
+        p = str(tmp_path / "knn8")
+        write_ivf_index(
+            corpus, p, n_centroids=8, n_iters=1, cell_storage="int8"
+        )
+        got = knn_label_predict_index(
+            corpus.select("vec_id", "label"),
+            qs,
+            p,
+            k=5,
+            nprobe=8,
+            rerank=corpus.select("vec_id", "embedding"),
+        )
+        want = knn_label_predict(corpus, qs, k=5)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
