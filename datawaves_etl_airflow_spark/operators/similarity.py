@@ -147,6 +147,7 @@ def knn_label_predict_index(
     id_col: str = "vec_id",
     label_col: str = "label",
     rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """`knn_label_predict` backed by a persisted IVF index — the
     full-corpus-eval path its brute-force twin's docstring prescribes:
@@ -173,13 +174,21 @@ def knn_label_predict_index(
     ``correct`` rather than vanishing, so pruned-probe evals can't
     silently shrink their denominator.
 
-    ``rerank`` passes straight through to `ivf_search_index` — over
-    an int8 index, supply the raw corpus so neighbor selection (and
-    therefore every vote) runs on exact cosines instead of the
-    quantized reconstruction.
+    ``rerank`` / ``rerank_factor`` pass straight through to
+    `ivf_search_index` — over an int8 index, supply the raw corpus so
+    neighbor selection (and therefore every vote) runs on exact
+    cosines instead of the quantized reconstruction; widen
+    ``rerank_factor`` when the corpus's cosine spacing is tighter
+    than the quantization drift so the exact neighbors reliably make
+    the quantized shortlist.
     """
     cand = ivf_search_index(
-        queries, path, nprobe=nprobe, k=k + 1, rerank=rerank
+        queries,
+        path,
+        nprobe=nprobe,
+        k=k + 1,
+        rerank=rerank,
+        rerank_factor=rerank_factor,
     )
     qmeta = queries.select("query_id", "true_label")
     # drop self, then keep the k best surviving ranks per query (rank
@@ -1699,10 +1708,15 @@ def ivf_search_index(
     (|queries|·rerank_factor·k rows — broadcast-sized) joins back to
     the raw vectors for an exact cosine re-rank. The expensive scan
     stays on the small bytes; the exact math runs on a bounded set.
-    The shortlist join broadcasts the SHORTLIST side, so the raw
-    corpus is scanned once and never shuffled. With raw cell storage
-    ``rerank`` is a no-op semantically (same vectors both stages) and
-    simply costs the extra join — callers use it with int8 indexes.
+    The shortlist travels as ids + quantized scores (query vectors
+    rejoin from the probe input), the raw table is scanned once,
+    semi-reduced to the shortlist ids, and never shuffled or
+    broadcast whole. A candidate MISSING from ``rerank`` (rows folded
+    into the index after the raw snapshot) keeps its quantized cosine
+    instead of silently dropping out of the top-k. With raw cell
+    storage ``rerank`` is a no-op semantically (same vectors both
+    stages) and simply costs the extra join — callers use it with
+    int8 indexes.
     """
     import os as _os
 
@@ -1749,16 +1763,47 @@ def ivf_search_index(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     if rerank is not None:
+        # the shortlist travels as (query_id, id, quantized-cosine) —
+        # NOT with a copy of query_vec per candidate row, which would
+        # inflate the broadcast ~rerank_factor·k× for nothing (the
+        # query vectors rejoin from the |queries|-sized probe input
+        # below). localCheckpoint: consumed twice (the semi-reduction
+        # ids + the outer join) and would otherwise re-scan the
+        # probed cells both times.
         shortlist = (
             cands.withColumn("_ar", F.row_number().over(w))
             .filter(F.col("_ar") <= k * rerank_factor)
-            .select("query_id", "query_vec", id_col)
+            .select("query_id", id_col, F.col("cosine").alias("_qcos"))
+            .localCheckpoint()
         )
-        exact = F.broadcast(shortlist).join(
-            rerank.select(id_col, F.col(vec_col).alias("_raw")), id_col
+        # scan the raw table ONCE, reduced to shortlist ids by a
+        # broadcast semi-join, so the left-outer below broadcasts a
+        # ≤|shortlist| build side — the raw corpus is never shuffled
+        # or broadcast whole
+        raws = rerank.select(id_col, F.col(vec_col).alias("_raw")).join(
+            F.broadcast(shortlist.select(id_col).distinct()),
+            id_col,
+            "left_semi",
         )
-        cands = exact.withColumn(
-            "cosine", cosine(F.col("query_vec"), F.col("_raw"))
+        # LEFT join + quantized-cosine fallback: a candidate missing
+        # from the caller's raw table (e.g. rows folded by
+        # append_ivf_index after the rerank table was snapshotted)
+        # keeps its quantized score instead of silently vanishing
+        # from the top-k — degraded precision for that row, never a
+        # dropped result
+        cands = (
+            shortlist.join(F.broadcast(raws), id_col, "left")
+            .join(
+                F.broadcast(qn.select("query_id", "query_vec")),
+                "query_id",
+            )
+            .withColumn(
+                "cosine",
+                F.coalesce(
+                    cosine(F.col("query_vec"), F.col("_raw")),
+                    F.col("_qcos"),
+                ),
+            )
         )
     return (
         cands.withColumn("rank", F.row_number().over(w))

@@ -695,3 +695,28 @@ class TestKnnEvalInt8Rerank:
         want = knn_label_predict(corpus, qs, k=5)
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+    def test_missing_raw_rows_fall_back_to_quantized(self, spark, tmp_path):
+        """A candidate absent from the rerank table must keep its
+        quantized cosine, never silently drop out of the top-k (the
+        realistic append-then-rerank workflow: rows folded after the
+        raw snapshot). Degenerate pin: an EMPTY rerank table must
+        reproduce the pure-quantized probe bit-for-bit — every
+        candidate takes the fallback path."""
+        p = str(tmp_path / "ivf8fb")
+        vecs = _vectors(spark)
+        write_ivf_index(
+            vecs, p, n_centroids=8, n_iters=1, cell_storage="int8"
+        )
+        q = _queries(spark)
+        plain = ivf_search_index(q, p, nprobe=8, k=5)
+        empty = vecs.filter(F.lit(False))
+        fb = ivf_search_index(q, p, nprobe=8, k=5, rerank=empty)
+        cols = ["query_id", "match_id", "rank", "cosine_sim"]
+        assert fb.select(cols).exceptAll(plain.select(cols)).count() == 0
+        assert plain.select(cols).exceptAll(fb.select(cols)).count() == 0
+        # partial raw table: k rows per query survive regardless
+        half = vecs.filter(F.col("vec_id") % 2 == 0)
+        part = ivf_search_index(q, p, nprobe=8, k=5, rerank=half)
+        counts = part.groupBy("query_id").count().collect()
+        assert all(r["count"] == 5 for r in counts)
