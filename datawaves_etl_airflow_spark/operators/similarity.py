@@ -1682,6 +1682,41 @@ def vacuum_ivf_index(spark, path: str) -> list[str]:
     )
 
 
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Operational introspection of a persisted IVF index:
+    ``(centroid_id, n_rows, n_batches)`` per cell, one bounded
+    aggregation over the cells layout (map-side partial count, ≤ k
+    output rows — cheap enough for a scheduled health check at any
+    corpus size).
+
+    What an operator reads off it at 100 TB:
+    - **cell skew** — a cell whose ``n_rows`` is orders of magnitude
+      above the mean is the degenerate-cluster failure (constant or
+      duplicate embeddings from a broken upstream job): probes whose
+      nprobe set includes it pay its whole scan, and a
+      `semantic_dedup` sharing the quantizer pays its cell² pair
+      stage. That is the signal to run exact dedup on the crowd, or
+      rebuild with a larger ``n_centroids`` / a 2-level quantizer
+      (`write_ivf_index(n_fine=)`), and what the
+      ``max_cell_size`` valve guards downstream;
+    - **fold fragmentation** — ``n_batches`` grows with every
+      `append_ivf_index` between compactions, and listing cost at
+      probe time grows with it: a high watermark is the cue to
+      schedule `compact_ivf_index`.
+    """
+    import posixpath as _pp
+
+    _, data_root = _resolve_ivf_index(spark, path)
+    return (
+        spark.read.parquet(_pp.join(data_root, "cells"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("batch").alias("n_batches"),
+        )
+    )
+
+
 def ivf_search_index(
     queries: DataFrame,
     path: str,

@@ -720,3 +720,32 @@ class TestKnnEvalInt8Rerank:
         part = ivf_search_index(q, p, nprobe=8, k=5, rerank=half)
         counts = part.groupBy("query_id").count().collect()
         assert all(r["count"] == 5 for r in counts)
+
+
+class TestIvfIndexStats:
+    def test_counts_batches_and_compaction_watermark(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            append_ivf_index,
+            compact_ivf_index,
+            ivf_index_stats,
+        )
+
+        p = str(tmp_path / "ivfst")
+        vecs = _vectors(spark)
+        base = vecs.filter(F.col("vec_id") % 5 != 0)
+        day = vecs.filter(F.col("vec_id") % 5 == 0)
+        write_ivf_index(base, p, n_centroids=4, n_iters=1)
+        append_ivf_index(day, p, batch_token="d1")
+        stats = ivf_index_stats(spark, p).collect()
+        assert sum(r["n_rows"] for r in stats) == vecs.count()
+        assert len(stats) <= 4
+        # fold fragmentation visible: at least one cell spans both
+        # the base and the d1 batch dirs
+        assert max(r["n_batches"] for r in stats) == 2
+        assert compact_ivf_index(spark, p) is True
+        after = ivf_index_stats(spark, p).collect()
+        assert sum(r["n_rows"] for r in after) == vecs.count()
+        assert max(r["n_batches"] for r in after) == 1  # folded to base
+        # per-cell counts unchanged by compaction
+        assert sorted((r["centroid_id"], r["n_rows"]) for r in after) == \
+            sorted((r["centroid_id"], r["n_rows"]) for r in stats)
