@@ -1277,6 +1277,45 @@ def _fold_token_list(
     return kept[-retention:] if retention is not None else kept
 
 
+def minhash_index_stats(spark, path: str) -> DataFrame:
+    """One-row operational health summary of a persisted MinHash
+    index — the band-join twin of `similarity.ivf_index_stats`:
+    ``(n_docs, n_batches, max_bucket, p95_bucket, mean_bucket)``
+    from one bounded aggregation pass over ``bands/`` (group by band
+    bucket with map-side partial counts, then a scalar fold — never
+    the sets surface, which is the big one).
+
+    What an operator reads off it at 100 TB: the probe/candidate cost
+    of every `dedup_against_index` batch is Σ(bucket·|batch-side
+    bucket|) — ``max_bucket`` against the ``max_docs_per_band``
+    production valve is the boilerplate-crowd early warning (a
+    shared header/footer collapsing thousands of docs into one band
+    bucket), and ``p95_bucket``/``mean_bucket`` say whether that max
+    is one pathological crowd (vacuum it with an exact-dedup pass)
+    or a systemically hot banding (re-band with more bits);
+    ``n_batches`` is the `compact_minhash_index` watermark, exactly
+    as on the IVF side.
+    """
+    import posixpath as _pp
+
+    _, data_root = _resolve_minhash_index(spark, path)
+    bands = spark.read.parquet(_pp.join(data_root, "bands"))
+    occupancy = bands.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    bucket_stats = occupancy.agg(
+        F.max("_n").alias("max_bucket"),
+        F.expr("approx_percentile(_n, 0.95)").alias("p95_bucket"),
+        F.round(F.avg("_n"), 3).alias("mean_bucket"),
+    )
+    totals = bands.agg(
+        F.countDistinct("id").alias("n_docs"),
+        F.countDistinct("batch").alias("n_batches"),
+    )
+    # two 1-row aggregates — the crossJoin is a broadcast of one row
+    return totals.crossJoin(bucket_stats)
+
+
 def vacuum_minhash_index(spark, path: str) -> list[str]:
     """Reclaim superseded index versions: every ``versions/`` dir the
     LATEST manifest does not reference (except in-flight rebuilds,

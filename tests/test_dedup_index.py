@@ -416,3 +416,46 @@ class TestPointerFlipRebuild:
         assert not os.path.exists(os.path.join(p, "bands"))
         assert not os.path.exists(os.path.join(p, "_minhash_index.json"))
         assert self._probe_finds_corpus_dup(spark, p) == {(10, 1)}
+
+
+class TestMinhashIndexStats:
+    def test_one_row_summary_tracks_appends_and_compaction(
+        self, spark, tmp_path
+    ):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            append_minhash_index,
+            compact_minhash_index,
+            minhash_index_stats,
+            write_minhash_index,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (i, f"doc number {i} with some distinct words {i * 7}")
+                for i in range(20)
+            ],
+            "doc_id long, text string",
+        )
+        day = spark.createDataFrame(
+            [
+                (100 + i, f"fresh batch doc {i} more words {i * 13}")
+                for i in range(5)
+            ],
+            "doc_id long, text string",
+        )
+        p = str(tmp_path / "mhidx")
+        write_minhash_index(docs, p)
+        append_minhash_index(day, p, batch_token="d1")
+        row = minhash_index_stats(spark, p).first()
+        assert row["n_docs"] == 25
+        assert row["n_batches"] == 2
+        assert row["max_bucket"] >= 1
+        assert row["mean_bucket"] >= 1.0
+        assert row["p95_bucket"] <= row["max_bucket"]
+        assert compact_minhash_index(spark, p) is True
+        after = minhash_index_stats(spark, p).first()
+        assert after["n_docs"] == 25
+        assert after["n_batches"] == 1  # folded to base
+        # bucket occupancy is invariant under compaction
+        assert after["max_bucket"] == row["max_bucket"]
+        assert after["mean_bucket"] == row["mean_bucket"]
