@@ -1259,6 +1259,10 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: rotates out parity-pinned; the only r8 source change they share is
 #: the n_fine plumbing, which is parameter-gated off on every flat
 #: call path (`n_fine=None` falls through to the r7 expressions).
+#: Post-rotation r8 additions (parity-green at every SF, never
+#: driver-verified): `llm_ann_ivf_int8` and `llm_ann_ivf_int8_rerank`
+#: lead the r9 queue together with the four deferred generics
+#: (w2/pv2/g3/h1 — see queries.generic).
 DRIVER_QUERIES = [
     # never driver-verified, first
     "llm_ann_ivf_2level",
