@@ -1707,13 +1707,20 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     import posixpath as _pp
 
     _, data_root = _resolve_ivf_index(spark, path)
-    return (
-        spark.read.parquet(_pp.join(data_root, "cells"))
-        .groupBy("centroid_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("batch").alias("n_batches"),
-        )
+    cells = spark.read.parquet(_pp.join(data_root, "cells"))
+    # Legacy pre-manifest layouts (still resolved by
+    # _resolve_ivf_index's fallback) have no batch= partition level
+    # under cells/ — they predate append_ivf_index, so the whole
+    # layout is one logical batch. Probes work on them; stats must
+    # too, mirroring compact_ivf_index's explicit legacy handling.
+    n_batches = (
+        F.countDistinct("batch")
+        if "batch" in cells.columns
+        else F.max(F.lit(1)).cast("long")
+    )
+    return cells.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        n_batches.alias("n_batches"),
     )
 
 
@@ -1748,10 +1755,14 @@ def ivf_search_index(
     semi-reduced to the shortlist ids, and never shuffled or
     broadcast whole. A candidate MISSING from ``rerank`` (rows folded
     into the index after the raw snapshot) keeps its quantized cosine
-    instead of silently dropping out of the top-k. With raw cell
-    storage ``rerank`` is a no-op semantically (same vectors both
-    stages) and simply costs the extra join — callers use it with
-    int8 indexes.
+    instead of silently dropping out of the top-k — and the rerank
+    output carries an ``exact`` boolean column (false = fallback) so
+    a stale rerank snapshot is DETECTABLE: quantized scores can bias
+    high, so a fallback row in the top-k is the caller's cue to
+    refresh the raw table, not a silent mix of score scales. With raw
+    cell storage ``rerank`` is a no-op semantically (same vectors
+    both stages) and simply costs the extra join — callers use it
+    with int8 indexes.
     """
     import os as _os
 
@@ -1839,8 +1850,14 @@ def ivf_search_index(
                     F.col("_qcos"),
                 ),
             )
+            # surfaced so callers can DETECT a stale rerank snapshot:
+            # a fallback row competes with exactly-scored rows on a
+            # quantized (possibly high-biased) score, which is the
+            # right availability tradeoff but must not be silent —
+            # exact=false in the top-k says "refresh the raw table"
+            .withColumn("exact", F.col("_raw").isNotNull())
         )
-    return (
+    out = (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -1848,5 +1865,7 @@ def ivf_search_index(
             F.col(id_col).alias("match_id"),
             "rank",
             F.round("cosine", 6).alias("cosine_sim"),
+            *(["exact"] if rerank is not None else []),
         )
     )
+    return out

@@ -889,8 +889,11 @@ def llm_ann_ivf_int8_rerank(
     40-candidate shortlist per query: the corpus's rank-5 → rank-40
     cosine gap dwarfs the ≤0.02 quantization drift at every shipped
     SF, and everything is deterministic, so equality is reproducible
-    bit-for-bit. Executed eagerly (localCheckpoint) so the temp index
-    is removed before return."""
+    bit-for-bit. The rerank path's ``exact`` column rides along and
+    the oracle asserts TRUE on every row — with a complete raw table
+    no candidate may fall back to its quantized score (the r8 ADVICE
+    stale-snapshot signal, here pinned non-firing). Executed eagerly
+    (localCheckpoint) so the temp index is removed before return."""
     import shutil
     import tempfile
 
@@ -2070,8 +2073,14 @@ ORACLES["llm_ann_ivf_int8"] = """
 # llm_ann_ivf_int8_rerank: full probe + raw-vector rerank over a
 # 40-candidate quantized shortlist restores the exact top-5, so the
 # oracle is the brute-force cosine replay itself — a value-level
-# certificate over the whole two-stage ADC chain.
-ORACLES["llm_ann_ivf_int8_rerank"] = ORACLES["llm_cosine_topk"]
+# certificate over the whole two-stage ADC chain. The rerank path's
+# `exact` fallback signal (r8 ADVICE) is asserted TRUE per row: a
+# complete raw table must never leave a candidate on its quantized
+# score.
+ORACLES["llm_ann_ivf_int8_rerank"] = ORACLES["llm_cosine_topk"].replace(
+    "SELECT query_id, match_id, rank, cosine_sim",
+    "SELECT query_id, match_id, rank, cosine_sim, TRUE AS exact",
+)
 
 # llm_semantic_dedup_ivf_diverse: the trained quantizer is
 # xxhash64-seeded (not DuckDB-expressible), but the planted perfect

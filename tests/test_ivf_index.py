@@ -749,3 +749,76 @@ class TestIvfIndexStats:
         # per-cell counts unchanged by compaction
         assert sorted((r["centroid_id"], r["n_rows"]) for r in after) == \
             sorted((r["centroid_id"], r["n_rows"]) for r in stats)
+
+    def test_legacy_layout_without_batch_level(self, spark, tmp_path):
+        """Pre-manifest marker layouts (cells/centroids at the index
+        root, no batch= partition level — they predate
+        append_ivf_index) must still yield stats: n_batches is the
+        constant 1 the single-batch layout implies, not an
+        unresolved-column error (r8 ADVICE). Probes on the same
+        layout keep working, so stats may not be the one op that
+        rejects it."""
+        import json
+        import shutil
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            IVF_META_FILE,
+            ivf_index_stats,
+        )
+
+        modern = str(tmp_path / "modern")
+        vecs = _vectors(spark)
+        write_ivf_index(vecs, modern, n_centroids=4, n_iters=1)
+        root = _data_root(spark, modern)
+        legacy = str(tmp_path / "legacy")
+        os.makedirs(legacy)
+        # cells WITHOUT the batch= level — the pre-append layout
+        shutil.copytree(
+            os.path.join(root, "cells", "batch=base"),
+            os.path.join(legacy, "cells"),
+        )
+        shutil.copytree(
+            os.path.join(root, "centroids"),
+            os.path.join(legacy, "centroids"),
+        )
+        with open(os.path.join(legacy, IVF_META_FILE), "w") as fh:
+            json.dump(
+                {
+                    "n_centroids": 4,
+                    "n_iters": 1,
+                    "vec_col": "embedding",
+                    "id_col": "vec_id",
+                },
+                fh,
+            )
+        stats = ivf_index_stats(spark, legacy).collect()
+        assert sum(r["n_rows"] for r in stats) == vecs.count()
+        assert {r["n_batches"] for r in stats} == {1}
+        # the probe path the ADVICE note contrasts against still works
+        got = ivf_search_index(_queries(spark), legacy, nprobe=4, k=3)
+        assert got.groupBy("query_id").count().collect()
+
+
+class TestRerankExactSignal:
+    def test_exact_column_flags_fallback_rows(self, spark, tmp_path):
+        """The rerank output's `exact` boolean (r8 ADVICE) must be
+        TRUE exactly where the candidate joined a raw vector and
+        FALSE where it fell back to the quantized score — the
+        caller's stale-snapshot detector. Non-rerank probes keep the
+        4-column schema (no vestigial column on the exact tier)."""
+        p = str(tmp_path / "ivf8sig")
+        vecs = _vectors(spark)
+        write_ivf_index(
+            vecs, p, n_centroids=8, n_iters=1, cell_storage="int8"
+        )
+        q = _queries(spark)
+        plain = ivf_search_index(q, p, nprobe=8, k=5)
+        assert "exact" not in plain.columns
+        full = ivf_search_index(q, p, nprobe=8, k=5, rerank=vecs)
+        assert "exact" in full.columns
+        assert full.filter(~F.col("exact")).count() == 0
+        half = vecs.filter(F.col("vec_id") % 2 == 0)
+        part = ivf_search_index(q, p, nprobe=8, k=5, rerank=half)
+        rows = part.collect()
+        assert all(r["exact"] == (r["match_id"] % 2 == 0) for r in rows)
+        assert any(not r["exact"] for r in rows)  # fallback visible
