@@ -117,7 +117,7 @@ def main() -> None:
     # generated whole-stage code is measured to dominate the first 1-2
     # executions (q1 runs 0.98 → 0.72 s across six runs with no code
     # change), and the benchmark's claim is steady-state cost
-    # --- box-calibration probe (r7 verdict task 5) ---------------------
+    # --- box-calibration probe (r7 verdict task 5; resized r9) ---------
     # BENCH_r07's 17 "regressions_vs_best_ever" flags were 100% box
     # scatter (same-box A/B: r6 snapshot 22.46s vs r7 HEAD 21.05s —
     # HEAD faster, recorded file slower), but the recorded file had no
@@ -128,12 +128,30 @@ def main() -> None:
     # today's box speed, and the regression gate below can report
     # box-normalized ratios that a future reader can trust without
     # re-running an A/B.
+    #
+    # v2 (r8 verdict): the v1 probe ran 20M rows in 0.28-0.31s — the
+    # exact duration band where this suite's documented single-shot
+    # variance is ±15-50%, so box_speed_vs_best could mislead in
+    # EITHER direction (the r8 judge run saw calibration draw a fast
+    # sample while queries drew slow ones, inflating normalized ratios
+    # to 1.44-1.63 on untouched code). v2 runs 100× the rows and takes
+    # the MEDIAN of 5 timed runs instead of min-of-3: the median of a
+    # multi-second workload is robust to one slow sample AND one lucky
+    # one. Sizing was measured, not guessed (r9 build box, idle):
+    # per-run fixed overhead is ~0.4s, so 160M rows (0.65s) and 640M
+    # (1.2s) still showed 17-41% median spread; at 2G rows (~2.6s,
+    # compute-dominated) three independent medians-of-5 landed within
+    # ±4.6% and every single sample within ±4% — an order of magnitude
+    # tighter than the per-query single-shot noise it normalizes.
+    # v1 and v2 values are NOT comparable, so best-cal scanning is
+    # keyed on calibration_probe == "v2" (BENCH_CAL.json seeds the
+    # baseline; pre-v2 BENCH_r*.json calibrations are ignored).
     def _calibration_sec() -> float:
-        best = None
-        for _ in range(3):
+        samples = []
+        for _ in range(5):
             t0 = time.time()
             (
-                spark.range(0, 20_000_000, 1, 32)
+                spark.range(0, 2_000_000_000, 1, 32)
                 .selectExpr("xxhash64(id) AS h")
                 .groupBy((F.col("h") % 1024).alias("b"))
                 # pmod keeps the SUM far from long overflow (ANSI mode
@@ -146,11 +164,25 @@ def main() -> None:
                 .mode("overwrite")
                 .save()
             )
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        return round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        return round(samples[len(samples) // 2], 3)
 
-    _calibration_sec()  # untimed: JIT the generated code first
+    # one untimed execution: JIT the generated code first (cheap
+    # single run at reduced scale is NOT enough — C2 keeps compiling
+    # into the first full-scale run)
+    (
+        spark.range(0, 2_000_000_000, 1, 32)
+        .selectExpr("xxhash64(id) AS h")
+        .groupBy((F.col("h") % 1024).alias("b"))
+        .agg(
+            F.sum(F.pmod(F.col("h"), F.lit(1000000))).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     calibration = _calibration_sec()
 
     timings: dict[str, float] = {}
@@ -195,6 +227,7 @@ def main() -> None:
         "queries": timings,
         "pipeline_day_sec": pipeline_day,
         "calibration_sec": calibration,
+        "calibration_probe": "v2",
         "sf": sf,
         "timing": "min-of-3, cache cleared before each run",
     }
@@ -215,11 +248,31 @@ def main() -> None:
             for name, t in (parsed.get("queries") or {}).items():
                 if isinstance(t, (int, float)) and t > 0:
                     best_ever[name] = min(best_ever.get(name, t), t)
+            # only v2 calibrations are comparable (the v1 probe was 8×
+            # smaller; see the probe comment above)
             c = parsed.get("calibration_sec")
-            if isinstance(c, (int, float)) and c > 0:
+            if (
+                parsed.get("calibration_probe") == "v2"
+                and isinstance(c, (int, float))
+                and c > 0
+            ):
                 best_cal = c if best_cal is None else min(best_cal, c)
         except (OSError, ValueError):
             continue
+    # committed seed baseline so the very first v2 round normalizes
+    # against something (recorded on the r9 build box, idle)
+    try:
+        with open(os.path.join(repo, "BENCH_CAL.json")) as f:
+            seed = json.load(f)
+        c = seed.get("calibration_sec")
+        if (
+            seed.get("calibration_probe") == "v2"
+            and isinstance(c, (int, float))
+            and c > 0
+        ):
+            best_cal = c if best_cal is None else min(best_cal, c)
+    except (OSError, ValueError):
+        pass
     # box speed today vs the fastest box any recorded round ran on:
     # 1.0 = as fast as ever measured; 1.25 = everything should read
     # ~25% slower for reasons that have nothing to do with the code
