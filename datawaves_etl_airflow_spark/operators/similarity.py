@@ -1724,6 +1724,89 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     )
 
 
+def maintain_ivf_index(
+    spark,
+    path: str,
+    max_batches: int = 8,
+    max_cell_ratio: float = 8.0,
+    folded_retention: int | None = None,
+) -> dict:
+    """The scheduled maintenance job `ivf_index_stats` exists to feed
+    (same spirit as `streaming.maintain` for aggregates): read the
+    per-cell health stats once, then act on the two watermarks the
+    stats docstring names.
+
+    - **fold fragmentation**: when any cell spans more than
+      ``max_batches`` batch dirs, run `compact_ivf_index` (probe
+      listing cost grows with batch dirs; the fold is pointer-flip
+      safe, so firing it here inherits the manifest protocol's
+      idempotence — a lost race against a concurrent fold/rebuild is
+      reported, not raised, because for a *scheduled* job "someone
+      else just folded" is success-shaped; re-run next tick).
+    - **cell skew**: when the largest cell exceeds ``max_cell_ratio``
+      × the BALANCED cell size (total rows ÷ configured cell count —
+      ``n_centroids``, × ``n_fine`` for 2-level layouts), flag
+      ``rebuild_recommended`` and list the offending cells. The
+      denominator is deliberately NOT the mean over non-empty cells:
+      a degenerate crowd collapses most centroids onto itself, so few
+      cells survive and the non-empty mean inflates toward the crowd
+      — masking the exact failure the check exists for. Balanced size
+      is also what probe cost math assumes (a probe reads
+      nprobe/k of the corpus only while cells are near-balanced).
+      Rebuilding is NOT automatic: it needs the corpus and quantizer
+      parameters this helper deliberately does not hold (the right
+      fixes — exact-dedup the crowd, larger ``n_centroids``, or a
+      2-level build — are a human/pipeline decision, per the stats
+      docstring).
+
+    Driver cost is one bounded aggregation (≤ n_centroids rows
+    collected — the bounded-driver-read pattern); returns a report
+    dict suitable for job logs/alerting::
+
+        {"n_cells", "n_cells_configured", "n_rows",
+         "max_batches_seen", "compacted", "compaction_race_lost",
+         "balanced_cell_rows", "max_cell_rows",
+         "skewed_cells": [(centroid_id, n_rows), ...],
+         "rebuild_recommended"}
+    """
+    meta, _ = _resolve_ivf_index(spark, path)
+    k_total = meta["n_centroids"] * (meta["n_fine"] or 1)
+    stats = ivf_index_stats(spark, path).collect()
+    n_rows = sum(r["n_rows"] for r in stats)
+    balanced = n_rows / k_total if k_total else 0.0
+    max_seen = max((r["n_batches"] for r in stats), default=0)
+    skewed = sorted(
+        (r["centroid_id"], r["n_rows"])
+        for r in stats
+        if balanced > 0 and r["n_rows"] > max_cell_ratio * balanced
+    )
+    report = {
+        "n_cells": len(stats),
+        "n_cells_configured": k_total,
+        "n_rows": n_rows,
+        "max_batches_seen": max_seen,
+        "compacted": False,
+        "compaction_race_lost": False,
+        "balanced_cell_rows": round(balanced, 1),
+        "max_cell_rows": max((r["n_rows"] for r in stats), default=0),
+        "skewed_cells": skewed,
+        "rebuild_recommended": bool(skewed),
+    }
+    if max_seen > max_batches:
+        try:
+            report["compacted"] = compact_ivf_index(
+                spark, path, folded_retention=folded_retention
+            )
+        except RuntimeError as exc:
+            # ONLY the manifest race is success-shaped for a scheduled
+            # job; a torn-commit refusal (the other RuntimeError in
+            # compact) is a real operator problem and must propagate
+            if "lost the manifest race" not in str(exc):
+                raise
+            report["compaction_race_lost"] = True
+    return report
+
+
 def ivf_search_index(
     queries: DataFrame,
     path: str,

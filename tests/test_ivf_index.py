@@ -822,3 +822,103 @@ class TestRerankExactSignal:
         rows = part.collect()
         assert all(r["exact"] == (r["match_id"] % 2 == 0) for r in rows)
         assert any(not r["exact"] for r in rows)  # fallback visible
+
+
+class TestMaintainIvfIndex:
+    """maintain_ivf_index: the scheduled job that turns the stats
+    health check into action — compact past the fragmentation
+    watermark, flag (never auto-run) a rebuild on cell skew."""
+
+    def _fresh(self, spark, tmp_path, n_appends):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            append_ivf_index,
+        )
+
+        p = str(tmp_path / "ivfm")
+        vecs = _vectors(spark)
+        write_ivf_index(
+            vecs.filter(F.col("vec_id") % (n_appends + 1) == 0),
+            p,
+            n_centroids=4,
+            n_iters=1,
+        )
+        for i in range(n_appends):
+            append_ivf_index(
+                vecs.filter(F.col("vec_id") % (n_appends + 1) == i + 1),
+                p,
+                batch_token=f"d{i}",
+            )
+        return p, vecs
+
+    def test_noop_below_watermark(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            maintain_ivf_index,
+        )
+        from datawaves_etl_airflow_spark.sources.manifest import (
+            VersionedManifest,
+        )
+
+        p, _ = self._fresh(spark, tmp_path, n_appends=2)
+        before = VersionedManifest(p).latest_version(spark)
+        rep = maintain_ivf_index(spark, p, max_batches=8)
+        assert rep["compacted"] is False
+        assert rep["max_batches_seen"] <= 3
+        assert rep["rebuild_recommended"] is False
+        # no-op means no new version was published
+        assert VersionedManifest(p).latest_version(spark) == before
+
+    def test_compacts_past_watermark_and_is_idempotent(
+        self, spark, tmp_path
+    ):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            ivf_index_stats,
+            maintain_ivf_index,
+        )
+
+        p, vecs = self._fresh(spark, tmp_path, n_appends=3)
+        q = _queries(spark)
+        before = ivf_search_index(q, p, nprobe=4, k=5).collect()
+        rep = maintain_ivf_index(spark, p, max_batches=2)
+        assert rep["compacted"] is True
+        assert rep["compaction_race_lost"] is False
+        stats = ivf_index_stats(spark, p).collect()
+        assert max(r["n_batches"] for r in stats) == 1
+        assert sum(r["n_rows"] for r in stats) == vecs.count()
+        # probe results identical across the fold (pointer flip)
+        after = ivf_search_index(q, p, nprobe=4, k=5).collect()
+        assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+        # second tick: below watermark now — a no-op, not a re-fold
+        rep2 = maintain_ivf_index(spark, p, max_batches=2)
+        assert rep2["compacted"] is False
+        assert rep2["max_batches_seen"] == 1
+
+    def test_flags_degenerate_cell_skew(self, spark, tmp_path):
+        """A broken upstream job emitting thousands of near-identical
+        vectors crowds ONE cell: maintain must flag the rebuild and
+        name the cell, and must NOT try to fix it by compaction."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            maintain_ivf_index,
+        )
+
+        base = _vectors(spark, n=60)
+        crowd = (
+            spark.range(1000, 1600)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.array(
+                    *[F.lit(1.0) + F.col("id") * 1e-9 for _ in range(DIM)]
+                ).alias("embedding"),
+            )
+        )
+        p = str(tmp_path / "ivfskew")
+        write_ivf_index(base.union(crowd), p, n_centroids=8, n_iters=1)
+        rep = maintain_ivf_index(spark, p, max_cell_ratio=4.0)
+        # the crowd collapses most centroids onto itself (2 non-empty
+        # cells here), which is exactly why the ratio denominator is
+        # the BALANCED size n_rows/k=82.5, not the non-empty mean 330
+        assert rep["n_cells"] < rep["n_cells_configured"]
+        assert rep["rebuild_recommended"] is True
+        assert len(rep["skewed_cells"]) >= 1
+        worst = max(rep["skewed_cells"], key=lambda t: t[1])
+        assert worst[1] >= 600  # the planted crowd, in one cell
+        assert rep["compacted"] is False  # skew is not a fold problem
