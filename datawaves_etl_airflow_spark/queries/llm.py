@@ -478,6 +478,62 @@ def llm_knn_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def llm_knn_ivf_2level_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """kNN label eval composed over the WHOLE index stack at once —
+    2-level quantizer build (`n_fine`), int8 cell storage, two-stage
+    exact rerank, and the vote (r8 verdict task 5: the registered
+    `llm_knn_ivf_eval` runs flat/raw; this is the driver certificate
+    for eval-over-2level, and it exercises every r8 tier in one row).
+
+    Exactness argument, by layer: at FULL probe (nprobe = all 16 fine
+    cells) every ``centroid_id=`` partition is scored, so the cell
+    layout the hierarchical argmax produced cannot change the
+    candidate set; the int8 scan ranks a ``rerank_factor·(k+1)``
+    shortlist whose quantized-cosine drift (≤0.02) is far inside the
+    corpus's rank-6 → rank-48 cosine gap at every shipped SF; the
+    raw-vector rerank then restores EXACT cosines (the `exact` column
+    is asserted all-true upstream by `llm_ann_ivf_int8_rerank`), so
+    neighbor selection — and therefore every vote — is bit-identical
+    to brute force and the DuckDB oracle is the same exact-kNN replay
+    as `llm_knn_label_eval`. Executed eagerly (localCheckpoint) so
+    the temp index is removed before return."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir)
+    corpus = embs.select(
+        "vec_id", "embedding", F.col("label").cast("bigint").alias("label")
+    )
+    qs = embs.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").cast("bigint").alias("true_label"),
+    )
+    idx = tempfile.mkdtemp(prefix="llm_knn_ivf2l_")
+    try:
+        similarity.write_ivf_index(
+            corpus,
+            idx,
+            n_centroids=4,
+            n_iters=1,
+            n_fine=4,
+            cell_storage="int8",
+        )
+        return similarity.knn_label_predict_index(
+            corpus,
+            qs,
+            idx,
+            k=5,
+            nprobe=16,
+            rerank=corpus.select("vec_id", "embedding"),
+            rerank_factor=8,
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (`similarity.semantic_dedup`:
     k-means cells -> within-cell cosine pairs -> connected components
@@ -1315,6 +1371,7 @@ QUERIES = {
     "llm_ann_lsh_planted": llm_ann_lsh_planted,
     "llm_knn_label_eval": llm_knn_label_eval,
     "llm_knn_ivf_eval": llm_knn_ivf_eval,
+    "llm_knn_ivf_2level_eval": llm_knn_ivf_2level_eval,
     "llm_neardup_embeddings": llm_neardup_embeddings,
     "llm_semantic_dedup": llm_semantic_dedup,
     "llm_semantic_dedup_diverse": llm_semantic_dedup_diverse,
@@ -2017,6 +2074,12 @@ ORACLES["llm_wordcount"] = f"""
 # (see llm_knn_ivf_eval's docstring for why this is a stronger check
 # than an x1-style self-assertion)
 ORACLES["llm_knn_ivf_eval"] = ORACLES["llm_knn_label_eval"]
+
+# llm_knn_ivf_2level_eval: full probe scores every fine cell and the
+# raw-vector rerank restores exact cosines, so the composed
+# 2level+int8+rerank eval is bit-identical to brute force — same
+# exact-kNN replay oracle.
+ORACLES["llm_knn_ivf_2level_eval"] = ORACLES["llm_knn_label_eval"]
 
 ORACLES["llm_temperature_sample"] = """
     WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
