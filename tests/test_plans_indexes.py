@@ -147,3 +147,67 @@ class TestDecodeLayoutPruning:
         assert files
         assert all(f"selector_hash={want_bucket}/" in f for f in files)
         assert decoded.count() == 100
+
+
+class TestStreamSemanticScaledK:
+    def test_batch_assignment_never_flat_scans_fine_table(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Corpus-scaled k (r8 verdict task 6): against a 2-level
+        index with k = 400 fine cells, the streaming batch's
+        assignment must pay the hierarchical O(√k + √k) dots/row —
+        i.e. every centroid table that reaches the flat argmax
+        (`_assign_cells`, the broadcast-fold map-side scorer) is a
+        LEVEL table of ≤ √k-ish rows (coarse list, or one coarse
+        cell's fine list), never the full 400-row fine table. A
+        stream that flat-assigned would reintroduce the O(n·k) term
+        the 2-level build exists to kill; recording the actual
+        argument is execution-true where a plan-string grep could
+        silently match nothing."""
+        import random
+
+        from datawaves_etl_airflow_spark.operators import similarity as sim
+        from datawaves_etl_airflow_spark.streaming import ingest as ing
+
+        rng = random.Random(5)
+        dim, n_coarse, n_fine = 8, 20, 20
+        vecs = spark.createDataFrame(
+            [
+                (i, [rng.uniform(-1, 1) for _ in range(dim)])
+                for i in range(600)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        idx = str(tmp_path / "ivf2l")
+        acc = str(tmp_path / "acc")
+        sim.write_ivf_index(
+            vecs, idx, n_centroids=n_coarse, n_iters=1, n_fine=n_fine
+        )
+        seen_sizes = []
+        real_assign = sim._assign_cells
+
+        def recording(norm, vcol, centroids):
+            seen_sizes.append(centroids.count())
+            return real_assign(norm, vcol, centroids)
+
+        monkeypatch.setattr(sim, "_assign_cells", recording)
+        # patch BEFORE make: the ingest binds its imports at make time
+        fn = ing.make_semantic_ingest(idx, acc, threshold=0.95)
+        batch = spark.createDataFrame(
+            [
+                (10_000 + i, [rng.uniform(-1, 1) for _ in range(dim)])
+                for i in range(10)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        fn(batch, 0)
+        assert seen_sizes, "flat argmax never ran — wiring changed?"
+        # every table the flat scorer saw is a level (≤ n_coarse =
+        # n_fine = 20 = √k rows); the 400-row fine table never did
+        assert max(seen_sizes) <= n_coarse
+        # and the batch actually ingested (non-vacuous)
+        import os as _os
+
+        assert spark.read.parquet(
+            _os.path.join(acc, "docs")
+        ).count() > 0
