@@ -376,14 +376,18 @@ def evt_seaport_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: r7-green ten rotate out, parity-pinned) — no domain source changed
 #: this round.
 DRIVER_QUERIES = [
-    "s1_staging_scan_json",
-    "d_enrich_transactions",
-    "d_enrich_geth_traces",
-    "d_new_tokens",
-    "d_verify_root_traces",
-    "evt_seaport_decode",
-    "call_transfer_decode",
-    "d4_token_transfers",
+    # r9: the complete r7-last-green domain cohort (the r8-green
+    # domain sentinels rotate out parity-pinned)
+    "s2_staging_scan_csv",
+    "d_enrich_blocks",
+    "d_enrich_logs",
+    "d_enrich_traces",
+    "d_enrich_contracts",
+    "d_enrich_token_transfers",
+    "d_prices_fill",
+    "d_verify_have_latest",
+    "evt_transfer_decode",
+    "d5_extract_contracts",
 ]
 
 QUERIES = {

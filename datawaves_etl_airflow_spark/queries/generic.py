@@ -817,25 +817,35 @@ def g2_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: w4 in), pv2_unpivot_metrics (twin pv1 in), g3_cube_priority (twin
 #: g1 in), h1_hourly_events (twins h2 in / h3 r7-green). All four
 #: stay parity-green and lead the r9 rotation.
+#: Round-9 rotation: the four r6-stale deferrals lead (w2/pv2/g3/h1 —
+#: the documented r8 deferrals, each a pure-SQL extension query whose
+#: operator surface is untouched since r6), then the r7-last-green
+#: generic cohort. Seven r7-green queries defer one round to fund the
+#: three never-verified llm heads + the four stale generics within the
+#: hard 50-slot budget — a2, g4, h3, j6b, j9, p5, u1, each a pure-SQL
+#: extension query with an UNtouched operator surface and a
+#: same-family twin holding an r9 slot (a1, g3, h1, j6+j6c, j7, p4,
+#: e1 respectively); all seven stay parity-green and lead the r10
+#: freshness queue.
 DRIVER_QUERIES = [
-    "aj2_asof_bucketed",
-    "f_scalar_surface",
-    "g1_rollup_returnflag",
-    "g2_grouped_quantiles",
-    "h2_range_pruned_scan",
-    "j1_order_revenue_3way",
-    "j5_composite_key_join",
-    "m1_upsert_dimension",
-    "m2_scd2_history",
-    "m3_incremental_merge",
-    "pv1_pivot_linestatus",
-    "q1_pricing_summary",
-    "rj1_promo_range_join",
-    "sk1_salted_agg",
-    "w3_sessionization",
-    "w4_rolling_range_window",
-    "x1_approx_aggregates",
-    "x3_profile_orders",
+    # r6-stale deferrals (r8 verdict rotation head), first
+    "w2_running_sum",
+    "pv2_unpivot_metrics",
+    "g3_cube_priority",
+    "h1_hourly_events",
+    # r7-last-green cohort minus the seven documented deferrals
+    "a1_count_existence",
+    "aj1_asof_clicks",
+    "e1_except_parts",
+    "f2_array_surface",
+    "j6_anti_join_customers",
+    "j6c_anti_join_bucket_pruned",
+    "j7_region_rollup",
+    "j8_semi_join_customers",
+    "p4_date_range_scan",
+    "t1_topk_orders",
+    "w1_topk_per_user",
+    "x2_above_global_avg",
 ]
 
 #: columns profiled by x3 (orderable subset of orders)

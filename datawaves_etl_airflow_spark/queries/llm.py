@@ -1322,34 +1322,45 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: driver-verified): `llm_ann_ivf_int8` and `llm_ann_ivf_int8_rerank`
 #: lead the r9 queue together with the four deferred generics
 #: (w2/pv2/g3/h1 — see queries.generic).
+#: Round-9 rotation: the three never-driver-verified queries lead —
+#: the int8 cell-storage tier and the two-stage ADC rerank (parity-
+#: green since r8, queued by the r8 verdict) plus this round's new
+#: llm_knn_ivf_2level_eval (kNN eval composed over 2level+int8+rerank
+#: at full probe, exact-kNN oracle — r8 verdict task 5) — then
+#: llm_ann_ivf (its ivf_search_index path gained the rerank `exact`
+#: column this round; the non-rerank plan is unchanged but the shared
+#: code path earns the fresh row), then EVERY r7-last-green llm query.
+#: The r8-green set rotates out parity-pinned; its r9 source changes
+#: (ivf_index_stats legacy guard, maintain_ivf_index) touch no
+#: registered query surface.
 DRIVER_QUERIES = [
     # never driver-verified, first
-    "llm_ann_ivf_2level",
-    "llm_semantic_dedup_ivf_diverse",
-    # r5-last-green (the r7 deferral)
-    "llm_frame_sample",
-    # r6-last-green cohort, complete
-    "llm_ann_ivf_index",
-    "llm_cell_outliers",
-    "llm_chunking",
-    "llm_decontaminate",
-    "llm_fingerprint",
-    "llm_incremental_dedup",
-    "llm_knn_ivf_eval",
-    "llm_length_histogram",
-    "llm_multimodal_meta",
-    "llm_neardup_embeddings",
-    "llm_passage_dedup",
-    "llm_pii_scrub",
-    "llm_quality_filter",
-    "llm_repetition",
-    "llm_semantic_dedup",
-    "llm_simhash_planted",
-    "llm_temperature_sample",
-    "llm_tfidf_keywords",
-    "llm_token_counts",
-    "llm_unigram_logprob",
-    "llm_wordcount",
+    "llm_ann_ivf_int8",
+    "llm_ann_ivf_int8_rerank",
+    "llm_knn_ivf_2level_eval",
+    # shared-code-path freshness: ivf_search_index changed this round
+    "llm_ann_ivf",
+    # r7-last-green cohort, complete
+    "llm_ann_lsh_planted",
+    "llm_audio_features",
+    "llm_cluster_keep",
+    "llm_corpus_pipeline",
+    "llm_cosine_topk",
+    "llm_dedup_clusters",
+    "llm_dedup_exact",
+    "llm_hash_split",
+    "llm_image_features",
+    "llm_jaccard_pairs",
+    "llm_knn_label_eval",
+    "llm_lang_id",
+    "llm_pack_sequences",
+    "llm_quality_logit",
+    "llm_quantize_embeddings",
+    "llm_semantic_dedup_2level",
+    "llm_semantic_dedup_diverse",
+    "llm_semantic_dedup_ivf",
+    "llm_source_quota",
+    "llm_text_stats",
 ]
 
 QUERIES = {
