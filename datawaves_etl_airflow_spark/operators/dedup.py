@@ -1316,6 +1316,65 @@ def minhash_index_stats(spark, path: str) -> DataFrame:
     return totals.crossJoin(bucket_stats)
 
 
+def maintain_minhash_index(
+    spark,
+    path: str,
+    max_batches: int = 8,
+    max_bucket_watermark: int | None = None,
+    folded_retention: int | None = None,
+) -> dict:
+    """The scheduled maintenance job over `minhash_index_stats` — the
+    band-join twin of `similarity.maintain_ivf_index`, acting on the
+    two watermarks the stats docstring names:
+
+    - **fold fragmentation**: ``n_batches > max_batches`` runs
+      `compact_minhash_index` (each append adds one bands dir + one
+      sets dir to every probe's scan list; the fold resets it to
+      one). A lost manifest race is reported, not raised — for a
+      scheduled job "someone else just folded" is success-shaped —
+      while a torn-commit refusal still propagates (it needs an
+      operator, not a retry).
+    - **bucket crowding**: ``max_bucket`` above
+      ``max_bucket_watermark`` (default: the
+      `valves.PRODUCTION_VALVES` ``max_docs_per_band`` cap, so the
+      alert fires exactly where the probe-side valve would start
+      truncating candidates) flags ``crowd_flagged``. Whether the
+      crowd is one boilerplate cluster (``p95_bucket`` small — run
+      exact dedup on it) or a systemically hot banding
+      (``p95_bucket`` near ``max_bucket`` — re-band with more bits)
+      is a human/pipeline decision; the report carries both numbers.
+
+    Driver cost: one bounded stats aggregation (1 row collected).
+    """
+    from . import valves
+
+    if max_bucket_watermark is None:
+        max_bucket_watermark = valves.recommended(
+            "minhash_dedup_pairs", "max_docs_per_band"
+        )
+    row = minhash_index_stats(spark, path).collect()[0]
+    report = {
+        "n_docs": row["n_docs"],
+        "n_batches": row["n_batches"],
+        "max_bucket": row["max_bucket"],
+        "p95_bucket": row["p95_bucket"],
+        "mean_bucket": row["mean_bucket"],
+        "compacted": False,
+        "compaction_race_lost": False,
+        "crowd_flagged": row["max_bucket"] > max_bucket_watermark,
+    }
+    if row["n_batches"] > max_batches:
+        try:
+            report["compacted"] = compact_minhash_index(
+                spark, path, folded_retention=folded_retention
+            )
+        except RuntimeError as exc:
+            if "lost the manifest race" not in str(exc):
+                raise
+            report["compaction_race_lost"] = True
+    return report
+
+
 def vacuum_minhash_index(spark, path: str) -> list[str]:
     """Reclaim superseded index versions: every ``versions/`` dir the
     LATEST manifest does not reference (except in-flight rebuilds,

@@ -459,3 +459,93 @@ class TestMinhashIndexStats:
         # bucket occupancy is invariant under compaction
         assert after["max_bucket"] == row["max_bucket"]
         assert after["mean_bucket"] == row["mean_bucket"]
+
+
+class TestMaintainMinhashIndex:
+    def _indexed(self, spark, tmp_path, n_appends):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            append_minhash_index,
+            write_minhash_index,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (i, f"doc number {i} with some distinct words {i * 7}")
+                for i in range(20)
+            ],
+            "doc_id long, text string",
+        )
+        p = str(tmp_path / "mhm")
+        write_minhash_index(docs, p)
+        for j in range(n_appends):
+            day = spark.createDataFrame(
+                [
+                    (1000 * (j + 1) + i, f"batch {j} doc {i} words {i * 13}")
+                    for i in range(5)
+                ],
+                "doc_id long, text string",
+            )
+            append_minhash_index(day, p, batch_token=f"d{j}")
+        return p
+
+    def test_noop_below_watermarks(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            maintain_minhash_index,
+        )
+        from datawaves_etl_airflow_spark.sources.manifest import (
+            VersionedManifest,
+        )
+
+        p = self._indexed(spark, tmp_path, n_appends=2)
+        before = VersionedManifest(p).latest_version(spark)
+        rep = maintain_minhash_index(spark, p, max_batches=8)
+        assert rep["compacted"] is False
+        assert rep["n_batches"] == 3
+        # max_bucket here is tiny; the default watermark is the
+        # 10k production valve — nowhere near firing
+        assert rep["crowd_flagged"] is False
+        assert VersionedManifest(p).latest_version(spark) == before
+
+    def test_compacts_past_watermark_probe_identical(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            dedup_against_index,
+            maintain_minhash_index,
+        )
+
+        p = self._indexed(spark, tmp_path, n_appends=3)
+        batch = spark.createDataFrame(
+            [(9000 + i, f"doc number {i} with some distinct words {i * 7}")
+             for i in range(6)],
+            "doc_id long, text string",
+        )
+        before = _pairs(dedup_against_index(batch, p, threshold=0.5))
+        rep = maintain_minhash_index(spark, p, max_batches=2)
+        assert rep["compacted"] is True
+        assert rep["compaction_race_lost"] is False
+        after = _pairs(dedup_against_index(batch, p, threshold=0.5))
+        assert after == before
+        rep2 = maintain_minhash_index(spark, p, max_batches=2)
+        assert rep2["compacted"] is False
+        assert rep2["n_batches"] == 1
+
+    def test_crowd_flag_fires_on_boilerplate_bucket(self, spark, tmp_path):
+        """A shared-boilerplate crowd collapses many docs into one
+        band bucket: with the watermark dialed to a test-sized value,
+        the flag must fire WITHOUT triggering a compaction (crowding
+        is not a fold problem)."""
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            maintain_minhash_index,
+            write_minhash_index,
+        )
+
+        boiler = spark.createDataFrame(
+            [(i, "identical boilerplate header repeated everywhere")
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        p = str(tmp_path / "mhcrowd")
+        write_minhash_index(boiler, p)
+        rep = maintain_minhash_index(spark, p, max_bucket_watermark=10)
+        assert rep["crowd_flagged"] is True
+        assert rep["max_bucket"] == 30
+        assert rep["compacted"] is False
