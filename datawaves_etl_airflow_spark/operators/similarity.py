@@ -1153,16 +1153,35 @@ def _quantize_cols(vec_col: str, int_type: str) -> tuple[Column, Column]:
 
 
 def _cells_projection(
-    assigned: DataFrame, cell_storage: str, vec_col: str, id_col: str
+    assigned: DataFrame,
+    cell_storage: str,
+    vec_col: str,
+    id_col: str,
+    pq: tuple[DataFrame, int, int] | None = None,
 ) -> DataFrame:
     """The stored cell row for one assigned corpus row — shared by the
     build and the append fold so both storages land identical schemas:
     ``(id, vec, centroid_id)`` raw, ``(id, q, scale, centroid_id)``
-    int8."""
+    int8, ``(id, codes, centroid_id)`` pq (``pq`` carries the trained
+    ``(_pq_codebook_row, pq_m, dsub)`` — encode shares one expression
+    tree with the build so a replayed fold lands bit-identical
+    codes)."""
     if cell_storage == "int8":
         q, scale = _quantize_cols(vec_col, "tinyint")
         return assigned.select(
             F.col("_vid").alias(id_col), q.alias("q"), scale, "centroid_id"
+        )
+    if cell_storage == "pq":
+        cb_row, pq_m, dsub = pq
+        # assigned carries `_v` (the normalized vector) from the
+        # argmax — encode slices it directly, no re-normalize
+        return (
+            assigned.crossJoin(F.broadcast(cb_row))
+            .select(
+                F.col("_vid").alias(id_col),
+                _pq_codes("_v", pq_m, dsub).alias("codes"),
+                "centroid_id",
+            )
         )
     return assigned.select(
         F.col("_vid").alias(id_col), F.col(vec_col), "centroid_id"
@@ -1177,6 +1196,243 @@ def _dequantized_vec() -> Column:
     return F.transform(
         F.col("q"), lambda v: v.cast("double") * F.col("scale")
     )
+
+
+def _pq_dist2(sub: Column, cw: Column) -> Column:
+    """Squared L2 between two equal-length arrays — PQ's training and
+    encoding metric (subvectors are NOT unit-norm, so cosine is the
+    wrong objective below the full-vector level)."""
+    return F.aggregate(
+        F.zip_with(sub, cw, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    pq_m: int,
+    pq_k: int = 256,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization codebooks → ``(subspace_id, code_id,
+    codeword)`` — ``pq_m`` independent L2 k-means problems, one per
+    contiguous ``dim/pq_m`` slice of the L2-NORMALIZED vector (PQ
+    approximates the unit vector; the full-vector cosine is then the
+    sum of per-subspace dots against reconstructed codewords — Jégou,
+    Douze & Schmid, "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011; the same m×256 layout FAISS's IVFPQ uses).
+
+    Deterministic like `train_centroids`: seeds are the ``pq_k``
+    corpus rows with the smallest ``xxhash64(id)`` (each contributes
+    one seed subvector to EVERY subspace), assignment ties break on
+    code id, means are hash aggregations. All ``pq_m`` subproblems
+    train in ONE set of jobs over the exploded ``(subspace_id,
+    subvec)`` rows — corpus×m rows per pass, never a per-subspace
+    driver loop. Code ids are re-densified to 0..n-1 per subspace
+    after training (L2 k-means clusters can die), so storage can be a
+    positional tinyint.
+
+    The vector dimension must be divisible by ``pq_m`` (one bounded
+    driver read validates it); ``pq_k`` ≤ 256 so codes fit a stored
+    tinyint."""
+    if pq_k > 256:
+        raise ValueError(f"pq_k must be <= 256 (tinyint codes): {pq_k}")
+    first = (
+        vectors.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+    )
+    if not first:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    dim = first[0]["_d"]
+    if dim is None or dim % pq_m != 0:
+        raise ValueError(
+            f"vector dim {dim} is not divisible by pq_m={pq_m}"
+        )
+    dsub = dim // pq_m
+    norm = vectors.select(
+        F.col(id_col).alias("_vid"),
+        l2_normalize(F.col(vec_col)).alias("_v"),
+    )
+    subs = norm.select(
+        "_vid",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(pq_m - 1)),
+                lambda j: F.slice(F.col("_v"), j * dsub + 1, dsub),
+            )
+        ).alias("subspace_id", "_sv"),
+    )
+    seed_ids = (
+        norm.select("_vid", F.xxhash64(F.col("_vid")).alias("_h"))
+        .orderBy("_h", "_vid")
+        .limit(pq_k)
+    )
+    books = (
+        F.broadcast(seed_ids)
+        .join(subs, "_vid")
+        .select(
+            "subspace_id",
+            (
+                F.row_number().over(
+                    Window.partitionBy("subspace_id").orderBy("_h", "_vid")
+                )
+                - 1
+            ).alias("code_id"),
+            F.col("_sv").alias("codeword"),
+        )
+    )
+
+    def _grouped(cb: DataFrame) -> DataFrame:
+        # per-subspace struct arrays, sorted by code id — the tiny
+        # (pq_m rows) broadcast side of the assignment join
+        return cb.groupBy("subspace_id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("code_id", "codeword"))
+                ),
+                lambda s: s,
+            ).alias("_cws")
+        )
+
+    for _ in range(n_iters):
+        best = F.array_min(
+            F.transform(
+                F.col("_cws"),
+                lambda c: F.struct(
+                    _pq_dist2(F.col("_sv"), c["codeword"]).alias("d"),
+                    c["code_id"].alias("cid"),
+                ),
+            )
+        )
+        assigned = (
+            subs.join(F.broadcast(_grouped(books)), "subspace_id")
+            .withColumn("code_id", best["cid"])
+            .select("subspace_id", "code_id", "_sv")
+        )
+        books = (
+            assigned.select(
+                "subspace_id", "code_id", F.posexplode("_sv").alias("_pos", "_x")
+            )
+            .groupBy("subspace_id", "code_id", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("subspace_id", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("codeword")
+            )
+        )
+    # densify: dead clusters leave id gaps; positional storage needs
+    # 0..n-1 per subspace (ordering by old id keeps determinism)
+    return books.select(
+        "subspace_id",
+        (
+            F.row_number().over(
+                Window.partitionBy("subspace_id").orderBy("code_id")
+            )
+            - 1
+        ).alias("code_id"),
+        "codeword",
+    )
+
+
+def _pq_codebook_row(codebooks: DataFrame) -> DataFrame:
+    """The whole codebook as ONE broadcastable row: ``_cb`` =
+    array (by subspace) of array (by code id) of codeword — pq_m ×
+    pq_k × dsub doubles (8×256×8 ≈ 128 KB at 64 dims), the in-plan
+    lookup table for encode and reconstruction."""
+    return codebooks.groupBy("subspace_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code_id", "codeword"))),
+            lambda s: s["codeword"],
+        ).alias("_sub")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace_id", "_sub"))),
+            lambda s: s["_sub"],
+        ).alias("_cb")
+    )
+
+
+def _pq_codes(norm_col: str, pq_m: int, dsub: int) -> Column:
+    """Stored PQ codes for one row: per subspace, the argmin-L2 code
+    of the ALREADY-NORMALIZED vector column's slice against ``_cb``
+    (joined in by the caller), offset by −128 into a tinyint (codes
+    are 0..255). Takes the normalized column (callers hold ``_v``
+    from assignment) and slices it ONCE per subspace in an outer
+    transform: nested-lambda HOF trees evaluate interpreted, so an
+    expression that re-normalized or re-sliced inside the
+    per-codeword lambda pays dim×pq_k redundant array ops per row —
+    measured at ~100 s for a 500-row encode before this hoisting,
+    ~1 s after. NULL vectors encode to NULL — the kept-singleton
+    contract everywhere else."""
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(pq_m - 1)),
+        lambda j: F.slice(F.col(norm_col), j * dsub + 1, dsub),
+    )
+    return F.when(
+        F.col(norm_col).isNotNull(),
+        F.transform(
+            subs,
+            lambda sv, j: (
+                F.array_min(
+                    F.transform(
+                        F.element_at(F.col("_cb"), j + 1),
+                        lambda cw, i: F.struct(
+                            _pq_dist2(sv, cw).alias("d"),
+                            i.alias("cid"),
+                        ),
+                    )
+                )["cid"]
+                - F.lit(128)
+            ).cast("tinyint"),
+        ),
+    )
+
+
+def _pq_reconstructed_vec() -> Column:
+    """Codes → approximate unit vector: concatenate each subspace's
+    codeword (positional lookup — ids are dense by construction).
+    Needs ``_cb`` (from `_pq_codebook_row`) and ``codes`` in scope;
+    no static pq_m/dsub — the codes array drives the shape."""
+    return F.flatten(
+        F.transform(
+            F.col("codes"),
+            lambda c, j: F.element_at(
+                F.element_at(F.col("_cb"), j + 1),
+                (c.cast("int") + F.lit(129)),
+            ),
+        )
+    )
+
+
+def _decoded_cells(spark, cells: DataFrame, meta: dict, data_root: str) -> DataFrame:
+    """Cells with the vector column restored for scoring, whatever the
+    storage tier — the ONE reconstruction seam shared by the probe
+    path and the streaming semantic ingest: raw passes through, int8
+    dequantizes in-plan (``q × scale``), pq joins the broadcast
+    codebook row and concatenates codewords. Approximation error is
+    the tier's documented trade (int8 ≤ 1 LSB/dim; pq = per-subspace
+    k-means residual) — exactness callers add the raw-vector
+    ``rerank``."""
+    import posixpath as _pp
+
+    vec_col = meta["vec_col"]
+    if meta["cell_storage"] == "int8":
+        return cells.withColumn(vec_col, _dequantized_vec()).drop(
+            "q", "scale"
+        )
+    if meta["cell_storage"] == "pq":
+        cb = _pq_codebook_row(spark.read.parquet(_pp.join(data_root, "pq")))
+        return (
+            cells.crossJoin(F.broadcast(cb))
+            .withColumn(vec_col, _pq_reconstructed_vec())
+            .drop("codes", "_cb")
+        )
+    return cells
 
 
 def _load_quantizer(
@@ -1206,10 +1462,26 @@ def write_ivf_index(
     id_col: str = "vec_id",
     n_fine: int | None = None,
     cell_storage: str = "raw",
+    pq_m: int = 8,
+    pq_k: int = 256,
 ) -> None:
     """Persist the IVF index: ``centroids/`` (tiny, broadcast at probe
     time) and ``cells/`` — the corpus laid out as ``centroid_id=N``
     hive partitions.
+
+    ``cell_storage="pq"`` stores each cell vector product-quantized
+    (`train_pq_codebooks`: ``pq_m`` sub-codebooks of ``pq_k``
+    codewords over the normalized vector) as ``pq_m`` tinyint codes:
+    a 64-dim float64 row's 512 vector bytes become 8 — the IVFPQ
+    layout FAISS runs at billion scale, one more decade of scan-bytes
+    reduction past int8's ~7× (and, like int8, a BYTES claim: probes
+    reconstruct in-plan and rank on the approximation, so exactness
+    callers add the raw-vector ``rerank`` — the two-stage ADC
+    pipeline, whose shortlist the quantization error must fit inside;
+    widen ``rerank_factor`` for tight corpora). Codebooks persist
+    under ``pq/`` beside the centroids and travel through compaction
+    and rebuilds like the quantizer; appends encode with the SAME
+    expression tree, so replayed folds land bit-identical codes.
 
     ``cell_storage="int8"`` stores each cell vector scalar-quantized
     (`quantize_embeddings_int8`'s exact floor transform, narrowed to
@@ -1266,8 +1538,16 @@ def write_ivf_index(
 
     from ..sources.manifest import VersionedManifest
 
-    if cell_storage not in ("raw", "int8"):
+    if cell_storage not in ("raw", "int8", "pq"):
         raise ValueError(f"unknown cell_storage {cell_storage!r}")
+    pq = None
+    if cell_storage == "pq":
+        books = train_pq_codebooks(
+            vectors, pq_m, pq_k, n_iters, vec_col, id_col
+        ).persist()
+        # dsub from the trained codeword width — no second corpus read
+        pq_dsub = len(books.first()["codeword"])
+        pq = (_pq_codebook_row(books), pq_m, pq_dsub)
     vm = VersionedManifest(path)
     spark = vectors.sparkSession
     version = vm.latest_version(spark)
@@ -1291,7 +1571,7 @@ def write_ivf_index(
             vectors, n_centroids, n_iters, vec_col, id_col
         ).persist()
         cells = _assign_cells(norm, "_v", centroids)
-    cells = _cells_projection(cells, cell_storage, vec_col, id_col)
+    cells = _cells_projection(cells, cell_storage, vec_col, id_col, pq=pq)
     # batch=base level from day 0 so `append_ivf_index` can fold daily
     # vector batches idempotently beside it (same layout rationale as
     # the MinHash index); centroid_id stays the inner partition level,
@@ -1311,6 +1591,9 @@ def write_ivf_index(
             _pp.join(vroot, "coarse")
         )
         coarse.unpersist()
+    if pq is not None:
+        books.write.mode("errorifexists").parquet(_pp.join(vroot, "pq"))
+        books.unpersist()
     from ..sources.fs import require_success_marker
 
     # both written directories, for symmetry with the compaction's
@@ -1327,6 +1610,10 @@ def write_ivf_index(
         require_success_marker(
             spark, _pp.join(vroot, "coarse"), "IVF index build"
         )
+    if pq is not None:
+        require_success_marker(
+            spark, _pp.join(vroot, "pq"), "IVF index build"
+        )
     payload = {
         "current": rel,
         "n_centroids": n_centroids,
@@ -1340,6 +1627,9 @@ def write_ivf_index(
         payload["n_fine"] = n_fine
     if cell_storage != "raw":
         payload["cell_storage"] = cell_storage
+    if pq is not None:
+        payload["pq_m"] = pq_m
+        payload["pq_dsub"] = pq_dsub
     vm.publish_or_raise(spark, payload, version, "IVF index rebuild")
 
 
@@ -1362,6 +1652,11 @@ def _ivf_meta_from_payload(
                 int(payload["n_fine"]) if "n_fine" in payload else None
             ),
             "cell_storage": str(payload.get("cell_storage", "raw")),
+            # present iff cell_storage == "pq" (r9 tier)
+            "pq_m": int(payload["pq_m"]) if "pq_m" in payload else None,
+            "pq_dsub": (
+                int(payload["pq_dsub"]) if "pq_dsub" in payload else None
+            ),
         }
         current = str(payload["current"])
     except (ValueError, KeyError, TypeError) as exc:
@@ -1401,7 +1696,9 @@ def _resolve_ivf_index(spark, path: str) -> tuple[dict, str]:
             "vec_col": str(meta["vec_col"]),
             "id_col": str(meta["id_col"]),
             "n_fine": None,  # legacy layout predates the 2-level build
-            "cell_storage": "raw",  # and the int8 storage tier
+            "cell_storage": "raw",  # and the int8/pq storage tiers
+            "pq_m": None,
+            "pq_dsub": None,
         }, path
     except (ValueError, KeyError, TypeError) as exc:
         raise ValueError(
@@ -1519,8 +1816,17 @@ def append_ivf_index(
             assigned = _assign_cells_2level(norm, "_v", coarse, centroids)
         else:
             assigned = _assign_cells(norm, "_v", centroids)
+        pq = None
+        if meta["cell_storage"] == "pq":
+            pq = (
+                _pq_codebook_row(
+                    spark.read.parquet(_pp.join(data_root, "pq"))
+                ),
+                meta["pq_m"],
+                meta["pq_dsub"],
+            )
         cells = _cells_projection(
-            assigned, meta["cell_storage"], vec_col, id_col
+            assigned, meta["cell_storage"], vec_col, id_col, pq=pq
         )
         batch_dir = _pp.join(data_root, "cells", f"batch={token}")
         # STATIC overwrite scoped to this writer: the session default
@@ -1622,6 +1928,8 @@ def compact_ivf_index(
             *(
                 [meta["id_col"], "q", "scale", "centroid_id"]
                 if meta["cell_storage"] == "int8"
+                else [meta["id_col"], "codes", "centroid_id"]
+                if meta["cell_storage"] == "pq"
                 else [meta["id_col"], meta["vec_col"], "centroid_id"]
             )
         )
@@ -1645,6 +1953,10 @@ def compact_ivf_index(
         spark.read.parquet(_pp.join(old_root, "coarse")).write.mode(
             "errorifexists"
         ).parquet(_pp.join(vroot, "coarse"))
+    if meta["cell_storage"] == "pq":
+        spark.read.parquet(_pp.join(old_root, "pq")).write.mode(
+            "errorifexists"
+        ).parquet(_pp.join(vroot, "pq"))
     # cumulative folded-token record: append_ivf_index no-ops for
     # these, closing the replay-after-compaction duplication window
     # (see compact_minhash_index — same contract, same prune rule)
@@ -1678,7 +1990,7 @@ def vacuum_ivf_index(spark, path: str) -> list[str]:
     from ..sources.manifest import VersionedManifest
 
     return VersionedManifest(path).vacuum_versions(
-        spark, ("cells", "centroids", "coarse", IVF_META_FILE)
+        spark, ("cells", "centroids", "coarse", "pq", IVF_META_FILE)
     )
 
 
@@ -1845,7 +2157,9 @@ def ivf_search_index(
     refresh the raw table, not a silent mix of score scales. With raw
     cell storage ``rerank`` is a no-op semantically (same vectors
     both stages) and simply costs the extra join — callers use it
-    with int8 indexes.
+    with int8 and pq indexes (pq needs a deeper ``rerank_factor``:
+    its reconstruction error exceeds int8's 1 LSB, so the exact
+    top-k needs a wider quantized shortlist to hide in).
     """
     import os as _os
 
@@ -1878,13 +2192,11 @@ def ivf_search_index(
     cells = spark.read.parquet(_os.path.join(data_root, "cells")).filter(
         F.col("centroid_id").isin(probe_ids)
     )
-    # int8 cells: reconstruct q×scale in-plan (codegen) and rank over
-    # the dequantized vector — the scan reads ~7× fewer bytes, the
-    # cosine moves by ≤ 1 LSB per dim (TestInt8IvfIndex pins recall)
-    if meta["cell_storage"] == "int8":
-        cells = cells.withColumn(vec_col, _dequantized_vec()).drop(
-            "q", "scale"
-        )
+    # quantized cells reconstruct in-plan (int8: q×scale dequantize,
+    # ~7× fewer scanned bytes, cosine moves ≤ 1 LSB/dim — pq: codeword
+    # concat via the broadcast codebook row, ~64× fewer bytes, ranking
+    # on the k-means reconstruction) and rank over the restored vector
+    cells = _decoded_cells(spark, cells, meta, data_root)
     cands = probes.join(cells, "centroid_id").withColumn(
         "cosine", cosine(F.col("query_vec"), F.col(vec_col))
     )

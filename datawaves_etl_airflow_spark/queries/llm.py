@@ -967,6 +967,94 @@ def llm_ann_ivf_int8_rerank(
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZED cell IVF index, planted self-check (the
+    llm_ann_ivf_int8 pattern, one storage decade smaller): the 20
+    query vectors are EXACT copies of corpus vectors, so their PQ
+    codes equal the source's codes and at full probe each query's
+    source must surface among the top-3 over the codeword
+    RECONSTRUCTION with cosine >= 0.90. Operating point m=16 x k=256:
+    the driver corpus is near-uniform random in 64 dims — PQ's
+    hardest case (no cluster structure for codewords to exploit), so
+    it needs the fine quantizer; measured self-cosines are >= 0.94 at
+    every shipped SF while the next-nearest raw neighbor sits
+    <= 0.60 — a wide engine-independent margin. The driver surface for
+    cell_storage="pq" (queued for the r10 rotation; exactness,
+    byte-ratio, append replay, and compaction pinned in
+    TestPqIvfIndex meanwhile). Executed eagerly (localCheckpoint)
+    so the temp index is removed before return."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    qs = embs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    idx = tempfile.mkdtemp(prefix="llm_ivfpq_")
+    try:
+        similarity.write_ivf_index(
+            embs, idx, n_centroids=8, n_iters=1, cell_storage="pq",
+            pq_m=16, pq_k=256,
+        )
+        top = similarity.ivf_search_index(qs, idx, nprobe=8, k=3)
+        return (
+            qs.select("query_id")
+            .join(
+                top.filter(
+                    (F.col("query_id") == F.col("match_id"))
+                    & (F.col("cosine_sim") >= 0.90)
+                ).select("query_id", F.lit(True).alias("self_found")),
+                "query_id",
+                "left",
+            )
+            .select(
+                "query_id",
+                F.coalesce("self_found", F.lit(False)).alias(
+                    "self_found"
+                ),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def llm_ann_ivf_pq_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-stage ADC probe over PRODUCT-QUANTIZED cells under the FULL
+    value-level oracle (the llm_ann_ivf_int8_rerank contract, ~64x
+    fewer scan bytes instead of ~7x): a pq index probed at nprobe =
+    all cells ranks a rerank_factor*k shortlist on the codeword
+    reconstruction, and the raw-vector rerank restores the EXACT
+    cosine top-5 — brute-force replay oracle, `exact` asserted TRUE
+    per row. Operating point m=16 x k=256 with rerank_factor=16 (vs
+    int8's 8): PQ reconstruction error exceeds int8's 1 LSB — on this
+    deliberately worst-case near-uniform corpus the exact top-5 needs
+    both the fine quantizer and a deeper quantized shortlist (exact
+    from rf=12 at every shipped SF; 16 is margin) — the documented
+    rf-vs-error trade of the tier.
+    Executed eagerly (localCheckpoint) so the temp index is removed
+    before return."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    qs = _query_vecs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="llm_ivfpqrr_")
+    try:
+        similarity.write_ivf_index(
+            embs, idx, n_centroids=8, n_iters=1, cell_storage="pq",
+            pq_m=16, pq_k=256,
+        )
+        return similarity.ivf_search_index(
+            qs, idx, nprobe=8, k=5, rerank=embs, rerank_factor=16
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def llm_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototype-distance quality gate (`similarity.cell_outliers`):
     the first 4 corpus vectors serve as deterministic prototypes
@@ -1392,6 +1480,8 @@ QUERIES = {
     "llm_ann_ivf_2level": llm_ann_ivf_2level,
     "llm_ann_ivf_int8": llm_ann_ivf_int8,
     "llm_ann_ivf_int8_rerank": llm_ann_ivf_int8_rerank,
+    "llm_ann_ivf_pq": llm_ann_ivf_pq,
+    "llm_ann_ivf_pq_rerank": llm_ann_ivf_pq_rerank,
     "llm_cell_outliers": llm_cell_outliers,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
@@ -2151,10 +2241,26 @@ ORACLES["llm_ann_ivf_int8"] = """
 # `exact` fallback signal (r8 ADVICE) is asserted TRUE per row: a
 # complete raw table must never leave a candidate on its quantized
 # score.
+# llm_ann_ivf_pq: planted exact-copy queries must self-match over the
+# PQ codeword reconstruction at full probe (same codes as the source,
+# reconstruction self-cosine >= 0.94 at every shipped SF vs a <= 0.60
+# next-nearest raw neighbor) — engine-independent booleans, the
+# llm_ann_lsh_planted contract.
+ORACLES["llm_ann_ivf_pq"] = """
+    SELECT vec_id AS query_id, TRUE AS self_found
+    FROM embeddings WHERE vec_id < 20
+"""
+
 ORACLES["llm_ann_ivf_int8_rerank"] = ORACLES["llm_cosine_topk"].replace(
     "SELECT query_id, match_id, rank, cosine_sim",
     "SELECT query_id, match_id, rank, cosine_sim, TRUE AS exact",
 )
+
+# llm_ann_ivf_pq_rerank: same two-stage contract over pq cells — the
+# finer m=16 x k=256 quantizer + deeper rerank_factor=16 shortlist
+# absorb the coarser reconstruction error, so the exact top-5 (and
+# exact=TRUE per row) still replays.
+ORACLES["llm_ann_ivf_pq_rerank"] = ORACLES["llm_ann_ivf_int8_rerank"]
 
 # llm_semantic_dedup_ivf_diverse: the trained quantizer is
 # xxhash64-seeded (not DuckDB-expressible), but the planted perfect

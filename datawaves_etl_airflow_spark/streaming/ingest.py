@@ -398,7 +398,7 @@ def make_semantic_ingest(
     from ..operators.similarity import (
         _assign_cells,
         _assign_cells_2level,
-        _dequantized_vec,
+        _decoded_cells,
         _load_quantizer,
         _resolve_ivf_index,
         append_ivf_index,
@@ -466,12 +466,10 @@ def make_semantic_ingest(
             cells = spark.read.parquet(
                 _pp.join(data_root, "cells")
             ).filter(F.col("centroid_id").isin(cell_ids))
-            # int8 indexes store q×scale — reconstruct before scoring
-            # (same in-plan dequantize as the probe path)
-            if meta["cell_storage"] == "int8":
-                cells = cells.withColumn(
-                    vec_col, _dequantized_vec()
-                ).drop("q", "scale")
+            # quantized tiers (int8 q×scale, pq codeword concat)
+            # reconstruct before scoring — the same in-plan decode
+            # seam as the probe path
+            cells = _decoded_cells(spark, cells, meta, data_root)
             # the corpus leg sees only PRE-BATCH corpus rows: every id
             # in the current batch is anti-joined out of the probed
             # cells (batch-vs-batch comparisons belong exclusively to

@@ -52,28 +52,32 @@ class TestRegistrationPolicy:
         )
 
     def test_registration_order_never_verified_first(self):
-        """Round-8 rotation: the never-driver-verified queries lead
+        """Round-9 rotation: the never-driver-verified queries lead
         their module block, then the stalest cohorts (freshness
         policy: no driver green older than two rounds) — a budget cut
         still lands on the freshest evidence first."""
         names = list(entrymod.queries())
-        # domain block: the r6-last-green eight
-        assert names[0] == "s1_staging_scan_json"
-        # llm block: the two never-driver-verified queries lead (the
-        # persisted 2-level-index exact oracle and the
-        # far_from_centroid × stored-quantizer composition), then the
-        # r5-stale frame_sample, then the r6-green cohort
+        # domain block: the r7-last-green cohort
+        assert names[0] == "s2_staging_scan_csv"
+        # llm block: the three never-driver-verified queries lead (the
+        # int8 tier, the two-stage ADC rerank, and the composed
+        # 2level+int8+rerank kNN eval), then the shared-code-path
+        # llm_ann_ivf, then the r7-green cohort
         for new in (
-            "llm_ann_ivf_2level",
-            "llm_semantic_dedup_ivf_diverse",
-            "llm_frame_sample",
+            "llm_ann_ivf_int8",
+            "llm_ann_ivf_int8_rerank",
+            "llm_knn_ivf_2level_eval",
+            "llm_ann_ivf",
         ):
-            assert names.index(new) < names.index("llm_ann_ivf_index")
-        # generic block: aj2_asof_bucketed leads (last green r5 — the
-        # documented r7 deferral)
-        assert names.index("aj2_asof_bucketed") < names.index(
-            "f_scalar_surface"
-        )
+            assert names.index(new) < names.index("llm_ann_lsh_planted")
+        # generic block: the four r6-stale deferrals lead
+        for stale in (
+            "w2_running_sum",
+            "pv2_unpivot_metrics",
+            "g3_cube_priority",
+            "h1_hourly_events",
+        ):
+            assert names.index(stale) < names.index("a1_count_existence")
 
     def test_driver_lists_subset_of_full_corpus(self):
         from datawaves_etl_airflow_spark.queries import domain, generic, llm

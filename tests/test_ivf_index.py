@@ -922,3 +922,175 @@ class TestMaintainIvfIndex:
         worst = max(rep["skewed_cells"], key=lambda t: t[1])
         assert worst[1] >= 600  # the planted crowd, in one cell
         assert rep["compacted"] is False  # skew is not a fold problem
+
+
+class TestPqIvfIndex:
+    """cell_storage="pq": product-quantized cells (m tinyint codes per
+    row — the FAISS IVFPQ layout) with in-plan codeword reconstruction
+    at probe time and the raw-vector rerank as the exactness path."""
+
+    def _pq(self, spark, tmp_path, name="pq", **kw):
+        p = str(tmp_path / name)
+        kw.setdefault("n_centroids", 8)
+        kw.setdefault("n_iters", 1)
+        kw.setdefault("pq_m", 8)
+        kw.setdefault("pq_k", 64)
+        write_ivf_index(_vectors(spark), p, cell_storage="pq", **kw)
+        return p
+
+    def test_rerank_restores_exact_results(self, spark, tmp_path):
+        """Full probe + raw rerank over pq cells is bit-identical to
+        brute force — the two-stage ADC contract, same as int8 but
+        from a ~64× smaller scan (rerank_factor widened to 12: PQ's
+        reconstruction error is larger than int8's 1 LSB, so the
+        exact top-5 needs a deeper quantized shortlist)."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        p = self._pq(spark, tmp_path)
+        vecs = _vectors(spark)
+        q = _queries(spark)
+        got = ivf_search_index(q, p, nprobe=8, k=5, rerank=vecs,
+                               rerank_factor=12)
+        want = brute_force_topk(vecs, q, k=5)
+        cols = ["query_id", "match_id", "rank", "cosine_sim"]
+        assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+        assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+        assert got.filter(~F.col("exact")).count() == 0
+
+    def test_cells_bytes_fraction_of_int8_and_raw(self, spark, tmp_path):
+        """The tier's claim is BYTES: pq cells must be well under half
+        of int8's on disk for the same corpus (8 codes vs 64 q bytes +
+        scale per 64-dim row), int8 under raw — the probed-cell scan
+        cost ladder."""
+        import os as _os
+
+        sizes = {}
+        for storage in ("raw", "int8", "pq"):
+            p = str(tmp_path / f"b_{storage}")
+            kw = {"pq_m": 8, "pq_k": 64} if storage == "pq" else {}
+            write_ivf_index(
+                _vectors(spark), p, n_centroids=4, n_iters=1,
+                cell_storage=storage, **kw,
+            )
+            root = _data_root(spark, p)
+            total = 0
+            for dirpath, _dirs, files in _os.walk(
+                _os.path.join(root, "cells")
+            ):
+                total += sum(
+                    _os.path.getsize(_os.path.join(dirpath, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+            sizes[storage] = total
+        assert sizes["pq"] < sizes["int8"] / 2
+        assert sizes["int8"] < sizes["raw"] / 2
+
+    def test_append_encodes_with_stored_codebooks_replay_identical(
+        self, spark, tmp_path
+    ):
+        """An appended batch encodes against the PERSISTED codebooks
+        (no retraining), and a same-token replay lands bit-identical
+        codes; compaction preserves probe results across the fold."""
+        import os as _os
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            append_ivf_index,
+            compact_ivf_index,
+        )
+
+        p = self._pq(spark, tmp_path)
+        vecs = _vectors(spark)
+        day = vecs.select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+        )
+        append_ivf_index(day, p, batch_token="d1")
+        root = _data_root(spark, p)
+        batch_dir = _os.path.join(root, "cells", "batch=d1")
+        first = sorted(
+            (r["vec_id"], tuple(r["codes"]), r["centroid_id"])
+            for r in spark.read.option("basePath", batch_dir)
+            .parquet(batch_dir).collect()
+        )
+        append_ivf_index(day, p, batch_token="d1")  # replay
+        second = sorted(
+            (r["vec_id"], tuple(r["codes"]), r["centroid_id"])
+            for r in spark.read.option("basePath", batch_dir)
+            .parquet(batch_dir).collect()
+        )
+        assert first == second
+        q = _queries(spark)
+        before = sorted(
+            map(tuple, ivf_search_index(q, p, nprobe=8, k=5).collect())
+        )
+        assert compact_ivf_index(spark, p) is True
+        after = sorted(
+            map(tuple, ivf_search_index(q, p, nprobe=8, k=5).collect())
+        )
+        assert after == before
+
+    def test_build_is_deterministic(self, spark, tmp_path):
+        """Same corpus + params → bit-identical codes (hash-order
+        seeding, id tiebreaks, densified code ids)."""
+        p1 = self._pq(spark, tmp_path, "pqa")
+        p2 = self._pq(spark, tmp_path, "pqb")
+        read = lambda p: sorted(  # noqa: E731
+            (r["vec_id"], tuple(r["codes"]), r["centroid_id"])
+            for r in spark.read.parquet(
+                _data_root(spark, p) + "/cells"
+            ).collect()
+        )
+        assert read(p1) == read(p2)
+
+    def test_knn_eval_with_rerank_matches_brute_force(self, spark, tmp_path):
+        """The label-eval composition over pq cells: full probe +
+        rerank makes every vote run on exact cosines — predictions
+        identical to the brute-force form (the int8 pin, one tier
+        smaller)."""
+        import random as _random
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            knn_label_predict,
+            knn_label_predict_index,
+        )
+
+        rng = _random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(DIM)], i % 3)
+            for i in range(200)
+        ]
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label long"
+        )
+        qs = corpus.filter(F.col("vec_id") < 30).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("true_label"),
+        )
+        p = str(tmp_path / "knnpq")
+        write_ivf_index(
+            corpus, p, n_centroids=8, n_iters=1, cell_storage="pq",
+            pq_m=8, pq_k=64,
+        )
+        got = knn_label_predict_index(
+            corpus.select("vec_id", "label"), qs, p, k=5, nprobe=8,
+            rerank=corpus.select("vec_id", "embedding"),
+            rerank_factor=12,
+        )
+        want = knn_label_predict(corpus, qs, k=5)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_parameter_validation(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="not divisible"):
+            write_ivf_index(
+                _vectors(spark), str(tmp_path / "bad1"),
+                n_centroids=4, n_iters=1, cell_storage="pq", pq_m=5,
+            )
+        with pytest.raises(ValueError, match="pq_k"):
+            write_ivf_index(
+                _vectors(spark), str(tmp_path / "bad2"),
+                n_centroids=4, n_iters=1, cell_storage="pq", pq_k=512,
+            )

@@ -300,3 +300,42 @@ class TestRetryCrashWindow:
         )
         assert stored == [1, 2, 11, 13]
         assert sorted(set(_accepted_ids(spark, acc))) == [11, 13]
+
+
+class TestSemanticIngestPqIndex:
+    def test_batch_dedups_against_pq_cells(self, spark, tmp_path):
+        """The ingest scores batch-vs-corpus over the RECONSTRUCTED pq
+        cells (the r9 tier): with codebooks trained on this tiny
+        corpus the corpus rows reconstruct exactly (k-means with one
+        cluster per point), so the near-dup of a corpus vector drops
+        and novel rows survive and fold back AS CODES.
+
+        Deliberately NOT asserted: batch-2-vs-batch-1-survivor catches
+        (the raw/int8 pin). A folded vector outside the codebooks'
+        training distribution reconstructs at codebook granularity, so
+        that recall is codebook-coverage-dependent — the PQ form of
+        the quantizer-doesn't-adapt contract (schedule a rebuild on
+        drift; exactness-critical dedup uses raw/int8 cells or the
+        rerank probe)."""
+        idx = str(tmp_path / "idxpq")
+        acc = str(tmp_path / "accpq")
+        write_ivf_index(
+            _df(spark, CORPUS), idx, n_centroids=2, n_iters=1,
+            cell_storage="pq", pq_m=2, pq_k=4,
+        )
+        fn = make_semantic_ingest(idx, acc, threshold=0.9)
+        fn(_df(spark, B1), 0)
+        # near-dup of corpus vec 1 dropped over the reconstruction;
+        # within-batch pair (11, 12) resolved on RAW vectors (keep 11)
+        assert _accepted_ids(spark, acc) == [11, 13]
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            _resolve_ivf_index,
+        )
+
+        root = _resolve_ivf_index(spark, idx)[1]
+        stored = spark.read.parquet(root + "/cells")
+        assert "codes" in stored.columns  # folds as codes
+        # batch 2: vec 21 is below threshold against every corpus
+        # reconstruction and every raw within-batch peer -> survives
+        fn(_df(spark, [B2[1]]), 1)
+        assert _accepted_ids(spark, acc) == [11, 13, 21]

@@ -237,6 +237,18 @@ def main() -> None:
                 n_centroids=64, n_iters=1, cell_storage="int8",
             )
             ivf8_by_mult[mult] = p
+    # product-quantized twin (r9): one more decade of probed-cell scan
+    # bytes below int8 (16 tinyint codes vs 64 q bytes per row)
+    ivfpq_by_mult: dict[int, str] = {}
+    if wanted("ann_probe_pruned_pq"):
+        for mult in sorted({1, args.factor}):
+            p = os.path.join(idx_root, f"ivfpq_{mult}")
+            similarity.write_ivf_index(
+                _scaled_embs(spark, args.sf, mult), p,
+                n_centroids=64, n_iters=1, cell_storage="pq",
+                pq_m=16, pq_k=256,
+            )
+            ivfpq_by_mult[mult] = p
     ann_queries = (
         spark.read.parquet(f"{args.sf}/embeddings.parquet")
         .limit(50)
@@ -423,6 +435,9 @@ def main() -> None:
         ),
         "ann_probe_pruned_int8": lambda mult: similarity.ivf_search_index(
             ann_queries, ivf8_by_mult[mult], nprobe=4, k=5
+        ),
+        "ann_probe_pruned_pq": lambda mult: similarity.ivf_search_index(
+            ann_queries, ivfpq_by_mult[mult], nprobe=4, k=5
         ),
         "ann_fullscan_baseline": lambda mult: similarity.brute_force_topk(
             _scaled_embs(spark, args.sf, mult), ann_queries, k=5
