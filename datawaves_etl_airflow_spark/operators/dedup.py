@@ -1322,6 +1322,7 @@ def maintain_minhash_index(
     max_batches: int = 8,
     max_bucket_watermark: int | None = None,
     folded_retention: int | None = None,
+    vacuum: bool = False,
 ) -> dict:
     """The scheduled maintenance job over `minhash_index_stats` — the
     band-join twin of `similarity.maintain_ivf_index`, acting on the
@@ -1343,6 +1344,11 @@ def maintain_minhash_index(
       exact dedup on it) or a systemically hot banding
       (``p95_bucket`` near ``max_bucket`` — re-band with more bits)
       is a human/pipeline decision; the report carries both numbers.
+
+    ``vacuum=True`` reclaims superseded versions via
+    `vacuum_minhash_index` after a successful compaction — same
+    timing caveat as `similarity.maintain_ivf_index` (default False;
+    probes draining the old version must finish first).
 
     Driver cost: one bounded stats aggregation (1 row collected).
     """
@@ -1372,6 +1378,8 @@ def maintain_minhash_index(
             if "lost the manifest race" not in str(exc):
                 raise
             report["compaction_race_lost"] = True
+        if vacuum and report["compacted"]:
+            report["vacuumed"] = vacuum_minhash_index(spark, path)
     return report
 
 

@@ -1464,10 +1464,23 @@ def write_ivf_index(
     cell_storage: str = "raw",
     pq_m: int = 8,
     pq_k: int = 256,
+    train_fraction: float | None = None,
 ) -> None:
     """Persist the IVF index: ``centroids/`` (tiny, broadcast at probe
     time) and ``cells/`` — the corpus laid out as ``centroid_id=N``
     hive partitions.
+
+    ``train_fraction`` trains the quantizer (and PQ codebooks) on a
+    deterministic id-hash sample of the corpus instead of all of it —
+    the 100 TB operating point: every Lloyd iteration is a full pass
+    over its training set, and k-means converges on a representative
+    sample (FAISS trains IVF quantizers on ~30–256 vectors per
+    centroid, not the corpus); ASSIGNMENT always covers the full
+    corpus, so the layout indexes every row regardless. The sample is
+    ``xxhash64(id) % 10_000 < fraction·10_000`` — reproducible across
+    runs/partitionings, unlike ``DataFrame.sample``, so rebuilds stay
+    deterministic. Default None keeps exact parity with pre-r9 builds
+    (train = full corpus).
 
     ``cell_storage="pq"`` stores each cell vector product-quantized
     (`train_pq_codebooks`: ``pq_m`` sub-codebooks of ``pq_k``
@@ -1540,10 +1553,20 @@ def write_ivf_index(
 
     if cell_storage not in ("raw", "int8", "pq"):
         raise ValueError(f"unknown cell_storage {cell_storage!r}")
+    train = vectors
+    if train_fraction is not None:
+        if not 0.0 < train_fraction <= 1.0:
+            raise ValueError(
+                f"train_fraction must be in (0, 1]: {train_fraction}"
+            )
+        train = vectors.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(10_000))
+            < F.lit(int(train_fraction * 10_000))
+        )
     pq = None
     if cell_storage == "pq":
         books = train_pq_codebooks(
-            vectors, pq_m, pq_k, n_iters, vec_col, id_col
+            train, pq_m, pq_k, n_iters, vec_col, id_col
         ).persist()
         # dsub from the trained codeword width — no second corpus read
         pq_dsub = len(books.first()["codeword"])
@@ -1560,7 +1583,7 @@ def write_ivf_index(
     )
     if n_fine is not None:
         coarse, centroids = train_centroids_2level(
-            vectors, n_centroids, n_fine, n_iters, vec_col, id_col
+            train, n_centroids, n_fine, n_iters, vec_col, id_col
         )
         coarse = coarse.persist()
         centroids = centroids.persist()
@@ -1568,7 +1591,7 @@ def write_ivf_index(
     else:
         coarse = None
         centroids = train_centroids(
-            vectors, n_centroids, n_iters, vec_col, id_col
+            train, n_centroids, n_iters, vec_col, id_col
         ).persist()
         cells = _assign_cells(norm, "_v", centroids)
     cells = _cells_projection(cells, cell_storage, vec_col, id_col, pq=pq)
@@ -2042,6 +2065,7 @@ def maintain_ivf_index(
     max_batches: int = 8,
     max_cell_ratio: float = 8.0,
     folded_retention: int | None = None,
+    vacuum: bool = False,
 ) -> dict:
     """The scheduled maintenance job `ivf_index_stats` exists to feed
     (same spirit as `streaming.maintain` for aggregates): read the
@@ -2070,6 +2094,12 @@ def maintain_ivf_index(
       fixes — exact-dedup the crowd, larger ``n_centroids``, or a
       2-level build — are a human/pipeline decision, per the stats
       docstring).
+
+    ``vacuum=True`` additionally reclaims superseded versions via
+    `vacuum_ivf_index` AFTER a successful compaction (and only then —
+    vacuum timing is operational: probes draining the old version must
+    finish first, so a deployment whose probes can span a maintenance
+    tick keeps the default False and vacuums on its own schedule).
 
     Driver cost is one bounded aggregation (≤ n_centroids rows
     collected — the bounded-driver-read pattern); returns a report
@@ -2116,6 +2146,8 @@ def maintain_ivf_index(
             if "lost the manifest race" not in str(exc):
                 raise
             report["compaction_race_lost"] = True
+        if vacuum and report["compacted"]:
+            report["vacuumed"] = vacuum_ivf_index(spark, path)
     return report
 
 

@@ -892,6 +892,24 @@ class TestMaintainIvfIndex:
         assert rep2["compacted"] is False
         assert rep2["max_batches_seen"] == 1
 
+    def test_vacuum_after_compaction(self, spark, tmp_path):
+        """vacuum=True reclaims the superseded version only when a
+        compaction actually fired; probes keep answering."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            maintain_ivf_index,
+        )
+
+        p, _ = self._fresh(spark, tmp_path, n_appends=3)
+        old_root = _data_root(spark, p)
+        rep = maintain_ivf_index(spark, p, max_batches=2, vacuum=True)
+        assert rep["compacted"] is True
+        assert any(old_root.rstrip("/") in d for d in rep["vacuumed"])
+        assert not os.path.exists(old_root)
+        assert ivf_search_index(_queries(spark), p, nprobe=4, k=5).count() > 0
+        # below watermark: no compact, no vacuum key
+        rep2 = maintain_ivf_index(spark, p, max_batches=2, vacuum=True)
+        assert rep2["compacted"] is False and "vacuumed" not in rep2
+
     def test_flags_degenerate_cell_skew(self, spark, tmp_path):
         """A broken upstream job emitting thousands of near-identical
         vectors crowds ONE cell: maintain must flag the rebuild and
@@ -1093,4 +1111,71 @@ class TestPqIvfIndex:
             write_ivf_index(
                 _vectors(spark), str(tmp_path / "bad2"),
                 n_centroids=4, n_iters=1, cell_storage="pq", pq_k=512,
+            )
+
+
+class TestTrainFraction:
+    """train_fraction: the quantizer (and PQ codebooks) train on a
+    deterministic id-hash sample; assignment still covers the whole
+    corpus — the 100 TB build shape (Lloyd passes over a sample, one
+    assignment pass over everything)."""
+
+    def test_full_corpus_indexed_probe_works(self, spark, tmp_path):
+        p = str(tmp_path / "ivffrac")
+        vecs = _vectors(spark)
+        write_ivf_index(
+            vecs, p, n_centroids=4, n_iters=1, train_fraction=0.3
+        )
+        root = _data_root(spark, p)
+        cells = spark.read.parquet(root + "/cells")
+        assert cells.count() == vecs.count()  # every row indexed
+        got = ivf_search_index(_queries(spark), p, nprobe=4, k=5)
+        assert got.groupBy("query_id").count().count() == 6
+
+    def test_deterministic_across_rebuilds(self, spark, tmp_path):
+        """Hash sampling (not DataFrame.sample) → bit-identical
+        assignments on a rebuild, the property the pointer-flip
+        protocol's determinism tests rely on."""
+        reads = []
+        for name in ("fa", "fb"):
+            p = str(tmp_path / name)
+            write_ivf_index(
+                _vectors(spark), p, n_centroids=4, n_iters=1,
+                train_fraction=0.3,
+            )
+            reads.append(sorted(
+                (r["vec_id"], r["centroid_id"])
+                for r in spark.read.parquet(
+                    _data_root(spark, p) + "/cells"
+                ).select("vec_id", "centroid_id").collect()
+            ))
+        assert reads[0] == reads[1]
+
+    def test_sampled_pq_exact_with_rerank(self, spark, tmp_path):
+        """Sampled codebooks are still codebooks: the two-stage rerank
+        stays exact (it never depended on reconstruction quality, only
+        on the shortlist being deep enough)."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        p = str(tmp_path / "ivffpq")
+        vecs = _vectors(spark)
+        write_ivf_index(
+            vecs, p, n_centroids=4, n_iters=1, cell_storage="pq",
+            pq_m=8, pq_k=32, train_fraction=0.5,
+        )
+        q = _queries(spark)
+        got = ivf_search_index(q, p, nprobe=4, k=5, rerank=vecs,
+                               rerank_factor=20)
+        want = brute_force_topk(vecs, q, k=5)
+        cols = ["query_id", "match_id", "rank", "cosine_sim"]
+        assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+        assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+
+    def test_validation(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="train_fraction"):
+            write_ivf_index(
+                _vectors(spark), str(tmp_path / "bad"),
+                n_centroids=4, train_fraction=1.5,
             )
