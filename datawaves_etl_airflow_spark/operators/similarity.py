@@ -2158,10 +2158,26 @@ def ivf_search_index(
     k: int = 5,
     rerank: DataFrame | None = None,
     rerank_factor: int = 4,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k against a persisted `write_ivf_index` layout — same
     output schema and (identical quantizer) same results as `ivf_topk`,
     but the corpus side reads ONLY the probed cells.
+
+    ``allowed`` is the FILTERED-search form (the metadata-predicate +
+    vector-search composition every retrieval pipeline eventually
+    needs): a one-column (or ``id_col``-bearing) table of permitted
+    corpus ids — e.g. ``docs.filter(lang == 'en').select('vec_id')``.
+    The filter is applied to the probed-cell candidates BEFORE
+    ranking (a left-semi join on the id — Catalyst/AQE picks
+    broadcast vs shuffle by the allowed side's size; it may be
+    millions of rows, so it is deliberately not hint-forced), so the
+    top-k is the true top-k AMONG allowed rows — post-filtering a
+    pre-computed top-k would silently under-fill it. The rerank
+    shortlist then builds from filtered candidates, unchanged.
+    Queries whose probed cells hold no allowed rows return no rows
+    for that query — widen ``nprobe`` when the predicate is highly
+    selective (the classic filtered-ANN recall trade).
 
     The probed cell ids are collected to the driver (bounded by
     ``n_centroids``, thousands at most — the bounded-driver-read
@@ -2226,9 +2242,19 @@ def ivf_search_index(
     )
     # quantized cells reconstruct in-plan (int8: q×scale dequantize,
     # ~7× fewer scanned bytes, cosine moves ≤ 1 LSB/dim — pq: codeword
-    # concat via the broadcast codebook row, ~64× fewer bytes, ranking
-    # on the k-means reconstruction) and rank over the restored vector
+    # concat via the broadcast codebook row, ~32× fewer bytes at m=16,
+    # ranking on the k-means reconstruction) and rank over the
+    # restored vector
     cells = _decoded_cells(spark, cells, meta, data_root)
+    if allowed is not None:
+        ids = (
+            allowed.select(F.col(id_col))
+            if id_col in allowed.columns
+            else allowed.select(F.col(allowed.columns[0]).alias(id_col))
+        )
+        # pre-rank semi join: top-k must be computed AMONG allowed
+        # rows, never filtered out of an unconstrained top-k
+        cells = cells.join(ids.distinct(), id_col, "left_semi")
     cands = probes.join(cells, "centroid_id").withColumn(
         "cosine", cosine(F.col("query_vec"), F.col(vec_col))
     )

@@ -1055,6 +1055,41 @@ def llm_ann_ivf_pq_rerank(
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def llm_ann_ivf_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED vector search under a full value-level oracle — the
+    metadata-predicate + ANN composition (retrieve only among
+    lang='en' docs, only among one source's rows, ...): the persisted
+    raw-cell index is probed at nprobe = all cells with
+    ``allowed`` = the even vec_ids, so the result must be the EXACT
+    cosine top-5 AMONG even ids — the oracle is the brute-force
+    replay restricted by the same predicate. Pre-rank semi-join
+    semantics are what the oracle certifies: post-filtering an
+    unconstrained top-5 would under-fill k and hash-mismatch.
+    Executed eagerly (localCheckpoint) so the temp index is removed
+    before return."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    qs = _query_vecs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="llm_ivffilt_")
+    try:
+        similarity.write_ivf_index(embs, idx, n_centroids=8, n_iters=1)
+        return similarity.ivf_search_index(
+            qs,
+            idx,
+            nprobe=8,
+            k=5,
+            allowed=embs.filter(F.col("vec_id") % 2 == 0).select(
+                "vec_id"
+            ),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def llm_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototype-distance quality gate (`similarity.cell_outliers`):
     the first 4 corpus vectors serve as deterministic prototypes
@@ -1482,6 +1517,7 @@ QUERIES = {
     "llm_ann_ivf_int8_rerank": llm_ann_ivf_int8_rerank,
     "llm_ann_ivf_pq": llm_ann_ivf_pq,
     "llm_ann_ivf_pq_rerank": llm_ann_ivf_pq_rerank,
+    "llm_ann_ivf_filtered": llm_ann_ivf_filtered,
     "llm_cell_outliers": llm_cell_outliers,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
@@ -2254,6 +2290,15 @@ ORACLES["llm_ann_ivf_pq"] = """
 ORACLES["llm_ann_ivf_int8_rerank"] = ORACLES["llm_cosine_topk"].replace(
     "SELECT query_id, match_id, rank, cosine_sim",
     "SELECT query_id, match_id, rank, cosine_sim, TRUE AS exact",
+)
+
+# llm_ann_ivf_filtered: the brute-force replay restricted to the same
+# even-id predicate the Spark probe passes as allowed= — a value-level
+# certificate that filtering happens BEFORE ranking (the top-5 among
+# evens, not the evens among an unconstrained top-5).
+ORACLES["llm_ann_ivf_filtered"] = ORACLES["llm_cosine_topk"].replace(
+    "FROM q CROSS JOIN embeddings e",
+    "FROM q CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 2 = 0) e",
 )
 
 # llm_ann_ivf_pq_rerank: same two-stage contract over pq cells — the

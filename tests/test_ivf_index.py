@@ -1179,3 +1179,67 @@ class TestTrainFraction:
                 _vectors(spark), str(tmp_path / "bad"),
                 n_centroids=4, train_fraction=1.5,
             )
+
+
+class TestFilteredSearch:
+    """allowed=: metadata-filtered ANN — top-k computed AMONG the
+    allowed ids (pre-rank semi join), not post-filtered out of an
+    unconstrained top-k."""
+
+    def test_full_probe_equals_brute_force_on_filtered_corpus(
+        self, spark, index_path
+    ):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        vecs = _vectors(spark)
+        evens = vecs.filter(F.col("vec_id") % 2 == 0)
+        q = _queries(spark)
+        got = ivf_search_index(
+            q, index_path, nprobe=8, k=5,
+            allowed=evens.select("vec_id"),
+        )
+        want = brute_force_topk(evens, q, k=5)
+        cols = ["query_id", "match_id", "rank", "cosine_sim"]
+        assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+        assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+        # every returned id respects the predicate
+        assert got.filter(F.col("match_id") % 2 != 0).count() == 0
+
+    def test_composes_with_int8_rerank(self, spark, tmp_path):
+        """Filter + quantized scan + exact rerank in one probe: the
+        result is the exact filtered top-k."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        p = str(tmp_path / "ivf8f")
+        vecs = _vectors(spark)
+        write_ivf_index(
+            vecs, p, n_centroids=8, n_iters=1, cell_storage="int8"
+        )
+        evens = vecs.filter(F.col("vec_id") % 2 == 0)
+        q = _queries(spark)
+        got = ivf_search_index(
+            q, p, nprobe=8, k=5, rerank=vecs,
+            allowed=evens.select("vec_id"),
+        )
+        want = brute_force_topk(evens, q, k=5)
+        cols = ["query_id", "match_id", "rank", "cosine_sim"]
+        assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+        assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+
+    def test_single_column_coercion_and_empty(self, spark, index_path):
+        spark_ = spark
+        some = spark_.createDataFrame(
+            [(2,), (4,), (6,)], "whatever_name long"
+        )
+        got = ivf_search_index(
+            _queries(spark), index_path, nprobe=8, k=5, allowed=some
+        )
+        assert {r["match_id"] for r in got.collect()} <= {2, 4, 6}
+        empty = some.filter(F.lit(False))
+        assert ivf_search_index(
+            _queries(spark), index_path, nprobe=8, k=5, allowed=empty
+        ).count() == 0
