@@ -302,6 +302,108 @@ def tfidf_keywords(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """BM25 text retrieval — top-k documents per query string:
+    ``(query_id, doc_id, rank, score)``. The text-side twin of the
+    vector search family (`similarity.ivf_search_index`): a training
+    -data pipeline runs it for benchmark decontamination sweeps,
+    near-duplicate triage, and retrieval-based curation where
+    embeddings are not available or not trusted.
+
+    Scoring is Robertson/Okapi BM25 (idf = ln(1 + (N − df + 0.5) /
+    (df + 0.5)), tf term with ``k1``/``b`` length normalization)
+    summed over the query's DISTINCT tokens (query-side tf is
+    deliberately ignored — standard for short queries; duplicate
+    query words would double-count). ``queries`` carries
+    ``(query_id, query_text)``.
+
+    Plan shape: one token explode feeds the per-doc term frequencies
+    and document frequencies (two hash aggregations, map-side
+    partial); N and avgdl ride in as ONE broadcast 1-row aggregate
+    (no driver count); the query⋈corpus join is TERM-keyed — its
+    volume is Σ_t df(t) over query terms, which is BM25's inherent
+    cost: a stopword query term touches most of the corpus.
+    ``max_df_ratio`` is the valve (drop query terms with df >
+    ratio·N before the join — classic stopword pruning; changes
+    scores for the dropped terms only, default None = exact).
+
+    Ranking orders by the score ROUNDED to 6 decimals with doc-id
+    tiebreak: ln() differs across engines in the last ulp (unlike
+    +/×/sqrt, it is not IEEE-mandated), so raw-float ordering could
+    flip near-exact ties under a differently-built libm, while
+    rounded-score ordering is reproducible — the `tfidf_keywords`
+    integer-key rationale, adapted to a score that cannot avoid ln.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        tokenize(F.col(text_col)).alias("_ws"),
+    )
+    per_doc = toks.select(
+        "_doc", F.size("_ws").alias("_dl"), F.explode("_ws").alias("_w")
+    )
+    tf = per_doc.groupBy("_doc", "_dl", "_w").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    df = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.size("_ws")).alias("_avgdl"),
+    )
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(tokenize(F.col("query_text")))).alias(
+            "_w"
+        ),
+    )
+    scored = (
+        qterms.join(df, "_w")
+        .crossJoin(F.broadcast(totals))
+    )
+    if max_df_ratio is not None:
+        scored = scored.filter(
+            F.col("_df") <= F.lit(max_df_ratio) * F.col("_n")
+        )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("_tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("_tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+            )
+        )
+    )
+    per_pair = (
+        scored.join(tf, "_w")
+        .groupBy("query_id", "_doc")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("_doc").asc()
+    )
+    return (
+        per_pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("_doc").alias(id_col), "rank", "score")
+    )
+
+
 def unigram_logprob(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1090,6 +1090,26 @@ def llm_ann_ivf_filtered(
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 text retrieval (`text.bm25_topk`) under a FULL value-level
+    oracle: queries are the first 6 tokens of docs 0-4 (deterministic,
+    engine-independent), scored Okapi-BM25 against the whole documents
+    table, top-5 per query. DuckDB replays tokenization (the proven
+    _WORDS macro), tf/df/N/avgdl, the idf and length-normalized tf
+    terms, and the rounded-score ranking — ln() is the one
+    non-IEEE-mandated op in the chain, which is why the operator
+    ranks on ROUND(score, 6) with id tiebreaks (see bm25_topk's
+    docstring)."""
+    d = _docs(spark, sf_dir)
+    qs = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(dedup.tokenize(F.col("text")), 1, 6), " "
+        ).alias("query_text"),
+    )
+    return text.bm25_topk(d, qs, k=5)
+
+
 def llm_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototype-distance quality gate (`similarity.cell_outliers`):
     the first 4 corpus vectors serve as deterministic prototypes
@@ -1518,6 +1538,7 @@ QUERIES = {
     "llm_ann_ivf_pq": llm_ann_ivf_pq,
     "llm_ann_ivf_pq_rerank": llm_ann_ivf_pq_rerank,
     "llm_ann_ivf_filtered": llm_ann_ivf_filtered,
+    "llm_bm25_topk": llm_bm25_topk,
     "llm_cell_outliers": llm_cell_outliers,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
@@ -2291,6 +2312,56 @@ ORACLES["llm_ann_ivf_int8_rerank"] = ORACLES["llm_cosine_topk"].replace(
     "SELECT query_id, match_id, rank, cosine_sim",
     "SELECT query_id, match_id, rank, cosine_sim, TRUE AS exact",
 )
+
+
+# llm_bm25_topk: full Okapi-BM25 replay — tokenization via the proven
+# _WORDS macro (list_filter drops the ['']-for-empty-text artifact so
+# doc lengths match Spark's tokenize), tf/df from the same aggregates,
+# idf = ln(1+(N-df+.5)/(df+.5)), k1=1.2 b=0.75, rank on the rounded
+# score with doc-id tiebreaks (ln is not IEEE-mandated; see operator).
+ORACLES["llm_bm25_topk"] = f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter({_WORDS}, x -> x <> '') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM d
+    ),
+    tf AS (
+        SELECT doc_id, dl, w, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, dl, w
+    ),
+    dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n, AVG(len(ws)) AS avgdl FROM d),
+    qt AS (
+        SELECT DISTINCT doc_id AS query_id, unnest(ws[1:6]) AS w
+        FROM d WHERE doc_id < 5
+    ),
+    pair AS (
+        SELECT qt.query_id, tf.doc_id,
+               ROUND(SUM(
+                   ln(1.0 + (tot.n - dft.df + 0.5) / (dft.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / tot.avgdl))
+               ), 6) AS score
+        FROM qt
+        JOIN dft ON qt.w = dft.w
+        JOIN tf ON tf.w = qt.w
+        CROSS JOIN tot
+        GROUP BY qt.query_id, tf.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC
+               ) AS rank,
+               score
+        FROM pair
+    )
+    SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= 5
+"""
 
 # llm_ann_ivf_filtered: the brute-force replay restricted to the same
 # even-id predicate the Spark probe passes as allowed= — a value-level

@@ -734,3 +734,98 @@ class TestChunking:
             chunk_documents(spark.range(1), chunk_tokens=4, overlap=-2)
         with pytest.raises(ValueError, match="chunk_tokens"):
             chunk_documents(spark.range(1), chunk_tokens=0, overlap=0)
+
+
+class TestBm25:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "spark shuffles data between executors"),
+                (2, "spark spark spark broadcast joins avoid shuffles"),
+                (3, "the quick brown fox jumps over a lazy dog"),
+                (4, "executors run tasks and tasks shuffle data"),
+                (5, "a completely unrelated gardening manual chapter"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_relevance_and_schema(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import bm25_topk
+
+        qs = spark.createDataFrame(
+            [(100, "spark shuffles")], "query_id long, query_text string"
+        )
+        got = bm25_topk(self._docs(spark), qs, k=3).collect()
+        # exactly docs 1 and 2 contain a query term ("shuffle" in doc
+        # 4 is a different token — no stemming, by design)
+        assert [r["rank"] for r in got] == [1, 2]
+        # doc 2's tf(spark)=3 saturation outweighs doc 1's two
+        # distinct single hits at these lengths — the k1 tf curve
+        assert got[0]["doc_id"] == 2
+        assert {r["doc_id"] for r in got} == {1, 2}
+        assert all(r["score"] > 0 for r in got)
+
+    def test_matches_naive_python_reference(self, spark):
+        """Value-level pin against a from-scratch Okapi-BM25 in plain
+        Python over the same tokenization."""
+        from datawaves_etl_airflow_spark.operators.text import bm25_topk
+
+        docs = [(r["doc_id"], r["text"].lower().split())
+                for r in self._docs(spark).collect()]
+        n = len(docs)
+        avgdl = sum(len(ws) for _, ws in docs) / n
+        qterms = ["spark", "shuffles"]
+
+        def score(ws):
+            s = 0.0
+            for t in set(qterms):
+                df = sum(1 for _, w2 in docs if t in w2)
+                if df == 0:
+                    continue
+                tf = ws.count(t)
+                if tf == 0:
+                    continue
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * 2.2 / (
+                    tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl)
+                )
+            return round(s, 6)
+
+        want = sorted(
+            ((d, score(ws)) for d, ws in docs if score(ws) > 0),
+            key=lambda t: (-t[1], t[0]),
+        )[:3]
+        qs = spark.createDataFrame(
+            [(100, "spark shuffles")], "query_id long, query_text string"
+        )
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(self._docs(spark), qs, k=3).collect()
+        ]
+        assert got == want
+
+    def test_max_df_ratio_valve_drops_stopword_terms(self, spark):
+        """A term in >ratio of docs is pruned BEFORE the term join —
+        the stopword valve; rare terms still score."""
+        from datawaves_etl_airflow_spark.operators.text import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(i, f"common filler text plus unique{i}") for i in range(10)],
+            "doc_id long, text string",
+        )
+        qs = spark.createDataFrame(
+            [(1, "common unique3")], "query_id long, query_text string"
+        )
+        valved = bm25_topk(docs, qs, k=10, max_df_ratio=0.5).collect()
+        # 'common' (df=10/10) pruned -> only unique3's doc scores
+        assert [r["doc_id"] for r in valved] == [3]
+        full = bm25_topk(docs, qs, k=10).collect()
+        assert len(full) == 10  # exact form keeps the stopword hits
+
+    def test_no_term_overlap_query_returns_nothing(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import bm25_topk
+
+        qs = spark.createDataFrame(
+            [(7, "zzz qqq")], "query_id long, query_text string"
+        )
+        assert bm25_topk(self._docs(spark), qs, k=3).count() == 0
