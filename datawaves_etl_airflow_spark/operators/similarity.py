@@ -1288,11 +1288,8 @@ def train_pq_codebooks(
         # per-subspace struct arrays, sorted by code id — the tiny
         # (pq_m rows) broadcast side of the assignment join
         return cb.groupBy("subspace_id").agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("code_id", "codeword"))
-                ),
-                lambda s: s,
+            F.array_sort(
+                F.collect_list(F.struct("code_id", "codeword"))
             ).alias("_cws")
         )
 
