@@ -404,6 +404,62 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    results: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked result lists —
+    ``(query_id, doc_id, rank, rrf_score)``: the standard way to
+    combine a lexical ranking (`bm25_topk`) with a vector ranking
+    (`similarity.ivf_search_index` / `brute_force_topk`) without
+    comparable scores (Cormack, Clarke & Buettcher, SIGIR 2009:
+    score = Σ_lists 1/(c + rank), c=60). Rank positions are the only
+    input, so wildly different score scales fuse cleanly — the
+    hybrid-retrieval default.
+
+    Each input carries ``(query_col, id_col, rank_col)`` (rename a
+    vector leg's ``match_id`` first). A (query, doc) absent from a
+    list simply contributes nothing — the union/groupBy form, so any
+    number of legs fuse in ONE shuffle on (query, doc), never a
+    per-pair join chain. Output ranks on the ROUNDED score with id
+    tiebreak (1/(c+rank) is exact IEEE division, but cross-list sums
+    can land differently ordered across engines — last-ulp guard,
+    same rationale as `bm25_topk`).
+    """
+    if not results:
+        raise ValueError("rrf_fuse needs at least one result list")
+    legs = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("_doc"),
+            F.col(rank_col).alias("_r"),
+        )
+        for r in results
+    ]
+    unioned = legs[0]
+    for leg in legs[1:]:
+        unioned = unioned.unionByName(leg)
+    fused = unioned.groupBy("query_id", "_doc").agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(c)) + F.col("_r"))), 6
+        ).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("_doc").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("_doc").alias(id_col), "rank", "rrf_score"
+        )
+    )
+
+
 def unigram_logprob(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1110,6 +1110,37 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk(d, qs, k=5)
 
 
+def llm_hybrid_retrieval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion
+    (`text.rrf_fuse`, SIGIR 2009 c=60) — the composition a real
+    retrieval pipeline runs when doc_id keys both the text and its
+    embedding: the BM25 top-5 (the llm_bm25_topk leg, queries = first
+    6 tokens of docs 0-4) fuses with the exact cosine top-5 (queries =
+    vectors 0-4) by rank position alone, so the two incomparable score
+    scales combine cleanly. FULL value-level oracle: DuckDB replays
+    BOTH legs (the proven bm25 + cosine oracle bodies) and the
+    1/(60+rank) fusion arithmetic."""
+    d = _docs(spark, sf_dir)
+    qs_text = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(dedup.tokenize(F.col("text")), 1, 6), " "
+        ).alias("query_text"),
+    )
+    lex = text.bm25_topk(d, qs_text, k=5)
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    qs_vec = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    sem = similarity.brute_force_topk(embs, qs_vec, k=5).select(
+        "query_id", F.col("match_id").alias("doc_id"), "rank"
+    )
+    return text.rrf_fuse([lex, sem], k=5)
+
+
 def llm_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototype-distance quality gate (`similarity.cell_outliers`):
     the first 4 corpus vectors serve as deterministic prototypes
@@ -1539,6 +1570,7 @@ QUERIES = {
     "llm_ann_ivf_pq_rerank": llm_ann_ivf_pq_rerank,
     "llm_ann_ivf_filtered": llm_ann_ivf_filtered,
     "llm_bm25_topk": llm_bm25_topk,
+    "llm_hybrid_retrieval": llm_hybrid_retrieval,
     "llm_cell_outliers": llm_cell_outliers,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
@@ -2361,6 +2393,37 @@ ORACLES["llm_bm25_topk"] = f"""
         FROM pair
     )
     SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= 5
+"""
+
+# llm_hybrid_retrieval: both legs replayed (the bm25 oracle body and
+# the cosine body restricted to vec_id < 5) + the 1/(60+rank) fusion.
+# Note bm25's queries are doc_id 0-4 and the vector leg's are vec_id
+# 0-4 — the same id space by construction, so the FULL OUTER JOIN
+# fuses per (query, doc).
+_B25 = ORACLES["llm_bm25_topk"]
+_COS5 = ORACLES["llm_cosine_topk"].replace("vec_id < 10", "vec_id < 5")
+ORACLES["llm_hybrid_retrieval"] = f"""
+    WITH fused AS (
+        SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+               COALESCE(b.doc_id, v.match_id) AS doc_id,
+               ROUND(
+                   COALESCE(1.0 / (60.0 + b.rank), 0)
+                   + COALESCE(1.0 / (60.0 + v.rank), 0), 6
+               ) AS rrf_score
+        FROM ({_B25}) b
+        FULL OUTER JOIN ({_COS5}) v
+          ON b.query_id = v.query_id AND b.doc_id = v.match_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, doc_id ASC
+               ) AS rank,
+               rrf_score
+        FROM fused
+    )
+    SELECT query_id, doc_id, rank, rrf_score FROM ranked WHERE rank <= 5
 """
 
 # llm_ann_ivf_filtered: the brute-force replay restricted to the same

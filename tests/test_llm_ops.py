@@ -829,3 +829,45 @@ class TestBm25:
             [(7, "zzz qqq")], "query_id long, query_text string"
         )
         assert bm25_topk(self._docs(spark), qs, k=3).count() == 0
+
+
+class TestRrfFuse:
+    def test_fusion_arithmetic_and_union_semantics(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id long, doc_id long, rank long",
+        )
+        sem = spark.createDataFrame(
+            [(1, 11, 1), (1, 13, 2)],
+            "query_id long, doc_id long, rank long",
+        )
+        got = {r["doc_id"]: (r["rank"], r["rrf_score"])
+               for r in rrf_fuse([lex, sem], k=10).collect()}
+        # doc 11 appears in both lists -> 1/62 + 1/61
+        assert got[11][1] == round(1 / 62 + 1 / 61, 6)
+        assert got[11][0] == 1  # two mid ranks beat one first place
+        # single-list docs score their lone term
+        assert got[10][1] == round(1 / 61, 6)
+        assert got[13][1] == round(1 / 62, 6)
+        assert got[12][1] == round(1 / 63, 6)
+        # 10 (1/61) > 13 (1/62) > 12 (1/63); ties impossible here
+        ranks = sorted(got.items(), key=lambda t: t[1][0])
+        assert [d for d, _ in ranks] == [11, 10, 13, 12]
+
+    def test_rank_ties_break_on_id_and_k_cuts(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 20, 1), (1, 21, 1)],  # same rank in one leg: tie
+            "query_id long, doc_id long, rank long",
+        )
+        got = rrf_fuse([a], k=1).collect()
+        assert len(got) == 1 and got[0]["doc_id"] == 20  # id tiebreak
+
+    def test_empty_input_list_raises(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import rrf_fuse
+
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])
