@@ -353,21 +353,45 @@ def bm25_topk(
     tf = per_doc.groupBy("_doc", "_dl", "_w").agg(
         F.count(F.lit(1)).alias("_tf")
     )
-    df = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
     totals = toks.agg(
         F.count(F.lit(1)).alias("_n"),
         F.avg(F.size("_ws")).alias("_avgdl"),
     )
-    qterms = queries.select(
+    qterms = _bm25_query_terms(queries)
+    return _bm25_rank(qterms, tf, totals, k, k1, b, max_df_ratio, id_col)
+
+
+def _bm25_query_terms(queries: DataFrame) -> DataFrame:
+    """(query_id, _w) — DISTINCT tokens per query (query-side tf is
+    ignored; see `bm25_topk`)."""
+    return queries.select(
         "query_id",
         F.explode(F.array_distinct(tokenize(F.col("query_text")))).alias(
             "_w"
         ),
     )
-    scored = (
-        qterms.join(df, "_w")
-        .crossJoin(F.broadcast(totals))
-    )
+
+
+def _bm25_rank(
+    qterms: DataFrame,
+    tf: DataFrame,
+    totals: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    max_df_ratio: float | None,
+    id_col: str,
+) -> DataFrame:
+    """The ONE Okapi scoring tree behind `bm25_topk` (in-session) and
+    `bm25_search_index` (persisted postings) — both paths must rank
+    identically, so the idf/tf-normalization/round/tiebreak expressions
+    live here. ``tf`` carries ``(_doc, _dl, _w, _tf)``; ``totals`` is
+    the 1-row ``(_n, _avgdl)`` broadcast. df is derived from ``tf``
+    (count of docs per term), so a caller that pre-filters ``tf`` to
+    the query terms' buckets still gets exact df — every posting for
+    those terms lives in their buckets."""
+    df = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    scored = qterms.join(df, "_w").crossJoin(F.broadcast(totals))
     if max_df_ratio is not None:
         scored = scored.filter(
             F.col("_df") <= F.lit(max_df_ratio) * F.col("_n")
@@ -561,4 +585,259 @@ def chunk_documents(
             "c.n_tokens",
             "c.chunk_text",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Persisted inverted text index — the lexical twin of the IVF story:
+# term-hash bucket pruning on probes, O(batch) appends, pointer-flip
+# rebuilds under sources.manifest.VersionedManifest.
+# --------------------------------------------------------------------------
+
+
+def _bm25_postings(
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, meta) for one corpus batch: postings =
+    ``(term, doc, dl, tf, bucket)`` — one row per (doc, term), the
+    inverted-index surface — and meta = the 1-row ``(n_docs, sum_dl)``
+    corpus-stats fold this batch contributes. ``bucket`` is
+    ``xxhash64(term) % n_buckets``: every posting for a term lands in
+    ONE bucket, which is what makes probe pruning exact."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("_ws")
+    )
+    tf = (
+        toks.select(
+            "doc", F.size("_ws").alias("dl"), F.explode("_ws").alias("term")
+        )
+        .groupBy("doc", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets))
+        )
+    )
+    meta = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size("_ws")), F.lit(0)).cast("long").alias(
+            "sum_dl"
+        ),
+    )
+    return tf, meta
+
+
+BM25_INDEX_META = "_bm25_index.json"
+
+
+def _resolve_bm25_index(spark, path: str) -> tuple[dict, str]:
+    """(parameter contract, data root) — manifest-committed only (the
+    index is r9-new; there is no legacy layout to fall back to)."""
+    from ..sources.manifest import VersionedManifest
+
+    version, payload = VersionedManifest(path).resolve(spark)
+    if payload is None:
+        raise ValueError(
+            f"no BM25 index manifest under {path} — not an index "
+            "directory (build one with write_bm25_index)"
+        )
+    try:
+        meta = {
+            "n_buckets": int(payload["n_buckets"]),
+            "id_col": str(payload["id_col"]),
+        }
+        current = str(payload["current"])
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ValueError(
+            f"corrupt BM25 index manifest version {version} under "
+            f"{path}: {payload!r}"
+        ) from exc
+    import posixpath as _pp
+
+    return meta, _pp.join(path, current)
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the inverted text index: ``postings/`` laid out as
+    ``batch=<token>/bucket=<h>`` hive partitions (term-hash buckets)
+    and ``meta/`` (one ``(n_docs, sum_dl)`` row per batch) — the
+    lexical twin of `similarity.write_ivf_index`.
+
+    The layout IS the optimization, same argument as the IVF cells:
+    a `bm25_search_index` probe reads ONLY the buckets its query
+    terms hash into — |distinct query terms| buckets of ~1/n_buckets
+    of the postings each, via static partition pruning — while df for
+    those terms stays EXACT (every posting for a term lives in its
+    one bucket). Corpus stats (N, avgdl) fold additively across batch
+    meta rows, so appends never rescan the corpus. Rebuilds are
+    manifest pointer flips; appends land idempotent same-token batch
+    dirs (`append_bm25_index`); superseded versions are reclaimed by
+    `vacuum_bm25_index`.
+    """
+    import posixpath as _pp
+    import uuid as _uuid
+
+    from ..sources.fs import require_success_marker
+    from ..sources.manifest import VersionedManifest
+
+    spark = docs.sparkSession
+    vm = VersionedManifest(path)
+    version = vm.latest_version(spark)
+    rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")
+    vroot = _pp.join(path, rel)
+    postings, meta = _bm25_postings(docs, text_col, id_col, n_buckets)
+    (
+        postings.repartition("bucket")
+        .write.mode("errorifexists")
+        .partitionBy("bucket")
+        .parquet(_pp.join(vroot, "postings", "batch=base"))
+    )
+    meta.write.mode("errorifexists").parquet(
+        _pp.join(vroot, "meta", "batch=base")
+    )
+    require_success_marker(
+        spark, _pp.join(vroot, "postings", "batch=base"), "BM25 index build"
+    )
+    require_success_marker(
+        spark, _pp.join(vroot, "meta", "batch=base"), "BM25 index build"
+    )
+    vm.publish_or_raise(
+        spark,
+        {
+            "current": rel,
+            "n_buckets": n_buckets,
+            "id_col": id_col,
+            "layout": "batch-v1",
+        },
+        version,
+        "BM25 index rebuild",
+    )
+
+
+def append_bm25_index(
+    docs: DataFrame,
+    path: str,
+    batch_token: str | None = None,
+    text_col: str = "text",
+) -> None:
+    """Fold a new document batch into the persisted BM25 index without
+    a rebuild: tokenize/count the batch only (O(|batch|)), land its
+    postings under ``postings/batch=<token>/`` and its 1-row stats
+    under ``meta/batch=<token>/``. Same-token retries overwrite their
+    own directories (static overwrite — the foreachBatch replay
+    contract shared with `append_minhash_index` /
+    `similarity.append_ivf_index`); the manifest version bump
+    serializes folds against rebuilds. df/N/avgdl all fold additively,
+    so probe results after an append are IDENTICAL to a fresh rebuild
+    over the union — pinned in TestBm25Index."""
+    import posixpath as _pp
+    import uuid as _uuid
+
+    from ..sources.fs import require_success_marker
+    from ..sources.manifest import VersionedManifest
+
+    token = batch_token if batch_token is not None else _uuid.uuid4().hex
+    if "/" in token or "=" in token:
+        raise ValueError(f"batch_token must be path-safe: {token!r}")
+    spark = docs.sparkSession
+    vm = VersionedManifest(path)
+    for _attempt in range(5):
+        version, payload = vm.resolve(spark)
+        if payload is None:
+            raise ValueError(
+                f"no BM25 index manifest under {path} — build one with "
+                "write_bm25_index before appending"
+            )
+        meta, data_root = _resolve_bm25_index(spark, path)
+        postings, stats = _bm25_postings(
+            docs, text_col, meta["id_col"], meta["n_buckets"]
+        )
+        pdir = _pp.join(data_root, "postings", f"batch={token}")
+        (
+            postings.repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("bucket")
+            .parquet(pdir)
+        )
+        mdir = _pp.join(data_root, "meta", f"batch={token}")
+        stats.write.mode("overwrite").parquet(mdir)
+        require_success_marker(spark, pdir, "BM25 fold")
+        require_success_marker(spark, mdir, "BM25 fold")
+        if vm.publish(spark, payload, version):
+            vm.vacuum_superseded(spark)
+            return
+    raise RuntimeError(
+        f"BM25 index fold {token!r} at {path} lost the manifest race "
+        "5 times in a row — pause rebuilds and retry"
+    )
+
+
+def vacuum_bm25_index(spark, path: str) -> list[str]:
+    """Reclaim superseded BM25 index versions (same contract as
+    `vacuum_minhash_index` / `similarity.vacuum_ivf_index`)."""
+    from ..sources.manifest import VersionedManifest
+
+    return VersionedManifest(path).vacuum_versions(
+        spark, ("postings", "meta", BM25_INDEX_META)
+    )
+
+
+def bm25_search_index(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """`bm25_topk` against a persisted `write_bm25_index` layout —
+    identical ranking (the scoring tree is shared, `_bm25_rank`), but
+    the postings side reads ONLY the buckets the query's terms hash
+    into: the distinct query terms' bucket ids are collected to the
+    driver (bounded by the query set's vocabulary — queries are a
+    bounded set by contract, same as every probe here) and pushed as
+    a static partition filter, so a 3-term query over a 64-bucket
+    index scans ≤ 3/64 of the postings bytes regardless of corpus
+    size. df for the probed terms is exact (a term's every posting
+    lives in its one bucket); N and avgdl fold from the tiny per-batch
+    ``meta/`` rows — one broadcast row, no corpus scan."""
+    import posixpath as _pp
+
+    spark = queries.sparkSession
+    meta, data_root = _resolve_bm25_index(spark, path)
+    stats = (
+        spark.read.parquet(_pp.join(data_root, "meta"))
+        .agg(
+            F.sum("n_docs").alias("_n"),
+            (F.sum("sum_dl") / F.sum("n_docs")).alias("_avgdl"),
+        )
+    )
+    qterms = _bm25_query_terms(queries).localCheckpoint()
+    buckets = sorted(
+        r["_b"]
+        for r in qterms.select(
+            F.pmod(F.xxhash64(F.col("_w")), F.lit(meta["n_buckets"]))
+            .alias("_b")
+        )
+        .distinct()
+        .collect()
+    )
+    tf = (
+        spark.read.parquet(_pp.join(data_root, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .select(
+            F.col("doc").alias("_doc"),
+            F.col("dl").alias("_dl"),
+            F.col("term").alias("_w"),
+            F.col("tf").alias("_tf"),
+        )
+    )
+    return _bm25_rank(
+        qterms, tf, stats, k, k1, b, max_df_ratio, meta["id_col"]
     )

@@ -1141,6 +1141,38 @@ def llm_hybrid_retrieval(
     return text.rrf_fuse([lex, sem], k=5)
 
 
+def llm_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted inverted-index BM25 probe (`text.bm25_search_index`)
+    under the SAME full value oracle as `llm_bm25_topk`: the documents
+    table is split 70/30, the index built from the head and the tail
+    folded in via `append_bm25_index` (df/N/avgdl fold additively), so
+    a probe of the persisted layout must rank exactly like the
+    in-session operator over the whole table — the driver certificate
+    for the build → fold → bucket-pruned-probe chain. Executed eagerly
+    (localCheckpoint) so the temp index is removed before return."""
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    qs = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(dedup.tokenize(F.col("text")), 1, 6), " "
+        ).alias("query_text"),
+    )
+    idx = tempfile.mkdtemp(prefix="llm_bm25idx_")
+    try:
+        text.write_bm25_index(
+            d.filter(F.col("doc_id") % 10 < 7), idx, n_buckets=16
+        )
+        text.append_bm25_index(
+            d.filter(F.col("doc_id") % 10 >= 7), idx, batch_token="d1"
+        )
+        return text.bm25_search_index(qs, idx, k=5).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def llm_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototype-distance quality gate (`similarity.cell_outliers`):
     the first 4 corpus vectors serve as deterministic prototypes
@@ -1571,6 +1603,7 @@ QUERIES = {
     "llm_ann_ivf_filtered": llm_ann_ivf_filtered,
     "llm_bm25_topk": llm_bm25_topk,
     "llm_hybrid_retrieval": llm_hybrid_retrieval,
+    "llm_bm25_index": llm_bm25_index,
     "llm_cell_outliers": llm_cell_outliers,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
@@ -2425,6 +2458,11 @@ ORACLES["llm_hybrid_retrieval"] = f"""
     )
     SELECT query_id, doc_id, rank, rrf_score FROM ranked WHERE rank <= 5
 """
+
+# llm_bm25_index: the persisted-index probe ranks exactly like the
+# in-session operator over the full table (additive df/N/avgdl folds,
+# shared scoring tree) — so it shares llm_bm25_topk's oracle verbatim.
+ORACLES["llm_bm25_index"] = ORACLES["llm_bm25_topk"]
 
 # llm_ann_ivf_filtered: the brute-force replay restricted to the same
 # even-id predicate the Spark probe passes as allowed= — a value-level
