@@ -212,6 +212,30 @@ def main() -> None:
         )
     )
 
+    # persisted BM25 inverted index (r9): the probe's claim is that a
+    # fixed query set reads only its terms' buckets — so measure a
+    # FIXED 5-query probe against a 10×/100× indexed corpus (bucket
+    # count fixed: pruning ratio is per-term, independent of corpus)
+    bm25_by_mult: dict[int, str] = {}
+    if wanted("bm25_probe_pruned"):
+        for mult in sorted({1, args.factor}):
+            p = os.path.join(idx_root, f"bm25_{mult}")
+            text.write_bm25_index(
+                _scaled_docs(spark, args.sf, mult), p, n_buckets=64
+            )
+            bm25_by_mult[mult] = p
+    bm25_queries = (
+        spark.read.parquet(f"{args.sf}/documents.parquet")
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 6), " "
+            ).alias("query_text"),
+        )
+        .localCheckpoint()
+    )
+
     # pre-built IVF indexes, same rationale: the ANN claim is that a
     # probe reads nprobe/n_centroids of the corpus, so measure a FIXED
     # query set against a growing indexed corpus — with the exact
@@ -429,6 +453,9 @@ def main() -> None:
             dedup.dedup_against_index(
                 probe_batch, idx_by_mult[mult], threshold=0.5
             )
+        ),
+        "bm25_probe_pruned": lambda mult: text.bm25_search_index(
+            bm25_queries, bm25_by_mult[mult], k=10
         ),
         "ann_probe_pruned": lambda mult: similarity.ivf_search_index(
             ann_queries, ivf_by_mult[mult], nprobe=4, k=5
