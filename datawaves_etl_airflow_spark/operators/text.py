@@ -753,6 +753,11 @@ def append_bm25_index(
                 f"no BM25 index manifest under {path} — build one with "
                 "write_bm25_index before appending"
             )
+        # a compacted-away token is durable in every later base — a
+        # replay re-appending it would double-count its postings AND
+        # its meta row (see compact_bm25_index's folded contract)
+        if token in set(payload.get("folded", ())):
+            return
         meta, data_root = _resolve_bm25_index(spark, path)
         postings, stats = _bm25_postings(
             docs, text_col, meta["id_col"], meta["n_buckets"]
@@ -841,3 +846,196 @@ def bm25_search_index(
     return _bm25_rank(
         qterms, tf, stats, k, k1, b, max_df_ratio, meta["id_col"]
     )
+
+
+def compact_bm25_index(
+    spark, path: str, folded_retention: int | None = None
+) -> bool:
+    """Fold every COMPLETE ``batch=`` directory of the current BM25
+    index version into a single ``batch=base`` under a NEW
+    manifest-committed version — probe listing cost grows with batch
+    dirs (one postings dir + one meta dir per fold), and this resets
+    it to one. Same contract as `dedup.compact_minhash_index` /
+    `similarity.compact_ivf_index`:
+
+    - completeness per token = ``_SUCCESS`` on BOTH sides (postings +
+      meta); a side holding data files without the marker is a torn
+      commit and the compaction REFUSES loudly;
+    - side missing/empty = the designed append crash window — skipped,
+      the same-token replay re-folds it whole;
+    - the published payload's cumulative ``folded`` list makes
+      `append_bm25_index` no-op for compacted-away tokens (the
+      replay-after-compaction duplication window), pruned by
+      ``folded_retention``;
+    - losing the manifest race to a concurrent fold raises — the old
+      version stays live, re-run picks up the new batch.
+
+    The meta side folds to ONE row (n_docs/sum_dl sum additively), so
+    probe stats cost stays O(1) regardless of fold history.
+    """
+    import posixpath as _pp
+    import uuid as _uuid
+
+    from ..sources.fs import glob_paths, require_success_marker
+    from ..sources.manifest import VersionedManifest
+    from .dedup import _fold_token_list
+
+    vm = VersionedManifest(path)
+    version, payload = vm.resolve(spark)
+    if payload is None:
+        return False
+    meta, old_root = _resolve_bm25_index(spark, path)
+
+    def _glob_tokens(side: str, leaf: str) -> set[str]:
+        return {
+            p.rsplit("batch=", 1)[1].split("/", 1)[0]
+            for p in glob_paths(
+                spark, _pp.join(old_root, side, "batch=*", leaf)
+            )
+        }
+
+    marked = _glob_tokens("postings", "_SUCCESS") & _glob_tokens(
+        "meta", "_SUCCESS"
+    )
+    torn = sorted(
+        (_glob_tokens("postings", "bucket=*/part-*") - _glob_tokens("postings", "_SUCCESS"))
+        | (_glob_tokens("meta", "part-*") - _glob_tokens("meta", "_SUCCESS"))
+    )
+    if torn:
+        raise RuntimeError(
+            f"BM25 index at {path}: batch dirs {torn} hold data files "
+            "without a _SUCCESS marker — a torn job commit. Restart "
+            "the ingest so the same-token replay completes these "
+            "folds, or remove the torn directories, then compact."
+        )
+    complete = sorted(marked)
+    if not complete:
+        return False
+    rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")
+    vroot = _pp.join(path, rel)
+    (
+        spark.read.option("basePath", _pp.join(old_root, "postings"))
+        .parquet(
+            *[
+                _pp.join(old_root, "postings", f"batch={t}")
+                for t in complete
+            ]
+        )
+        .select("term", "doc", "dl", "tf", "bucket")
+        .repartition("bucket")
+        .write.mode("errorifexists")
+        .partitionBy("bucket")
+        .parquet(_pp.join(vroot, "postings", "batch=base"))
+    )
+    (
+        spark.read.parquet(
+            *[_pp.join(old_root, "meta", f"batch={t}") for t in complete]
+        )
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+        .write.mode("errorifexists")
+        .parquet(_pp.join(vroot, "meta", "batch=base"))
+    )
+    require_success_marker(
+        spark,
+        _pp.join(vroot, "postings", "batch=base"),
+        "BM25 index compaction",
+    )
+    require_success_marker(
+        spark, _pp.join(vroot, "meta", "batch=base"), "BM25 index compaction"
+    )
+    folded = _fold_token_list(
+        payload.get("folded", ()), complete, folded_retention
+    )
+    if not vm.publish(
+        spark, {**payload, "current": rel, "folded": folded}, version
+    ):
+        raise RuntimeError(
+            f"BM25 index compaction at {path} lost the manifest race "
+            f"for version {version + 1}: a concurrent fold or rebuild "
+            "committed first. Nothing is lost — the previous version "
+            "remains live; re-run the compaction."
+        )
+    return True
+
+
+def bm25_index_stats(spark, path: str) -> DataFrame:
+    """One-row operational health summary of a persisted BM25 index —
+    the lexical sibling of `dedup.minhash_index_stats`:
+    ``(n_docs, n_batches, max_bucket, p95_bucket, mean_bucket)``
+    where bucket occupancy counts POSTINGS per term-hash bucket.
+
+    What an operator reads off it at 100 TB: ``max_bucket`` far above
+    ``mean_bucket`` means hot buckets — stopword-dominated postings
+    every common-term probe scans whole (the ``max_df_ratio`` valve
+    and/or a larger ``n_buckets`` rebuild are the answers);
+    ``n_batches`` is the `compact_bm25_index` watermark, exactly as
+    on the MinHash/IVF sides.
+    """
+    import posixpath as _pp
+
+    _, data_root = _resolve_bm25_index(spark, path)
+    postings = spark.read.parquet(_pp.join(data_root, "postings"))
+    occupancy = postings.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    bucket_stats = occupancy.agg(
+        F.max("_n").alias("max_bucket"),
+        F.expr("approx_percentile(_n, 0.95)").alias("p95_bucket"),
+        F.round(F.avg("_n"), 3).alias("mean_bucket"),
+    )
+    totals_meta = spark.read.parquet(_pp.join(data_root, "meta")).agg(
+        F.sum("n_docs").cast("long").alias("n_docs")
+    )
+    n_batches = postings.agg(
+        F.countDistinct("batch").alias("n_batches")
+    )
+    return totals_meta.crossJoin(n_batches).crossJoin(bucket_stats)
+
+
+def maintain_bm25_index(
+    spark,
+    path: str,
+    max_batches: int = 8,
+    max_bucket_ratio: float = 8.0,
+    folded_retention: int | None = None,
+    vacuum: bool = False,
+) -> dict:
+    """The scheduled maintenance job over `bm25_index_stats` — same
+    policy shape as `similarity.maintain_ivf_index` /
+    `dedup.maintain_minhash_index`: compact past the ``max_batches``
+    fold-fragmentation watermark (manifest race reported
+    success-shaped, torn-commit refusal propagates), flag
+    ``hot_buckets_flagged`` when the largest bucket exceeds
+    ``max_bucket_ratio`` × the mean (stopword-dominated postings —
+    rebuild with more buckets or run probes with ``max_df_ratio``),
+    and optionally vacuum superseded versions after a successful
+    compaction."""
+    row = bm25_index_stats(spark, path).collect()[0]
+    report = {
+        "n_docs": row["n_docs"],
+        "n_batches": row["n_batches"],
+        "max_bucket": row["max_bucket"],
+        "p95_bucket": row["p95_bucket"],
+        "mean_bucket": row["mean_bucket"],
+        "compacted": False,
+        "compaction_race_lost": False,
+        "hot_buckets_flagged": bool(
+            row["mean_bucket"]
+            and row["max_bucket"] > max_bucket_ratio * row["mean_bucket"]
+        ),
+    }
+    if row["n_batches"] > max_batches:
+        try:
+            report["compacted"] = compact_bm25_index(
+                spark, path, folded_retention=folded_retention
+            )
+        except RuntimeError as exc:
+            if "lost the manifest race" not in str(exc):
+                raise
+            report["compaction_race_lost"] = True
+        if vacuum and report["compacted"]:
+            report["vacuumed"] = vacuum_bm25_index(spark, path)
+    return report

@@ -112,3 +112,106 @@ class TestBm25Index:
     def test_missing_index_raises(self, spark, tmp_path):
         with pytest.raises(ValueError, match="no BM25 index manifest"):
             bm25_search_index(_queries(spark), str(tmp_path / "nope"))
+
+
+class TestBm25Compaction:
+    def test_compact_folds_batches_probe_identical(self, spark, index_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_index_stats,
+            compact_bm25_index,
+        )
+
+        append_bm25_index(_docs(spark, 20, 25), index_path, batch_token="d1")
+        append_bm25_index(_docs(spark, 25, 30), index_path, batch_token="d2")
+        before = sorted(
+            map(tuple, bm25_search_index(_queries(spark), index_path, k=5).collect())
+        )
+        row = bm25_index_stats(spark, index_path).first()
+        assert row["n_batches"] == 3 and row["n_docs"] == 30
+        assert compact_bm25_index(spark, index_path) is True
+        after_row = bm25_index_stats(spark, index_path).first()
+        assert after_row["n_batches"] == 1
+        assert after_row["n_docs"] == 30  # meta folded additively
+        after = sorted(
+            map(tuple, bm25_search_index(_queries(spark), index_path, k=5).collect())
+        )
+        assert after == before
+
+    def test_replay_after_compaction_noops_on_folded_token(
+        self, spark, index_path
+    ):
+        """The duplication window: a fold compacted into base must not
+        re-append on a late replay — postings AND the meta row would
+        double-count."""
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_index_stats,
+            compact_bm25_index,
+        )
+
+        append_bm25_index(_docs(spark, 20, 30), index_path, batch_token="d1")
+        assert compact_bm25_index(spark, index_path) is True
+        before = sorted(
+            map(tuple, bm25_search_index(_queries(spark), index_path, k=5).collect())
+        )
+        append_bm25_index(_docs(spark, 20, 30), index_path, batch_token="d1")
+        assert bm25_index_stats(spark, index_path).first()["n_docs"] == 30
+        after = sorted(
+            map(tuple, bm25_search_index(_queries(spark), index_path, k=5).collect())
+        )
+        assert after == before
+
+    def test_torn_commit_refuses_loudly(self, spark, index_path):
+        import glob as _glob
+
+        from datawaves_etl_airflow_spark.operators.text import (
+            _resolve_bm25_index,
+            compact_bm25_index,
+        )
+
+        append_bm25_index(_docs(spark, 20, 30), index_path, batch_token="d1")
+        _, root = _resolve_bm25_index(spark, index_path)
+        os.remove(os.path.join(root, "postings", "batch=d1", "_SUCCESS"))
+        assert _glob.glob(root + "/postings/batch=d1/bucket=*/part-*")
+        with pytest.raises(RuntimeError, match="torn job commit"):
+            compact_bm25_index(spark, index_path)
+
+
+class TestMaintainBm25Index:
+    def test_watermark_policy_and_vacuum(self, spark, index_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            _resolve_bm25_index,
+            maintain_bm25_index,
+        )
+
+        for j in range(3):
+            append_bm25_index(
+                _docs(spark, 20 + 5 * j, 25 + 5 * j),
+                index_path,
+                batch_token=f"d{j}",
+            )
+        _, old_root = _resolve_bm25_index(spark, index_path)
+        rep = maintain_bm25_index(
+            spark, index_path, max_batches=2, vacuum=True
+        )
+        assert rep["compacted"] is True
+        assert any(old_root.rstrip("/") in d for d in rep["vacuumed"])
+        assert not os.path.exists(old_root)
+        rep2 = maintain_bm25_index(spark, index_path, max_batches=2)
+        assert rep2["compacted"] is False and rep2["n_batches"] == 1
+
+    def test_hot_bucket_flag_on_stopword_corpus(self, spark, tmp_path):
+        """Every doc shares the same few words → their buckets crowd:
+        the flag must fire without compaction."""
+        from datawaves_etl_airflow_spark.operators.text import (
+            maintain_bm25_index,
+        )
+
+        boiler = spark.createDataFrame(
+            [(i, f"the same header everywhere unique{i}") for i in range(40)],
+            "doc_id long, text string",
+        )
+        p = str(tmp_path / "bmhot")
+        write_bm25_index(boiler, p, n_buckets=32)
+        rep = maintain_bm25_index(spark, p, max_bucket_ratio=3.0)
+        assert rep["hot_buckets_flagged"] is True
+        assert rep["compacted"] is False
