@@ -553,3 +553,80 @@ def stream_semantic_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def make_bm25_ingest(
+    index_path: str,
+    state_path: str,
+    text_col: str = "text",
+    checkpoint: str | None = None,
+):
+    """Per-micro-batch fold of a document stream into the persisted
+    BM25 inverted index (`operators.text.append_bm25_index`) — the
+    lexical-index member of the streaming-ingest family. Unlike the
+    dedup twins there is no accept/drop decision: every batch folds,
+    and the value is the replay contract — per-trigger cost is
+    O(|batch| tokens), the index's df/N/avgdl stay exact under
+    at-least-once delivery, and probes (`text.bm25_search_index`) see
+    each batch as soon as its fold commits.
+
+    Replay contract (the `_replay_guard` rules shared by all three
+    ingests): the `sources.manifest.VersionedManifest` marker under
+    ``state_path`` records (last_batch_id, checkpoint identity) — a
+    replayed id no-ops, a foreign checkpoint or rewound id raises.
+    A crash between the index fold and the marker commit re-runs the
+    fold on restart with the SAME checkpoint-scoped token: the
+    same-token overwrite makes that idempotent, and a replay arriving
+    AFTER a compaction folded the token into base no-ops via the
+    manifest's folded list (`compact_bm25_index`) — no crash/replay
+    interleaving double-counts a posting or a meta row.
+    """
+    from ..operators.text import append_bm25_index
+    from ..sources.manifest import VersionedManifest
+
+    vm = VersionedManifest(state_path)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        version, state = vm.resolve(spark)
+        if _replay_guard(state, checkpoint, batch_id, state_path):
+            return  # replayed batch — already folded
+        append_bm25_index(
+            batch_df,
+            index_path,
+            batch_token=_batch_token(checkpoint, batch_id),
+            text_col=text_col,
+        )
+        vm.publish_or_raise(
+            spark,
+            {"last_batch_id": batch_id, "checkpoint": checkpoint},
+            version,
+            "BM25 ingest replay marker",
+        )
+        vm.vacuum_superseded(spark)
+
+    return _apply
+
+
+def stream_bm25_ingest(
+    stream: DataFrame,
+    index_path: str,
+    state_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    available_now: bool = False,
+):
+    """Continuous lexical-index maintenance on a document stream: each
+    micro-batch folds into the persisted BM25 index via an idempotent
+    O(batch) append. Returns the started StreamingQuery."""
+    fn = make_bm25_ingest(
+        index_path, state_path, text_col=text_col, checkpoint=checkpoint
+    )
+    writer = stream.writeStream.foreachBatch(fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
