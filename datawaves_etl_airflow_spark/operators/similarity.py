@@ -860,6 +860,78 @@ def train_centroids_2level(
     return coarse, fine
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin
+    of `dedup.benchmark_contamination` (which catches verbatim n-gram
+    overlap; this catches PARAPHRASED leakage the n-gram probe cannot
+    see): flag every corpus row whose max cosine against ANY benchmark
+    vector reaches ``threshold``. Returns every corpus row:
+    ``(id_col, benchmark_id, max_benchmark_sim, contaminated)`` with
+    the similarity rounded to 6 (the module's cross-engine float
+    discipline) and ``benchmark_id`` = the argmax benchmark row (ties
+    to the smaller id — the engine's one assignment rule).
+
+    Scale shape: identical to `cell_outliers` — benchmarks are
+    MB-scale against a TB-scale corpus, so the benchmark set folds to
+    ONE broadcast array<struct> row and the max-similarity is a pure
+    map-side transform/array_max; the corpus plan is scan → project,
+    zero shuffles, whole-stage codegen end to end.
+
+    NULL (and all-zero) corpus vectors get NULL sim/benchmark_id and
+    ``contaminated = false``: an unscorable row is not evidence of
+    leakage — it is a QUALITY problem, which is `cell_outliers`'s job
+    to flag; a decontamination pass must not silently drop it.
+    """
+    bench = benchmark.agg(
+        F.collect_list(
+            F.struct(
+                F.col(bench_id_col).alias("bid"),
+                F.col(bench_vec_col).alias("bvec"),
+            )
+        ).alias("_bench")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("_bench"),
+            lambda b: F.struct(
+                cosine(F.col(vec_col), b["bvec"]).alias("s"),
+                (-b["bid"]).alias("nid"),
+            ),
+        )
+    )
+    sim = F.round(F.col("_best.s"), 6)
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        # the same zero-norm guard as cell_outliers: 0/0 cosines are
+        # NULL against every benchmark and must not fall through to
+        # the id tiebreak
+        .withColumn(
+            "_best",
+            F.when(
+                F.col(vec_col).isNotNull()
+                & (F.sqrt(dot(F.col(vec_col), F.col(vec_col))) > 0),
+                best,
+            ),
+        )
+        .select(
+            F.col(id_col),
+            (-F.col("_best.nid")).alias("benchmark_id"),
+            sim.alias("max_benchmark_sim"),
+            F.coalesce(sim >= F.lit(threshold), F.lit(False)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def cell_outliers(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -1173,6 +1173,25 @@ def llm_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def llm_semantic_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space decontamination
+    (`similarity.semantic_decontaminate`) under a FULL value oracle:
+    the first 10 corpus vectors serve as the benchmark set, so those
+    rows hit themselves at cosine 1.0 (contaminated) while everything
+    else tops out at the corpus's ~0.60 background — DuckDB replays
+    the max-cosine, the argmax benchmark id (ties to the smaller id),
+    and the 0.99-threshold flag for EVERY corpus row. The semantic
+    twin of `llm_decontaminate` (n-gram overlap): this is the probe
+    that catches paraphrased benchmark leakage."""
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    bench = embs.filter(F.col("vec_id") < 10)
+    return similarity.semantic_decontaminate(
+        embs, bench, threshold=0.99
+    )
+
+
 def llm_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototype-distance quality gate (`similarity.cell_outliers`):
     the first 4 corpus vectors serve as deterministic prototypes
@@ -1604,6 +1623,7 @@ QUERIES = {
     "llm_bm25_topk": llm_bm25_topk,
     "llm_hybrid_retrieval": llm_hybrid_retrieval,
     "llm_bm25_index": llm_bm25_index,
+    "llm_semantic_decontaminate": llm_semantic_decontaminate,
     "llm_cell_outliers": llm_cell_outliers,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
@@ -2463,6 +2483,32 @@ ORACLES["llm_hybrid_retrieval"] = f"""
 # in-session operator over the full table (additive df/N/avgdl folds,
 # shared scoring tree) — so it shares llm_bm25_topk's oracle verbatim.
 ORACLES["llm_bm25_index"] = ORACLES["llm_bm25_topk"]
+
+# llm_semantic_decontaminate: full max-cosine replay over the 10-row
+# benchmark set — argmax ties to the smaller benchmark id, rounded
+# similarity, 0.99 flag; every corpus row compared.
+ORACLES["llm_semantic_decontaminate"] = f"""
+    WITH b AS (
+        SELECT vec_id AS bid, embedding AS bvec
+        FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT e.vec_id, b.bid,
+               {_cos('e.embedding', 'b.bvec')} AS s
+        FROM embeddings e CROSS JOIN b
+    ),
+    ranked AS (
+        SELECT vec_id, bid, s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY s DESC, bid ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT vec_id, bid AS benchmark_id,
+           ROUND(s, 6) AS max_benchmark_sim,
+           (ROUND(s, 6) >= 0.99) AS contaminated
+    FROM ranked WHERE rn = 1
+"""
 
 # llm_ann_ivf_filtered: the brute-force replay restricted to the same
 # even-id predicate the Spark probe passes as allowed= — a value-level

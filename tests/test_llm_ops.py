@@ -871,3 +871,71 @@ class TestRrfFuse:
 
         with pytest.raises(ValueError, match="at least one"):
             rrf_fuse([])
+
+
+class TestSemanticDecontaminate:
+    def test_planted_leakage_flagged_others_kept(self, spark):
+        import random as _random
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        rng = _random.Random(3)
+        corpus = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)],
+            "vec_id long, embedding array<double>",
+        )
+        # benchmark = exact copies of rows 5 and 7 under new ids
+        bench = corpus.filter(F.col("vec_id").isin([5, 7])).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        )
+        got = {r["vec_id"]: r for r in semantic_decontaminate(
+            corpus, bench, threshold=0.999
+        ).collect()}
+        assert len(got) == 50  # every corpus row reported
+        assert got[5]["contaminated"] and got[7]["contaminated"]
+        assert got[5]["benchmark_id"] == 1005
+        assert got[5]["max_benchmark_sim"] == 1.0
+        assert sum(1 for r in got.values() if r["contaminated"]) == 2
+
+    def test_null_and_zero_vectors_kept_unflagged(self, spark):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None), (3, [0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        bench = spark.createDataFrame(
+            [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        got = {r["vec_id"]: r for r in semantic_decontaminate(
+            corpus, bench, threshold=0.9
+        ).collect()}
+        assert got[1]["contaminated"] is True
+        for vid in (2, 3):  # unscorable -> kept, NULL evidence
+            assert got[vid]["contaminated"] is False
+            assert got[vid]["max_benchmark_sim"] is None
+            assert got[vid]["benchmark_id"] is None
+
+    def test_corpus_never_shuffles(self, spark):
+        """The benchmark folds to one broadcast row; the corpus plan
+        must stay scan -> project (no Exchange on the corpus side)."""
+        import random as _random
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        rng = _random.Random(3)
+        corpus = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)],
+            "vec_id long, embedding array<double>",
+        )
+        out = semantic_decontaminate(corpus, corpus.limit(3), 0.9)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        # the only exchange feeds the 1-row benchmark fold
+        assert plan.count("Exchange") <= 2
