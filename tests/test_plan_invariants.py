@@ -56,6 +56,17 @@ ALLOWED_BNLJ = {
     "prototype set (cell assignment; the far_from_centroid "
     "centroid-sim join keeps the assignment lineage in the final "
     "plan, unlike min_id which truncates at the CC checkpoint)",
+    # r9 post-rotation additions (take effect when the r10 rotation
+    # registers them — the whitelist is only consulted for registered
+    # names; plans verified at sf0.001 on 2026-08-15):
+    "llm_bm25_topk": "broadcast 1-row (N, avgdl) corpus-stats "
+    "aggregate — the tfidf/unigram pattern",
+    "llm_hybrid_retrieval": "two sanctioned legs: bm25's 1-row stats "
+    "broadcast + brute_force_topk's corpus x broadcast 5-row query "
+    "set (the documented exact-ANN baseline shape)",
+    "llm_semantic_decontaminate": "corpus x broadcast 1-row benchmark "
+    "array aggregate (collect_list over the 10-row benchmark set) — "
+    "the cell_outliers zero-shuffle argmax shape",
 }
 
 
