@@ -860,6 +860,22 @@ def train_centroids_2level(
     return coarse, fine
 
 
+def _require_numeric_id(df: DataFrame, col: str, what: str) -> None:
+    """The module's one assignment rule implements smaller-id tiebreaks
+    by NEGATING the id inside an argmax struct — which only type-checks
+    for numeric ids. Fail loudly up front instead of letting Spark
+    raise an AnalysisException deep inside the plan."""
+    from pyspark.sql.types import NumericType
+
+    dtype = df.schema[col].dataType
+    if not isinstance(dtype, NumericType):
+        raise ValueError(
+            f"{what} id column {col!r} must be numeric (the smaller-id "
+            f"tiebreak negates it inside an argmax struct), got "
+            f"{dtype.simpleString()}"
+        )
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -868,6 +884,7 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     bench_vec_col: str = "embedding",
     bench_id_col: str = "vec_id",
+    max_benchmark_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination — the semantic twin
     of `dedup.benchmark_contamination` (which catches verbatim n-gram
@@ -889,7 +906,26 @@ def semantic_decontaminate(
     ``contaminated = false``: an unscorable row is not evidence of
     leakage — it is a QUALITY problem, which is `cell_outliers`'s job
     to flag; a decontamination pass must not silently drop it.
+
+    ``bench_id_col`` must be NUMERIC (the smaller-id tiebreak negates
+    it inside the argmax struct — the module's one assignment rule);
+    a non-numeric id raises up front. The benchmark fold is guarded by
+    ``max_benchmark_rows`` (one bounded count): past it the single
+    broadcast array row this plan builds turns pathological (100k
+    64-dim rows ≈ 50 MB already), so the operator raises and points at
+    `semantic_decontaminate_index` — the index-backed form for large
+    benchmark sets.
     """
+    _require_numeric_id(benchmark, bench_id_col, "benchmark")
+    n_bench = benchmark.count()
+    if n_bench > max_benchmark_rows:
+        raise ValueError(
+            f"benchmark has {n_bench} rows > max_benchmark_rows="
+            f"{max_benchmark_rows}: the broadcast-fold plan would build "
+            f"one pathological array row; probe the corpus's persisted "
+            f"IVF index with semantic_decontaminate_index instead "
+            f"(or raise the bound explicitly)"
+        )
     bench = benchmark.agg(
         F.collect_list(
             F.struct(
@@ -1309,11 +1345,25 @@ def train_pq_codebooks(
 
     The vector dimension must be divisible by ``pq_m`` (one bounded
     driver read validates it); ``pq_k`` ≤ 256 so codes fit a stored
-    tinyint."""
+    tinyint.
+
+    NULL vectors — a supported corpus state everywhere in this module
+    (the kept-singleton contract) — are EXCLUDED from training: a NULL
+    seed would yield a NULL codeword, and this path's argmin convention
+    (``array_min`` over ``struct(dist, code_id)``) ranks a NULL-distance
+    struct FIRST, so one NULL seed would silently collapse every
+    subspace to a single codeword and all reconstructions would tie.
+    (`train_centroids` tolerates the same exposure only because its
+    argMAX never selects a NULL-sim struct — the conventions invert.)
+    Storage/assignment of NULL rows is unaffected: they are handled by
+    the index writers, not here."""
     if pq_k > 256:
         raise ValueError(f"pq_k must be <= 256 (tinyint codes): {pq_k}")
     first = (
-        vectors.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("_d"))
+        .limit(1)
+        .collect()
     )
     if not first:
         raise ValueError("cannot train PQ codebooks on an empty corpus")
@@ -1323,7 +1373,7 @@ def train_pq_codebooks(
             f"vector dim {dim} is not divisible by pq_m={pq_m}"
         )
     dsub = dim // pq_m
-    norm = vectors.select(
+    norm = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_vid"),
         l2_normalize(F.col(vec_col)).alias("_v"),
     )
@@ -2186,10 +2236,17 @@ def maintain_ivf_index(
     n_rows = sum(r["n_rows"] for r in stats)
     balanced = n_rows / k_total if k_total else 0.0
     max_seen = max((r["n_batches"] for r in stats), default=0)
+    # None-safe sort key: NULL-vector rows live in a NULL centroid_id
+    # cell (the hive default partition), which ivf_index_stats returns
+    # as None — if that cell crosses the skew watermark alongside
+    # numeric cells a naive tuple sort would raise (None < int)
     skewed = sorted(
-        (r["centroid_id"], r["n_rows"])
-        for r in stats
-        if balanced > 0 and r["n_rows"] > max_cell_ratio * balanced
+        (
+            (r["centroid_id"], r["n_rows"])
+            for r in stats
+            if balanced > 0 and r["n_rows"] > max_cell_ratio * balanced
+        ),
+        key=lambda t: (t[0] is None, t[0] if t[0] is not None else 0, t[1]),
     )
     report = {
         "n_cells": len(stats),
@@ -2246,7 +2303,13 @@ def ivf_search_index(
     shortlist then builds from filtered candidates, unchanged.
     Queries whose probed cells hold no allowed rows return no rows
     for that query — widen ``nprobe`` when the predicate is highly
-    selective (the classic filtered-ANN recall trade).
+    selective (the classic filtered-ANN recall trade). So that recall
+    starvation is DETECTABLE rather than silent (the ``exact``-column
+    pattern applied to filtering), filtered output carries an
+    ``n_candidates`` column: the number of allowed candidate rows the
+    probed cells actually held for that query. ``n_candidates`` barely
+    above ``k`` (or under it — the query under-fills) is the caller's
+    cue to widen ``nprobe``; an unconstrained search omits the column.
 
     The probed cell ids are collected to the driver (bounded by
     ``n_centroids``, thousands at most — the bounded-driver-read
@@ -2327,6 +2390,15 @@ def ivf_search_index(
     cands = probes.join(cells, "centroid_id").withColumn(
         "cosine", cosine(F.col("query_vec"), F.col(vec_col))
     )
+    if allowed is not None:
+        # starvation signal: how many allowed rows the probed cells
+        # actually held for this query — an unbounded window count,
+        # but it shares the rank window's partitioning (query_id) so
+        # it costs no extra shuffle
+        cands = cands.withColumn(
+            "_ncand",
+            F.count(F.lit(1)).over(Window.partitionBy("query_id")),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
@@ -2341,7 +2413,12 @@ def ivf_search_index(
         shortlist = (
             cands.withColumn("_ar", F.row_number().over(w))
             .filter(F.col("_ar") <= k * rerank_factor)
-            .select("query_id", id_col, F.col("cosine").alias("_qcos"))
+            .select(
+                "query_id",
+                id_col,
+                F.col("cosine").alias("_qcos"),
+                *(["_ncand"] if allowed is not None else []),
+            )
             .localCheckpoint()
         )
         # scan the raw table ONCE, reduced to shortlist ids by a
@@ -2388,6 +2465,108 @@ def ivf_search_index(
             "rank",
             F.round("cosine", 6).alias("cosine_sim"),
             *(["exact"] if rerank is not None else []),
+            *(
+                [F.col("_ncand").alias("n_candidates")]
+                if allowed is not None
+                else []
+            ),
         )
     )
     return out
+
+
+def semantic_decontaminate_index(
+    benchmark: DataFrame,
+    path: str,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    bench_vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+) -> DataFrame:
+    """`semantic_decontaminate` for benchmark sets past the broadcast
+    bound — probe the CORPUS's persisted `write_ivf_index` layout with
+    the benchmark vectors (the `dedup_against_index` composition, run
+    in the leakage direction): every corpus row in a probed cell whose
+    cosine against some benchmark vector reaches ``threshold`` is
+    flagged.
+
+    Returns ONLY the contamination list — ``(id_col, benchmark_id,
+    max_benchmark_sim, contaminated=true)``, one row per flagged
+    corpus id with the same argmax/tiebreak/rounding contract as the
+    broadcast form — because an index probe can only ever SEE rows
+    near some benchmark vector; emitting the full corpus with NULL
+    sims would require the corpus scan this variant exists to avoid.
+    Callers drop flagged rows with an anti-join on ``id_col`` (the
+    broadcast form's ``filter(contaminated)`` rows are exactly this
+    list: pinned equal at full probe in `TestSemanticDecontaminate`).
+
+    This is a RANGE search, not top-k: within a probed cell every
+    pair crossing the threshold survives (no per-benchmark-row k
+    cutoff to under-fill), so at ``nprobe`` = the full cell count the
+    result is exact. At smaller ``nprobe`` it inherits the standard
+    IVF recall trade — a contaminated corpus row hiding in a cell no
+    benchmark vector probes is missed; decontamination is a
+    recall-critical gate, so production runs want a generous
+    ``nprobe`` (or full probe: the scan is still one pass of the
+    cells, and the threshold filter keeps the pair volume bounded).
+
+    Scale shape: benchmark×centroids broadcast scoring picks the
+    probes; the probed cell ids push down as ONE static partition
+    filter (bounded driver read, ≤ n_centroids values); candidate
+    volume is |benchmark| × probed-cell rows, cut by the threshold
+    filter BEFORE the groupBy, so the one corpus-sized shuffle keys
+    on the corpus id over near-matches only. NULL corpus rows live in
+    the NULL-cell partition, which numeric probe ids never select —
+    they stay unflagged, matching the broadcast form's contract.
+    Quantized tiers reconstruct in-plan via `_decoded_cells`;
+    reconstruction error can move a borderline pair across the
+    threshold, so exactness claims hold for raw cell storage.
+    """
+    import posixpath as _pp
+
+    _require_numeric_id(benchmark, bench_id_col, "benchmark")
+    spark = benchmark.sparkSession
+    meta, data_root = _resolve_ivf_index(spark, path)
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+
+    centroids = spark.read.parquet(_pp.join(data_root, "centroids"))
+    bn = benchmark.select(
+        F.col(bench_id_col).alias("_bid"),
+        F.col(bench_vec_col).alias("_bvec"),
+        l2_normalize(F.col(bench_vec_col)).alias("_bnorm"),
+    ).filter(F.col("_bvec").isNotNull() & (l2_norm(F.col("_bvec")) > 0))
+    scored = bn.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", dot(F.col("_bnorm"), F.col("centroid"))
+    )
+    wb = Window.partitionBy("_bid").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        scored.withColumn("_pr", F.row_number().over(wb))
+        .filter(F.col("_pr") <= nprobe)
+        .select("_bid", "_bvec", "centroid_id")
+        .localCheckpoint()
+    )
+    probe_ids = sorted(
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    cells = spark.read.parquet(_pp.join(data_root, "cells")).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    cells = _decoded_cells(spark, cells, meta, data_root)
+    pairs = (
+        probes.join(cells, "centroid_id")
+        .withColumn("_s", cosine(F.col("_bvec"), F.col(vec_col)))
+        # threshold BEFORE the groupBy: round-then-compare matches the
+        # broadcast form (a 0.9499997 raw sim rounds into the flag),
+        # and round is monotone so the global argmax pair always
+        # survives its own row's filter
+        .filter(F.round(F.col("_s"), 6) >= F.lit(float(threshold)))
+    )
+    best = F.max(F.struct(F.col("_s").alias("s"), (-F.col("_bid")).alias("nid")))
+    return pairs.groupBy(F.col(id_col)).agg(
+        (-best["nid"]).alias("benchmark_id"),
+        F.round(best["s"], 6).alias("max_benchmark_sim"),
+        F.lit(True).alias("contaminated"),
+    )

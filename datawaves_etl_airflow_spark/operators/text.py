@@ -734,7 +734,17 @@ def append_bm25_index(
     `similarity.append_ivf_index`); the manifest version bump
     serializes folds against rebuilds. df/N/avgdl all fold additively,
     so probe results after an append are IDENTICAL to a fresh rebuild
-    over the union — pinned in TestBm25Index."""
+    over the union — pinned in TestBm25Index.
+
+    APPEND-ONLY / NEW-DOCS-ONLY contract: the token guards replays of
+    the SAME batch, but nothing can guard doc identity across batches
+    — the same ``doc_id`` folded under two different tokens
+    double-counts its postings, df, N and avgdl, silently skewing
+    every subsequent score (unlike the IVF index, where a duplicate id
+    only duplicates a candidate row). Re-ingesting or UPDATING a
+    document therefore requires a rebuild (`write_bm25_index` over the
+    corrected corpus) — the same class of caveat as the IVF side's
+    quantizer-doesn't-adapt note on `similarity.append_ivf_index`."""
     import posixpath as _pp
     import uuid as _uuid
 

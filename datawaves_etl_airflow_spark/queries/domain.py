@@ -375,19 +375,22 @@ def evt_seaport_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Round-8 rotation: the eight r6-last-green domain sentinels (the
 #: r7-green ten rotate out, parity-pinned) — no domain source changed
 #: this round.
+#: Round-10 rotation: 5 of the 8 r8-last-green domain sentinels (the
+#: r9-green ten rotate out parity-pinned). Three r8-green queries defer
+#: one round to fund the nine llm heads within the hard 50-slot budget,
+#: each with an r9/r10-green family twin: evt_seaport_decode (twin
+#: evt_transfer_decode r9 — same decode engine, nested-tuple depth
+#: pinned in test_decode), d_verify_root_traces (twins
+#: d_verify_have_latest r9 / a1+a2 — same verify operator),
+#: d_enrich_transactions (the j1 3-way-join shape holds an r10 generic
+#: slot; the other five d_enrich_* joins are r9-green). All three stay
+#: parity-green and lead the r11 queue.
 DRIVER_QUERIES = [
-    # r9: the complete r7-last-green domain cohort (the r8-green
-    # domain sentinels rotate out parity-pinned)
-    "s2_staging_scan_csv",
-    "d_enrich_blocks",
-    "d_enrich_logs",
-    "d_enrich_traces",
-    "d_enrich_contracts",
-    "d_enrich_token_transfers",
-    "d_prices_fill",
-    "d_verify_have_latest",
-    "evt_transfer_decode",
-    "d5_extract_contracts",
+    "s1_staging_scan_json",
+    "call_transfer_decode",
+    "d4_token_transfers",
+    "d_enrich_geth_traces",
+    "d_new_tokens",
 ]
 
 QUERIES = {

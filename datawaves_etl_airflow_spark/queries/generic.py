@@ -827,25 +827,39 @@ def g2_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: same-family twin holding an r9 slot (a1, g3, h1, j6+j6c, j7, p4,
 #: e1 respectively); all seven stay parity-green and lead the r10
 #: freshness queue.
+#: Round-10 rotation: the seven r7-stale deferrals lead (a2/g4/h3/j6b/
+#: j9/p5/u1 — the documented r9 deferrals, each pure-SQL with an
+#: untouched operator surface), then 13 of the 18 r8-last-green generic
+#: queries. Five r8-green queries defer one round to fund the nine llm
+#: heads (seven r9 additions + two new compositions) within the hard
+#: 50-slot budget — aj2_asof_bucketed (twin aj1 r9), g1_rollup_returnflag
+#: (twins g3 r9 / q1 in), h2_range_pruned_scan (twins h1 r9 / p4 r9),
+#: j5_composite_key_join (twin d_enrich_geth_traces holds an r10 domain
+#: slot), w4_rolling_range_window (twins w1/w2 r9) — all parity-green,
+#: leading the r11 freshness queue.
 DRIVER_QUERIES = [
-    # r6-stale deferrals (r8 verdict rotation head), first
-    "w2_running_sum",
-    "pv2_unpivot_metrics",
-    "g3_cube_priority",
-    "h1_hourly_events",
-    # r7-last-green cohort minus the seven documented deferrals
-    "a1_count_existence",
-    "aj1_asof_clicks",
-    "e1_except_parts",
-    "f2_array_surface",
-    "j6_anti_join_customers",
-    "j6c_anti_join_bucket_pruned",
-    "j7_region_rollup",
-    "j8_semi_join_customers",
-    "p4_date_range_scan",
-    "t1_topk_orders",
-    "w1_topk_per_user",
-    "x2_above_global_avg",
+    # r7-stale deferrals (r9 verdict rotation head), first
+    "a2_count_col_vs_star",
+    "g4_purchase_trend",
+    "h3_hopping_windows",
+    "j6b_anti_join_prefiltered",
+    "j9_full_outer_rollup",
+    "p5_conjunctive_filter",
+    "u1_intersect_users",
+    # r8-last-green cohort (13 of 18; the 5 family-twinned defer to r11)
+    "f_scalar_surface",
+    "g2_grouped_quantiles",
+    "j1_order_revenue_3way",
+    "m1_upsert_dimension",
+    "m2_scd2_history",
+    "m3_incremental_merge",
+    "pv1_pivot_linestatus",
+    "q1_pricing_summary",
+    "rj1_promo_range_join",
+    "sk1_salted_agg",
+    "w3_sessionization",
+    "x1_approx_aggregates",
+    "x3_profile_orders",
 ]
 
 #: columns profiled by x3 (orderable subset of orders)

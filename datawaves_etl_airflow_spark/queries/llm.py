@@ -1192,6 +1192,82 @@ def llm_semantic_decontaminate(
     )
 
 
+def llm_semantic_decontaminate_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`similarity.semantic_decontaminate_index` — the large-benchmark
+    decontamination form: the benchmark vectors PROBE the corpus's
+    persisted IVF index (range search over the probed cells, no
+    broadcast fold of the benchmark) and only the flagged rows come
+    back. At full probe over raw cells the result is exactly the
+    broadcast twin's ``filter(contaminated)`` rows, so the oracle is
+    `llm_semantic_decontaminate`'s replay restricted to the flag —
+    a value-level certificate over the index-probe composition
+    (build → static cell pruning → threshold filter → per-corpus-row
+    argmax). Executed eagerly (localCheckpoint) so the temp index is
+    removed before return."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    bench = embs.filter(F.col("vec_id") < 10)
+    idx = tempfile.mkdtemp(prefix="llm_deconidx_")
+    try:
+        similarity.write_ivf_index(embs, idx, n_centroids=8, n_iters=1)
+        return similarity.semantic_decontaminate_index(
+            bench, idx, threshold=0.99, nprobe=8
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def llm_hybrid_retrieval_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION hybrid-retrieval composition, end to end in one
+    driver row: a persisted BM25 inverted index (`write_bm25_index` →
+    `bm25_search_index`, bucket-pruned probe) fuses with a persisted
+    int8 IVF index (`write_ivf_index` → `ivf_search_index` with the
+    exact raw-vector rerank — the two-stage ADC tier a deployment
+    actually probes) via `text.rrf_fuse`. `llm_hybrid_retrieval`
+    certifies the same fusion over IN-SESSION legs; this certifies the
+    deployed path. At full probe both legs are exact (BM25's probe
+    ranks identically to the in-session operator by the additive-fold
+    contract; the rerank restores exact cosines over int8 cells), so
+    the oracle carries over verbatim. Executed eagerly
+    (localCheckpoint) so the temp indexes are removed before return."""
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    qs_text = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(dedup.tokenize(F.col("text")), 1, 6), " "
+        ).alias("query_text"),
+    )
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    qs_vec = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    bm25_idx = tempfile.mkdtemp(prefix="llm_hybb_")
+    ivf_idx = tempfile.mkdtemp(prefix="llm_hybv_")
+    try:
+        text.write_bm25_index(d, bm25_idx, n_buckets=16)
+        lex = text.bm25_search_index(qs_text, bm25_idx, k=5)
+        similarity.write_ivf_index(
+            embs, ivf_idx, n_centroids=8, n_iters=1, cell_storage="int8"
+        )
+        sem = similarity.ivf_search_index(
+            qs_vec, ivf_idx, nprobe=8, k=5, rerank=embs, rerank_factor=16
+        ).select("query_id", F.col("match_id").alias("doc_id"), "rank")
+        return text.rrf_fuse([lex, sem], k=5).localCheckpoint()
+    finally:
+        shutil.rmtree(bm25_idx, ignore_errors=True)
+        shutil.rmtree(ivf_idx, ignore_errors=True)
+
+
 def llm_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prototype-distance quality gate (`similarity.cell_outliers`):
     the first 4 corpus vectors serve as deterministic prototypes
@@ -1558,34 +1634,53 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The r8-green set rotates out parity-pinned; its r9 source changes
 #: (ivf_index_stats legacy guard, maintain_ivf_index) touch no
 #: registered query surface.
+#: Round-10 rotation (the r9 verdict's task 1, exactly): the SEVEN
+#: never-driver-verified r9 additions lead (PQ tier, filtered ANN, the
+#: whole lexical stack, semantic decontamination), then this round's
+#: two new production compositions (index-backed hybrid retrieval —
+#: verdict task 2 — and index-backed decontamination — task 4), then
+#: 16 of the r8-last-green cohort. The 8 deferred r8-green queries
+#: (llm_ann_ivf_2level, llm_ann_ivf_index, llm_semantic_dedup,
+#: llm_semantic_dedup_ivf_diverse, llm_knn_ivf_eval, llm_cell_outliers,
+#: llm_simhash_planted, llm_neardup_embeddings) each have a same-family
+#: twin in THIS round's slots (2level-eval composition r9 / bm25+pq
+#: index lifecycles r10 / semantic_dedup 2level+diverse+ivf r9 /
+#: knn_label_eval r9 / decontaminate_index r10 / jaccard_pairs r9 /
+#: lsh_planted r9) and stay parity-pinned as the r11 queue head. The
+#: r9-green set rotates out; its r10 source changes (ivf_search_index
+#: n_candidates — filtered-only, parameter-gated; train_pq_codebooks
+#: NULL filter — no NULLs in the driver corpus) are value-neutral on
+#: every rotated-out query and re-verified by a full tools/parity.py
+#: run this round.
 DRIVER_QUERIES = [
-    # never driver-verified, first
-    "llm_ann_ivf_int8",
-    "llm_ann_ivf_int8_rerank",
-    "llm_knn_ivf_2level_eval",
-    # shared-code-path freshness: ivf_search_index changed this round
-    "llm_ann_ivf",
-    # r7-last-green cohort, complete
-    "llm_ann_lsh_planted",
-    "llm_audio_features",
-    "llm_cluster_keep",
-    "llm_corpus_pipeline",
-    "llm_cosine_topk",
-    "llm_dedup_clusters",
-    "llm_dedup_exact",
-    "llm_hash_split",
-    "llm_image_features",
-    "llm_jaccard_pairs",
-    "llm_knn_label_eval",
-    "llm_lang_id",
-    "llm_pack_sequences",
-    "llm_quality_logit",
-    "llm_quantize_embeddings",
-    "llm_semantic_dedup_2level",
-    "llm_semantic_dedup_diverse",
-    "llm_semantic_dedup_ivf",
-    "llm_source_quota",
-    "llm_text_stats",
+    # never driver-verified, first: the seven r9 additions
+    "llm_ann_ivf_pq",
+    "llm_ann_ivf_pq_rerank",
+    "llm_ann_ivf_filtered",
+    "llm_bm25_topk",
+    "llm_hybrid_retrieval",
+    "llm_bm25_index",
+    "llm_semantic_decontaminate",
+    # then this round's two new production compositions
+    "llm_hybrid_retrieval_index",
+    "llm_semantic_decontaminate_index",
+    # r8-last-green cohort (16 of 24; the 8 family-twinned defer to r11)
+    "llm_chunking",
+    "llm_decontaminate",
+    "llm_fingerprint",
+    "llm_frame_sample",
+    "llm_incremental_dedup",
+    "llm_length_histogram",
+    "llm_multimodal_meta",
+    "llm_passage_dedup",
+    "llm_pii_scrub",
+    "llm_quality_filter",
+    "llm_repetition",
+    "llm_temperature_sample",
+    "llm_tfidf_keywords",
+    "llm_token_counts",
+    "llm_unigram_logprob",
+    "llm_wordcount",
 ]
 
 QUERIES = {
@@ -1622,8 +1717,10 @@ QUERIES = {
     "llm_ann_ivf_filtered": llm_ann_ivf_filtered,
     "llm_bm25_topk": llm_bm25_topk,
     "llm_hybrid_retrieval": llm_hybrid_retrieval,
+    "llm_hybrid_retrieval_index": llm_hybrid_retrieval_index,
     "llm_bm25_index": llm_bm25_index,
     "llm_semantic_decontaminate": llm_semantic_decontaminate,
+    "llm_semantic_decontaminate_index": llm_semantic_decontaminate_index,
     "llm_cell_outliers": llm_cell_outliers,
     "llm_text_stats": llm_text_stats,
     "llm_lang_id": llm_lang_id,
@@ -2510,13 +2607,40 @@ ORACLES["llm_semantic_decontaminate"] = f"""
     FROM ranked WHERE rn = 1
 """
 
+# llm_semantic_decontaminate_index (r10): the index-backed form returns
+# ONLY the flagged rows (an index probe can't see the un-contaminated
+# corpus), and at full probe over raw cells those are exactly the
+# broadcast twin's contaminated rows — so the oracle is the same
+# replay restricted to the flag.
+ORACLES["llm_semantic_decontaminate_index"] = ORACLES[
+    "llm_semantic_decontaminate"
+].replace(
+    "FROM ranked WHERE rn = 1",
+    "FROM ranked WHERE rn = 1 AND ROUND(s, 6) >= 0.99",
+)
+
+# llm_hybrid_retrieval_index (r10): the production composition —
+# persisted BM25 index probe + persisted int8 IVF probe with exact
+# rerank, fused by RRF. Both legs are exact at full probe (the BM25
+# fold contract; the two-stage rerank), so the in-session hybrid's
+# oracle carries over verbatim.
+ORACLES["llm_hybrid_retrieval_index"] = ORACLES["llm_hybrid_retrieval"]
+
 # llm_ann_ivf_filtered: the brute-force replay restricted to the same
 # even-id predicate the Spark probe passes as allowed= — a value-level
 # certificate that filtering happens BEFORE ranking (the top-5 among
-# evens, not the evens among an unconstrained top-5).
+# evens, not the evens among an unconstrained top-5). n_candidates is
+# the r10 starvation signal (allowed rows the probed cells held per
+# query): at nprobe = all cells it is exactly the even-id row count,
+# so the oracle certifies the observability column at value level too.
 ORACLES["llm_ann_ivf_filtered"] = ORACLES["llm_cosine_topk"].replace(
     "FROM q CROSS JOIN embeddings e",
     "FROM q CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 2 = 0) e",
+).replace(
+    "SELECT query_id, match_id, rank, cosine_sim",
+    "SELECT query_id, match_id, rank, cosine_sim,"
+    " (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 0)"
+    " AS n_candidates",
 )
 
 # llm_ann_ivf_pq_rerank: same two-stage contract over pq cells — the

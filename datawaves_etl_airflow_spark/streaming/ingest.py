@@ -580,6 +580,12 @@ def make_bm25_ingest(
     AFTER a compaction folded the token into base no-ops via the
     manifest's folded list (`compact_bm25_index`) — no crash/replay
     interleaving double-counts a posting or a meta row.
+
+    The stream must deliver each document ONCE (new-docs-only): the
+    guards above cover batch replays, not doc identity — the same
+    doc_id arriving in two different micro-batches double-counts its
+    postings/df/N/avgdl (see `append_bm25_index`'s append-only
+    contract). Updating a document means rebuilding the index.
     """
     from ..operators.text import append_bm25_index
     from ..sources.manifest import VersionedManifest

@@ -1243,3 +1243,38 @@ class TestFilteredSearch:
         assert ivf_search_index(
             _queries(spark), index_path, nprobe=8, k=5, allowed=empty
         ).count() == 0
+
+    def test_n_candidates_surfaces_recall_starvation(
+        self, spark, index_path
+    ):
+        """The r10 observability column: a selective predicate that
+        leaves fewer than k allowed rows in the probed cells must
+        UNDER-FILL visibly — n_candidates < k on every returned row —
+        instead of silently returning a short result that looks like
+        a small corpus. Unconstrained searches omit the column."""
+        three = spark.createDataFrame([(2,), (4,), (6,)], "vec_id long")
+        got = ivf_search_index(
+            _queries(spark), index_path, nprobe=8, k=5, allowed=three
+        )
+        assert "n_candidates" in got.columns
+        rows = got.collect()
+        assert rows and all(r["n_candidates"] == 3 for r in rows)
+        per_q = got.groupBy("query_id").count().collect()
+        assert all(r["count"] == 3 for r in per_q)  # starved below k
+        # plentiful predicate at full probe: n_candidates = allowed size
+        evens = _vectors(spark).filter(F.col("vec_id") % 2 == 0)
+        full = ivf_search_index(
+            _queries(spark), index_path, nprobe=8, k=5,
+            allowed=evens.select("vec_id"),
+        )
+        assert all(r["n_candidates"] == 150 for r in full.collect())
+        # the column also survives the rerank branch
+        rr = ivf_search_index(
+            _queries(spark), index_path, nprobe=8, k=5, allowed=three,
+            rerank=_vectors(spark),
+        )
+        assert {"n_candidates", "exact"} <= set(rr.columns)
+        assert all(r["n_candidates"] == 3 for r in rr.collect())
+        # unconstrained: no column
+        plain = ivf_search_index(_queries(spark), index_path, nprobe=8, k=5)
+        assert "n_candidates" not in plain.columns

@@ -939,3 +939,107 @@ class TestSemanticDecontaminate:
         assert "SortMergeJoin" not in plan
         # the only exchange feeds the 1-row benchmark fold
         assert plan.count("Exchange") <= 2
+
+    def test_benchmark_size_guard_raises_past_bound(self, spark):
+        """The broadcast-fold plan builds ONE array row from the whole
+        benchmark — past max_benchmark_rows that row is pathological,
+        so the operator must raise and point at the index-backed form
+        instead of silently building it."""
+        import pytest as _pytest
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        bench = spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(5)],
+            "vec_id long, embedding array<double>",
+        )
+        with _pytest.raises(ValueError, match="max_benchmark_rows"):
+            semantic_decontaminate(
+                corpus, bench, max_benchmark_rows=3
+            )
+        # raising the bound explicitly keeps the small-benchmark path
+        assert semantic_decontaminate(
+            corpus, bench, max_benchmark_rows=5
+        ).count() == 1
+
+    def test_index_variant_matches_broadcast_at_full_probe(
+        self, spark, tmp_path
+    ):
+        """semantic_decontaminate_index over the corpus's persisted IVF
+        index at FULL probe returns exactly the broadcast form's
+        contaminated rows — same argmax/tiebreak/rounding contract,
+        range-search semantics (no per-benchmark-row k cutoff)."""
+        import random as _random
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            semantic_decontaminate,
+            semantic_decontaminate_index,
+            write_ivf_index,
+        )
+
+        rng = _random.Random(3)
+        corpus = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)],
+            "vec_id long, embedding array<double>",
+        )
+        # two planted leaks, one of them duplicated in the benchmark
+        # under two ids (5 -> 1005 and 2005: argmax ties break to the
+        # SMALLER benchmark id, certifying the tiebreak end to end)
+        bench = corpus.filter(F.col("vec_id").isin([5, 7])).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        ).union(
+            corpus.filter(F.col("vec_id") == 5).select(
+                (F.col("vec_id") + 2000).alias("vec_id"), "embedding"
+            )
+        )
+        p = str(tmp_path / "decon_ivf")
+        write_ivf_index(corpus, p, n_centroids=4, n_iters=1)
+        got = sorted(
+            map(tuple, semantic_decontaminate_index(
+                bench, p, threshold=0.999, nprobe=4
+            ).collect())
+        )
+        want = sorted(
+            map(tuple, semantic_decontaminate(
+                corpus, bench, threshold=0.999
+            ).filter(F.col("contaminated")).collect())
+        )
+        assert got == want
+        assert len(got) == 2
+        flagged = {r[0]: r[1] for r in got}
+        assert flagged[5] == 1005  # smaller-id tiebreak
+
+    def test_index_variant_null_benchmark_and_id_guard(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            semantic_decontaminate_index,
+            write_ivf_index,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        p = str(tmp_path / "decon_ivf2")
+        write_ivf_index(corpus, p, n_centroids=2, n_iters=1)
+        sbench = spark.createDataFrame(
+            [("b", [1.0, 1.0])], "vec_id string, embedding array<double>"
+        )
+        with _pytest.raises(ValueError, match="must be numeric"):
+            semantic_decontaminate_index(sbench, p)
+        # NULL / zero benchmark vectors are unscorable probes: skipped
+        nbench = spark.createDataFrame(
+            [(1, None), (2, [0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        assert semantic_decontaminate_index(
+            nbench, p, threshold=0.5, nprobe=2
+        ).count() == 0
