@@ -858,31 +858,21 @@ def bm25_search_index(
     )
 
 
-def compact_bm25_index(
-    spark, path: str, folded_retention: int | None = None
+def _refold_bm25_index(
+    spark,
+    path: str,
+    folded_retention: int | None,
+    new_n_buckets: int | None,
+    op_name: str,
 ) -> bool:
-    """Fold every COMPLETE ``batch=`` directory of the current BM25
-    index version into a single ``batch=base`` under a NEW
-    manifest-committed version — probe listing cost grows with batch
-    dirs (one postings dir + one meta dir per fold), and this resets
-    it to one. Same contract as `dedup.compact_minhash_index` /
-    `similarity.compact_ivf_index`:
-
-    - completeness per token = ``_SUCCESS`` on BOTH sides (postings +
-      meta); a side holding data files without the marker is a torn
-      commit and the compaction REFUSES loudly;
-    - side missing/empty = the designed append crash window — skipped,
-      the same-token replay re-folds it whole;
-    - the published payload's cumulative ``folded`` list makes
-      `append_bm25_index` no-op for compacted-away tokens (the
-      replay-after-compaction duplication window), pruned by
-      ``folded_retention``;
-    - losing the manifest race to a concurrent fold raises — the old
-      version stays live, re-run picks up the new batch.
-
-    The meta side folds to ONE row (n_docs/sum_dl sum additively), so
-    probe stats cost stays O(1) regardless of fold history.
-    """
+    """The shared fold core behind `compact_bm25_index` (new_n_buckets
+    = None: keep the stored bucketing) and `resize_bm25_index`
+    (re-hash every posting's term into ``new_n_buckets`` buckets):
+    read every COMPLETE batch of the current version, land one
+    ``batch=base`` under a NEW manifest-committed version, publish
+    with the cumulative ``folded`` list. One pass over the postings
+    either way — re-bucketing never needs the original corpus, because
+    the postings rows carry the term."""
     import posixpath as _pp
     import uuid as _uuid
 
@@ -923,7 +913,7 @@ def compact_bm25_index(
         return False
     rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")
     vroot = _pp.join(path, rel)
-    (
+    postings = (
         spark.read.option("basePath", _pp.join(old_root, "postings"))
         .parquet(
             *[
@@ -932,7 +922,16 @@ def compact_bm25_index(
             ]
         )
         .select("term", "doc", "dl", "tf", "bucket")
-        .repartition("bucket")
+    )
+    if new_n_buckets is not None:
+        # the same bucket expression _bm25_postings uses, so probes of
+        # the resized layout prune exactly like a fresh build's
+        postings = postings.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("term")), F.lit(new_n_buckets)),
+        )
+    (
+        postings.repartition("bucket")
         .write.mode("errorifexists")
         .partitionBy("bucket")
         .parquet(_pp.join(vroot, "postings", "batch=base"))
@@ -949,21 +948,20 @@ def compact_bm25_index(
         .parquet(_pp.join(vroot, "meta", "batch=base"))
     )
     require_success_marker(
-        spark,
-        _pp.join(vroot, "postings", "batch=base"),
-        "BM25 index compaction",
+        spark, _pp.join(vroot, "postings", "batch=base"), op_name
     )
     require_success_marker(
-        spark, _pp.join(vroot, "meta", "batch=base"), "BM25 index compaction"
+        spark, _pp.join(vroot, "meta", "batch=base"), op_name
     )
     folded = _fold_token_list(
         payload.get("folded", ()), complete, folded_retention
     )
-    if not vm.publish(
-        spark, {**payload, "current": rel, "folded": folded}, version
-    ):
+    new_payload = {**payload, "current": rel, "folded": folded}
+    if new_n_buckets is not None:
+        new_payload["n_buckets"] = int(new_n_buckets)
+    if not vm.publish(spark, new_payload, version):
         raise RuntimeError(
-            f"BM25 index compaction at {path} lost the manifest race "
+            f"{op_name} at {path} lost the manifest race "
             f"for version {version + 1}: a concurrent fold or rebuild "
             "committed first. Nothing is lost — the previous version "
             "remains live; re-run the compaction."
@@ -971,18 +969,88 @@ def compact_bm25_index(
     return True
 
 
+def compact_bm25_index(
+    spark, path: str, folded_retention: int | None = None
+) -> bool:
+    """Fold every COMPLETE ``batch=`` directory of the current BM25
+    index version into a single ``batch=base`` under a NEW
+    manifest-committed version — probe listing cost grows with batch
+    dirs (one postings dir + one meta dir per fold), and this resets
+    it to one. Same contract as `dedup.compact_minhash_index` /
+    `similarity.compact_ivf_index`:
+
+    - completeness per token = ``_SUCCESS`` on BOTH sides (postings +
+      meta); a side holding data files without the marker is a torn
+      commit and the compaction REFUSES loudly;
+    - side missing/empty = the designed append crash window — skipped,
+      the same-token replay re-folds it whole;
+    - the published payload's cumulative ``folded`` list makes
+      `append_bm25_index` no-op for compacted-away tokens (the
+      replay-after-compaction duplication window), pruned by
+      ``folded_retention``;
+    - losing the manifest race to a concurrent fold raises — the old
+      version stays live, re-run picks up the new batch.
+
+    The meta side folds to ONE row (n_docs/sum_dl sum additively), so
+    probe stats cost stays O(1) regardless of fold history.
+    """
+    return _refold_bm25_index(
+        spark, path, folded_retention, None, "BM25 index compaction"
+    )
+
+
+def resize_bm25_index(
+    spark, path: str, n_buckets: int, folded_retention: int | None = None
+) -> bool:
+    """Rebuild the index's bucket layout under ``n_buckets`` WITHOUT
+    the original corpus — the action `maintain_bm25_index`'s
+    ``hot_buckets_flagged`` exists to trigger: postings rows carry the
+    term, so re-bucketing is one re-hash pass over the postings (read
+    once, write once), never a corpus re-tokenize — at 100 TB that is
+    the difference between an overnight layout job and re-running the
+    whole ingest. Scores are untouched (bucketing is pure layout; df /
+    tf / N / avgdl never change), so probes rank identically before
+    and after — pinned in TestResizeBm25Index.
+
+    Also compacts as a side effect (the refold lands one
+    ``batch=base``), inherits the full compaction contract
+    (torn-commit refusal, folded-token durability, manifest race), and
+    updates the manifest's ``n_buckets`` so later appends and probes
+    hash consistently.
+
+    When resizing helps — and when it can't: bucket heat from MANY
+    distinct terms colliding into one hash bucket spreads under more
+    buckets; heat from ONE stopword-grade term does not (a term's
+    postings are indivisible by design — that is what makes probe df
+    exact), and the answer there is the probe-side ``max_df_ratio``
+    valve. `bm25_index_stats`'s ``max_term_postings`` vs
+    ``max_bucket`` tells the two apart; `maintain_bm25_index` applies
+    exactly that rule before resizing.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    return _refold_bm25_index(
+        spark, path, folded_retention, n_buckets, "BM25 index resize"
+    )
+
+
 def bm25_index_stats(spark, path: str) -> DataFrame:
     """One-row operational health summary of a persisted BM25 index —
-    the lexical sibling of `dedup.minhash_index_stats`:
-    ``(n_docs, n_batches, max_bucket, p95_bucket, mean_bucket)``
-    where bucket occupancy counts POSTINGS per term-hash bucket.
+    the lexical sibling of `dedup.minhash_index_stats`: ``(n_docs,
+    n_batches, max_bucket, p95_bucket, mean_bucket,
+    max_term_postings)`` where bucket occupancy counts POSTINGS per
+    term-hash bucket and ``max_term_postings`` is the largest single
+    TERM's posting count.
 
     What an operator reads off it at 100 TB: ``max_bucket`` far above
-    ``mean_bucket`` means hot buckets — stopword-dominated postings
-    every common-term probe scans whole (the ``max_df_ratio`` valve
-    and/or a larger ``n_buckets`` rebuild are the answers);
-    ``n_batches`` is the `compact_bm25_index` watermark, exactly as
-    on the MinHash/IVF sides.
+    ``mean_bucket`` means hot buckets; ``max_term_postings`` vs
+    ``max_bucket`` tells WHY — max_bucket ≈ max_term_postings is one
+    stopword-grade term (indivisible by design; the probe-side
+    ``max_df_ratio`` valve is the answer), max_bucket ≫
+    max_term_postings is many terms colliding (`resize_bm25_index` to
+    more buckets spreads them). ``n_batches`` is the
+    `compact_bm25_index` watermark, exactly as on the MinHash/IVF
+    sides.
     """
     import posixpath as _pp
 
@@ -996,13 +1064,22 @@ def bm25_index_stats(spark, path: str) -> DataFrame:
         F.expr("approx_percentile(_n, 0.95)").alias("p95_bucket"),
         F.round(F.avg("_n"), 3).alias("mean_bucket"),
     )
+    term_stats = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("max_term_postings"))
+    )
     totals_meta = spark.read.parquet(_pp.join(data_root, "meta")).agg(
         F.sum("n_docs").cast("long").alias("n_docs")
     )
     n_batches = postings.agg(
         F.countDistinct("batch").alias("n_batches")
     )
-    return totals_meta.crossJoin(n_batches).crossJoin(bucket_stats)
+    return (
+        totals_meta.crossJoin(n_batches)
+        .crossJoin(bucket_stats)
+        .crossJoin(term_stats)
+    )
 
 
 def maintain_bm25_index(
@@ -1012,6 +1089,7 @@ def maintain_bm25_index(
     max_bucket_ratio: float = 8.0,
     folded_retention: int | None = None,
     vacuum: bool = False,
+    resize_on_hot: int | None = None,
 ) -> dict:
     """The scheduled maintenance job over `bm25_index_stats` — same
     policy shape as `similarity.maintain_ivf_index` /
@@ -1019,25 +1097,64 @@ def maintain_bm25_index(
     fold-fragmentation watermark (manifest race reported
     success-shaped, torn-commit refusal propagates), flag
     ``hot_buckets_flagged`` when the largest bucket exceeds
-    ``max_bucket_ratio`` × the mean (stopword-dominated postings —
-    rebuild with more buckets or run probes with ``max_df_ratio``),
-    and optionally vacuum superseded versions after a successful
-    compaction."""
+    ``max_bucket_ratio`` × the mean, and optionally vacuum superseded
+    versions after a successful compaction/resize.
+
+    ``resize_on_hot`` makes the hot flag ACTIONABLE: when set and the
+    flag fires, the job diagnoses the heat via ``max_term_postings``
+    (`bm25_index_stats`'s rule) and
+
+    - ``hot_cause='collisions'`` (max_bucket ≫ the largest single
+      term): runs `resize_bm25_index` to ``resize_on_hot`` buckets —
+      one postings re-hash pass, no corpus re-tokenize;
+    - ``hot_cause='hot_term'`` (one term holds > half the hottest
+      bucket): SKIPS the resize — a term's postings are indivisible,
+      so more buckets cannot spread them; the report says so and the
+      documented answer is the probe-side ``max_df_ratio`` valve.
+
+    Default None keeps the r9 observe-only behavior. A resize implies
+    a compaction, so the fragmentation branch is skipped in the same
+    tick when the resize fired."""
     row = bm25_index_stats(spark, path).collect()[0]
+    hot = bool(
+        row["mean_bucket"]
+        and row["max_bucket"] > max_bucket_ratio * row["mean_bucket"]
+    )
     report = {
         "n_docs": row["n_docs"],
         "n_batches": row["n_batches"],
         "max_bucket": row["max_bucket"],
         "p95_bucket": row["p95_bucket"],
         "mean_bucket": row["mean_bucket"],
+        "max_term_postings": row["max_term_postings"],
         "compacted": False,
         "compaction_race_lost": False,
-        "hot_buckets_flagged": bool(
-            row["mean_bucket"]
-            and row["max_bucket"] > max_bucket_ratio * row["mean_bucket"]
-        ),
+        "hot_buckets_flagged": hot,
+        "hot_cause": None,
+        "resized": False,
     }
-    if row["n_batches"] > max_batches:
+    if hot:
+        one_term_heat = (
+            row["max_term_postings"] is not None
+            and row["max_term_postings"] * 2 > row["max_bucket"]
+        )
+        report["hot_cause"] = "hot_term" if one_term_heat else "collisions"
+    if (
+        resize_on_hot is not None
+        and report["hot_cause"] == "collisions"
+    ):
+        try:
+            report["resized"] = resize_bm25_index(
+                spark, path, resize_on_hot,
+                folded_retention=folded_retention,
+            )
+        except RuntimeError as exc:
+            if "lost the manifest race" not in str(exc):
+                raise
+            report["compaction_race_lost"] = True
+        if vacuum and report["resized"]:
+            report["vacuumed"] = vacuum_bm25_index(spark, path)
+    if row["n_batches"] > max_batches and not report["resized"]:
         try:
             report["compacted"] = compact_bm25_index(
                 spark, path, folded_retention=folded_retention

@@ -158,3 +158,97 @@ def build_airflow_dag(
         for up in upstream:
             ops[up] >> ops[task_id]
     return ops
+
+
+def build_maintenance_dag(
+    dag,
+    ivf_indexes=(),
+    minhash_indexes=(),
+    bm25_indexes=(),
+    session_factory: Callable | None = None,
+    operator_cls=None,
+):
+    """The scheduled index-maintenance tick
+    (`pipeline.runner.maintenance_pipeline`) at Airflow granularity —
+    the counterpart of the reference's standalone verifier DAG wiring
+    (dags/chains/blockchain.py:115-126) for the engine's own
+    operational surface: one PythonOperator per persisted index plus a
+    terminal report operator wired downstream of all of them. Each
+    operator builds (or reuses) its own SparkSession and returns the
+    maintainer's JSON-safe report dict (XCom-friendly by
+    construction). Returns ``{task_id: operator}``."""
+    if operator_cls is None:
+        try:
+            from airflow.operators.python import PythonOperator as operator_cls
+        except ImportError as exc:  # pragma: no cover - env without airflow
+            raise ImportError(
+                "Airflow is not installed; either install apache-airflow "
+                "or run one tick with "
+                "pipeline.runner.maintenance_pipeline(...).run()"
+            ) from exc
+    if session_factory is None:
+        from ..session import get_spark as session_factory  # noqa: PLW0127
+
+    from .runner import maintenance_pipeline
+
+    # each callable is self-contained (the evm_day_stages rule): it
+    # obtains its own session and runs exactly ONE maintain task. The
+    # terminal report does NOT re-run its upstreams — their "written
+    # state" is the index manifests, so it re-reads post-tick STATS
+    # (bounded aggregations) the way evm stages re-read the warehouse.
+    def _one_task(name: str) -> Callable[[], dict]:
+        def run() -> dict:
+            spark = session_factory("index-maintenance")
+            p = maintenance_pipeline(
+                spark,
+                ivf_indexes=ivf_indexes,
+                minhash_indexes=minhash_indexes,
+                bm25_indexes=bm25_indexes,
+            )
+            return p.tasks[name].fn({})
+
+        return run
+
+    def _report() -> dict:
+        spark = session_factory("index-maintenance")
+        from ..operators.dedup import minhash_index_stats
+        from ..operators.similarity import ivf_index_stats
+        from ..operators.text import bm25_index_stats
+
+        out: dict = {}
+        for kind, entries, statfn in (
+            ("ivf", ivf_indexes, None),
+            ("minhash", minhash_indexes, minhash_index_stats),
+            ("bm25", bm25_indexes, bm25_index_stats),
+        ):
+            for entry in entries:
+                path = entry[0] if isinstance(entry, tuple) else entry
+                if kind == "ivf":  # per-cell rows: fold to one summary
+                    rows = ivf_index_stats(spark, path).collect()
+                    out[f"{kind}:{path}"] = {
+                        "n_cells": len(rows),
+                        "n_rows": sum(r["n_rows"] for r in rows),
+                        "max_batches": max(
+                            (r["n_batches"] for r in rows), default=0
+                        ),
+                    }
+                else:
+                    out[f"{kind}:{path}"] = (
+                        statfn(spark, path).first().asDict()
+                    )
+        return out
+
+    shape = maintenance_pipeline(
+        None,
+        ivf_indexes=ivf_indexes,
+        minhash_indexes=minhash_indexes,
+        bm25_indexes=bm25_indexes,
+    )
+    ops = {}
+    for name, task in shape.tasks.items():
+        fn = _report if name == "maintain_report" else _one_task(name)
+        ops[name] = operator_cls(task_id=name, python_callable=fn, dag=dag)
+    for name, task in shape.tasks.items():
+        for up in task.deps:
+            ops[up] >> ops[name]
+    return ops

@@ -331,3 +331,74 @@ def run_evm_day(
         p = sub
 
     return p.run({})
+
+
+# ---------------------------------------------------------------------------
+# The scheduled index-maintenance pipeline
+# ---------------------------------------------------------------------------
+
+#: index kind → maintain callable (resolved lazily so importing the
+#: runner never drags the whole operator surface in)
+_MAINTAINERS = {
+    "ivf": ("..operators.similarity", "maintain_ivf_index"),
+    "minhash": ("..operators.dedup", "maintain_minhash_index"),
+    "bm25": ("..operators.text", "maintain_bm25_index"),
+}
+
+
+def maintenance_pipeline(
+    spark: SparkSession,
+    ivf_indexes=(),
+    minhash_indexes=(),
+    bm25_indexes=(),
+) -> Pipeline:
+    """The persisted-index maintenance jobs (`maintain_ivf_index` /
+    `maintain_minhash_index` / `maintain_bm25_index`) as declarable
+    `Pipeline` tasks — the same dependency-declared shape the
+    reference gives its verifier DAG (verify tasks wired downstream of
+    the loaders, dags/chains/blockchain.py:115-126), applied to the
+    engine's own operational surface: one ``maintain_<kind>_<name>``
+    task per index, all independent (each index's manifest serializes
+    its own folds), plus a terminal ``maintain_report`` task that
+    depends on every one of them and folds their report dicts into a
+    single tick summary for job logs/alerting.
+
+    Each index entry is a path, or ``(path, options_dict)`` to pass
+    watermarks/valves through to the maintainer (``max_batches``,
+    ``vacuum``, ``resize_on_hot``, ...). Run one tick with
+    ``maintenance_pipeline(...).run()`` — or at Airflow granularity
+    via `pipeline.airflow_compat.build_maintenance_dag`."""
+    import importlib
+
+    p = Pipeline()
+    names: list[str] = []
+    for kind, entries in (
+        ("ivf", ivf_indexes),
+        ("minhash", minhash_indexes),
+        ("bm25", bm25_indexes),
+    ):
+        mod_name, fn_name = _MAINTAINERS[kind]
+        fn = getattr(
+            importlib.import_module(mod_name, package=__package__), fn_name
+        )
+        for entry in entries:
+            path, opts = (
+                entry if isinstance(entry, tuple) else (entry, {})
+            )
+            base = os.path.basename(str(path).rstrip("/")) or "index"
+            name = f"maintain_{kind}_{base}"
+            if name in p.tasks:  # two indexes sharing a basename
+                name = f"{name}_{len(names)}"
+            p.add(
+                name,
+                lambda c, fn=fn, path=path, opts=opts: fn(
+                    spark, path, **opts
+                ),
+            )
+            names.append(name)
+
+    def _report(ctx: dict) -> dict:
+        return {n: ctx[n] for n in names}
+
+    p.add("maintain_report", _report, deps=names)
+    return p

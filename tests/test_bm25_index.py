@@ -215,3 +215,119 @@ class TestMaintainBm25Index:
         rep = maintain_bm25_index(spark, p, max_bucket_ratio=3.0)
         assert rep["hot_buckets_flagged"] is True
         assert rep["compacted"] is False
+
+    def test_hot_term_heat_is_diagnosed_and_never_resized(
+        self, spark, tmp_path
+    ):
+        """One stopword-grade term dominates its bucket: the r10 rule
+        must diagnose hot_term and SKIP the resize (a term's postings
+        are indivisible — more buckets cannot spread them; the answer
+        is the probe-side max_df_ratio valve)."""
+        from datawaves_etl_airflow_spark.operators.text import (
+            _resolve_bm25_index,
+            maintain_bm25_index,
+        )
+
+        boiler = spark.createDataFrame(
+            [(i, f"the unique{i}") for i in range(40)],
+            "doc_id long, text string",
+        )
+        p = str(tmp_path / "bmhotterm")
+        write_bm25_index(boiler, p, n_buckets=32)
+        meta_before, root_before = _resolve_bm25_index(spark, p)
+        rep = maintain_bm25_index(
+            spark, p, max_bucket_ratio=3.0, resize_on_hot=256
+        )
+        assert rep["hot_buckets_flagged"] is True
+        assert rep["hot_cause"] == "hot_term"
+        assert rep["max_term_postings"] == 40  # 'the' in every doc
+        assert rep["resized"] is False
+        meta_after, root_after = _resolve_bm25_index(spark, p)
+        assert meta_after["n_buckets"] == meta_before["n_buckets"]
+        assert root_after == root_before  # nothing was republished
+
+
+class TestResizeBm25Index:
+    def test_collision_heat_resize_spreads_and_ranks_identically(
+        self, spark, tmp_path
+    ):
+        """Many distinct terms crammed into 2 buckets: maintain with
+        resize_on_hot diagnoses collisions, re-buckets to 64 in one
+        postings pass, heat disperses, and probe ranking is UNCHANGED
+        (bucketing is pure layout — df/tf/N/avgdl never move)."""
+        from datawaves_etl_airflow_spark.operators.text import (
+            _resolve_bm25_index,
+            maintain_bm25_index,
+        )
+
+        docs = _docs(spark, 0, 40)
+        p = str(tmp_path / "bmresize")
+        write_bm25_index(docs, p, n_buckets=2)
+        before = sorted(
+            map(tuple, bm25_search_index(_queries(spark), p, k=5).collect())
+        )
+        # the 2-bucket split of this corpus is 149/211 postings
+        # (mean 180, ratio 1.17) — 1.1 fires deterministically
+        rep = maintain_bm25_index(
+            spark, p, max_bucket_ratio=1.1, resize_on_hot=64
+        )
+        assert rep["hot_buckets_flagged"] is True
+        assert rep["hot_cause"] == "collisions"
+        assert rep["resized"] is True
+        meta, _root = _resolve_bm25_index(spark, p)
+        assert meta["n_buckets"] == 64
+        after = sorted(
+            map(tuple, bm25_search_index(_queries(spark), p, k=5).collect())
+        )
+        assert after == before
+        # collision heat actually dispersed: the hottest bucket shrank
+        # (an observe-only tick reads the resized layout; whether any
+        # residual heat is hot_term or a further-splittable collision
+        # is hash luck, so only the monotone claim is pinned)
+        rep2 = maintain_bm25_index(spark, p, max_bucket_ratio=3.0)
+        assert rep2["max_bucket"] < rep["max_bucket"]
+        assert rep2["resized"] is False  # observe-only: never acts
+
+    def test_resize_folds_batches_and_survives_replay(
+        self, spark, tmp_path
+    ):
+        """Resize inherits the compaction contract: appended batches
+        fold into the re-bucketed base, a late same-token replay
+        no-ops via the folded list, and later appends hash into the
+        NEW bucket count."""
+        from datawaves_etl_airflow_spark.operators.text import (
+            _resolve_bm25_index,
+            bm25_index_stats,
+            resize_bm25_index,
+        )
+
+        p = str(tmp_path / "bmresize2")
+        write_bm25_index(_docs(spark, 0, 20), p, n_buckets=4)
+        append_bm25_index(_docs(spark, 20, 30), p, batch_token="d1")
+        assert resize_bm25_index(spark, p, 32) is True
+        row = bm25_index_stats(spark, p).first()
+        assert row["n_batches"] == 1 and row["n_docs"] == 30
+        # late replay of the folded token: no-op
+        append_bm25_index(_docs(spark, 20, 30), p, batch_token="d1")
+        assert bm25_index_stats(spark, p).first()["n_docs"] == 30
+        # a NEW append hashes with the resized bucket count
+        append_bm25_index(_docs(spark, 30, 35), p, batch_token="d2")
+        meta, root = _resolve_bm25_index(spark, p)
+        assert meta["n_buckets"] == 32
+        got = sorted(
+            map(tuple, bm25_search_index(_queries(spark), p, k=5).collect())
+        )
+        want = sorted(
+            map(tuple, bm25_topk(_docs(spark, 0, 35), _queries(spark), k=5).collect())
+        )
+        assert got == want
+
+    def test_validation(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            resize_bm25_index,
+        )
+
+        p = str(tmp_path / "bmresize3")
+        write_bm25_index(_docs(spark, 0, 5), p, n_buckets=4)
+        with pytest.raises(ValueError, match="n_buckets"):
+            resize_bm25_index(spark, p, 0)

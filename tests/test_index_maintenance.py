@@ -10,6 +10,7 @@ import os
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from datawaves_etl_airflow_spark.operators.dedup import (
     _resolve_minhash_index,
@@ -376,3 +377,88 @@ class TestTornCommitRefusal:
             compact_ivf_index(spark, p)
         append_ivf_index(new, p, batch_token="d1")  # replay heals
         assert compact_ivf_index(spark, p) is True
+
+
+class TestMaintenancePipeline:
+    """pipeline.runner.maintenance_pipeline: the maintain jobs as
+    declared tasks — one per index, all feeding maintain_report —
+    runnable as one scheduled tick (r9 verdict task 7)."""
+
+    def _indexes(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            append_bm25_index,
+            write_bm25_index,
+        )
+
+        ivf = str(tmp_path / "ivf_idx")
+        write_ivf_index(_vecs(spark, range(40)), ivf, n_centroids=2,
+                        n_iters=1)
+        for j in range(3):
+            append_ivf_index(
+                _vecs(spark, range(50 + 10 * j, 60 + 10 * j)), ivf,
+                batch_token=f"d{j}",
+            )
+        mh = str(tmp_path / "mh_idx")
+        write_minhash_index(_docs_df(spark, DOCS), mh)
+        append_minhash_index(_docs_df(spark, DAY1), mh, batch_token="d1")
+        bm = str(tmp_path / "bm_idx")
+        write_bm25_index(
+            _docs_df(spark, DOCS + DAY1 + DAY2), bm, n_buckets=8
+        )
+        return ivf, mh, bm
+
+    def test_one_tick_compacts_and_reports(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            ivf_index_stats,
+        )
+        from datawaves_etl_airflow_spark.pipeline.runner import (
+            maintenance_pipeline,
+        )
+
+        ivf, mh, bm = self._indexes(spark, tmp_path)
+        p = maintenance_pipeline(
+            spark,
+            ivf_indexes=[(ivf, {"max_batches": 2, "vacuum": True})],
+            minhash_indexes=[mh],
+            bm25_indexes=[(bm, {"max_batches": 4})],
+        )
+        order = p.order()
+        assert order[-1] == "maintain_report"  # deps declared
+        assert len(order) == 4
+        ctx = p.run()
+        rep = ctx["maintain_report"]
+        assert set(rep) == {
+            "maintain_ivf_ivf_idx",
+            "maintain_minhash_mh_idx",
+            "maintain_bm25_bm_idx",
+        }
+        # the ivf index was past its watermark: the tick compacted it
+        assert rep["maintain_ivf_ivf_idx"]["compacted"] is True
+        assert "vacuumed" in rep["maintain_ivf_ivf_idx"]
+        assert rep["maintain_bm25_bm_idx"]["compacted"] is False
+        stats = ivf_index_stats(spark, ivf).collect()
+        assert max(r["n_batches"] for r in stats) == 1
+        # probes keep answering post-tick
+        assert ivf_search_index(
+            _vecs(spark, range(2)).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            ),
+            ivf, nprobe=2, k=3,
+        ).count() > 0
+
+    def test_duplicate_basenames_get_unique_tasks(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.pipeline.runner import (
+            maintenance_pipeline,
+        )
+
+        a = str(tmp_path / "a" / "idx")
+        b = str(tmp_path / "b" / "idx")
+        for path in (a, b):
+            write_ivf_index(_vecs(spark, range(10)), path, n_centroids=2,
+                            n_iters=1)
+        p = maintenance_pipeline(spark, ivf_indexes=[a, b])
+        names = [n for n in p.tasks if n != "maintain_report"]
+        assert len(names) == 2 and len(set(names)) == 2
+        ctx = p.run()
+        assert len(ctx["maintain_report"]) == 2
