@@ -6,6 +6,19 @@ Prints ONE JSON line:
 Each query is materialized through Spark's noop sink so the full plan
 (including every output column) executes — ``count()`` alone would let
 Catalyst prune away most of the work.
+
+``--ab <git-ref>`` runs the INTERLEAVED A/B protocol instead (r9
+verdict task 8): sequential snapshot-then-HEAD pairs are exposed to
+monotonic box drift (the r9 verdict's two same-box A/Bs disagreed in
+direction purely from run order), so this mode alternates
+snapshot/HEAD SAMPLES per query — drift hits both sides of every pair
+equally and cancels by construction. One Spark JVM serves both code
+versions: the snapshot is a throwaway git worktree, and the two
+versions' Python modules are swapped in and out of ``sys.modules``
+between samples (queries are pure ``(spark, sf_dir) → DataFrame``
+functions, so the JVM neither knows nor cares which world built the
+plan). Prints one JSON line with per-query ``{head, snap, ratio}``
+min-of-3s and flags ratios outside ±15%.
 """
 
 from __future__ import annotations
@@ -16,6 +29,226 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: the headline query list (name → module attr); --ab resolves the
+#: same names in both code versions, skipping ones a version lacks
+BENCH_QUERY_NAMES = [
+    # relational core
+    ("generic", "q1_pricing_summary"),
+    ("generic", "j1_order_revenue_3way"),
+    ("generic", "j5_composite_key_join"),
+    ("generic", "w1_topk_per_user"),
+    ("generic", "h1_hourly_events"),
+    ("generic", "t1_topk_orders"),
+    ("generic", "aj1_asof_clicks"),
+    ("generic", "rj1_promo_range_join"),
+    ("generic", "j6c_anti_join_bucket_pruned"),
+    ("generic", "h2_range_pruned_scan"),
+    # domain pipeline (fixture day: scans + 3-way join + decode)
+    ("domain", "d_enrich_transactions"),
+    ("domain", "evt_transfer_decode"),
+    # LLM-data operators
+    ("llm", "llm_dedup_exact"),
+    ("llm", "llm_minhash_dedup"),
+    ("llm", "llm_jaccard_pairs"),
+    ("llm", "llm_dedup_clusters"),
+    ("llm", "llm_decontaminate"),
+    ("llm", "llm_simhash_candidates"),
+    ("llm", "llm_cosine_topk"),
+    ("llm", "llm_neardup_embeddings"),
+    ("llm", "llm_text_stats"),
+    ("llm", "llm_pii_scrub"),
+    ("llm", "llm_tfidf_keywords"),
+    ("llm", "llm_quality_logit"),
+    ("llm", "llm_pack_sequences"),
+    ("llm", "llm_chunking"),
+    ("llm", "llm_corpus_pipeline"),
+    ("llm", "llm_image_features"),
+    ("llm", "llm_audio_features"),
+]
+
+_PKG = "datawaves_etl_airflow_spark"
+
+
+class _World:
+    """One code version's imported query modules, swappable into
+    sys.modules — module identity is the ONLY global state the query
+    functions depend on, so activating a world is a dict update, not a
+    process restart (which would cost a ~20 s Spark boot per sample
+    and make interleaving impractical)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.modules: dict[str, object] = {}
+        self.queries: dict[str, object] = {}
+
+    def activate(self) -> None:
+        for k in [k for k in sys.modules if k.split(".")[0] == _PKG]:
+            del sys.modules[k]
+        sys.modules.update(self.modules)
+        if self.modules:
+            return
+        # first activation: import under this world's root
+        import importlib
+
+        sys.path.insert(0, self.root)
+        try:
+            mods = {
+                m: importlib.import_module(f"{_PKG}.queries.{m}")
+                for m in ("domain", "generic", "llm")
+            }
+        finally:
+            sys.path.remove(self.root)
+        for _mod, mod in mods.items():
+            if hasattr(mod, "ensure_fixtures"):
+                mod.ensure_fixtures()
+        for mod_name, qname in BENCH_QUERY_NAMES:
+            fn = getattr(mods[mod_name], qname, None)
+            if fn is not None:
+                self.queries[qname] = fn
+        self.modules = {
+            k: v
+            for k, v in sys.modules.items()
+            if k.split(".")[0] == _PKG
+        }
+
+    def deactivate(self) -> None:
+        self.modules = {
+            k: v
+            for k, v in sys.modules.items()
+            if k.split(".")[0] == _PKG
+        }
+        for k in list(self.modules):
+            del sys.modules[k]
+
+
+def _warmup(spark, sf_dir: str) -> None:
+    """Touch every source, force one codegen'd shuffle, pre-fork the
+    UDF workers and stage the domain fixtures — so timed runs measure
+    steady-state plans, not JVM/reader/worker init."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in ["lineitem", "orders", "customer", "events", "documents",
+              "embeddings"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+    spark.range(1000).groupBy(F.col("id") % 7).count().count()
+    from datawaves_etl_airflow_spark.operators import dedup as _dedup
+
+    _dedup.minhash_dedup_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    ).write.format("noop").mode("overwrite").save()
+    from datawaves_etl_airflow_spark.operators import multimodal as _mm
+
+    _mm.extract_binary_meta(
+        _mm.attach_binary_payload(
+            spark.range(64).repartition(32).selectExpr(
+                "id AS doc_id", "CAST(id AS STRING) AS text"
+            )
+        )
+    ).write.format("noop").mode("overwrite").save()
+    from datawaves_etl_airflow_spark.queries import domain as _domain
+
+    _domain.ensure_fixtures()
+    _domain._staged(spark, "logs").limit(1).count()
+    _domain._staged(spark, "blocks").limit(1).count()
+
+
+def run_ab(ref: str) -> None:
+    """Interleaved A/B vs a git ref — see the module docstring."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    subprocess.run(
+        ["git", "-C", repo, "worktree", "add", "--detach", wt, ref],
+        check=True,
+        capture_output=True,
+    )
+    try:
+        from datawaves_etl_airflow_spark.session import get_spark
+
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        spark = get_spark(
+            "bench-ab", conf={"spark.ui.showConsoleProgress": "false"}
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        _warmup(spark, sf_dir)
+
+        head = _World(repo)
+        snap = _World(wt)
+        head.activate()  # adopts the already-imported HEAD modules
+        head.deactivate()
+        snap.activate()
+        snap.deactivate()
+
+        def _sample(world: _World, qname: str) -> float:
+            world.activate()
+            try:
+                spark.catalog.clearCache()
+                t0 = time.time()
+                world.queries[qname](spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                return time.time() - t0
+            finally:
+                world.deactivate()
+
+        results: dict[str, dict] = {}
+        shared = [
+            q for _m, q in BENCH_QUERY_NAMES
+            if q in head.queries and q in snap.queries
+        ]
+        for qname in shared:
+            # one untimed run per side (JIT + plan compilation), then
+            # 3 alternating timed pairs — drift cancels within pairs
+            _sample(snap, qname)
+            _sample(head, qname)
+            snap_t, head_t = [], []
+            for _ in range(3):
+                snap_t.append(_sample(snap, qname))
+                head_t.append(_sample(head, qname))
+            s, h = min(snap_t), min(head_t)
+            results[qname] = {
+                "snap": round(s, 3),
+                "head": round(h, 3),
+                "ratio": round(h / s, 3) if s > 0 else None,
+            }
+        skipped = [
+            q for _m, q in BENCH_QUERY_NAMES if q not in shared
+        ]
+        flags = {
+            q: r["ratio"]
+            for q, r in results.items()
+            if r["ratio"] is not None and abs(r["ratio"] - 1) > 0.15
+        }
+        out = {
+            "metric": "ab_interleaved",
+            "ref": ref,
+            "total_head": round(
+                sum(r["head"] for r in results.values()), 3
+            ),
+            "total_snap": round(
+                sum(r["snap"] for r in results.values()), 3
+            ),
+            "queries": results,
+            "flags_outside_15pct": flags,
+            "skipped_not_in_both": skipped,
+            "timing": "interleaved min-of-3 pairs, cache cleared per "
+            "sample, one JVM, module-world swap",
+        }
+        print(json.dumps(out))
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            check=False,
+            capture_output=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
 
 
 def main() -> None:
@@ -33,78 +266,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    mods = {"domain": domain, "generic": generic, "llm": llm}
     bench_queries = {
-        # relational core
-        "q1_pricing_summary": generic.q1_pricing_summary,
-        "j1_order_revenue_3way": generic.j1_order_revenue_3way,
-        "j5_composite_key_join": generic.j5_composite_key_join,
-        "w1_topk_per_user": generic.w1_topk_per_user,
-        "h1_hourly_events": generic.h1_hourly_events,
-        "t1_topk_orders": generic.t1_topk_orders,
-        "aj1_asof_clicks": generic.aj1_asof_clicks,
-        "rj1_promo_range_join": generic.rj1_promo_range_join,
-        "j6c_anti_join_bucket_pruned": generic.j6c_anti_join_bucket_pruned,
-        "h2_range_pruned_scan": generic.h2_range_pruned_scan,
-        # domain pipeline (fixture day: scans + 3-way join + decode)
-        "d_enrich_transactions": domain.d_enrich_transactions,
-        "evt_transfer_decode": domain.evt_transfer_decode,
-        # LLM-data operators
-        "llm_dedup_exact": llm.llm_dedup_exact,
-        "llm_minhash_dedup": llm.llm_minhash_dedup,
-        "llm_jaccard_pairs": llm.llm_jaccard_pairs,
-        "llm_dedup_clusters": llm.llm_dedup_clusters,
-        "llm_decontaminate": llm.llm_decontaminate,
-        "llm_simhash_candidates": llm.llm_simhash_candidates,
-        "llm_cosine_topk": llm.llm_cosine_topk,
-        "llm_neardup_embeddings": llm.llm_neardup_embeddings,
-        "llm_text_stats": llm.llm_text_stats,
-        "llm_pii_scrub": llm.llm_pii_scrub,
-        "llm_tfidf_keywords": llm.llm_tfidf_keywords,
-        "llm_quality_logit": llm.llm_quality_logit,
-        "llm_pack_sequences": llm.llm_pack_sequences,
-        "llm_chunking": llm.llm_chunking,
-        "llm_corpus_pipeline": llm.llm_corpus_pipeline,
-        "llm_image_features": llm.llm_image_features,
-        "llm_audio_features": llm.llm_audio_features,
+        qname: getattr(mods[mod_name], qname)
+        for mod_name, qname in BENCH_QUERY_NAMES
     }
 
-    # warmup: touch every source table and force one codegen'd shuffle
-    # so timings below measure steady-state plans, not JVM/reader init
-    # (nanosAsLong up front: events.parquet stores TIMESTAMP(NANOS),
-    # which the vectorized reader otherwise rejects with a noisy abort)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for t in ["lineitem", "orders", "customer", "events", "documents",
-              "embeddings"]:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+    # warmup (shared with --ab): sources, codegen, UDF workers, fixtures
     from pyspark.sql import functions as F
 
-    spark.range(1000).groupBy(F.col("id") % 7).count().count()
-    # compile the minhash plan shapes (wide 64-column aggregate) on a
-    # tiny sample so the timed run measures data cost, not the one-time
-    # whole-stage-codegen compilation of the generated classes
-    from datawaves_etl_airflow_spark.operators import dedup as _dedup
-
-    _dedup.minhash_dedup_pairs(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
-    ).write.format("noop").mode("overwrite").save()
-
-    # pre-fork the Python UDF workers and touch the fixture staging
-    # files so the decode query measures decode, not one-time
-    # worker/scan init (same rationale as the parquet warmup above)
-    from datawaves_etl_airflow_spark.operators import multimodal as _mm
-
-    _mm.extract_binary_meta(
-        _mm.attach_binary_payload(
-            spark.range(64).repartition(32).selectExpr(
-                "id AS doc_id", "CAST(id AS STRING) AS text"
-            )
-        )
-    ).write.format("noop").mode("overwrite").save()
-    from datawaves_etl_airflow_spark.queries import domain as _domain
-
-    _domain.ensure_fixtures()
-    _domain._staged(spark, "logs").limit(1).count()
-    _domain._staged(spark, "blocks").limit(1).count()
+    _warmup(spark, sf_dir)
 
     # three timed executions per query, report the min: the
     # benchmark's claim is steady-state plan cost, and a single shot
@@ -306,4 +477,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--ab":
+        run_ab(sys.argv[2])
+    else:
+        main()

@@ -50,17 +50,30 @@ measured 100 TB posture is the valved one.
 
 from __future__ import annotations
 
-#: operator-qualified recommended caps (see module docstring)
-PRODUCTION_VALVES: dict[str, int] = {
+#: operator-qualified recommended caps (see module docstring).
+#: bm25_topk.max_df_ratio is the one RATIO-valued valve: BM25's probe
+#: cost is Σ df(query term) — a stopword-grade term drags its whole
+#: (corpus-sized) posting list into the term join, and its idf is
+#: near-zero anyway. 0.5 is the classic cutoff (a term in over half
+#: the corpus carries idf ≤ ln 2 ≈ 0.69 under the Okapi form — the
+#: floor of the scoring range — while costing the largest possible
+#: postings scan). UNLIKE the pair-join caps, this valve changes the
+#: SCORE CONTRACT when it fires: dropped query terms contribute
+#: nothing, so rankings are "BM25 over the informative query terms" —
+#: which is what production search engines ship (stopword lists are
+#: this valve, precomputed). Applies to `text.bm25_topk` and
+#: `text.bm25_search_index` (same probe tree).
+PRODUCTION_VALVES: dict[str, float] = {
     "minhash_dedup_pairs.max_docs_per_band": 10_000,
     "neardup_pairs_banded.max_docs_per_band": 10_000,
     "lsh_topk.max_bucket_size": 10_000,
     "semantic_dedup.max_cell_size": 10_000,
     "winnow_dedup_pairs.max_docs_per_fp": 64,
+    "bm25_topk.max_df_ratio": 0.5,
 }
 
 
-def recommended(operator: str, valve: str) -> int:
+def recommended(operator: str, valve: str) -> float:
     """The recommended production cap for ``operator.valve`` (raises
     KeyError for unknown pairs — a misspelled lookup must not silently
     disable a valve)."""

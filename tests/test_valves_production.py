@@ -128,3 +128,79 @@ class TestValvedEqualsExact:
         kept = {r["vec_id"]: r["kept"] for r in valved.collect()}
         assert all(kept[i] for i in kept if i < 100000)
         assert not any(kept[i] for i in kept if i >= 100000)
+
+
+class TestBm25MaxDfRatio:
+    """bm25_topk.max_df_ratio = 0.5 (r10): the one valve with a
+    DOCUMENTED score-contract change when it fires — dropped
+    stopword-grade query terms contribute nothing, so the valved
+    ranking is BM25 over the informative terms only. Pins: identity
+    when no query term crosses the cutoff, the drop contract when one
+    does, and that the persisted-index probe applies the same rule."""
+
+    def _corpus(self, spark):
+        # 'the' in every doc (df ratio 1.0 — the valve's target);
+        # unique{i} and topic{i%3} stay far below 0.5
+        return spark.createDataFrame(
+            [
+                (i, f"the document unique{i} covers topic{i % 3} deeply")
+                for i in range(40)
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_identity_below_cutoff(self, spark):
+        from datawaves_etl_airflow_spark.operators import text
+
+        docs = self._corpus(spark)
+        qs = spark.createDataFrame(
+            [(1, "unique3 topic0"), (2, "topic1 deeply")],
+            "query_id long, query_text string",
+        )
+        # 'deeply' is in every doc too — use only sub-cutoff terms
+        qs = qs.filter(F.col("query_id") == 1)
+        exact = text.bm25_topk(docs, qs, k=5)
+        valved = text.bm25_topk(
+            docs, qs, k=5,
+            max_df_ratio=recommended("bm25_topk", "max_df_ratio"),
+        )
+        assert _rows(valved) == _rows(exact)
+
+    def test_drop_contract_above_cutoff(self, spark):
+        """A query mixing 'the' (df 1.0) with 'unique7': the valved
+        score must equal the unvalved score of the informative term
+        alone — the documented dropped-terms-contribute-nothing rule."""
+        from datawaves_etl_airflow_spark.operators import text
+
+        docs = self._corpus(spark)
+        mixed = spark.createDataFrame(
+            [(1, "the unique7")], "query_id long, query_text string"
+        )
+        informative = spark.createDataFrame(
+            [(1, "unique7")], "query_id long, query_text string"
+        )
+        valved = text.bm25_topk(
+            docs, mixed, k=5,
+            max_df_ratio=recommended("bm25_topk", "max_df_ratio"),
+        )
+        want = text.bm25_topk(docs, informative, k=5)
+        assert _rows(valved) == _rows(want)
+        # and without the valve the hot term spreads score mass over
+        # every document (sanity: the contract change is real)
+        unvalved = text.bm25_topk(docs, mixed, k=5)
+        assert unvalved.count() == 5 and valved.count() < 5 or \
+            _rows(unvalved) != _rows(valved)
+
+    def test_index_probe_applies_same_rule(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators import text
+
+        docs = self._corpus(spark)
+        p = str(tmp_path / "bmvalve")
+        text.write_bm25_index(docs, p, n_buckets=8)
+        mixed = spark.createDataFrame(
+            [(1, "the unique7")], "query_id long, query_text string"
+        )
+        ratio = recommended("bm25_topk", "max_df_ratio")
+        got = text.bm25_search_index(mixed, p, k=5, max_df_ratio=ratio)
+        want = text.bm25_topk(docs, mixed, k=5, max_df_ratio=ratio)
+        assert _rows(got) == _rows(want)

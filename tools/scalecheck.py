@@ -217,7 +217,7 @@ def main() -> None:
     # FIXED 5-query probe against a 10×/100× indexed corpus (bucket
     # count fixed: pruning ratio is per-term, independent of corpus)
     bm25_by_mult: dict[int, str] = {}
-    if wanted("bm25_probe_pruned"):
+    if wanted("bm25_probe_pruned") or wanted("bm25_probe_pruned_valved"):
         for mult in sorted({1, args.factor}):
             p = os.path.join(idx_root, f"bm25_{mult}")
             text.write_bm25_index(
@@ -456,6 +456,17 @@ def main() -> None:
         ),
         "bm25_probe_pruned": lambda mult: text.bm25_search_index(
             bm25_queries, bm25_by_mult[mult], k=10
+        ),
+        # the production operating point: the max_df_ratio stopword
+        # valve drops stopword-grade query terms (the driver corpus has
+        # several at df ratio ~0.8), so the probe skips exactly the
+        # postings that made bm25_probe_pruned's residual super-linear.
+        # Score contract: valved rankings cover the informative terms
+        # only (operators/valves.py) — pinned vs the in-session form in
+        # test_valves_production.TestBm25MaxDfRatio.
+        "bm25_probe_pruned_valved": lambda mult: text.bm25_search_index(
+            bm25_queries, bm25_by_mult[mult], k=10,
+            max_df_ratio=valves.recommended("bm25_topk", "max_df_ratio"),
         ),
         "ann_probe_pruned": lambda mult: similarity.ivf_search_index(
             ann_queries, ivf_by_mult[mult], nprobe=4, k=5
