@@ -19,6 +19,17 @@ between samples (queries are pure ``(spark, sf_dir) → DataFrame``
 functions, so the JVM neither knows nor cares which world built the
 plan). Prints one JSON line with per-query ``{head, snap, ratio}``
 min-of-3s and flags ratios outside ±15%.
+
+KNOWN BLIND SPOT (by design of the one-JVM swap): the swap covers
+DRIVER-side plan construction only. Pandas-UDF/mapInPandas BODIES
+(the image/audio feature queries, parts of decode) are pickled BY
+REFERENCE and re-imported on the pre-forked Python workers from the
+repo path — so snapshot samples execute HEAD code inside UDF bodies,
+and a regression confined to a UDF body reads ~1.0 here. The
+sequential bench (min-of-3 vs best-ever, box-normalized) remains the
+detector for that class; --ab settles the JVM-plan class, which is
+where every historical flag has lived. The output JSON carries this
+caveat so a recorded A/B can't be over-read later.
 """
 
 from __future__ import annotations
@@ -240,6 +251,10 @@ def run_ab(ref: str) -> None:
             "skipped_not_in_both": skipped,
             "timing": "interleaved min-of-3 pairs, cache cleared per "
             "sample, one JVM, module-world swap",
+            "caveat": "driver-side plans only: pandas-UDF bodies run "
+            "HEAD code on both sides (pickled by reference, workers "
+            "import from the repo path) — UDF-body regressions are "
+            "the sequential bench's job",
         }
         print(json.dumps(out))
     finally:
@@ -477,7 +492,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--ab":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--ab":
+        # hard-fail on a missing ref: silently falling through to the
+        # single-version bench would hand an automation expecting the
+        # ab_interleaved payload a different schema — or worse, record
+        # single-version numbers as an A/B result
+        if len(sys.argv) < 3 or not sys.argv[2].strip():
+            print("usage: bench.py --ab <git-ref>", file=sys.stderr)
+            sys.exit(2)
         run_ab(sys.argv[2])
     else:
         main()

@@ -917,10 +917,13 @@ def semantic_decontaminate(
     benchmark sets.
     """
     _require_numeric_id(benchmark, bench_id_col, "benchmark")
-    n_bench = benchmark.count()
+    # limit(bound+1) keeps the guard itself bounded: a full count()
+    # would scan the entire pathological benchmark the guard exists to
+    # reject — the answer needed is only "over the bound or not"
+    n_bench = benchmark.limit(max_benchmark_rows + 1).count()
     if n_bench > max_benchmark_rows:
         raise ValueError(
-            f"benchmark has {n_bench} rows > max_benchmark_rows="
+            f"benchmark exceeds max_benchmark_rows="
             f"{max_benchmark_rows}: the broadcast-fold plan would build "
             f"one pathological array row; probe the corpus's persisted "
             f"IVF index with semantic_decontaminate_index instead "
@@ -2277,6 +2280,56 @@ def maintain_ivf_index(
     return report
 
 
+def _probe_cells(
+    spark,
+    qn: DataFrame,
+    key_col: str,
+    carry_cols: list[str],
+    norm_col: str,
+    meta: dict,
+    data_root: str,
+    nprobe: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The ONE probe-selection seam shared by `ivf_search_index` and
+    `semantic_decontaminate_index`: score ``norm_col`` against the
+    broadcast centroid table, keep each key's ``nprobe`` best cells
+    (ties to the smaller centroid id), and return ``(probes,
+    decoded_cells)`` where probes = ``(key_col, *carry_cols,
+    centroid_id)`` and the cells read is restricted to the probed
+    partitions via a STATIC isin filter (the probe ids are collected
+    to the driver — bounded by n_centroids, thousands at most — so
+    pruning is visible in the scan's PartitionFilters, not dependent
+    on runtime DPP kicking in).
+
+    localCheckpoint on the probe set: it is consumed at least twice
+    (the driver-side probe-id collect AND the candidate join) and
+    would otherwise recompute the full queries×centroids scoring +
+    window each time."""
+    import posixpath as _pp
+
+    centroids = spark.read.parquet(_pp.join(data_root, "centroids"))
+    scored = qn.crossJoin(F.broadcast(centroids)).withColumn(
+        "_psim", dot(F.col(norm_col), F.col("centroid"))
+    )
+    wq = Window.partitionBy(key_col).orderBy(
+        F.col("_psim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        scored.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select(key_col, *carry_cols, "centroid_id")
+        .localCheckpoint()
+    )
+    probe_ids = sorted(
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    cells = spark.read.parquet(_pp.join(data_root, "cells")).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    return probes, _decoded_cells(spark, cells, meta, data_root)
+
+
 def ivf_search_index(
     queries: DataFrame,
     path: str,
@@ -2341,43 +2394,19 @@ def ivf_search_index(
     its reconstruction error exceeds int8's 1 LSB, so the exact
     top-k needs a wider quantized shortlist to hide in).
     """
-    import os as _os
-
     spark = queries.sparkSession
     meta, data_root = _resolve_ivf_index(spark, path)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
 
-    centroids = spark.read.parquet(_os.path.join(data_root, "centroids"))
     qn = queries.withColumn("_qv", l2_normalize(F.col("query_vec")))
-    qscored = qn.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", dot(F.col("_qv"), F.col("centroid"))
+    # quantized cells reconstruct in-plan inside _probe_cells (int8:
+    # q×scale dequantize, ~7× fewer scanned bytes, cosine moves ≤ 1
+    # LSB/dim — pq: codeword concat via the broadcast codebook row,
+    # ~32× fewer bytes at m=16) and rank over the restored vector
+    probes, cells = _probe_cells(
+        spark, qn, "query_id", ["query_vec"], "_qv", meta, data_root,
+        nprobe,
     )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("_sim").desc(), F.col("centroid_id").asc()
-    )
-    # localCheckpoint: the probe set (queries × nprobe rows, small) is
-    # consumed twice — the driver-side probe-id collect below AND the
-    # candidate join — and would otherwise recompute the full
-    # queries×centroids scoring + window both times
-    probes = (
-        qscored.withColumn("_pr", F.row_number().over(wq))
-        .filter(F.col("_pr") <= nprobe)
-        .select("query_id", "query_vec", "centroid_id")
-        .localCheckpoint()
-    )
-    probe_ids = sorted(
-        r["centroid_id"]
-        for r in probes.select("centroid_id").distinct().collect()
-    )
-    cells = spark.read.parquet(_os.path.join(data_root, "cells")).filter(
-        F.col("centroid_id").isin(probe_ids)
-    )
-    # quantized cells reconstruct in-plan (int8: q×scale dequantize,
-    # ~7× fewer scanned bytes, cosine moves ≤ 1 LSB/dim — pq: codeword
-    # concat via the broadcast codebook row, ~32× fewer bytes at m=16,
-    # ranking on the k-means reconstruction) and rank over the
-    # restored vector
-    cells = _decoded_cells(spark, cells, meta, data_root)
     if allowed is not None:
         ids = (
             allowed.select(F.col(id_col))
@@ -2522,39 +2551,19 @@ def semantic_decontaminate_index(
     reconstruction error can move a borderline pair across the
     threshold, so exactness claims hold for raw cell storage.
     """
-    import posixpath as _pp
-
     _require_numeric_id(benchmark, bench_id_col, "benchmark")
     spark = benchmark.sparkSession
     meta, data_root = _resolve_ivf_index(spark, path)
     vec_col, id_col = meta["vec_col"], meta["id_col"]
 
-    centroids = spark.read.parquet(_pp.join(data_root, "centroids"))
     bn = benchmark.select(
         F.col(bench_id_col).alias("_bid"),
         F.col(bench_vec_col).alias("_bvec"),
         l2_normalize(F.col(bench_vec_col)).alias("_bnorm"),
     ).filter(F.col("_bvec").isNotNull() & (l2_norm(F.col("_bvec")) > 0))
-    scored = bn.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", dot(F.col("_bnorm"), F.col("centroid"))
+    probes, cells = _probe_cells(
+        spark, bn, "_bid", ["_bvec"], "_bnorm", meta, data_root, nprobe
     )
-    wb = Window.partitionBy("_bid").orderBy(
-        F.col("_sim").desc(), F.col("centroid_id").asc()
-    )
-    probes = (
-        scored.withColumn("_pr", F.row_number().over(wb))
-        .filter(F.col("_pr") <= nprobe)
-        .select("_bid", "_bvec", "centroid_id")
-        .localCheckpoint()
-    )
-    probe_ids = sorted(
-        r["centroid_id"]
-        for r in probes.select("centroid_id").distinct().collect()
-    )
-    cells = spark.read.parquet(_pp.join(data_root, "cells")).filter(
-        F.col("centroid_id").isin(probe_ids)
-    )
-    cells = _decoded_cells(spark, cells, meta, data_root)
     pairs = (
         probes.join(cells, "centroid_id")
         .withColumn("_s", cosine(F.col("_bvec"), F.col(vec_col)))

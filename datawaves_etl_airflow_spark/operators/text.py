@@ -1038,19 +1038,22 @@ def bm25_index_stats(spark, path: str) -> DataFrame:
     """One-row operational health summary of a persisted BM25 index —
     the lexical sibling of `dedup.minhash_index_stats`: ``(n_docs,
     n_batches, max_bucket, p95_bucket, mean_bucket,
-    max_term_postings)`` where bucket occupancy counts POSTINGS per
-    term-hash bucket and ``max_term_postings`` is the largest single
-    TERM's posting count.
+    max_term_in_max_bucket, max_term_postings)`` where bucket
+    occupancy counts POSTINGS per term-hash bucket,
+    ``max_term_in_max_bucket`` is the largest single TERM's posting
+    count inside the HOTTEST bucket, and ``max_term_postings`` is the
+    global single-term max (context only).
 
     What an operator reads off it at 100 TB: ``max_bucket`` far above
-    ``mean_bucket`` means hot buckets; ``max_term_postings`` vs
-    ``max_bucket`` tells WHY — max_bucket ≈ max_term_postings is one
-    stopword-grade term (indivisible by design; the probe-side
-    ``max_df_ratio`` valve is the answer), max_bucket ≫
-    max_term_postings is many terms colliding (`resize_bm25_index` to
-    more buckets spreads them). ``n_batches`` is the
-    `compact_bm25_index` watermark, exactly as on the MinHash/IVF
-    sides.
+    ``mean_bucket`` means hot buckets; ``max_term_in_max_bucket`` vs
+    ``max_bucket`` tells WHY — the hottest bucket dominated by one
+    stopword-grade term is indivisible by design (the probe-side
+    ``max_df_ratio`` valve is the answer), while a hot bucket of many
+    smaller terms is hash collisions (`resize_bm25_index` to more
+    buckets spreads them). The in-bucket number — not the global term
+    max, which may live in a cooler bucket — is what the diagnosis
+    must use. ``n_batches`` is the `compact_bm25_index` watermark,
+    exactly as on the MinHash/IVF sides.
     """
     import posixpath as _pp
 
@@ -1064,11 +1067,26 @@ def bm25_index_stats(spark, path: str) -> DataFrame:
         F.expr("approx_percentile(_n, 0.95)").alias("p95_bucket"),
         F.round(F.avg("_n"), 3).alias("mean_bucket"),
     )
-    term_stats = (
-        postings.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .agg(F.max("_n").alias("max_term_postings"))
+    # per-(bucket, term) counts feed BOTH term maxima in one pass: the
+    # global max AND the max within each bucket — max_by picks the
+    # hottest bucket's single-term peak, which is the number the
+    # hot_term-vs-collisions diagnosis actually needs (the GLOBAL max
+    # term may live in a different, cooler bucket, and comparing it
+    # against the hottest bucket would misdiagnose collision heat as
+    # hot_term and skip the resize that would fix it)
+    per_bucket_term = postings.groupBy("bucket", "term").agg(
+        F.count(F.lit(1)).alias("_n")
     )
+    term_stats = per_bucket_term.groupBy("bucket").agg(
+        F.sum("_n").alias("_bn"), F.max("_n").alias("_bt")
+    ).agg(
+        F.max(F.struct(F.col("_bn"), F.col("_bt")))["_bt"].alias(
+            "max_term_in_max_bucket"
+        )
+    )
+    global_term = per_bucket_term.groupBy("term").agg(
+        F.sum("_n").alias("_n")
+    ).agg(F.max("_n").alias("max_term_postings"))
     totals_meta = spark.read.parquet(_pp.join(data_root, "meta")).agg(
         F.sum("n_docs").cast("long").alias("n_docs")
     )
@@ -1079,6 +1097,7 @@ def bm25_index_stats(spark, path: str) -> DataFrame:
         totals_meta.crossJoin(n_batches)
         .crossJoin(bucket_stats)
         .crossJoin(term_stats)
+        .crossJoin(global_term)
     )
 
 
@@ -1101,20 +1120,29 @@ def maintain_bm25_index(
     versions after a successful compaction/resize.
 
     ``resize_on_hot`` makes the hot flag ACTIONABLE: when set and the
-    flag fires, the job diagnoses the heat via ``max_term_postings``
-    (`bm25_index_stats`'s rule) and
+    flag fires, the job diagnoses the heat via
+    ``max_term_in_max_bucket`` (`bm25_index_stats`'s rule — the
+    hottest bucket's OWN largest term, never the global term max,
+    which may live in a cooler bucket) and
 
-    - ``hot_cause='collisions'`` (max_bucket ≫ the largest single
-      term): runs `resize_bm25_index` to ``resize_on_hot`` buckets —
+    - ``hot_cause='collisions'`` (the hottest bucket is many smaller
+      terms): runs `resize_bm25_index` to ``resize_on_hot`` buckets —
       one postings re-hash pass, no corpus re-tokenize;
     - ``hot_cause='hot_term'`` (one term holds > half the hottest
       bucket): SKIPS the resize — a term's postings are indivisible,
       so more buckets cannot spread them; the report says so and the
       documented answer is the probe-side ``max_df_ratio`` valve.
 
-    Default None keeps the r9 observe-only behavior. A resize implies
-    a compaction, so the fragmentation branch is skipped in the same
-    tick when the resize fired."""
+    The resize fires at most ONCE per target: when the index already
+    has ``>= resize_on_hot`` buckets the job reports
+    ``resize_skipped='already_at_target'`` instead of refolding the
+    whole postings layout into an identical bucket count every tick
+    (residual heat at the target size is hash luck or hot terms —
+    re-running the same resize cannot fix either; raise the target or
+    apply the valve). Default None keeps the r9 observe-only
+    behavior. A resize implies a compaction, so the fragmentation
+    branch is skipped in the same tick when the resize fired."""
+    meta, _root = _resolve_bm25_index(spark, path)
     row = bm25_index_stats(spark, path).collect()[0]
     hot = bool(
         row["mean_bucket"]
@@ -1126,7 +1154,9 @@ def maintain_bm25_index(
         "max_bucket": row["max_bucket"],
         "p95_bucket": row["p95_bucket"],
         "mean_bucket": row["mean_bucket"],
+        "max_term_in_max_bucket": row["max_term_in_max_bucket"],
         "max_term_postings": row["max_term_postings"],
+        "n_buckets": meta["n_buckets"],
         "compacted": False,
         "compaction_race_lost": False,
         "hot_buckets_flagged": hot,
@@ -1135,25 +1165,28 @@ def maintain_bm25_index(
     }
     if hot:
         one_term_heat = (
-            row["max_term_postings"] is not None
-            and row["max_term_postings"] * 2 > row["max_bucket"]
+            row["max_term_in_max_bucket"] is not None
+            and row["max_term_in_max_bucket"] * 2 > row["max_bucket"]
         )
         report["hot_cause"] = "hot_term" if one_term_heat else "collisions"
     if (
         resize_on_hot is not None
         and report["hot_cause"] == "collisions"
     ):
-        try:
-            report["resized"] = resize_bm25_index(
-                spark, path, resize_on_hot,
-                folded_retention=folded_retention,
-            )
-        except RuntimeError as exc:
-            if "lost the manifest race" not in str(exc):
-                raise
-            report["compaction_race_lost"] = True
-        if vacuum and report["resized"]:
-            report["vacuumed"] = vacuum_bm25_index(spark, path)
+        if meta["n_buckets"] >= resize_on_hot:
+            report["resize_skipped"] = "already_at_target"
+        else:
+            try:
+                report["resized"] = resize_bm25_index(
+                    spark, path, resize_on_hot,
+                    folded_retention=folded_retention,
+                )
+            except RuntimeError as exc:
+                if "lost the manifest race" not in str(exc):
+                    raise
+                report["compaction_race_lost"] = True
+            if vacuum and report["resized"]:
+                report["vacuumed"] = vacuum_bm25_index(spark, path)
     if row["n_batches"] > max_batches and not report["resized"]:
         try:
             report["compacted"] = compact_bm25_index(

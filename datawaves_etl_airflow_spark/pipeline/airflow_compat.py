@@ -189,23 +189,25 @@ def build_maintenance_dag(
     if session_factory is None:
         from ..session import get_spark as session_factory  # noqa: PLW0127
 
-    from .runner import maintenance_pipeline
+    from .runner import _maintainer, maintenance_task_specs
 
-    # each callable is self-contained (the evm_day_stages rule): it
+    # DAG-definition time needs only names + deps: maintenance_task_specs
+    # is import-free (the Airflow scheduler re-parses dagfiles
+    # continuously — dragging the pyspark-heavy operator modules into
+    # every parse loop would defeat runner.py's lazy-maintainer design).
+    # Each callable is self-contained (the evm_day_stages rule): it
     # obtains its own session and runs exactly ONE maintain task. The
     # terminal report does NOT re-run its upstreams — their "written
     # state" is the index manifests, so it re-reads post-tick STATS
     # (bounded aggregations) the way evm stages re-read the warehouse.
-    def _one_task(name: str) -> Callable[[], dict]:
+    specs = maintenance_task_specs(
+        ivf_indexes, minhash_indexes, bm25_indexes
+    )
+
+    def _one_task(kind: str, path: str, opts: dict) -> Callable[[], dict]:
         def run() -> dict:
             spark = session_factory("index-maintenance")
-            p = maintenance_pipeline(
-                spark,
-                ivf_indexes=ivf_indexes,
-                minhash_indexes=minhash_indexes,
-                bm25_indexes=bm25_indexes,
-            )
-            return p.tasks[name].fn({})
+            return _maintainer(kind)(spark, path, **opts)
 
         return run
 
@@ -238,17 +240,17 @@ def build_maintenance_dag(
                     )
         return out
 
-    shape = maintenance_pipeline(
-        None,
-        ivf_indexes=ivf_indexes,
-        minhash_indexes=minhash_indexes,
-        bm25_indexes=bm25_indexes,
+    ops = {
+        name: operator_cls(
+            task_id=name,
+            python_callable=_one_task(kind, path, opts),
+            dag=dag,
+        )
+        for name, kind, path, opts in specs
+    }
+    ops["maintain_report"] = operator_cls(
+        task_id="maintain_report", python_callable=_report, dag=dag
     )
-    ops = {}
-    for name, task in shape.tasks.items():
-        fn = _report if name == "maintain_report" else _one_task(name)
-        ops[name] = operator_cls(task_id=name, python_callable=fn, dag=dag)
-    for name, task in shape.tasks.items():
-        for up in task.deps:
-            ops[up] >> ops[name]
+    for name, _kind, _path, _opts in specs:
+        ops[name] >> ops["maintain_report"]
     return ops

@@ -346,6 +346,46 @@ _MAINTAINERS = {
 }
 
 
+def maintenance_task_specs(
+    ivf_indexes=(), minhash_indexes=(), bm25_indexes=()
+) -> list[tuple[str, str, str, dict]]:
+    """``[(task_name, kind, path, opts), ...]`` — the maintenance
+    tick's task shape, computed WITHOUT importing any operator module
+    (Airflow re-parses DAG files continuously in the scheduler, and a
+    DAG-definition call only needs names + deps; the pyspark-heavy
+    maintainers import at task RUN time). Each index entry is a path
+    or ``(path, options_dict)``; duplicate basenames disambiguate
+    with a positional suffix."""
+    specs: list[tuple[str, str, str, dict]] = []
+    seen: set[str] = set()
+    for kind, entries in (
+        ("ivf", ivf_indexes),
+        ("minhash", minhash_indexes),
+        ("bm25", bm25_indexes),
+    ):
+        for entry in entries:
+            path, opts = (
+                entry if isinstance(entry, tuple) else (entry, {})
+            )
+            base = os.path.basename(str(path).rstrip("/")) or "index"
+            name = f"maintain_{kind}_{base}"
+            if name in seen:  # two indexes sharing a basename
+                name = f"{name}_{len(specs)}"
+            seen.add(name)
+            specs.append((name, kind, path, dict(opts)))
+    return specs
+
+
+def _maintainer(kind: str):
+    """Resolve the maintain callable for ``kind`` at RUN time."""
+    import importlib
+
+    mod_name, fn_name = _MAINTAINERS[kind]
+    return getattr(
+        importlib.import_module(mod_name, package=__package__), fn_name
+    )
+
+
 def maintenance_pipeline(
     spark: SparkSession,
     ivf_indexes=(),
@@ -368,34 +408,18 @@ def maintenance_pipeline(
     ``vacuum``, ``resize_on_hot``, ...). Run one tick with
     ``maintenance_pipeline(...).run()`` — or at Airflow granularity
     via `pipeline.airflow_compat.build_maintenance_dag`."""
-    import importlib
-
+    specs = maintenance_task_specs(
+        ivf_indexes, minhash_indexes, bm25_indexes
+    )
     p = Pipeline()
-    names: list[str] = []
-    for kind, entries in (
-        ("ivf", ivf_indexes),
-        ("minhash", minhash_indexes),
-        ("bm25", bm25_indexes),
-    ):
-        mod_name, fn_name = _MAINTAINERS[kind]
-        fn = getattr(
-            importlib.import_module(mod_name, package=__package__), fn_name
+    for name, kind, path, opts in specs:
+        p.add(
+            name,
+            lambda c, kind=kind, path=path, opts=opts: _maintainer(kind)(
+                spark, path, **opts
+            ),
         )
-        for entry in entries:
-            path, opts = (
-                entry if isinstance(entry, tuple) else (entry, {})
-            )
-            base = os.path.basename(str(path).rstrip("/")) or "index"
-            name = f"maintain_{kind}_{base}"
-            if name in p.tasks:  # two indexes sharing a basename
-                name = f"{name}_{len(names)}"
-            p.add(
-                name,
-                lambda c, fn=fn, path=path, opts=opts: fn(
-                    spark, path, **opts
-                ),
-            )
-            names.append(name)
+    names = [s[0] for s in specs]
 
     def _report(ctx: dict) -> dict:
         return {n: ctx[n] for n in names}

@@ -331,3 +331,84 @@ class TestResizeBm25Index:
         write_bm25_index(_docs(spark, 0, 5), p, n_buckets=4)
         with pytest.raises(ValueError, match="n_buckets"):
             resize_bm25_index(spark, p, 0)
+
+
+class TestBm25StatsDiagnosis:
+    """bm25_index_stats' hot-cause inputs, pinned hash-agnostically: a
+    Python recomputation from the actual postings must match the
+    stats row — in particular max_term_in_max_bucket is the hottest
+    bucket's OWN largest term, NOT the global term max (which can
+    live in a cooler bucket and would misdiagnose collision heat as
+    hot_term, skipping the resize that would fix it)."""
+
+    def test_in_bucket_term_max_matches_recomputation(
+        self, spark, tmp_path
+    ):
+        from collections import Counter
+
+        from datawaves_etl_airflow_spark.operators.text import (
+            _resolve_bm25_index,
+            bm25_index_stats,
+        )
+
+        # one globally-dominant term ('common', 60 docs) + many
+        # medium terms; whichever buckets they hash into, the Python
+        # recomputation below is ground truth
+        docs = spark.createDataFrame(
+            [
+                (i, f"common mid{i % 12} other{i % 7} unique{i}")
+                for i in range(60)
+            ],
+            "doc_id long, text string",
+        )
+        p = str(tmp_path / "bmdiag")
+        write_bm25_index(docs, p, n_buckets=4)
+        _, root = _resolve_bm25_index(spark, p)
+        postings = spark.read.parquet(root + "/postings").select(
+            "bucket", "term"
+        ).collect()
+        per_bucket = Counter(r["bucket"] for r in postings)
+        per_bucket_term = Counter((r["bucket"], r["term"]) for r in postings)
+        per_term = Counter(r["term"] for r in postings)
+        hot_bucket = max(per_bucket, key=lambda b: per_bucket[b])
+        want_in_bucket_max = max(
+            n for (b, _t), n in per_bucket_term.items() if b == hot_bucket
+        )
+        row = bm25_index_stats(spark, p).first()
+        assert row["max_bucket"] == per_bucket[hot_bucket]
+        assert row["max_term_in_max_bucket"] == want_in_bucket_max
+        assert row["max_term_postings"] == max(per_term.values())
+        # the misdiagnosis scenario is representable: the global max
+        # term need not equal the hottest bucket's own max
+        assert row["max_term_in_max_bucket"] <= row["max_term_postings"]
+
+    def test_resize_skipped_at_target(self, spark, tmp_path):
+        """Residual heat at the target bucket count must NOT refold
+        the whole postings layout every tick: the resize fires at most
+        once per target."""
+        from datawaves_etl_airflow_spark.operators.text import (
+            _resolve_bm25_index,
+            maintain_bm25_index,
+        )
+        from datawaves_etl_airflow_spark.sources.manifest import (
+            VersionedManifest,
+        )
+
+        docs = _docs(spark, 0, 40)
+        p = str(tmp_path / "bmskip")
+        write_bm25_index(docs, p, n_buckets=2)
+        rep = maintain_bm25_index(
+            spark, p, max_bucket_ratio=1.1, resize_on_hot=64
+        )
+        assert rep["resized"] is True and rep["n_buckets"] == 2
+        v_after = VersionedManifest(p).latest_version(spark)
+        # tick 2 at a ratio low enough that SOME heat still flags:
+        # target already reached -> skip, no new version published
+        rep2 = maintain_bm25_index(
+            spark, p, max_bucket_ratio=1.01, resize_on_hot=64
+        )
+        assert rep2["n_buckets"] == 64
+        if rep2["hot_cause"] == "collisions":
+            assert rep2["resized"] is False
+            assert rep2["resize_skipped"] == "already_at_target"
+        assert VersionedManifest(p).latest_version(spark) == v_after

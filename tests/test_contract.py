@@ -52,32 +52,40 @@ class TestRegistrationPolicy:
         )
 
     def test_registration_order_never_verified_first(self):
-        """Round-9 rotation: the never-driver-verified queries lead
+        """Round-10 rotation: the never-driver-verified queries lead
         their module block, then the stalest cohorts (freshness
         policy: no driver green older than two rounds) — a budget cut
         still lands on the freshest evidence first."""
         names = list(entrymod.queries())
-        # domain block: the r7-last-green cohort
-        assert names[0] == "s2_staging_scan_csv"
-        # llm block: the three never-driver-verified queries lead (the
-        # int8 tier, the two-stage ADC rerank, and the composed
-        # 2level+int8+rerank kNN eval), then the shared-code-path
-        # llm_ann_ivf, then the r7-green cohort
+        # domain block: the r8-last-green sentinels (minus the three
+        # documented family-twinned deferrals)
+        assert names[0] == "s1_staging_scan_json"
+        # llm block: the seven never-driver-verified r9 additions lead,
+        # then this round's two new production compositions, then the
+        # r8-green cohort
         for new in (
-            "llm_ann_ivf_int8",
-            "llm_ann_ivf_int8_rerank",
-            "llm_knn_ivf_2level_eval",
-            "llm_ann_ivf",
+            "llm_ann_ivf_pq",
+            "llm_ann_ivf_pq_rerank",
+            "llm_ann_ivf_filtered",
+            "llm_bm25_topk",
+            "llm_hybrid_retrieval",
+            "llm_bm25_index",
+            "llm_semantic_decontaminate",
+            "llm_hybrid_retrieval_index",
+            "llm_semantic_decontaminate_index",
         ):
-            assert names.index(new) < names.index("llm_ann_lsh_planted")
-        # generic block: the four r6-stale deferrals lead
+            assert names.index(new) < names.index("llm_chunking")
+        # generic block: the seven r7-stale deferrals lead
         for stale in (
-            "w2_running_sum",
-            "pv2_unpivot_metrics",
-            "g3_cube_priority",
-            "h1_hourly_events",
+            "a2_count_col_vs_star",
+            "g4_purchase_trend",
+            "h3_hopping_windows",
+            "j6b_anti_join_prefiltered",
+            "j9_full_outer_rollup",
+            "p5_conjunctive_filter",
+            "u1_intersect_users",
         ):
-            assert names.index(stale) < names.index("a1_count_existence")
+            assert names.index(stale) < names.index("f_scalar_surface")
 
     def test_driver_lists_subset_of_full_corpus(self):
         from datawaves_etl_airflow_spark.queries import domain, generic, llm

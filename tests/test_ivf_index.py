@@ -1278,3 +1278,15 @@ class TestFilteredSearch:
         # unconstrained: no column
         plain = ivf_search_index(_queries(spark), index_path, nprobe=8, k=5)
         assert "n_candidates" not in plain.columns
+        # zero extra shuffle: the count window shares the rank window's
+        # query_id partitioning, so the filtered plan still carries
+        # exactly ONE query_id hash exchange on the candidate side
+        # (an executed AQE plan string repeats the tree under
+        # "== Initial Plan ==" — pin the Final Plan section only)
+        import re as _re
+
+        s = got._jdf.queryExecution().executedPlan().toString()
+        s = s.split("== Initial Plan ==")[0]
+        assert len(
+            _re.findall(r"Exchange hashpartitioning\(query_id", s)
+        ) == 1

@@ -211,3 +211,46 @@ class TestStreamSemanticScaledK:
         assert spark.read.parquet(
             _os.path.join(acc, "docs")
         ).count() > 0
+
+
+class TestDecontaminateIndexPlan:
+    """semantic_decontaminate_index plan pins (r10): the probed-cell
+    scan carries a static partition filter (the bounded-driver-read
+    pruning contract), the corpus side shuffles exactly once (the
+    per-corpus-row argmax groupBy), and nothing degenerates into a
+    product over benchmark × full corpus."""
+
+    def test_pruned_scan_one_corpus_exchange_no_product(
+        self, spark, tmp_path
+    ):
+        import random
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            semantic_decontaminate_index,
+        )
+
+        rng = random.Random(3)
+        vecs = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)],
+            "vec_id long, embedding array<double>",
+        )
+        p = str(tmp_path / "ivf_decon")
+        write_ivf_index(vecs, p, n_centroids=8, n_iters=1)
+        bench = vecs.limit(5).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        )
+        out = semantic_decontaminate_index(bench, p, threshold=0.9,
+                                           nprobe=2)
+        plan = plan_of(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the probed-cell read reaches the scan as a PARTITION filter
+        s = formatted(out)
+        pf = s.split("PartitionFilters")
+        assert len(pf) > 1 and "centroid_id" in pf[1].split("]")[0]
+        # one vec_id hash exchange: the final per-corpus-row argmax
+        import re
+
+        assert len(
+            re.findall(r"Exchange hashpartitioning\(vec_id", plan)
+        ) == 1

@@ -285,6 +285,31 @@ def main() -> None:
         .localCheckpoint()
     )
 
+    # index-backed decontamination (r10): a FIXED benchmark set probes
+    # a 10×/100× indexed corpus — the large-benchmark leakage gate's
+    # claim is O(|benchmark| × probed cells), never a corpus scan, so
+    # it shares the ann_probe_pruned shape (and reuses its indexes).
+    decon_bench = (
+        spark.read.parquet(f"{args.sf}/embeddings.parquet")
+        .limit(200)
+        .select(
+            (F.col("vec_id") + F.lit(800_000_000)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    if wanted("decontaminate_probe_pruned"):
+        for mult in sorted({1, args.factor}):
+            if mult not in ivf_by_mult:
+                p = os.path.join(idx_root, f"ivf{mult}")
+                similarity.write_ivf_index(
+                    _scaled_embs(spark, args.sf, mult), p,
+                    n_centroids=64, n_iters=1,
+                )
+                ivf_by_mult[mult] = p
+
     # streaming semantic ingest (r8 verdict task 4): the claim is
     # O(batch + probed cells) per micro-batch — a FIXED batch against
     # an index whose corpus AND cell count both grow by the factor
@@ -470,6 +495,11 @@ def main() -> None:
         ),
         "ann_probe_pruned": lambda mult: similarity.ivf_search_index(
             ann_queries, ivf_by_mult[mult], nprobe=4, k=5
+        ),
+        "decontaminate_probe_pruned": lambda mult: (
+            similarity.semantic_decontaminate_index(
+                decon_bench, ivf_by_mult[mult], threshold=0.95, nprobe=4
+            )
         ),
         "ann_probe_pruned_int8": lambda mult: similarity.ivf_search_index(
             ann_queries, ivf8_by_mult[mult], nprobe=4, k=5
