@@ -289,18 +289,19 @@ def main() -> None:
     # a 10×/100× indexed corpus — the large-benchmark leakage gate's
     # claim is O(|benchmark| × probed cells), never a corpus scan, so
     # it shares the ann_probe_pruned shape (and reuses its indexes).
-    decon_bench = (
-        spark.read.parquet(f"{args.sf}/embeddings.parquet")
-        .limit(200)
-        .select(
-            (F.col("vec_id") + F.lit(800_000_000)).alias("vec_id"),
-            F.transform(
-                F.col("embedding"), lambda x: x.cast("double")
-            ).alias("embedding"),
-        )
-        .localCheckpoint()
-    )
+    decon_bench = None
     if wanted("decontaminate_probe_pruned"):
+        decon_bench = (
+            spark.read.parquet(f"{args.sf}/embeddings.parquet")
+            .limit(200)
+            .select(
+                (F.col("vec_id") + F.lit(800_000_000)).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"), lambda x: x.cast("double")
+                ).alias("embedding"),
+            )
+            .localCheckpoint()
+        )
         for mult in sorted({1, args.factor}):
             if mult not in ivf_by_mult:
                 p = os.path.join(idx_root, f"ivf{mult}")
