@@ -311,6 +311,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df_ratio: float | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 text retrieval — top-k documents per query string:
     ``(query_id, doc_id, rank, score)``. The text-side twin of the
@@ -342,6 +343,20 @@ def bm25_topk(
     flip near-exact ties under a differently-built libm, while
     rounded-score ordering is reproducible — the `tfidf_keywords`
     integer-key rationale, adapted to a score that cannot avoid ln.
+
+    ``allowed`` is the FILTERED-retrieval form, the lexical twin of
+    `similarity.ivf_search_index(allowed=)`: a one-column (or
+    ``id_col``-bearing) table of permitted doc ids, applied to the
+    candidates BEFORE ranking so the top-k is the true top-k AMONG
+    allowed docs. Collection statistics (df, N, avgdl) deliberately
+    stay FULL-corpus — the filter restricts who may be retrieved, not
+    the language model of the collection (what production engines do:
+    a metadata filter must not re-weight idf), and it is also the
+    only semantics a persisted index can serve without re-aggregating
+    stats per query. Unlike filtered ANN there is NO recall trade and
+    no starvation signal: term postings are exact, so fewer than k
+    results simply means fewer than k allowed docs share any query
+    term — a property of the data, not of an approximation.
     """
     toks = docs.select(
         F.col(id_col).alias("_doc"),
@@ -358,7 +373,10 @@ def bm25_topk(
         F.avg(F.size("_ws")).alias("_avgdl"),
     )
     qterms = _bm25_query_terms(queries)
-    return _bm25_rank(qterms, tf, totals, k, k1, b, max_df_ratio, id_col)
+    return _bm25_rank(
+        qterms, tf, totals, k, k1, b, max_df_ratio, id_col,
+        allowed=allowed,
+    )
 
 
 def _bm25_query_terms(queries: DataFrame) -> DataFrame:
@@ -381,6 +399,7 @@ def _bm25_rank(
     b: float,
     max_df_ratio: float | None,
     id_col: str,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """The ONE Okapi scoring tree behind `bm25_topk` (in-session) and
     `bm25_search_index` (persisted postings) — both paths must rank
@@ -389,8 +408,21 @@ def _bm25_rank(
     the 1-row ``(_n, _avgdl)`` broadcast. df is derived from ``tf``
     (count of docs per term), so a caller that pre-filters ``tf`` to
     the query terms' buckets still gets exact df — every posting for
-    those terms lives in their buckets."""
+    those terms lives in their buckets.
+
+    ``allowed`` filters the candidate postings AFTER df is derived
+    (full-collection statistics, see `bm25_topk`) and BEFORE the
+    ranking window — top-k among allowed docs, never a post-filtered
+    unconstrained top-k. Join strategy is left to Catalyst/AQE: the
+    allowed side may be corpus-sized."""
     df = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    if allowed is not None:
+        ids = (
+            allowed.select(F.col(id_col).alias("_doc"))
+            if id_col in allowed.columns
+            else allowed.select(F.col(allowed.columns[0]).alias("_doc"))
+        )
+        tf = tf.join(ids.distinct(), "_doc", "left_semi")
     scored = qterms.join(df, "_w").crossJoin(F.broadcast(totals))
     if max_df_ratio is not None:
         scored = scored.filter(
@@ -810,6 +842,7 @@ def bm25_search_index(
     k1: float = 1.2,
     b: float = 0.75,
     max_df_ratio: float | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """`bm25_topk` against a persisted `write_bm25_index` layout —
     identical ranking (the scoring tree is shared, `_bm25_rank`), but
@@ -821,7 +854,14 @@ def bm25_search_index(
     index scans ≤ 3/64 of the postings bytes regardless of corpus
     size. df for the probed terms is exact (a term's every posting
     lives in its one bucket); N and avgdl fold from the tiny per-batch
-    ``meta/`` rows — one broadcast row, no corpus scan."""
+    ``meta/`` rows — one broadcast row, no corpus scan.
+
+    ``allowed`` is the filtered-retrieval form, identical semantics to
+    `bm25_topk(allowed=)`: candidates restricted BEFORE ranking,
+    collection statistics (df/N/avgdl) untouched — which is exactly
+    what the persisted layout serves without per-query re-aggregation
+    (df folds from the probed buckets whole; the filter only prunes
+    who may be retrieved)."""
     import posixpath as _pp
 
     spark = queries.sparkSession
@@ -854,7 +894,8 @@ def bm25_search_index(
         )
     )
     return _bm25_rank(
-        qterms, tf, stats, k, k1, b, max_df_ratio, meta["id_col"]
+        qterms, tf, stats, k, k1, b, max_df_ratio, meta["id_col"],
+        allowed=allowed,
     )
 
 

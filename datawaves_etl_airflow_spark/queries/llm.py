@@ -1173,6 +1173,40 @@ def llm_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def llm_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED lexical retrieval (`text.bm25_search_index(allowed=)`)
+    — the BM25 twin of `llm_ann_ivf_filtered`, probed through the
+    PERSISTED index so the bucket-pruning + filter composition is what
+    gets certified: top-5 among even doc_ids only, with collection
+    statistics (df/N/avgdl) deliberately FULL-corpus (a metadata
+    filter restricts who may be retrieved, not the collection's
+    language model — and it is the only semantics a persisted index
+    serves without per-query stats re-aggregation). The oracle replays
+    full-corpus df/N/avgdl and restricts the scored pairs to even ids
+    BEFORE ranking — post-filtering an unconstrained top-5 would
+    under-fill k and hash-mismatch. Executed eagerly (localCheckpoint)
+    so the temp index is removed before return."""
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    qs = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(dedup.tokenize(F.col("text")), 1, 6), " "
+        ).alias("query_text"),
+    )
+    idx = tempfile.mkdtemp(prefix="llm_bm25filt_")
+    try:
+        text.write_bm25_index(d, idx, n_buckets=16)
+        return text.bm25_search_index(
+            qs, idx, k=5,
+            allowed=d.filter(F.col("doc_id") % 2 == 0).select("doc_id"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def llm_semantic_decontaminate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1719,6 +1753,7 @@ QUERIES = {
     "llm_hybrid_retrieval": llm_hybrid_retrieval,
     "llm_hybrid_retrieval_index": llm_hybrid_retrieval_index,
     "llm_bm25_index": llm_bm25_index,
+    "llm_bm25_filtered": llm_bm25_filtered,
     "llm_semantic_decontaminate": llm_semantic_decontaminate,
     "llm_semantic_decontaminate_index": llm_semantic_decontaminate_index,
     "llm_cell_outliers": llm_cell_outliers,
@@ -2580,6 +2615,16 @@ ORACLES["llm_hybrid_retrieval"] = f"""
 # in-session operator over the full table (additive df/N/avgdl folds,
 # shared scoring tree) — so it shares llm_bm25_topk's oracle verbatim.
 ORACLES["llm_bm25_index"] = ORACLES["llm_bm25_topk"]
+
+# llm_bm25_filtered (r10): full-corpus df/N/avgdl (the filter does not
+# re-weight idf), scored pairs restricted to even doc ids BEFORE the
+# ranking window — filter-before-rank at value level, the lexical twin
+# of llm_ann_ivf_filtered's certificate.
+ORACLES["llm_bm25_filtered"] = ORACLES["llm_bm25_topk"].replace(
+    "CROSS JOIN tot\n        GROUP BY qt.query_id, tf.doc_id",
+    "CROSS JOIN tot\n        WHERE tf.doc_id % 2 = 0\n"
+    "        GROUP BY qt.query_id, tf.doc_id",
+)
 
 # llm_semantic_decontaminate: full max-cosine replay over the 10-row
 # benchmark set — argmax ties to the smaller benchmark id, rounded

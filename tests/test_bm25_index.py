@@ -412,3 +412,74 @@ class TestBm25StatsDiagnosis:
             assert rep2["resized"] is False
             assert rep2["resize_skipped"] == "already_at_target"
         assert VersionedManifest(p).latest_version(spark) == v_after
+
+
+class TestFilteredBm25:
+    """allowed=: filtered lexical retrieval (r10) — top-k among
+    allowed docs with FULL-collection statistics (the filter restricts
+    who may be retrieved, never the language model: df/N/avgdl do not
+    re-weight)."""
+
+    def test_index_probe_equals_in_session_and_respects_filter(
+        self, spark, index_path
+    ):
+        evens = spark.createDataFrame(
+            [(i,) for i in range(0, 20, 2)], "doc_id long"
+        )
+        got = bm25_search_index(
+            _queries(spark), index_path, k=5, allowed=evens
+        )
+        want = bm25_topk(
+            _docs(spark, 0, 20), _queries(spark), k=5, allowed=evens
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        assert got.filter(F.col("doc_id") % 2 != 0).count() == 0
+
+    def test_scores_keep_full_collection_statistics(self, spark):
+        """The filtered score of an allowed doc must equal its
+        UNFILTERED score (df/N/avgdl untouched) — only the candidate
+        set shrinks; a per-subset re-weight would change idf and
+        diverge."""
+        docs = _docs(spark, 0, 20)
+        evens = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+        filt = {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_topk(
+                docs, _queries(spark), k=20, allowed=evens
+            ).collect()
+        }
+        full = {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_topk(docs, _queries(spark), k=20).collect()
+        }
+        assert filt  # non-vacuous
+        for key, score in filt.items():
+            assert full[key] == score
+
+    def test_underfill_is_a_data_property_and_empty_filter(
+        self, spark, index_path
+    ):
+        """Fewer than k allowed docs sharing a query term under-fills
+        honestly (exact postings — no recall trade, no starvation
+        signal needed); an empty filter returns nothing."""
+        three = spark.createDataFrame(
+            [(0,), (2,), (4,)], "doc_id long"
+        )
+        got = bm25_search_index(
+            _queries(spark), index_path, k=5, allowed=three
+        )
+        per_q = {r["query_id"]: r["count"]
+                 for r in got.groupBy("query_id").count().collect()}
+        assert per_q and all(c <= 3 for c in per_q.values())
+        empty = three.filter(F.lit(False))
+        assert bm25_search_index(
+            _queries(spark), index_path, k=5, allowed=empty
+        ).count() == 0
+        # single-column coercion (whatever the column name)
+        other = spark.createDataFrame([(0,), (2,)], "whatever long")
+        ok = bm25_search_index(
+            _queries(spark), index_path, k=5, allowed=other
+        )
+        assert {r["doc_id"] for r in ok.collect()} <= {0, 2}
