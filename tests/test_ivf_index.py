@@ -1101,6 +1101,34 @@ class TestPqIvfIndex:
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
 
+    def test_pq_composes_with_two_level(self, spark, tmp_path):
+        """pq cells under a 2-level quantizer (the billion-vector
+        layout: hierarchical addressing AND sub-int8 bytes): metadata
+        carries both, and full probe + raw rerank is still exact —
+        rerank exactness never depended on the storage tier or the
+        quantizer shape, only on shortlist depth (the int8 twin's
+        composition pin, one tier smaller)."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        p = str(tmp_path / "pq_2l")
+        vecs = _vectors(spark)
+        write_ivf_index(
+            vecs, p, n_centroids=4, n_iters=1, n_fine=4,
+            cell_storage="pq", pq_m=8, pq_k=32,
+        )
+        meta = read_ivf_index_meta(spark, p)
+        assert meta["n_fine"] == 4 and meta["cell_storage"] == "pq"
+        q = _queries(spark)
+        got = ivf_search_index(q, p, nprobe=16, k=5, rerank=vecs,
+                               rerank_factor=12)
+        want = brute_force_topk(vecs, q, k=5)
+        cols = ["query_id", "match_id", "rank", "cosine_sim"]
+        assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+        assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+        assert got.filter(~F.col("exact")).count() == 0
+
     def test_parameter_validation(self, spark, tmp_path):
         with pytest.raises(ValueError, match="not divisible"):
             write_ivf_index(
