@@ -15,5 +15,30 @@ builtins genuinely cannot express the semantics (ABI decode, multimodal).
 
 __version__ = "0.2.0"
 
-from .chains import CHAINS, ETHEREUM, POLYGON  # noqa: E402,F401
-from .session import get_spark  # noqa: E402,F401
+#: Lazy re-exports (PEP 562): `session` imports pyspark at module
+#: level, and the top package must stay importable from an Airflow
+#: scheduler's DAG-parse loop (pipeline.airflow_compat is
+#: deliberately import-light) without paying the pyspark import on
+#: every parse. ``from datawaves_etl_airflow_spark import get_spark``
+#: still works — resolution just happens on first attribute access.
+_LAZY_EXPORTS = {
+    "CHAINS": "chains",
+    "ETHEREUM": "chains",
+    "POLYGON": "chains",
+    "get_spark": "session",
+}
+
+__all__ = list(_LAZY_EXPORTS)
+
+
+def __getattr__(name: str):
+    if name in _LAZY_EXPORTS:
+        import importlib
+
+        mod = importlib.import_module(
+            f".{_LAZY_EXPORTS[name]}", package=__name__
+        )
+        return getattr(mod, name)
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}"
+    )

@@ -2414,8 +2414,11 @@ def ivf_search_index(
             else allowed.select(F.col(allowed.columns[0]).alias(id_col))
         )
         # pre-rank semi join: top-k must be computed AMONG allowed
-        # rows, never filtered out of an unconstrained top-k
-        cells = cells.join(ids.distinct(), id_col, "left_semi")
+        # rows, never filtered out of an unconstrained top-k. No
+        # .distinct() — a left-semi join matches each cell row at most
+        # once whatever the build side holds, and the allowed side may
+        # be corpus-sized (a dedup there is a wasted shuffle+aggregate)
+        cells = cells.join(ids, id_col, "left_semi")
     cands = probes.join(cells, "centroid_id").withColumn(
         "cosine", cosine(F.col("query_vec"), F.col(vec_col))
     )

@@ -422,7 +422,11 @@ def _bm25_rank(
             if id_col in allowed.columns
             else allowed.select(F.col(allowed.columns[0]).alias("_doc"))
         )
-        tf = tf.join(ids.distinct(), "_doc", "left_semi")
+        # no .distinct(): a left-semi join already matches each tf row
+        # at most once whatever the build side holds, and the allowed
+        # side may be corpus-sized — a dedup there is a wasted
+        # shuffle+aggregate
+        tf = tf.join(ids, "_doc", "left_semi")
     scored = qterms.join(df, "_w").crossJoin(F.broadcast(totals))
     if max_df_ratio is not None:
         scored = scored.filter(
@@ -1064,9 +1068,12 @@ def resize_bm25_index(
     buckets; heat from ONE stopword-grade term does not (a term's
     postings are indivisible by design — that is what makes probe df
     exact), and the answer there is the probe-side ``max_df_ratio``
-    valve. `bm25_index_stats`'s ``max_term_postings`` vs
-    ``max_bucket`` tells the two apart; `maintain_bm25_index` applies
-    exactly that rule before resizing.
+    valve. `bm25_index_stats`'s ``max_term_in_max_bucket`` vs
+    ``max_bucket`` tells the two apart — the HOTTEST bucket's own
+    largest term, never the global term max, which may live in a
+    cooler bucket and would misread collision heat as a hot term;
+    `maintain_bm25_index` applies exactly that rule (at most once per
+    target) before resizing.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1: {n_buckets}")

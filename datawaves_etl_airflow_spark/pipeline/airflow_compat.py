@@ -28,7 +28,23 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from .runner import run_evm_day
+# import-light on purpose: the Airflow scheduler re-parses DAG files
+# continuously, and this module's DAG-definition surface must not drag
+# pyspark (or the operator modules) into every parse loop. The heavy
+# runner imports happen inside the stage callables at RUN time;
+# pipeline.maintenance is stdlib-only by contract.
+from .maintenance import _maintainer, maintenance_task_specs
+
+def _resolve_session_factory(session_factory: Callable | None) -> Callable:
+    """Default to the engine's `session.get_spark`, resolved at task
+    RUN time — resolving it at DAG-definition time would import
+    pyspark into the Airflow scheduler's parse loop."""
+    if session_factory is not None:
+        return session_factory
+    from ..session import get_spark
+
+    return get_spark
+
 
 #: (stage name, phases it executes, upstream stage names)
 _STAGES: list[tuple[str, frozenset, list[str]]] = [
@@ -56,12 +72,13 @@ def evm_day_stages(
     `session.get_spark`) and runs its phase slice of `run_evm_day`,
     with cross-stage data flowing through the warehouse directory.
     """
-    if session_factory is None:
-        from ..session import get_spark as session_factory  # noqa: PLW0127
-
     def _stage(phases: frozenset) -> Callable[[], dict]:
         def run() -> dict:
-            spark = session_factory(f"evm-{chain}-{ds}")
+            from .runner import run_evm_day  # heavy: RUN time only
+
+            spark = _resolve_session_factory(session_factory)(
+                f"evm-{chain}-{ds}"
+            )
             ctx = run_evm_day(
                 spark,
                 export_base,
@@ -186,11 +203,6 @@ def build_maintenance_dag(
                 "or run one tick with "
                 "pipeline.runner.maintenance_pipeline(...).run()"
             ) from exc
-    if session_factory is None:
-        from ..session import get_spark as session_factory  # noqa: PLW0127
-
-    from .runner import _maintainer, maintenance_task_specs
-
     # DAG-definition time needs only names + deps: maintenance_task_specs
     # is import-free (the Airflow scheduler re-parses dagfiles
     # continuously — dragging the pyspark-heavy operator modules into
@@ -206,13 +218,17 @@ def build_maintenance_dag(
 
     def _one_task(kind: str, path: str, opts: dict) -> Callable[[], dict]:
         def run() -> dict:
-            spark = session_factory("index-maintenance")
+            spark = _resolve_session_factory(session_factory)(
+                "index-maintenance"
+            )
             return _maintainer(kind)(spark, path, **opts)
 
         return run
 
     def _report() -> dict:
-        spark = session_factory("index-maintenance")
+        spark = _resolve_session_factory(session_factory)(
+            "index-maintenance"
+        )
         from ..operators.dedup import minhash_index_stats
         from ..operators.similarity import ivf_index_stats
         from ..operators.text import bm25_index_stats

@@ -337,53 +337,11 @@ def run_evm_day(
 # The scheduled index-maintenance pipeline
 # ---------------------------------------------------------------------------
 
-#: index kind → maintain callable (resolved lazily so importing the
-#: runner never drags the whole operator surface in)
-_MAINTAINERS = {
-    "ivf": ("..operators.similarity", "maintain_ivf_index"),
-    "minhash": ("..operators.dedup", "maintain_minhash_index"),
-    "bm25": ("..operators.text", "maintain_bm25_index"),
-}
-
-
-def maintenance_task_specs(
-    ivf_indexes=(), minhash_indexes=(), bm25_indexes=()
-) -> list[tuple[str, str, str, dict]]:
-    """``[(task_name, kind, path, opts), ...]`` — the maintenance
-    tick's task shape, computed WITHOUT importing any operator module
-    (Airflow re-parses DAG files continuously in the scheduler, and a
-    DAG-definition call only needs names + deps; the pyspark-heavy
-    maintainers import at task RUN time). Each index entry is a path
-    or ``(path, options_dict)``; duplicate basenames disambiguate
-    with a positional suffix."""
-    specs: list[tuple[str, str, str, dict]] = []
-    seen: set[str] = set()
-    for kind, entries in (
-        ("ivf", ivf_indexes),
-        ("minhash", minhash_indexes),
-        ("bm25", bm25_indexes),
-    ):
-        for entry in entries:
-            path, opts = (
-                entry if isinstance(entry, tuple) else (entry, {})
-            )
-            base = os.path.basename(str(path).rstrip("/")) or "index"
-            name = f"maintain_{kind}_{base}"
-            if name in seen:  # two indexes sharing a basename
-                name = f"{name}_{len(specs)}"
-            seen.add(name)
-            specs.append((name, kind, path, dict(opts)))
-    return specs
-
-
-def _maintainer(kind: str):
-    """Resolve the maintain callable for ``kind`` at RUN time."""
-    import importlib
-
-    mod_name, fn_name = _MAINTAINERS[kind]
-    return getattr(
-        importlib.import_module(mod_name, package=__package__), fn_name
-    )
+# the import-light task shape + run-time maintainer resolution live in
+# pipeline.maintenance (the Airflow scheduler's parse loop must be able
+# to compute DAG shape without pyspark); re-exported here for callers
+# that naturally hold the heavy runner module anyway
+from .maintenance import _maintainer, maintenance_task_specs  # noqa: E402,F401
 
 
 def maintenance_pipeline(

@@ -402,15 +402,20 @@ class TestBm25StatsDiagnosis:
         )
         assert rep["resized"] is True and rep["n_buckets"] == 2
         v_after = VersionedManifest(p).latest_version(spark)
-        # tick 2 at a ratio low enough that SOME heat still flags:
-        # target already reached -> skip, no new version published
+        # tick 2: xxhash64 term placement is deterministic for this
+        # fixed corpus — at 64 buckets the hottest bucket holds TWO
+        # 40-posting common terms (80 postings, in-bucket term max 40,
+        # 40*2 > 80 is false), so the diagnosis is ALWAYS collisions
+        # and it always flags at ratio 1.01: the skip path is
+        # exercised unconditionally
         rep2 = maintain_bm25_index(
             spark, p, max_bucket_ratio=1.01, resize_on_hot=64
         )
         assert rep2["n_buckets"] == 64
-        if rep2["hot_cause"] == "collisions":
-            assert rep2["resized"] is False
-            assert rep2["resize_skipped"] == "already_at_target"
+        assert rep2["hot_buckets_flagged"] is True
+        assert rep2["hot_cause"] == "collisions"
+        assert rep2["resized"] is False
+        assert rep2["resize_skipped"] == "already_at_target"
         assert VersionedManifest(p).latest_version(spark) == v_after
 
 
