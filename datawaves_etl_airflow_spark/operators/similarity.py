@@ -2582,3 +2582,79 @@ def semantic_decontaminate_index(
         F.round(best["s"], 6).alias("max_benchmark_sim"),
         F.lit(True).alias("contaminated"),
     )
+
+
+def ann_recall_eval(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    exact: DataFrame | None = None,
+    corpus: DataFrame | None = None,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Recall@k of the persisted IVF index across an ``nprobe`` ladder
+    — the tuning harness every ANN deployment runs before picking its
+    probe width: ``(nprobe, n_queries, mean_overlap, recall_at_k)``
+    where recall is |index top-k ∩ exact top-k| / k averaged over the
+    query set. Feed it a SAMPLED query set: the exact side is a brute
+    force scan (the cost the index exists to avoid), so this is an
+    offline calibration job over hundreds of queries, not a per-query
+    runtime path.
+
+    ``exact`` takes a precomputed `brute_force_topk` result (columns
+    ``query_id, match_id, rank``); otherwise ``corpus`` must carry the
+    raw ``(id, vector)`` table and the exact side is computed here.
+    ``rerank``/``rerank_factor`` pass through to the probe so
+    quantized tiers are evaluated the way they would be deployed.
+
+    Ladder semantics: each nprobe value is one probe job (a bounded
+    driver loop over a handful of ladder points — the probe plans are
+    independent and each collapses to a 1-row aggregate). With raw
+    cell storage recall is monotone non-decreasing in nprobe (a wider
+    probe only ADDS candidates, and candidates rank by true cosine, so
+    an exact-top-k member once found is never displaced by a
+    non-member) and reaches 1.0 at full probe — pinned in
+    TestAnnRecallEval; quantized tiers without ``rerank`` may wobble
+    within reconstruction error (the documented trade), which is
+    precisely what this harness exists to measure.
+
+    Ties at the k-th cosine are counted by the same deterministic
+    smaller-id rule both sides share, so recall compares identical
+    tie-broken sets rather than penalizing arbitrary tie order.
+    """
+    if exact is None:
+        if corpus is None:
+            raise ValueError(
+                "ann_recall_eval needs either exact= (a precomputed "
+                "brute_force_topk result) or corpus= (the raw vectors)"
+            )
+        exact = brute_force_topk(corpus, queries, k=k)
+    truth = exact.filter(F.col("rank") <= k).select(
+        "query_id", "match_id"
+    )
+    # one bounded count, reused across the ladder (n_queries is the
+    # recall denominator's denominator)
+    n_queries = queries.select("query_id").distinct().count()
+    if n_queries == 0:
+        raise ValueError("ann_recall_eval needs a non-empty query set")
+    out = None
+    for nprobe in nprobes:
+        got = ivf_search_index(
+            queries, path, nprobe=int(nprobe), k=k,
+            rerank=rerank, rerank_factor=rerank_factor,
+        ).select("query_id", "match_id")
+        hits = got.join(truth, ["query_id", "match_id"], "left_semi")
+        row = hits.agg(
+            F.lit(int(nprobe)).alias("nprobe"),
+            F.lit(n_queries).alias("n_queries"),
+            F.round(
+                F.count(F.lit(1)) / F.lit(float(n_queries)), 6
+            ).alias("mean_overlap"),
+            F.round(
+                F.count(F.lit(1)) / F.lit(float(n_queries * k)), 6
+            ).alias("recall_at_k"),
+        ).select("nprobe", "n_queries", "mean_overlap", "recall_at_k")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -17,7 +17,7 @@ product the registered plans forbid), pinned by tests/.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, sampling, similarity, text
@@ -331,6 +331,51 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("_hits"), F.lit(0)) >= 3).alias("recall_ok"),
         )
     )
+
+
+def llm_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`similarity.ann_recall_eval` — the nprobe-tuning harness over a
+    persisted raw-cell index, self-checking (the llm_ann_ivf pattern:
+    recall VALUES depend on the xxhash64-seeded quantizer, so the
+    compared projection emits the engine-independent FACTS of the
+    ladder): per nprobe ∈ {1,2,4,8} of 8 cells, the query count, a
+    recall-in-[0,1] bound, exactness at full probe, and ladder
+    monotonicity (raw cells rank by true cosine, so a wider probe
+    only adds candidates — recall can never drop). The oracle asserts
+    all four booleans TRUE per rung. Executed eagerly
+    (localCheckpoint) so the temp index is removed before return."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    qs = _query_vecs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="llm_recall_")
+    try:
+        similarity.write_ivf_index(embs, idx, n_centroids=8, n_iters=1)
+        curve = similarity.ann_recall_eval(
+            qs, idx, k=5, nprobes=(1, 2, 4, 8), corpus=embs
+        )
+        w = Window.orderBy("nprobe")
+        return (
+            curve.withColumn("_prev", F.lag("recall_at_k").over(w))
+            .select(
+                "nprobe",
+                "n_queries",
+                (
+                    (F.col("recall_at_k") >= 0)
+                    & (F.col("recall_at_k") <= 1)
+                ).alias("recall_in_range"),
+                F.when(
+                    F.col("nprobe") == 8, F.col("recall_at_k") == 1.0
+                ).otherwise(F.lit(True)).alias("exact_at_full"),
+                F.coalesce(
+                    F.col("recall_at_k") >= F.col("_prev"), F.lit(True)
+                ).alias("monotone_ok"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 def llm_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1732,6 +1777,7 @@ QUERIES = {
     "llm_cosine_topk": llm_cosine_topk,
     "llm_ann_lsh": llm_ann_lsh,
     "llm_ann_ivf": llm_ann_ivf,
+    "llm_ann_recall_curve": llm_ann_recall_curve,
     "llm_ann_ivf_index": llm_ann_ivf_index,
     "llm_ann_lsh_planted": llm_ann_lsh_planted,
     "llm_knn_label_eval": llm_knn_label_eval,
@@ -2657,6 +2703,20 @@ ORACLES["llm_semantic_decontaminate"] = f"""
 # corpus), and at full probe over raw cells those are exactly the
 # broadcast twin's contaminated rows — so the oracle is the same
 # replay restricted to the flag.
+# llm_ann_recall_curve (r10): the ladder's engine-independent facts —
+# recall bounded, exact at full probe, monotone in nprobe — as planted
+# booleans (the llm_ann_ivf pattern; the VALUES depend on the
+# xxhash64-seeded quantizer, which DuckDB cannot replay).
+ORACLES["llm_ann_recall_curve"] = """
+    SELECT nprobe,
+           (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+               AS n_queries,
+           TRUE AS recall_in_range,
+           TRUE AS exact_at_full,
+           TRUE AS monotone_ok
+    FROM (VALUES (1), (2), (4), (8)) AS t(nprobe)
+"""
+
 ORACLES["llm_semantic_decontaminate_index"] = ORACLES[
     "llm_semantic_decontaminate"
 ].replace(

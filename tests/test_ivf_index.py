@@ -1318,3 +1318,76 @@ class TestFilteredSearch:
         assert len(
             _re.findall(r"Exchange hashpartitioning\(query_id", s)
         ) == 1
+
+
+class TestAnnRecallEval:
+    """ann_recall_eval (r10): the nprobe-tuning harness — recall@k vs
+    the exact top-k across a probe-width ladder."""
+
+    def test_monotone_and_exact_at_full_probe(self, spark, index_path):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            ann_recall_eval,
+        )
+
+        vecs = _vectors(spark)
+        q = _queries(spark)
+        rows = {
+            r["nprobe"]: r
+            for r in ann_recall_eval(
+                q, index_path, k=5, nprobes=(1, 2, 4, 8), corpus=vecs
+            ).collect()
+        }
+        assert set(rows) == {1, 2, 4, 8}
+        recalls = [rows[n]["recall_at_k"] for n in (1, 2, 4, 8)]
+        # raw cells rank by true cosine: wider probes only add
+        # candidates, so recall is monotone and exact at full probe
+        assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+        assert recalls[-1] == 1.0
+        assert all(0.0 <= r <= 1.0 for r in recalls)
+        assert all(rows[n]["n_queries"] == 6 for n in rows)
+        # mean_overlap is recall * k by construction (each is rounded
+        # to 6 places independently, so compare with tolerance)
+        for n in rows:
+            assert abs(
+                rows[n]["mean_overlap"] - rows[n]["recall_at_k"] * 5
+            ) < 1e-5
+
+    def test_precomputed_exact_and_quantized_rerank(
+        self, spark, tmp_path
+    ):
+        """exact= short-circuits the brute force; an int8 index with
+        the raw rerank reaches recall 1.0 at full probe (the deployed
+        quantized configuration, evaluated as deployed)."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            ann_recall_eval,
+            brute_force_topk,
+        )
+
+        vecs = _vectors(spark)
+        q = _queries(spark)
+        p = str(tmp_path / "ivf8r")
+        write_ivf_index(vecs, p, n_centroids=8, n_iters=1,
+                        cell_storage="int8")
+        truth = brute_force_topk(vecs, q, k=5)
+        rows = {
+            r["nprobe"]: r["recall_at_k"]
+            for r in ann_recall_eval(
+                q, p, k=5, nprobes=(2, 8), exact=truth,
+                rerank=vecs, rerank_factor=8,
+            ).collect()
+        }
+        assert rows[8] == 1.0
+        assert 0.0 <= rows[2] <= 1.0
+
+    def test_validation(self, spark, index_path):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            ann_recall_eval,
+        )
+
+        with pytest.raises(ValueError, match="exact=.*or corpus="):
+            ann_recall_eval(_queries(spark), index_path)
+        empty = _queries(spark).filter(F.lit(False))
+        with pytest.raises(ValueError, match="non-empty"):
+            ann_recall_eval(
+                empty, index_path, corpus=_vectors(spark)
+            )
