@@ -165,6 +165,25 @@ def _warmup(spark, sf_dir: str) -> None:
     _domain._staged(spark, "blocks").limit(1).count()
 
 
+def _world_fingerprint(root: str) -> str:
+    """md5 over the package's .py bytes — emitted per world so a
+    recorded A/B is self-auditing: identical fingerprints mean the two
+    worlds ran the same code (a mis-specified ref, or a diff confined
+    to non-package files), so a flat result proves nothing."""
+    import hashlib
+
+    h = hashlib.md5()
+    pkg = os.path.join(root, _PKG)
+    for dirpath, dirnames, filenames in os.walk(pkg):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    h.update(fn.encode())
+                    h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def run_ab(ref: str) -> None:
     """Interleaved A/B vs a git ref — see the module docstring."""
     import shutil
@@ -237,9 +256,14 @@ def run_ab(ref: str) -> None:
             for q, r in results.items()
             if r["ratio"] is not None and abs(r["ratio"] - 1) > 0.15
         }
+        head_fp = _world_fingerprint(repo)
+        snap_fp = _world_fingerprint(wt)
         out = {
             "metric": "ab_interleaved",
             "ref": ref,
+            "head_fingerprint": head_fp,
+            "snap_fingerprint": snap_fp,
+            "worlds_differ": head_fp != snap_fp,
             "total_head": round(
                 sum(r["head"] for r in results.values()), 3
             ),
