@@ -1222,28 +1222,49 @@ def compact_minhash_index(
             "Restart the ingest so the replay completes these folds, "
             "or remove the torn directories, then compact."
         )
+    # tombstone completeness mirrors the two-sided rule: probes skip a
+    # torn delete (replay heals it), but a compaction that ignored one
+    # would publish a base resurrecting the docs it meant to drop
+    t_marked = _glob_tokens("tombstones", "_SUCCESS")
+    t_torn = sorted(_glob_tokens("tombstones", "part-*") - t_marked)
+    if t_torn:
+        raise RuntimeError(
+            f"MinHash index at {path}: tombstone batch dirs {t_torn} "
+            "hold data files without a _SUCCESS marker — a torn "
+            "delete commit. Re-run the same-token delete to complete "
+            "it, or remove the torn directories, then compact."
+        )
     complete = sorted(marked)
     if not complete:
         return False  # nothing durable to fold
+    tombs = (
+        _minhash_tombstone_ids(spark, old_root) if t_marked else None
+    )
     rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")
     vroot = _pp.join(path, rel)
     # read drops the batch= partition column; the rewrite is one
     # file-consolidating pass per side, no shuffle semantics involved
+    # (tombstones, when present, anti-join BOTH sides here — applied
+    # physically, and the new version starts with none)
     for side, cols in (("bands", ["id", "band_id", "band_hash"]),
                        ("sets", ["id", "shset"])):
         dirs = [
             _pp.join(old_root, side, f"batch={t}") for t in complete
         ]
-        spark.read.parquet(*dirs).select(*cols).write.mode(
-            "errorifexists"
-        ).parquet(_pp.join(vroot, side, "batch=base"))
+        folded_side = spark.read.parquet(*dirs).select(*cols)
+        if tombs is not None:
+            folded_side = folded_side.join(tombs, "id", "left_anti")
+        folded_side.write.mode("errorifexists").parquet(
+            _pp.join(vroot, side, "batch=base")
+        )
         require_success_marker(
             spark,
             _pp.join(vroot, side, "batch=base"),
             "MinHash index compaction",
         )
     folded = _fold_token_list(
-        payload.get("folded", ()), complete, folded_retention
+        payload.get("folded", ()), complete + sorted(t_marked),
+        folded_retention,
     )
     if not vm.publish(
         spark, {**payload, "current": rel, "folded": folded}, version
@@ -1280,10 +1301,12 @@ def _fold_token_list(
 def minhash_index_stats(spark, path: str) -> DataFrame:
     """One-row operational health summary of a persisted MinHash
     index — the band-join twin of `similarity.ivf_index_stats`:
-    ``(n_docs, n_batches, max_bucket, p95_bucket, mean_bucket)``
-    from one bounded aggregation pass over ``bands/`` (group by band
-    bucket with map-side partial counts, then a scalar fold — never
-    the sets surface, which is the big one).
+    ``(n_docs, n_batches, max_bucket, p95_bucket, mean_bucket,
+    n_tombstones)`` from one bounded aggregation pass over ``bands/``
+    (group by band bucket with map-side partial counts, then a scalar
+    fold — never the sets surface, which is the big one) plus one
+    scalar tombstone count (``n_docs`` stays PHYSICAL — tombstoned ids
+    count until compaction applies the deletes).
 
     What an operator reads off it at 100 TB: the probe/candidate cost
     of every `dedup_against_index` batch is Σ(bucket·|batch-side
@@ -1312,8 +1335,17 @@ def minhash_index_stats(spark, path: str) -> DataFrame:
         F.countDistinct("id").alias("n_docs"),
         F.countDistinct("batch").alias("n_batches"),
     )
-    # two 1-row aggregates — the crossJoin is a broadcast of one row
-    return totals.crossJoin(bucket_stats)
+    # delete debt (`delete_from_minhash_index`): tombstoned docs still
+    # pay the probe-side anti-join and their bands/sets bytes until
+    # compaction applies them — the maintain watermark reads this
+    tombs = _minhash_tombstone_ids(spark, data_root)
+    n_tombstones = (
+        tombs.agg(F.count(F.lit(1)).alias("n_tombstones"))
+        if tombs is not None
+        else spark.range(1).select(F.lit(0).alias("n_tombstones"))
+    )
+    # 1-row aggregates — the crossJoins broadcast one row each
+    return totals.crossJoin(bucket_stats).crossJoin(n_tombstones)
 
 
 def maintain_minhash_index(
@@ -1323,6 +1355,7 @@ def maintain_minhash_index(
     max_bucket_watermark: int | None = None,
     folded_retention: int | None = None,
     vacuum: bool = False,
+    max_tombstone_ratio: float = 0.2,
 ) -> dict:
     """The scheduled maintenance job over `minhash_index_stats` — the
     band-join twin of `similarity.maintain_ivf_index`, acting on the
@@ -1345,6 +1378,12 @@ def maintain_minhash_index(
       (``p95_bucket`` near ``max_bucket`` — re-band with more bits)
       is a human/pipeline decision; the report carries both numbers.
 
+    - **tombstone debt**: pending deletes
+      (`delete_from_minhash_index`) past ``max_tombstone_ratio`` ×
+      ``n_docs`` fire the compaction too — until applied physically,
+      every probe pays the tombstone anti-join and the deleted docs'
+      bands/sets bytes.
+
     ``vacuum=True`` reclaims superseded versions via
     `vacuum_minhash_index` after a successful compaction — same
     timing caveat as `similarity.maintain_ivf_index` (default False;
@@ -1365,11 +1404,20 @@ def maintain_minhash_index(
         "max_bucket": row["max_bucket"],
         "p95_bucket": row["p95_bucket"],
         "mean_bucket": row["mean_bucket"],
+        "n_tombstones": row["n_tombstones"],
         "compacted": False,
         "compaction_race_lost": False,
         "crowd_flagged": row["max_bucket"] > max_bucket_watermark,
     }
-    if row["n_batches"] > max_batches:
+    # delete-debt watermark (the IVF/BM25 twin): pending tombstones
+    # past the ratio fire the compaction even below the fragmentation
+    # watermark — until applied, every probe pays the anti-join and
+    # the deleted docs' bands/sets bytes
+    tombstone_debt = bool(
+        row["n_docs"]
+        and row["n_tombstones"] > max_tombstone_ratio * row["n_docs"]
+    )
+    if row["n_batches"] > max_batches or tombstone_debt:
         try:
             report["compacted"] = compact_minhash_index(
                 spark, path, folded_retention=folded_retention
@@ -1395,7 +1443,7 @@ def vacuum_minhash_index(spark, path: str) -> list[str]:
     from ..sources.manifest import VersionedManifest
 
     return VersionedManifest(path).vacuum_versions(
-        spark, ("bands", "sets", INDEX_META_FILE)
+        spark, ("bands", "sets", "tombstones", INDEX_META_FILE)
     )
 
 
@@ -1532,6 +1580,105 @@ def append_minhash_index(
     )
 
 
+def _minhash_tombstone_ids(spark, data_root: str) -> DataFrame | None:
+    """Ids deleted from this index version
+    (`delete_from_minhash_index`), or None when no complete tombstone
+    batch exists — one column ``id``, matching the bands/sets surface.
+    Only MARKED batch dirs are read (a torn delete is invisible until
+    its same-token replay completes) — the shared completeness rule of
+    `similarity._ivf_tombstone_ids` / `text._bm25_tombstone_ids`."""
+    import posixpath as _pp
+
+    from ..sources.fs import glob_paths
+
+    troot = _pp.join(data_root, "tombstones")
+    marked = glob_paths(spark, _pp.join(troot, "batch=*", "_SUCCESS"))
+    if not marked:
+        return None
+    return (
+        spark.read.option("basePath", troot)
+        .parquet(*[p.rsplit("/", 1)[0] for p in marked])
+        .select("id")
+    )
+
+
+def delete_from_minhash_index(
+    ids: DataFrame,
+    path: str,
+    delete_token: str | None = None,
+) -> None:
+    """Delete documents from the persisted MinHash index WITHOUT a
+    rebuild — the retraction path (takedowns, right-to-be-forgotten)
+    of the dedup family, completing the delete lifecycle across all
+    three persisted indexes (`similarity.delete_from_ivf_index`,
+    `text.delete_from_bm25_index`).
+
+    Deletes are TOMBSTONES: ids land in an idempotent
+    ``tombstones/batch=<token>/`` directory of the current version —
+    O(|deleted|), bands/sets untouched — and `dedup_against_index`
+    anti-joins them out of the stored bands before the candidate
+    join, so a deleted doc stops claiming new batch rows as its
+    near-duplicates at the very next probe (the retraction semantics
+    that MATTER here: without it, a removed document would keep
+    suppressing fresh ingests that resemble it). `compact_minhash_index`
+    applies tombstones physically on both sides (bands AND sets) and
+    starts the new version with none.
+
+    ``ids`` is a one-column DataFrame (or any DataFrame carrying an
+    ``id`` column — the index's internal id surface). Same-token
+    retries overwrite their own batch dir; the manifest version bump
+    serializes deletes against compactions; compacted-away tokens are
+    durable in ``folded`` so replays no-op. RE-ADD contract: a
+    tombstone suppresses its id wherever it lives, including batches
+    folded after the delete — re-adding a deleted id requires
+    compacting first. Requires the manifest layout (rebuild a legacy
+    index first).
+    """
+    import posixpath as _pp
+    import uuid as _uuid
+
+    from ..sources.fs import require_success_marker
+    from ..sources.manifest import VersionedManifest
+
+    token = (
+        delete_token if delete_token is not None else _uuid.uuid4().hex
+    )
+    if "/" in token or "=" in token:
+        raise ValueError(f"delete_token must be path-safe: {token!r}")
+    spark = ids.sparkSession
+    vm = VersionedManifest(path)
+    for _attempt in range(5):
+        version, payload = vm.resolve(spark)
+        if payload is None:
+            _resolve_minhash_index(spark, path)  # raises if missing
+            raise ValueError(
+                f"MinHash index at {path} predates the manifest layout "
+                "— rebuild with write_minhash_index before deleting"
+            )
+        if token in set(payload.get("folded", ())):
+            return
+        _, data_root = _minhash_meta_from_payload(version, payload, path)
+        tomb = (
+            ids.select(F.col("id"))
+            if "id" in ids.columns
+            else ids.select(F.col(ids.columns[0]).alias("id"))
+        ).distinct()
+        tdir = _pp.join(data_root, "tombstones", f"batch={token}")
+        (
+            tomb.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .parquet(tdir)
+        )
+        require_success_marker(spark, tdir, "MinHash delete")
+        if vm.publish(spark, payload, version):
+            vm.vacuum_superseded(spark)
+            return
+    raise RuntimeError(
+        f"MinHash index delete {token!r} at {path} lost the manifest "
+        "race 5 times in a row — pause compactions and retry"
+    )
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     path: str,
@@ -1577,6 +1724,16 @@ def dedup_against_index(
     idx_bands = spark.read.parquet(
         _os.path.join(data_root, "bands")
     ).select("id", "band_id", "band_hash")
+    # tombstoned ids (`delete_from_minhash_index`) are pruned from the
+    # corpus side BEFORE the candidate join: a deleted doc must stop
+    # claiming new rows as its near-duplicates at the next probe. The
+    # bands side alone suffices — an id with no band rows can never
+    # reach the verify stage. Anti-join side is the tombstone set
+    # (deletes since the last compaction), un-hinted so AQE broadcasts
+    # it while small.
+    tombs = _minhash_tombstone_ids(spark, data_root)
+    if tombs is not None:
+        idx_bands = idx_bands.join(tombs, "id", "left_anti")
     idx_sets = spark.read.parquet(_os.path.join(data_root, "sets")).select(
         "id", "shset"
     )

@@ -1531,6 +1531,29 @@ def _pq_reconstructed_vec() -> Column:
     )
 
 
+def _ivf_tombstone_ids(spark, data_root: str, id_col: str) -> DataFrame | None:
+    """Ids deleted from this index version (`delete_from_ivf_index`)
+    that every reader must exclude, or None when no complete tombstone
+    batch exists. Only MARKED batch dirs are read — a torn delete
+    commit (data files, no ``_SUCCESS``) is invisible to probes until
+    its same-token replay completes, the same completeness rule
+    compaction applies to cell folds; the one FS listing per probe is
+    the same price the batch layout already pays."""
+    import posixpath as _pp
+
+    from ..sources.fs import glob_paths
+
+    troot = _pp.join(data_root, "tombstones")
+    marked = glob_paths(spark, _pp.join(troot, "batch=*", "_SUCCESS"))
+    if not marked:
+        return None
+    return (
+        spark.read.option("basePath", troot)
+        .parquet(*[p.rsplit("/", 1)[0] for p in marked])
+        .select(id_col)
+    )
+
+
 def _decoded_cells(spark, cells: DataFrame, meta: dict, data_root: str) -> DataFrame:
     """Cells with the vector column restored for scoring, whatever the
     storage tier — the ONE reconstruction seam shared by the probe
@@ -1539,9 +1562,22 @@ def _decoded_cells(spark, cells: DataFrame, meta: dict, data_root: str) -> DataF
     codebook row and concatenates codewords. Approximation error is
     the tier's documented trade (int8 ≤ 1 LSB/dim; pq = per-subspace
     k-means residual) — exactness callers add the raw-vector
-    ``rerank``."""
+    ``rerank``.
+
+    Tombstoned rows (`delete_from_ivf_index`) are excluded HERE, so
+    every reader of the cells — search probes, decontamination range
+    probes, kNN eval, the streaming semantic ingest's dedup-vs-index
+    stage — sees deletes through one seam: a deleted row can neither
+    be returned as a match nor absorb a new near-duplicate. The
+    anti-join side is the tombstone set (deletes since the last
+    compaction — small by operational contract), deliberately
+    un-hinted so AQE broadcasts it while it is small and degrades
+    gracefully if an operator lets it grow."""
     import posixpath as _pp
 
+    tombs = _ivf_tombstone_ids(spark, data_root, meta["id_col"])
+    if tombs is not None:
+        cells = cells.join(tombs, meta["id_col"], "left_anti")
     vec_col = meta["vec_col"]
     if meta["cell_storage"] == "int8":
         return cells.withColumn(vec_col, _dequantized_vec()).drop(
@@ -2009,6 +2045,92 @@ def append_ivf_index(
     )
 
 
+def delete_from_ivf_index(
+    ids: DataFrame,
+    path: str,
+    delete_token: str | None = None,
+) -> None:
+    """Delete vectors from the persisted IVF index WITHOUT a rebuild —
+    the data-retraction path (takedowns, right-to-be-forgotten,
+    license revocation) a 100 TB deployment cannot serve with
+    `write_ivf_index`, whose cost is the whole corpus.
+
+    Deletes are TOMBSTONES, the Lucene/Delta model: the ids land in an
+    idempotent ``tombstones/batch=<token>/`` directory of the current
+    version — O(|deleted|) write, the cells are untouched — and every
+    reader excludes them through the `_decoded_cells` seam (search
+    probes, decontamination, kNN eval, streaming ingest: a deleted row
+    can neither be returned nor absorb a new near-duplicate, effective
+    at the next probe). The PHYSICAL reclaim is `compact_ivf_index`,
+    which anti-joins the folded base against the tombstones and starts
+    the new version with none — until then probes still scan the
+    deleted rows' bytes inside their cells and pay one small anti-join
+    (`maintain_ivf_index`'s ``max_tombstone_ratio`` watermark exists
+    to bound exactly that).
+
+    ``ids`` is a one-column DataFrame (or any DataFrame carrying the
+    index's id column). Deleting an id the index does not hold is a
+    no-op by value. Same-token retries overwrite their own batch dir
+    (the foreachBatch replay contract shared with `append_ivf_index`);
+    the manifest version bump serializes deletes against compactions —
+    a compaction that globbed before this tombstone landed loses its
+    race instead of publishing a version that silently resurrects the
+    rows. Compacted-away tokens are durable in the ``folded`` list so
+    a replay after compaction no-ops instead of re-tombstoning an id a
+    later batch legitimately re-added.
+
+    RE-ADD contract: a tombstone suppresses its id wherever it lives,
+    including batches folded AFTER the delete — re-adding a deleted id
+    requires compacting first (which applies and clears the
+    tombstones), the delete-side twin of `append_bm25_index`'s
+    new-docs-only note.
+    """
+    import posixpath as _pp
+    import uuid as _uuid
+
+    from ..sources.fs import require_success_marker
+    from ..sources.manifest import VersionedManifest
+
+    token = (
+        delete_token if delete_token is not None else _uuid.uuid4().hex
+    )
+    if "/" in token or "=" in token:
+        raise ValueError(f"delete_token must be path-safe: {token!r}")
+    spark = ids.sparkSession
+    vm = VersionedManifest(path)
+    for _attempt in range(5):
+        version, payload = vm.resolve(spark)
+        if payload is None:
+            _resolve_ivf_index(spark, path)  # raises if truly missing
+            raise ValueError(
+                f"IVF index at {path} predates the manifest layout — "
+                "rebuild with write_ivf_index before deleting"
+            )
+        if token in set(payload.get("folded", ())):
+            return
+        meta, data_root = _ivf_meta_from_payload(version, payload, path)
+        id_col = meta["id_col"]
+        tomb = (
+            ids.select(F.col(id_col))
+            if id_col in ids.columns
+            else ids.select(F.col(ids.columns[0]).alias(id_col))
+        ).distinct()
+        tdir = _pp.join(data_root, "tombstones", f"batch={token}")
+        (
+            tomb.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .parquet(tdir)
+        )
+        require_success_marker(spark, tdir, "IVF delete")
+        if vm.publish(spark, payload, version):
+            vm.vacuum_superseded(spark)
+            return
+    raise RuntimeError(
+        f"IVF index delete {token!r} at {path} lost the manifest race "
+        "5 times in a row — pause compactions and retry"
+    )
+
+
 def compact_ivf_index(
     spark, path: str, folded_retention: int | None = None
 ) -> bool:
@@ -2026,7 +2148,17 @@ def compact_ivf_index(
     everywhere: old version live until the publish, vacuum afterwards.
     False on a legacy index. ``folded_retention`` bounds the
     cumulative folded-token list to the newest N in fold order — same
-    contract and safety argument as `compact_minhash_index`'s."""
+    contract and safety argument as `compact_minhash_index`'s.
+
+    Tombstones (`delete_from_ivf_index`) are APPLIED here: the folded
+    base anti-joins the complete tombstone batches, so the new version
+    physically drops the deleted rows and starts with no tombstones —
+    probes stop paying the deleted rows' scan bytes and the per-probe
+    anti-join. Tombstone tokens join the ``folded`` list (one token
+    namespace with appends), so a delete replayed after its compaction
+    no-ops instead of re-tombstoning an id a later batch legitimately
+    re-added. Torn tombstone commits refuse exactly like torn cell
+    folds."""
     import posixpath as _pp
     import uuid as _uuid
 
@@ -2039,16 +2171,16 @@ def compact_ivf_index(
         return False
     meta, old_root = _ivf_meta_from_payload(version, payload, path)
 
-    def _glob_tokens(leaf: str) -> set[str]:
+    def _glob_tokens(subdir: str, leaf: str) -> set[str]:
         return {
             p.rsplit("batch=", 1)[1].split("/", 1)[0]
             for p in glob_paths(
-                spark, _pp.join(old_root, "cells", "batch=*", leaf)
+                spark, _pp.join(old_root, subdir, "batch=*", leaf)
             )
         }
 
-    marked = _glob_tokens("_SUCCESS")
-    torn = sorted(_glob_tokens("centroid_id=*/part-*") - marked)
+    marked = _glob_tokens("cells", "_SUCCESS")
+    torn = sorted(_glob_tokens("cells", "centroid_id=*/part-*") - marked)
     if torn:
         raise RuntimeError(
             f"IVF index at {path}: cells batch dirs {torn} hold data "
@@ -2056,12 +2188,24 @@ def compact_ivf_index(
             "Restart the ingest so the same-token replay completes "
             "these folds, or remove the torn directories, then compact."
         )
+    # tombstone completeness mirrors the cells rule: probes simply skip
+    # a torn delete (replay heals it), but a compaction that ignored
+    # one would publish a base RESURRECTING the rows it meant to drop
+    t_marked = _glob_tokens("tombstones", "_SUCCESS")
+    t_torn = sorted(_glob_tokens("tombstones", "part-*") - t_marked)
+    if t_torn:
+        raise RuntimeError(
+            f"IVF index at {path}: tombstone batch dirs {t_torn} hold "
+            "data files without a _SUCCESS marker — a torn delete "
+            "commit. Re-run the same-token delete to complete it, or "
+            "remove the torn directories, then compact."
+        )
     complete = sorted(marked)
     if not complete:
         return False
     rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")
     vroot = _pp.join(path, rel)
-    (
+    folded_cells = (
         # basePath: each selected batch dir contains centroid_id=
         # partitions, and without a common table root the multi-path
         # discovery rejects the layout as conflicting
@@ -2078,7 +2222,16 @@ def compact_ivf_index(
                 else [meta["id_col"], meta["vec_col"], "centroid_id"]
             )
         )
-        .repartition("centroid_id")
+    )
+    if t_marked:
+        # apply deletes physically: the new base never holds the rows,
+        # and the new version carries no tombstones/ dir at all
+        tombs = _ivf_tombstone_ids(spark, old_root, meta["id_col"])
+        folded_cells = folded_cells.join(
+            tombs, meta["id_col"], "left_anti"
+        )
+    (
+        folded_cells.repartition("centroid_id")
         .write.mode("errorifexists")
         .partitionBy("centroid_id")
         .parquet(_pp.join(vroot, "cells", "batch=base"))
@@ -2108,7 +2261,8 @@ def compact_ivf_index(
     from .dedup import _fold_token_list
 
     folded = _fold_token_list(
-        payload.get("folded", ()), complete, folded_retention
+        payload.get("folded", ()), complete + sorted(t_marked),
+        folded_retention,
     )
     if not vm.publish(
         spark, {**payload, "current": rel, "folded": folded}, version
@@ -2135,7 +2289,8 @@ def vacuum_ivf_index(spark, path: str) -> list[str]:
     from ..sources.manifest import VersionedManifest
 
     return VersionedManifest(path).vacuum_versions(
-        spark, ("cells", "centroids", "coarse", "pq", IVF_META_FILE)
+        spark,
+        ("cells", "centroids", "coarse", "pq", "tombstones", IVF_META_FILE),
     )
 
 
@@ -2188,10 +2343,11 @@ def maintain_ivf_index(
     max_cell_ratio: float = 8.0,
     folded_retention: int | None = None,
     vacuum: bool = False,
+    max_tombstone_ratio: float = 0.2,
 ) -> dict:
     """The scheduled maintenance job `ivf_index_stats` exists to feed
     (same spirit as `streaming.maintain` for aggregates): read the
-    per-cell health stats once, then act on the two watermarks the
+    per-cell health stats once, then act on the watermarks the
     stats docstring names.
 
     - **fold fragmentation**: when any cell spans more than
@@ -2217,6 +2373,15 @@ def maintain_ivf_index(
       2-level build — are a human/pipeline decision, per the stats
       docstring).
 
+    - **tombstone debt**: when the complete tombstone batches hold
+      more than ``max_tombstone_ratio`` × the physical row count, run
+      the compaction too — until tombstones are applied physically,
+      every probe pays the deleted rows' scan bytes INSIDE its probed
+      cells plus the per-probe anti-join, so unbounded delete debt
+      erodes exactly the scan economics the cell layout exists for
+      (the Lucene deleted-docs-before-merge cost, with compaction as
+      the merge).
+
     ``vacuum=True`` additionally reclaims superseded versions via
     `vacuum_ivf_index` AFTER a successful compaction (and only then —
     vacuum timing is operational: probes draining the old version must
@@ -2224,19 +2389,22 @@ def maintain_ivf_index(
     tick keeps the default False and vacuums on its own schedule).
 
     Driver cost is one bounded aggregation (≤ n_centroids rows
-    collected — the bounded-driver-read pattern); returns a report
-    dict suitable for job logs/alerting::
+    collected — the bounded-driver-read pattern) plus one scalar
+    tombstone count; returns a report dict suitable for job
+    logs/alerting::
 
-        {"n_cells", "n_cells_configured", "n_rows",
+        {"n_cells", "n_cells_configured", "n_rows", "n_tombstones",
          "max_batches_seen", "compacted", "compaction_race_lost",
          "balanced_cell_rows", "max_cell_rows",
          "skewed_cells": [(centroid_id, n_rows), ...],
          "rebuild_recommended"}
     """
-    meta, _ = _resolve_ivf_index(spark, path)
+    meta, data_root = _resolve_ivf_index(spark, path)
     k_total = meta["n_centroids"] * (meta["n_fine"] or 1)
     stats = ivf_index_stats(spark, path).collect()
     n_rows = sum(r["n_rows"] for r in stats)
+    tombs = _ivf_tombstone_ids(spark, data_root, meta["id_col"])
+    n_tombstones = tombs.count() if tombs is not None else 0
     balanced = n_rows / k_total if k_total else 0.0
     max_seen = max((r["n_batches"] for r in stats), default=0)
     # None-safe sort key: NULL-vector rows live in a NULL centroid_id
@@ -2255,6 +2423,7 @@ def maintain_ivf_index(
         "n_cells": len(stats),
         "n_cells_configured": k_total,
         "n_rows": n_rows,
+        "n_tombstones": n_tombstones,
         "max_batches_seen": max_seen,
         "compacted": False,
         "compaction_race_lost": False,
@@ -2263,7 +2432,9 @@ def maintain_ivf_index(
         "skewed_cells": skewed,
         "rebuild_recommended": bool(skewed),
     }
-    if max_seen > max_batches:
+    if max_seen > max_batches or (
+        n_rows > 0 and n_tombstones > max_tombstone_ratio * n_rows
+    ):
         try:
             report["compacted"] = compact_ivf_index(
                 spark, path, folded_retention=folded_retention

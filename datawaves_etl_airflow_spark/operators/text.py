@@ -829,13 +829,128 @@ def append_bm25_index(
     )
 
 
+def _bm25_tombstone_ids(spark, data_root: str) -> DataFrame | None:
+    """Doc ids deleted from this index version
+    (`delete_from_bm25_index`), or None when no complete tombstone
+    batch exists — one column ``doc``, matching the postings surface.
+    Only MARKED batch dirs are read (a torn delete commit is invisible
+    until its same-token replay completes), the same completeness rule
+    as `similarity._ivf_tombstone_ids`."""
+    import posixpath as _pp
+
+    from ..sources.fs import glob_paths
+
+    troot = _pp.join(data_root, "tombstones")
+    marked = glob_paths(spark, _pp.join(troot, "batch=*", "_SUCCESS"))
+    if not marked:
+        return None
+    return (
+        spark.read.option("basePath", troot)
+        .parquet(*[p.rsplit("/", 1)[0] for p in marked])
+        .select("doc")
+    )
+
+
+def delete_from_bm25_index(
+    ids: DataFrame,
+    path: str,
+    delete_token: str | None = None,
+) -> None:
+    """Delete documents from the persisted BM25 index WITHOUT a
+    rebuild — the retraction path (takedowns, right-to-be-forgotten,
+    license revocation) the append-only fold cannot serve, and the
+    lexical twin of `similarity.delete_from_ivf_index`.
+
+    Deletes are TOMBSTONES (the Lucene deleted-docs model): ids land
+    in an idempotent ``tombstones/batch=<token>/`` directory of the
+    current version — O(|deleted|), the postings are untouched — and
+    `bm25_search_index` anti-joins them out of the probed postings
+    BEFORE scoring. The score contract until compaction, exactly
+    Lucene-before-merge except stronger on df:
+
+    - a deleted doc is never retrieved, and its postings are pruned
+      before the df aggregation, so **df is exact post-delete** for
+      every probed term (df folds from the probed buckets' surviving
+      rows, not from stored counts);
+    - **N and avgdl stay build-time** (they fold from the tiny
+      ``meta/`` rows, which a tombstone cannot see into) — scores
+      carry a collection-stats bias bounded by the deleted fraction
+      until `compact_bm25_index` runs.
+
+    Compaction applies tombstones physically AND corrects N/sum_dl
+    exactly from the dropped postings (each deleted doc's ``dl``
+    travels on its posting rows), so a post-compaction probe is
+    value-identical to a fresh `write_bm25_index` over the surviving
+    corpus — pinned in TestBm25Deletes. The one honest residual: a
+    deleted doc with ZERO tokens has no posting rows to correct from,
+    so it keeps inflating N until a true rebuild (it can never match
+    a query, so only the shared idf/avgdl scale is off, by at most
+    the empty-doc fraction).
+
+    ``ids`` is a one-column DataFrame (or any DataFrame carrying the
+    index's id column). Same-token retries overwrite their own batch
+    dir; the manifest version bump serializes deletes against
+    compactions/resizes; compacted-away tokens are durable in
+    ``folded`` so replays no-op. RE-ADD contract: a tombstone
+    suppresses its doc id wherever it lives, including batches folded
+    after the delete — re-adding a deleted id requires compacting
+    first, the delete-side twin of `append_bm25_index`'s
+    new-docs-only note.
+    """
+    import posixpath as _pp
+    import uuid as _uuid
+
+    from ..sources.fs import require_success_marker
+    from ..sources.manifest import VersionedManifest
+
+    token = (
+        delete_token if delete_token is not None else _uuid.uuid4().hex
+    )
+    if "/" in token or "=" in token:
+        raise ValueError(f"delete_token must be path-safe: {token!r}")
+    spark = ids.sparkSession
+    vm = VersionedManifest(path)
+    for _attempt in range(5):
+        version, payload = vm.resolve(spark)
+        if payload is None:
+            raise ValueError(
+                f"no BM25 index manifest under {path} — not an index "
+                "directory (build one with write_bm25_index)"
+            )
+        if token in set(payload.get("folded", ())):
+            return
+        # parse the already-resolved payload — one manifest round-trip
+        # per attempt, the property every writer here keeps
+        id_col = str(payload["id_col"])
+        data_root = _pp.join(path, str(payload["current"]))
+        tomb = (
+            ids.select(F.col(id_col).alias("doc"))
+            if id_col in ids.columns
+            else ids.select(F.col(ids.columns[0]).alias("doc"))
+        ).distinct()
+        tdir = _pp.join(data_root, "tombstones", f"batch={token}")
+        (
+            tomb.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .parquet(tdir)
+        )
+        require_success_marker(spark, tdir, "BM25 delete")
+        if vm.publish(spark, payload, version):
+            vm.vacuum_superseded(spark)
+            return
+    raise RuntimeError(
+        f"BM25 index delete {token!r} at {path} lost the manifest race "
+        "5 times in a row — pause compactions and retry"
+    )
+
+
 def vacuum_bm25_index(spark, path: str) -> list[str]:
     """Reclaim superseded BM25 index versions (same contract as
     `vacuum_minhash_index` / `similarity.vacuum_ivf_index`)."""
     from ..sources.manifest import VersionedManifest
 
     return VersionedManifest(path).vacuum_versions(
-        spark, ("postings", "meta", BM25_INDEX_META)
+        spark, ("postings", "meta", "tombstones", BM25_INDEX_META)
     )
 
 
@@ -887,15 +1002,24 @@ def bm25_search_index(
         .distinct()
         .collect()
     )
-    tf = (
-        spark.read.parquet(_pp.join(data_root, "postings"))
-        .filter(F.col("bucket").isin(buckets))
-        .select(
-            F.col("doc").alias("_doc"),
-            F.col("dl").alias("_dl"),
-            F.col("term").alias("_w"),
-            F.col("tf").alias("_tf"),
-        )
+    probed = spark.read.parquet(_pp.join(data_root, "postings")).filter(
+        F.col("bucket").isin(buckets)
+    )
+    # tombstoned docs (`delete_from_bm25_index`) are pruned BEFORE the
+    # ranking, so a deleted doc is never retrieved AND the df folded
+    # from the surviving probed rows is exact post-delete; N/avgdl
+    # (the meta fold above) stay build-time until compaction — the
+    # documented Lucene-before-merge stats contract. The anti-join
+    # side is the tombstone set (deletes since the last compaction),
+    # deliberately un-hinted so AQE broadcasts it while small.
+    tombs = _bm25_tombstone_ids(spark, data_root)
+    if tombs is not None:
+        probed = probed.join(tombs, "doc", "left_anti")
+    tf = probed.select(
+        F.col("doc").alias("_doc"),
+        F.col("dl").alias("_dl"),
+        F.col("term").alias("_w"),
+        F.col("tf").alias("_tf"),
     )
     return _bm25_rank(
         qterms, tf, stats, k, k1, b, max_df_ratio, meta["id_col"],
@@ -953,6 +1077,18 @@ def _refold_bm25_index(
             "the ingest so the same-token replay completes these "
             "folds, or remove the torn directories, then compact."
         )
+    # tombstone completeness mirrors the postings rule: probes simply
+    # skip a torn delete (replay heals it), but a refold that ignored
+    # one would publish a base resurrecting the docs it meant to drop
+    t_marked = _glob_tokens("tombstones", "_SUCCESS")
+    t_torn = sorted(_glob_tokens("tombstones", "part-*") - t_marked)
+    if t_torn:
+        raise RuntimeError(
+            f"BM25 index at {path}: tombstone batch dirs {t_torn} hold "
+            "data files without a _SUCCESS marker — a torn delete "
+            "commit. Re-run the same-token delete to complete it, or "
+            "remove the torn directories, then compact."
+        )
     complete = sorted(marked)
     if not complete:
         return False
@@ -968,6 +1104,28 @@ def _refold_bm25_index(
         )
         .select("term", "doc", "dl", "tf", "bucket")
     )
+    stats_correction = None
+    if t_marked:
+        # apply deletes physically AND correct the corpus stats
+        # EXACTLY: each deleted doc's dl travels on its posting rows,
+        # so one distinct over the dropped rows yields the (n_docs,
+        # sum_dl) to subtract — a post-refold probe is value-identical
+        # to a fresh build over the survivors (the one residual is a
+        # deleted doc with ZERO tokens: no posting rows, no
+        # correction; it can never match a query, so only the shared
+        # N/avgdl scale carries that bias until a true rebuild). The
+        # new version starts with no tombstones/ dir at all.
+        tombs = _bm25_tombstone_ids(spark, old_root)
+        stats_correction = (
+            postings.join(tombs, "doc", "left_semi")
+            .select("doc", "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("_del_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("_del_dl"),
+            )
+        )
+        postings = postings.join(tombs, "doc", "left_anti")
     if new_n_buckets is not None:
         # the same bucket expression _bm25_postings uses, so probes of
         # the resized layout prune exactly like a fresh build's
@@ -981,16 +1139,26 @@ def _refold_bm25_index(
         .partitionBy("bucket")
         .parquet(_pp.join(vroot, "postings", "batch=base"))
     )
-    (
-        spark.read.parquet(
-            *[_pp.join(old_root, "meta", f"batch={t}") for t in complete]
+    folded_meta = spark.read.parquet(
+        *[_pp.join(old_root, "meta", f"batch={t}") for t in complete]
+    ).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    if stats_correction is not None:
+        # broadcast 1-row × 1-row — the sanctioned tiny-side crossJoin
+        folded_meta = folded_meta.crossJoin(
+            F.broadcast(stats_correction)
+        ).select(
+            (F.col("n_docs") - F.col("_del_docs"))
+            .cast("long")
+            .alias("n_docs"),
+            (F.col("sum_dl") - F.col("_del_dl"))
+            .cast("long")
+            .alias("sum_dl"),
         )
-        .agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("sum_dl").cast("long").alias("sum_dl"),
-        )
-        .write.mode("errorifexists")
-        .parquet(_pp.join(vroot, "meta", "batch=base"))
+    folded_meta.write.mode("errorifexists").parquet(
+        _pp.join(vroot, "meta", "batch=base")
     )
     require_success_marker(
         spark, _pp.join(vroot, "postings", "batch=base"), op_name
@@ -999,7 +1167,8 @@ def _refold_bm25_index(
         spark, _pp.join(vroot, "meta", "batch=base"), op_name
     )
     folded = _fold_token_list(
-        payload.get("folded", ()), complete, folded_retention
+        payload.get("folded", ()), complete + sorted(t_marked),
+        folded_retention,
     )
     new_payload = {**payload, "current": rel, "folded": folded}
     if new_n_buckets is not None:
@@ -1038,6 +1207,14 @@ def compact_bm25_index(
 
     The meta side folds to ONE row (n_docs/sum_dl sum additively), so
     probe stats cost stays O(1) regardless of fold history.
+
+    Tombstones (`delete_from_bm25_index`) are APPLIED here: the folded
+    postings anti-join the complete tombstone batches, N/sum_dl are
+    corrected exactly from the dropped rows' ``(doc, dl)``, tombstone
+    tokens join ``folded`` (so delete replays no-op), and the new
+    version starts tombstone-free — a post-compaction probe is
+    value-identical to a fresh build over the surviving corpus. Torn
+    tombstone commits refuse exactly like torn postings folds.
     """
     return _refold_bm25_index(
         spark, path, folded_retention, None, "BM25 index compaction"
@@ -1055,7 +1232,11 @@ def resize_bm25_index(
     the difference between an overnight layout job and re-running the
     whole ingest. Scores are untouched (bucketing is pure layout; df /
     tf / N / avgdl never change), so probes rank identically before
-    and after — pinned in TestResizeBm25Index.
+    and after — pinned in TestResizeBm25Index. One exception: pending
+    tombstones are applied by the shared refold core (a resize is also
+    a compaction), so with deletes outstanding the post-resize scores
+    are the post-compaction ones — corrected stats over the surviving
+    corpus, not the pre-delete ranking.
 
     Also compacts as a side effect (the refold lands one
     ``batch=base``), inherits the full compaction contract
@@ -1086,8 +1267,12 @@ def bm25_index_stats(spark, path: str) -> DataFrame:
     """One-row operational health summary of a persisted BM25 index —
     the lexical sibling of `dedup.minhash_index_stats`: ``(n_docs,
     n_batches, max_bucket, p95_bucket, mean_bucket,
-    max_term_in_max_bucket, max_term_postings)`` where bucket
-    occupancy counts POSTINGS per term-hash bucket,
+    max_term_in_max_bucket, max_term_postings, n_tombstones)`` where
+    bucket occupancy counts POSTINGS per term-hash bucket (surviving
+    AND tombstoned — heat is physical until compaction applies the
+    deletes), ``n_tombstones`` counts pending deletes
+    (`delete_from_bm25_index` — note ``n_docs`` is the build-time
+    meta fold, which tombstones cannot see into until compaction),
     ``max_term_in_max_bucket`` is the largest single TERM's posting
     count inside the HOTTEST bucket, and ``max_term_postings`` is the
     global single-term max (context only).
@@ -1141,11 +1326,21 @@ def bm25_index_stats(spark, path: str) -> DataFrame:
     n_batches = postings.agg(
         F.countDistinct("batch").alias("n_batches")
     )
+    # delete debt: tombstoned docs still pay probe-side anti-joins and
+    # postings bytes until the next compaction applies them — the
+    # `maintain_bm25_index` watermark reads this column
+    tombs = _bm25_tombstone_ids(spark, data_root)
+    n_tombstones = (
+        tombs.agg(F.count(F.lit(1)).alias("n_tombstones"))
+        if tombs is not None
+        else spark.range(1).select(F.lit(0).alias("n_tombstones"))
+    )
     return (
         totals_meta.crossJoin(n_batches)
         .crossJoin(bucket_stats)
         .crossJoin(term_stats)
         .crossJoin(global_term)
+        .crossJoin(n_tombstones)
     )
 
 
@@ -1157,6 +1352,7 @@ def maintain_bm25_index(
     folded_retention: int | None = None,
     vacuum: bool = False,
     resize_on_hot: int | None = None,
+    max_tombstone_ratio: float = 0.2,
 ) -> dict:
     """The scheduled maintenance job over `bm25_index_stats` — same
     policy shape as `similarity.maintain_ivf_index` /
@@ -1189,7 +1385,15 @@ def maintain_bm25_index(
     re-running the same resize cannot fix either; raise the target or
     apply the valve). Default None keeps the r9 observe-only
     behavior. A resize implies a compaction, so the fragmentation
-    branch is skipped in the same tick when the resize fired."""
+    branch is skipped in the same tick when the resize fired.
+
+    ``max_tombstone_ratio`` is the delete-debt watermark (the IVF
+    side's twin): when pending tombstones exceed that fraction of
+    ``n_docs``, the compaction fires even below the fragmentation
+    watermark — until deletes are applied physically every probe pays
+    the tombstone anti-join and the deleted docs' postings bytes, and
+    N/avgdl carry the deleted mass (the Lucene
+    deleted-docs-before-merge cost, with compaction as the merge)."""
     meta, _root = _resolve_bm25_index(spark, path)
     row = bm25_index_stats(spark, path).collect()[0]
     hot = bool(
@@ -1204,6 +1408,7 @@ def maintain_bm25_index(
         "mean_bucket": row["mean_bucket"],
         "max_term_in_max_bucket": row["max_term_in_max_bucket"],
         "max_term_postings": row["max_term_postings"],
+        "n_tombstones": row["n_tombstones"],
         "n_buckets": meta["n_buckets"],
         "compacted": False,
         "compaction_race_lost": False,
@@ -1235,7 +1440,13 @@ def maintain_bm25_index(
                 report["compaction_race_lost"] = True
             if vacuum and report["resized"]:
                 report["vacuumed"] = vacuum_bm25_index(spark, path)
-    if row["n_batches"] > max_batches and not report["resized"]:
+    tombstone_debt = bool(
+        row["n_docs"]
+        and row["n_tombstones"] > max_tombstone_ratio * row["n_docs"]
+    )
+    if (
+        row["n_batches"] > max_batches or tombstone_debt
+    ) and not report["resized"]:
         try:
             report["compacted"] = compact_bm25_index(
                 spark, path, folded_retention=folded_retention

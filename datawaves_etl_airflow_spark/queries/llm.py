@@ -1135,6 +1135,43 @@ def llm_ann_ivf_filtered(
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def llm_ann_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-delete certificate for the persisted IVF index
+    (`similarity.delete_from_ivf_index` — the retraction path:
+    takedowns, right-to-be-forgotten, license revocation, which a
+    100 TB index cannot serve with a rebuild): the full corpus is
+    indexed, every ``vec_id % 7 == 0`` is deleted as an O(|deleted|)
+    tombstone write (cells untouched, NO compaction — the probe-time
+    anti-join seam is what gets certified), and a FULL-probe search
+    must equal the exact brute-force top-5 over the SURVIVING corpus
+    — the `llm_ann_ivf_2level` value-oracle pattern applied to
+    deletes: at nprobe = n_centroids the only thing that can differ
+    is delete semantics, so a resurrected or lingering row breaks the
+    value hash. Two of the ten query vectors (0, 7) are themselves
+    deleted corpus rows — their guaranteed self-match at cosine 1.0
+    must vanish, the sharpest possible probe of the exclusion.
+    Executed eagerly (localCheckpoint) so the temp index is removed
+    before return."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    qs = _query_vecs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="llm_ivfdel_")
+    try:
+        similarity.write_ivf_index(embs, idx, n_centroids=16, n_iters=1)
+        similarity.delete_from_ivf_index(
+            embs.filter(F.col("vec_id") % 7 == 0).select("vec_id"),
+            idx,
+            delete_token="retract1",
+        )
+        return similarity.ivf_search_index(
+            qs, idx, nprobe=16, k=5
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 text retrieval (`text.bm25_topk`) under a FULL value-level
     oracle: queries are the first 6 tokens of docs 0-4 (deterministic,
@@ -1248,6 +1285,45 @@ def llm_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             qs, idx, k=5,
             allowed=d.filter(F.col("doc_id") % 2 == 0).select("doc_id"),
         ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def llm_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-delete + compaction certificate for the persisted
+    BM25 index (`text.delete_from_bm25_index` →
+    `compact_bm25_index`): the full documents table is indexed, every
+    ``doc_id % 3 == 0`` is deleted as a tombstone, and the compaction
+    applies it physically — postings anti-joined AND the corpus stats
+    corrected EXACTLY from the dropped rows' ``(doc, dl)`` — so the
+    probe must rank value-identically to a fresh build over the
+    surviving corpus: the oracle is `llm_bm25_topk`'s replay with
+    tf/df/N/avgdl computed over survivors only, while the QUERY texts
+    still come from the full table (a retracted document's text can
+    still be a query; it just can never be retrieved — queries 0 and
+    3 are themselves deleted docs, the sharpest probe of the
+    exclusion). Executed eagerly (localCheckpoint) so the temp index
+    is removed before return."""
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    qs = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(dedup.tokenize(F.col("text")), 1, 6), " "
+        ).alias("query_text"),
+    )
+    idx = tempfile.mkdtemp(prefix="llm_bm25del_")
+    try:
+        text.write_bm25_index(d, idx, n_buckets=16)
+        text.delete_from_bm25_index(
+            d.filter(F.col("doc_id") % 3 == 0).select("doc_id"),
+            idx,
+            delete_token="retract1",
+        )
+        text.compact_bm25_index(spark, idx)
+        return text.bm25_search_index(qs, idx, k=5).localCheckpoint()
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
@@ -1730,7 +1806,9 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: n_candidates — filtered-only, parameter-gated; train_pq_codebooks
 #: NULL filter — no NULLs in the driver corpus) are value-neutral on
 #: every rotated-out query and re-verified by a full tools/parity.py
-#: run this round.
+#: run this round. Post-rotation r10 additions llm_ann_ivf_deleted /
+#: llm_bm25_deleted (tombstone-delete lifecycle) are parity-green ×3
+#: SFs and join the r11 queue behind the 8 deferrals.
 DRIVER_QUERIES = [
     # never driver-verified, first: the seven r9 additions
     "llm_ann_ivf_pq",
@@ -1795,7 +1873,9 @@ QUERIES = {
     "llm_ann_ivf_pq": llm_ann_ivf_pq,
     "llm_ann_ivf_pq_rerank": llm_ann_ivf_pq_rerank,
     "llm_ann_ivf_filtered": llm_ann_ivf_filtered,
+    "llm_ann_ivf_deleted": llm_ann_ivf_deleted,
     "llm_bm25_topk": llm_bm25_topk,
+    "llm_bm25_deleted": llm_bm25_deleted,
     "llm_hybrid_retrieval": llm_hybrid_retrieval,
     "llm_hybrid_retrieval_index": llm_hybrid_retrieval_index,
     "llm_bm25_index": llm_bm25_index,
@@ -2661,6 +2741,67 @@ ORACLES["llm_hybrid_retrieval"] = f"""
 # in-session operator over the full table (additive df/N/avgdl folds,
 # shared scoring tree) — so it shares llm_bm25_topk's oracle verbatim.
 ORACLES["llm_bm25_index"] = ORACLES["llm_bm25_topk"]
+
+# llm_ann_ivf_deleted (r10): full-probe search after a tombstone
+# delete ≡ brute force over the SURVIVING corpus — the cosine replay
+# with the retraction predicate on the corpus side only (queries stay
+# the first 10 vectors; 0 and 7 are deleted rows, so their cosine-1.0
+# self-matches must be absent from the oracle too).
+ORACLES["llm_ann_ivf_deleted"] = ORACLES["llm_cosine_topk"].replace(
+    "FROM q CROSS JOIN embeddings e",
+    "FROM q CROSS JOIN embeddings e WHERE e.vec_id % 7 <> 0",
+)
+
+# llm_bm25_deleted (r10): delete → compact ≡ fresh build over the
+# survivors, value-for-value — tf/df/N/avgdl all over doc_id % 3 <> 0
+# (the compaction's exact stats correction is what makes this a
+# verbatim restriction of the llm_bm25_topk replay), while the query
+# texts still come from the FULL table (retracted docs can query,
+# never be retrieved).
+ORACLES["llm_bm25_deleted"] = f"""
+    WITH dall AS (
+        SELECT doc_id,
+               list_filter({_WORDS}, x -> x <> '') AS ws
+        FROM documents
+    ),
+    d AS (SELECT * FROM dall WHERE doc_id % 3 <> 0),
+    toks AS (
+        SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM d
+    ),
+    tf AS (
+        SELECT doc_id, dl, w, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, dl, w
+    ),
+    dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n, AVG(len(ws)) AS avgdl FROM d),
+    qt AS (
+        SELECT DISTINCT doc_id AS query_id, unnest(ws[1:6]) AS w
+        FROM dall WHERE doc_id < 5
+    ),
+    pair AS (
+        SELECT qt.query_id, tf.doc_id,
+               ROUND(SUM(
+                   ln(1.0 + (tot.n - dft.df + 0.5) / (dft.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / tot.avgdl))
+               ), 6) AS score
+        FROM qt
+        JOIN dft ON qt.w = dft.w
+        JOIN tf ON tf.w = qt.w
+        CROSS JOIN tot
+        GROUP BY qt.query_id, tf.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC
+               ) AS rank,
+               score
+        FROM pair
+    )
+    SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= 5
+"""
 
 # llm_bm25_filtered (r10): full-corpus df/N/avgdl (the filter does not
 # re-weight idf), scored pairs restricted to even doc ids BEFORE the

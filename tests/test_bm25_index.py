@@ -488,3 +488,147 @@ class TestFilteredBm25:
             _queries(spark), index_path, k=5, allowed=other
         )
         assert {r["doc_id"] for r in ok.collect()} <= {0, 2}
+
+
+class TestBm25Deletes:
+    """delete_from_bm25_index: tombstone deletes — the retraction path
+    the append-only fold cannot serve. Probe-time exclusion with exact
+    df; N/avgdl stale until compaction, which corrects them exactly
+    from the dropped postings (Lucene-before-merge, with a stronger
+    merge)."""
+
+    def test_deleted_doc_never_retrieved(self, spark, index_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            delete_from_bm25_index,
+        )
+
+        q = _queries(spark)
+        hit = bm25_search_index(q, index_path, k=5).filter(
+            F.col("doc_id") == 5
+        )
+        assert hit.count() >= 1  # doc 5 matches "spark topic1"
+        delete_from_bm25_index(
+            spark.createDataFrame([(5,)], "doc_id long"), index_path,
+            delete_token="take5",
+        )
+        got = sorted(
+            map(
+                tuple,
+                bm25_search_index(q, index_path, k=20).collect(),
+            )
+        )
+        assert all(r[1] != 5 for r in got)  # (query_id, doc_id, ...)
+        # replay + absent-id delete are no-ops
+        delete_from_bm25_index(
+            spark.createDataFrame([(5,), (777,)], "doc_id long"),
+            index_path, delete_token="take5",
+        )
+        again = sorted(
+            map(
+                tuple,
+                bm25_search_index(q, index_path, k=20).collect(),
+            )
+        )
+        assert got == again
+
+    def test_compaction_equals_rebuild_over_survivors(
+        self, spark, tmp_path
+    ):
+        """The headline contract: delete → compact ≡ write_bm25_index
+        over the surviving corpus, value-for-value (df AND the
+        N/avgdl correction from the dropped postings' dl)."""
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_index_stats,
+            compact_bm25_index,
+            delete_from_bm25_index,
+        )
+
+        p = str(tmp_path / "bm25d")
+        write_bm25_index(_docs(spark, 0, 30), p, n_buckets=16)
+        dels = spark.createDataFrame(
+            [(i,) for i in range(0, 30, 3)], "doc_id long"
+        )
+        delete_from_bm25_index(dels, p, delete_token="purge")
+        assert compact_bm25_index(spark, p) is True
+        got = sorted(
+            map(
+                tuple,
+                bm25_search_index(_queries(spark), p, k=10).collect(),
+            )
+        )
+        p2 = str(tmp_path / "bm25ref")
+        write_bm25_index(
+            _docs(spark, 0, 30).filter(F.col("doc_id") % 3 != 0),
+            p2,
+            n_buckets=16,
+        )
+        want = sorted(
+            map(
+                tuple,
+                bm25_search_index(_queries(spark), p2, k=10).collect(),
+            )
+        )
+        assert got == want
+        # stats corrected exactly; new version tombstone-free
+        row = bm25_index_stats(spark, p).collect()[0]
+        assert row["n_docs"] == 20
+        assert row["n_tombstones"] == 0
+        root = _resolve_bm25_index(spark, p)[1]
+        assert not glob.glob(os.path.join(root, "tombstones", "*"))
+        # the delete token is durable in folded: replay must not
+        # re-tombstone an id a later batch may legitimately re-add
+        delete_from_bm25_index(dels, p, delete_token="purge")
+        assert not glob.glob(os.path.join(root, "tombstones", "*"))
+
+    def test_torn_tombstone_refuses_compaction(self, spark, index_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            compact_bm25_index,
+            delete_from_bm25_index,
+        )
+
+        delete_from_bm25_index(
+            spark.createDataFrame([(3,)], "doc_id long"), index_path,
+            delete_token="torn",
+        )
+        root = _resolve_bm25_index(spark, index_path)[1]
+        os.remove(
+            os.path.join(root, "tombstones", "batch=torn", "_SUCCESS")
+        )
+        # probe unaffected: the torn delete is invisible until healed
+        assert bm25_search_index(_queries(spark), index_path, k=5).count() > 0
+        with pytest.raises(RuntimeError, match="torn delete"):
+            compact_bm25_index(spark, index_path)
+
+    def test_maintain_fires_on_tombstone_debt(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            delete_from_bm25_index,
+            maintain_bm25_index,
+        )
+
+        p = str(tmp_path / "bm25m")
+        write_bm25_index(_docs(spark, 0, 30), p, n_buckets=8)
+        delete_from_bm25_index(
+            spark.createDataFrame(
+                [(i,) for i in range(10)], "doc_id long"
+            ),
+            p,
+        )
+        rep = maintain_bm25_index(spark, p, max_tombstone_ratio=0.2)
+        assert rep["n_tombstones"] == 10
+        assert rep["compacted"] is True
+        rep2 = maintain_bm25_index(spark, p, max_tombstone_ratio=0.2)
+        assert rep2["n_tombstones"] == 0
+        assert rep2["compacted"] is False
+        assert rep2["n_docs"] == 20
+
+    def test_missing_index_and_bad_token_raise(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            delete_from_bm25_index,
+        )
+
+        ids = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError, match="no BM25 index"):
+            delete_from_bm25_index(ids, str(tmp_path / "nope"))
+        with pytest.raises(ValueError, match="path-safe"):
+            delete_from_bm25_index(ids, str(tmp_path / "nope"),
+                                   delete_token="a=b")

@@ -549,3 +549,132 @@ class TestMaintainMinhashIndex:
         assert rep["crowd_flagged"] is True
         assert rep["max_bucket"] == 30
         assert rep["compacted"] is False
+
+
+class TestMinhashDeletes:
+    """delete_from_minhash_index: tombstone deletes — a removed doc
+    must stop claiming new batch rows as its near-duplicates at the
+    next probe, and compaction applies the delete physically on both
+    sides (bands AND sets)."""
+
+    def test_deleted_doc_stops_claiming_neardups(self, spark, index_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            delete_from_minhash_index,
+        )
+
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        before = _pairs(
+            dedup_against_index(batch, index_path, threshold=0.5)
+        )
+        assert (10, 1) in before  # doc 10 is a near-dup of corpus doc 1
+        delete_from_minhash_index(
+            spark.createDataFrame([(1,)], "id long"), index_path,
+            delete_token="rm1",
+        )
+        after = _pairs(
+            dedup_against_index(batch, index_path, threshold=0.5)
+        )
+        assert (10, 1) not in after
+        # only pairs touching the deleted id disappear
+        assert after == {p for p in before if 1 not in p}
+        # replay + absent-id delete are value no-ops
+        delete_from_minhash_index(
+            spark.createDataFrame([(1,), (999,)], "id long"), index_path,
+            delete_token="rm1",
+        )
+        assert (
+            _pairs(dedup_against_index(batch, index_path, threshold=0.5))
+            == after
+        )
+
+    def test_compaction_applies_both_sides_and_token_durable(
+        self, spark, index_path
+    ):
+        import glob as _glob
+        import os as _os
+
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            compact_minhash_index,
+            delete_from_minhash_index,
+        )
+        from datawaves_etl_airflow_spark.sources.manifest import (
+            VersionedManifest,
+        )
+
+        delete_from_minhash_index(
+            spark.createDataFrame([(1,)], "id long"), index_path,
+            delete_token="rm1",
+        )
+        assert compact_minhash_index(spark, index_path) is True
+        root = _data_root(spark, index_path)
+        bands = spark.read.parquet(root + "/bands")
+        sets = spark.read.parquet(root + "/sets")
+        assert bands.filter("id = 1").count() == 0
+        assert sets.filter("id = 1").count() == 0
+        assert sets.filter("id = 2").count() == 1  # survivors intact
+        assert not _glob.glob(_os.path.join(root, "tombstones", "*"))
+        # durable token: replay after compaction must not re-tombstone
+        _, payload = VersionedManifest(index_path).resolve(spark)
+        assert "rm1" in payload["folded"]
+        delete_from_minhash_index(
+            spark.createDataFrame([(1,)], "id long"), index_path,
+            delete_token="rm1",
+        )
+        assert not _glob.glob(_os.path.join(root, "tombstones", "*"))
+
+    def test_torn_tombstone_refuses_compaction(self, spark, index_path):
+        import os as _os
+
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            compact_minhash_index,
+            delete_from_minhash_index,
+        )
+
+        delete_from_minhash_index(
+            spark.createDataFrame([(2,)], "id long"), index_path,
+            delete_token="torn",
+        )
+        root = _data_root(spark, index_path)
+        _os.remove(
+            _os.path.join(root, "tombstones", "batch=torn", "_SUCCESS")
+        )
+        # probes skip the torn delete: doc 2 still indexed
+        batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+        dedup_against_index(batch, index_path, threshold=0.5).collect()
+        with pytest.raises(RuntimeError, match="torn delete"):
+            compact_minhash_index(spark, index_path)
+
+    def test_maintain_fires_on_tombstone_debt(self, spark, index_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            delete_from_minhash_index,
+            maintain_minhash_index,
+        )
+
+        delete_from_minhash_index(
+            spark.createDataFrame([(1,), (2,)], "id long"), index_path,
+        )
+        rep = maintain_minhash_index(
+            spark, index_path, max_tombstone_ratio=0.2
+        )
+        assert rep["n_tombstones"] == 2
+        assert rep["compacted"] is True
+        rep2 = maintain_minhash_index(
+            spark, index_path, max_tombstone_ratio=0.2
+        )
+        assert rep2["n_tombstones"] == 0
+        assert rep2["compacted"] is False
+        assert rep2["n_docs"] == 2
+
+    def test_legacy_and_missing_raise(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            delete_from_minhash_index,
+        )
+
+        docs = spark.createDataFrame(BASE, "doc_id long, text string")
+        legacy = str(tmp_path / "legacy")
+        _write_legacy_index(spark, docs, legacy)
+        ids = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="predates the manifest"):
+            delete_from_minhash_index(ids, legacy)
+        with pytest.raises(Exception, match="index"):
+            delete_from_minhash_index(ids, str(tmp_path / "nope"))

@@ -1391,3 +1391,200 @@ class TestAnnRecallEval:
             ann_recall_eval(
                 empty, index_path, corpus=_vectors(spark)
             )
+
+
+class TestIvfDeletes:
+    """delete_from_ivf_index: tombstone deletes — the data-retraction
+    path (takedowns, right-to-be-forgotten) a 100 TB index cannot
+    serve with a rebuild. Tombstones are O(|deleted|) writes applied
+    logically at every probe through the _decoded_cells seam and
+    physically at compaction."""
+
+    def _built(self, spark, tmp_path, **kw):
+        p = str(tmp_path / "ivfdel")
+        vecs = _vectors(spark)
+        write_ivf_index(vecs, p, n_centroids=8, n_iters=1, **kw)
+        return p, vecs
+
+    def test_full_probe_equals_brute_force_over_survivors(
+        self, spark, tmp_path
+    ):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            brute_force_topk,
+            delete_from_ivf_index,
+        )
+
+        p, vecs = self._built(spark, tmp_path)
+        deleted = vecs.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+        delete_from_ivf_index(deleted, p, delete_token="take1")
+        q = _queries(spark)
+        got = ivf_search_index(q, p, nprobe=8, k=5)
+        want = brute_force_topk(
+            vecs.filter(F.col("vec_id") % 7 != 0), q, k=5
+        )
+        cols = ["query_id", "match_id", "rank", "cosine_sim"]
+        assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+        assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+        # and the deleted ids never surface
+        assert (
+            got.filter(F.col("match_id") % 7 == 0).count() == 0
+        )
+
+    def test_replay_and_absent_ids_are_noops(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            delete_from_ivf_index,
+        )
+
+        p, vecs = self._built(spark, tmp_path)
+        dels = spark.createDataFrame(
+            [(3,), (3,), (999_999,)], "vec_id long"
+        )
+        delete_from_ivf_index(dels, p, delete_token="t1")
+        before = sorted(
+            map(tuple, ivf_search_index(_queries(spark), p, nprobe=8,
+                                        k=5).collect())
+        )
+        # same-token retry overwrites its own batch dir — no change
+        delete_from_ivf_index(dels, p, delete_token="t1")
+        after = sorted(
+            map(tuple, ivf_search_index(_queries(spark), p, nprobe=8,
+                                        k=5).collect())
+        )
+        assert before == after
+        with pytest.raises(ValueError, match="path-safe"):
+            delete_from_ivf_index(dels, p, delete_token="a/b")
+
+    def test_delete_applies_through_int8_rerank(self, spark, tmp_path):
+        """The deleted row must not re-enter via the raw rerank table
+        (which the caller may not have scrubbed)."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            delete_from_ivf_index,
+        )
+
+        p, vecs = self._built(spark, tmp_path, cell_storage="int8")
+        delete_from_ivf_index(
+            spark.createDataFrame([(4,), (10,)], "vec_id long"), p
+        )
+        got = ivf_search_index(
+            _queries(spark), p, nprobe=8, k=5, rerank=vecs,
+            rerank_factor=8,
+        )
+        assert got.filter(F.col("match_id").isin(4, 10)).count() == 0
+        assert got.filter(~F.col("exact")).count() == 0
+
+    def test_compaction_applies_tombstones_physically(
+        self, spark, tmp_path
+    ):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            compact_ivf_index,
+            delete_from_ivf_index,
+        )
+        from datawaves_etl_airflow_spark.sources.manifest import (
+            VersionedManifest,
+        )
+
+        p, vecs = self._built(spark, tmp_path)
+        n_all = vecs.count()
+        deleted = vecs.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+        n_del = deleted.count()
+        delete_from_ivf_index(deleted, p, delete_token="gdpr1")
+        q = _queries(spark)
+        before = sorted(
+            map(tuple, ivf_search_index(q, p, nprobe=8, k=5).collect())
+        )
+        assert compact_ivf_index(spark, p) is True
+        root = _data_root(spark, p)
+        cells = spark.read.parquet(root + "/cells")
+        # physically dropped, and the new version starts tombstone-free
+        assert cells.count() == n_all - n_del
+        assert not glob.glob(os.path.join(root, "tombstones", "*"))
+        after = sorted(
+            map(tuple, ivf_search_index(q, p, nprobe=8, k=5).collect())
+        )
+        assert before == after
+        # the delete token is durable: a replay after compaction must
+        # NOT re-tombstone (a later batch may legitimately re-add ids)
+        _, payload = VersionedManifest(p).resolve(spark)
+        assert "gdpr1" in payload["folded"]
+        delete_from_ivf_index(deleted, p, delete_token="gdpr1")
+        assert not glob.glob(os.path.join(root, "tombstones", "*"))
+
+    def test_torn_tombstone_commit_refuses_compaction(
+        self, spark, tmp_path
+    ):
+        """Probes skip a torn delete (replay heals it); compaction must
+        refuse — folding while ignoring it would publish a base that
+        silently resurrects the rows the delete meant to drop."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            compact_ivf_index,
+            delete_from_ivf_index,
+        )
+
+        p, vecs = self._built(spark, tmp_path)
+        delete_from_ivf_index(
+            spark.createDataFrame([(8,)], "vec_id long"), p,
+            delete_token="torn",
+        )
+        root = _data_root(spark, p)
+        os.remove(os.path.join(root, "tombstones", "batch=torn",
+                               "_SUCCESS"))
+        # probe unaffected: the torn tombstone is invisible
+        got = ivf_search_index(_queries(spark), p, nprobe=8, k=5)
+        assert got.count() > 0
+        with pytest.raises(RuntimeError, match="torn delete"):
+            compact_ivf_index(spark, p)
+
+    def test_maintain_fires_on_tombstone_debt(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            delete_from_ivf_index,
+            maintain_ivf_index,
+        )
+
+        p, vecs = self._built(spark, tmp_path)
+        delete_from_ivf_index(
+            vecs.filter(F.col("vec_id") % 3 == 0).select("vec_id"), p
+        )
+        rep = maintain_ivf_index(spark, p, max_tombstone_ratio=0.2)
+        assert rep["n_tombstones"] == 100
+        assert rep["compacted"] is True
+        rep2 = maintain_ivf_index(spark, p, max_tombstone_ratio=0.2)
+        assert rep2["n_tombstones"] == 0
+        assert rep2["compacted"] is False
+        assert rep2["n_rows"] == 200
+
+    def test_decontaminate_index_skips_deleted_rows(
+        self, spark, tmp_path
+    ):
+        """Every reader goes through the one seam: a deleted corpus row
+        must stop appearing in the contamination list too."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            delete_from_ivf_index,
+            semantic_decontaminate_index,
+        )
+
+        p, vecs = self._built(spark, tmp_path)
+        bench = vecs.filter(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+        )
+        flagged = semantic_decontaminate_index(
+            bench, p, threshold=0.99, nprobe=8
+        )
+        assert flagged.filter(F.col("vec_id") == 1).count() == 1
+        delete_from_ivf_index(
+            spark.createDataFrame([(1,)], "vec_id long"), p
+        )
+        flagged2 = semantic_decontaminate_index(
+            bench, p, threshold=0.99, nprobe=8
+        )
+        assert flagged2.filter(F.col("vec_id") == 1).count() == 0
+
+    def test_missing_index_raises(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            delete_from_ivf_index,
+        )
+
+        with pytest.raises(ValueError, match="no IVF index"):
+            delete_from_ivf_index(
+                spark.createDataFrame([(1,)], "vec_id long"),
+                str(tmp_path / "nope"),
+            )

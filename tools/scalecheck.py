@@ -285,6 +285,27 @@ def main() -> None:
         .localCheckpoint()
     )
 
+    # tombstone-delete twin (r10): a FIXED-size pending delete set (a
+    # day's takedowns do not scale with corpus size) against a scaled
+    # corpus — the probe's extra cost is one anti-join whose build
+    # side is the tombstone set, so the ratio must track
+    # ann_probe_pruned's (the anti-join is corpus-independent). Own
+    # index copies: tombstones are version state and would leak into
+    # ann_probe_pruned's probes if the layouts were shared.
+    ivfdel_by_mult: dict[int, str] = {}
+    if wanted("ann_probe_deleted"):
+        for mult in sorted({1, args.factor}):
+            p = os.path.join(idx_root, f"ivfdel_{mult}")
+            scaled = _scaled_embs(spark, args.sf, mult)
+            similarity.write_ivf_index(
+                scaled, p, n_centroids=64, n_iters=1,
+            )
+            similarity.delete_from_ivf_index(
+                scaled.select("vec_id").limit(1000), p,
+                delete_token="scalecheck",
+            )
+            ivfdel_by_mult[mult] = p
+
     # index-backed decontamination (r10): a FIXED benchmark set probes
     # a 10×/100× indexed corpus — the large-benchmark leakage gate's
     # claim is O(|benchmark| × probed cells), never a corpus scan, so
@@ -496,6 +517,9 @@ def main() -> None:
         ),
         "ann_probe_pruned": lambda mult: similarity.ivf_search_index(
             ann_queries, ivf_by_mult[mult], nprobe=4, k=5
+        ),
+        "ann_probe_deleted": lambda mult: similarity.ivf_search_index(
+            ann_queries, ivfdel_by_mult[mult], nprobe=4, k=5
         ),
         "decontaminate_probe_pruned": lambda mult: (
             similarity.semantic_decontaminate_index(
