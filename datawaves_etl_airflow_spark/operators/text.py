@@ -414,7 +414,12 @@ def _bm25_rank(
     (full-collection statistics, see `bm25_topk`) and BEFORE the
     ranking window — top-k among allowed docs, never a post-filtered
     unconstrained top-k. Join strategy is left to Catalyst/AQE: the
-    allowed side may be corpus-sized."""
+    allowed side may be corpus-sized.
+
+    A ``_qw`` column on ``qterms`` weights each query term's
+    contribution (`bm25_prf_topk`'s expansion weights — 1.0 for
+    original terms, the feedback weight for mined terms); absent,
+    every term weighs 1.0 (all other callers)."""
     df = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
     if allowed is not None:
         ids = (
@@ -449,6 +454,8 @@ def _bm25_rank(
             )
         )
     )
+    if "_qw" in qterms.columns:
+        contrib = contrib * F.col("_qw")
     per_pair = (
         scored.join(tf, "_w")
         .groupBy("query_id", "_doc")
@@ -461,6 +468,113 @@ def _bm25_rank(
         per_pair.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("_doc").alias(id_col), "rank", "score")
+    )
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    fb_weight: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_ratio: float | None = None,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 with pseudo-relevance-feedback query expansion — the
+    Rocchio/RM3 family (Rocchio 1971; Lavrenko & Croft, "Relevance-
+    Based Language Models", SIGIR 2001): run the query, assume the
+    top ``fb_docs`` results are relevant, mine their most frequent
+    terms, and re-run the query expanded with those terms at weight
+    ``fb_weight``. The classic fix for vocabulary mismatch ("car"
+    retrieving documents that only say "automobile"), and the lexical
+    stack's recall lever — a decontamination or curation sweep that
+    must not miss paraphrases runs PRF where embeddings are absent.
+
+    Deterministic by construction, like everything the oracle replays:
+    pass 1 is `bm25_topk`'s exact ranking (rounded score + id
+    tiebreak); feedback terms are ranked per query by their INTEGER
+    summed tf across the feedback docs with a term-string tiebreak
+    (no float ordering anywhere in the selection); a mined term that
+    is already a query term keeps weight 1.0 (max-weight dedup);
+    ``fb_weight`` should be a binary fraction (the default 0.5 is
+    exact in floating point) so the weighted contribution stays
+    bit-reproducible. Pass 2 is the shared `_bm25_rank` tree with the
+    per-term ``_qw`` weights.
+
+    Plan shape: the tf/df/totals surfaces are built once and consumed
+    by both passes (two corpus-lineage scans — the honest PRF cost:
+    production engines pay the same second round trip); the feedback
+    join's left side is |queries| × fb_docs rows (broadcast-sized),
+    and the mined-term aggregation output is ≤ |queries| × fb_terms.
+    ``max_df_ratio``/``allowed`` pass through to BOTH passes with
+    their usual semantics (the valve also keeps stopword-grade terms
+    out of the expansion — mined stopwords are PRF's classic failure
+    mode, so the valve matters more here than anywhere).
+
+    The persisted-index form is deliberately absent: mining feedback
+    terms needs doc → terms (a forward index), which the term-bucketed
+    postings layout cannot serve without a full scan — a deployment
+    runs PRF in-session over the corpus (as here) or materializes a
+    forward index beside the inverted one.
+    """
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1: {fb_docs}")
+    if fb_terms < 0:
+        raise ValueError(f"fb_terms must be >= 0: {fb_terms}")
+    if not 0.0 < fb_weight <= 1.0:
+        raise ValueError(f"fb_weight must be in (0, 1]: {fb_weight}")
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        tokenize(F.col(text_col)).alias("_ws"),
+    )
+    tf = (
+        toks.select(
+            "_doc", F.size("_ws").alias("_dl"), F.explode("_ws").alias("_w")
+        )
+        .groupBy("_doc", "_dl", "_w")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.size("_ws")).alias("_avgdl"),
+    )
+    qterms = _bm25_query_terms(queries)
+    feedback = _bm25_rank(
+        qterms, tf, totals, fb_docs, k1, b, max_df_ratio, id_col,
+        allowed=allowed,
+    ).select("query_id", F.col(id_col).alias("_doc"))
+    # per-query mined terms: INTEGER tf sums over the feedback docs,
+    # term-string tiebreak — no float enters the selection
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("_fbtf").desc(), F.col("_w").asc()
+    )
+    mined = (
+        feedback.join(tf.select("_doc", "_w", "_tf"), "_doc")
+        .groupBy("query_id", "_w")
+        .agg(F.sum("_tf").alias("_fbtf"))
+        .withColumn("_r", F.row_number().over(wt))
+        .filter(F.col("_r") <= fb_terms)
+        .select(
+            "query_id", "_w",
+            F.lit(float(fb_weight)).cast("double").alias("_qw"),
+        )
+    )
+    expanded = (
+        qterms.withColumn("_qw", F.lit(1.0))
+        .unionByName(mined)
+        # a mined term that is already a query term keeps the original
+        # weight (max); also dedups the union
+        .groupBy("query_id", "_w")
+        .agg(F.max("_qw").alias("_qw"))
+    )
+    return _bm25_rank(
+        expanded, tf, totals, k, k1, b, max_df_ratio, id_col,
+        allowed=allowed,
     )
 
 

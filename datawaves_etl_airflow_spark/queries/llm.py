@@ -1192,6 +1192,28 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk(d, qs, k=5)
 
 
+def llm_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (`text.bm25_prf_topk` —
+    Rocchio/RM3 expansion: top-3 feedback docs, top-5 mined terms at
+    weight 0.5) under a FULL value oracle: DuckDB replays BOTH passes
+    — the first-pass ranking, the integer-tf term mining with its
+    term-string tiebreak, the max-weight union with the original
+    terms, and the weighted second-pass scoring. fb_weight 0.5 is a
+    binary fraction, so the weighted contribution multiplies exactly
+    and cross-engine reproducibility reduces to the same rounded-ln
+    contract as `llm_bm25_topk`."""
+    d = _docs(spark, sf_dir)
+    qs = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(dedup.tokenize(F.col("text")), 1, 6), " "
+        ).alias("query_text"),
+    )
+    return text.bm25_prf_topk(
+        d, qs, k=5, fb_docs=3, fb_terms=5, fb_weight=0.5
+    )
+
+
 def llm_hybrid_retrieval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1876,6 +1898,7 @@ QUERIES = {
     "llm_ann_ivf_deleted": llm_ann_ivf_deleted,
     "llm_bm25_topk": llm_bm25_topk,
     "llm_bm25_deleted": llm_bm25_deleted,
+    "llm_bm25_prf": llm_bm25_prf,
     "llm_hybrid_retrieval": llm_hybrid_retrieval,
     "llm_hybrid_retrieval_index": llm_hybrid_retrieval_index,
     "llm_bm25_index": llm_bm25_index,
@@ -2741,6 +2764,98 @@ ORACLES["llm_hybrid_retrieval"] = f"""
 # in-session operator over the full table (additive df/N/avgdl folds,
 # shared scoring tree) — so it shares llm_bm25_topk's oracle verbatim.
 ORACLES["llm_bm25_index"] = ORACLES["llm_bm25_topk"]
+
+# llm_bm25_prf (r10): BOTH PRF passes replayed — pass-1 ranking (the
+# llm_bm25_topk contract), integer-tf feedback-term mining with the
+# term-string tiebreak, max-weight union with the original terms, and
+# the weighted pass-2 scoring. fb_weight 0.5 is a binary fraction:
+# multiplying by it is exact, so cross-engine agreement reduces to the
+# same rounded-ln contract the plain BM25 oracle already certifies.
+ORACLES["llm_bm25_prf"] = f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter({_WORDS}, x -> x <> '') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM d
+    ),
+    tf AS (
+        SELECT doc_id, dl, w, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, dl, w
+    ),
+    dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n, AVG(len(ws)) AS avgdl FROM d),
+    qt AS (
+        SELECT DISTINCT doc_id AS query_id, unnest(ws[1:6]) AS w
+        FROM d WHERE doc_id < 5
+    ),
+    pair1 AS (
+        SELECT qt.query_id, tf.doc_id,
+               ROUND(SUM(
+                   ln(1.0 + (tot.n - dft.df + 0.5) / (dft.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / tot.avgdl))
+               ), 6) AS score
+        FROM qt
+        JOIN dft ON qt.w = dft.w
+        JOIN tf ON tf.w = qt.w
+        CROSS JOIN tot
+        GROUP BY qt.query_id, tf.doc_id
+    ),
+    fb AS (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC
+                   ) AS r
+            FROM pair1
+        ) WHERE r <= 3
+    ),
+    mined AS (
+        SELECT query_id, w, 0.5 AS qw FROM (
+            SELECT fb.query_id, tf.w,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY fb.query_id
+                       ORDER BY SUM(tf.tf) DESC, tf.w ASC
+                   ) AS r
+            FROM fb JOIN tf ON tf.doc_id = fb.doc_id
+            GROUP BY fb.query_id, tf.w
+        ) WHERE r <= 5
+    ),
+    expanded AS (
+        SELECT query_id, w, MAX(qw) AS qw FROM (
+            SELECT query_id, w, 1.0 AS qw FROM qt
+            UNION ALL
+            SELECT query_id, w, qw FROM mined
+        ) GROUP BY query_id, w
+    ),
+    pair2 AS (
+        SELECT e.query_id, tf.doc_id,
+               ROUND(SUM(
+                   ln(1.0 + (tot.n - dft.df + 0.5) / (dft.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / tot.avgdl))
+                   * e.qw
+               ), 6) AS score
+        FROM expanded e
+        JOIN dft ON e.w = dft.w
+        JOIN tf ON tf.w = e.w
+        CROSS JOIN tot
+        GROUP BY e.query_id, tf.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC
+               ) AS rank,
+               score
+        FROM pair2
+    )
+    SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= 5
+"""
 
 # llm_ann_ivf_deleted (r10): full-probe search after a tombstone
 # delete ≡ brute force over the SURVIVING corpus — the cosine replay

@@ -636,3 +636,112 @@ def stream_bm25_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+RETRACTION_KINDS = ("ivf", "bm25", "minhash")
+
+
+def make_retraction_ingest(
+    index_path: str,
+    state_path: str,
+    kind: str,
+    checkpoint: str | None = None,
+):
+    """Per-micro-batch tombstone fold of a RETRACTION stream — the
+    delete-side member of the streaming-ingest family: a CDC delete
+    feed, a takedown queue, or a right-to-be-forgotten worklist lands
+    ids against a persisted index (``kind`` ∈ ``ivf`` / ``bm25`` /
+    ``minhash``) via the matching ``delete_from_*_index``, so a
+    retracted document stops being retrievable — and stops absorbing
+    fresh near-duplicates — at the trigger after its event arrives,
+    not at the next nightly rebuild.
+
+    Per-trigger cost is O(|batch|) (a tombstone batch write, data
+    untouched); the physical reclaim stays with the scheduled
+    `maintain_*_index` compactions (the ``max_tombstone_ratio``
+    watermark), exactly as for ad-hoc deletes.
+
+    Replay contract — the `_replay_guard` rules shared by every
+    ingest here: the marker under ``state_path`` records
+    (last_batch_id, checkpoint identity); a replayed id no-ops, a
+    foreign checkpoint or rewound id raises. A crash between the
+    tombstone fold and the marker commit re-runs the fold with the
+    SAME checkpoint-scoped token (same-token overwrite = idempotent),
+    and a replay arriving AFTER a compaction applied the token
+    no-ops via the manifest's folded list — the guard that matters
+    most here, because re-tombstoning a compacted-away token could
+    kill an id a later batch legitimately re-added.
+
+    Ordering caveat, stated not hidden: ADD and RETRACT streams for
+    the same id are only consistent if the add's fold commits before
+    the retraction's (a tombstone suppresses the id wherever it
+    lives, including batches folded after it — the RE-ADD contract on
+    the delete operators). Feed retractions from a queue that emits a
+    doc's delete only after its ingest committed, or run both through
+    one stream.
+    """
+    if kind not in RETRACTION_KINDS:
+        raise ValueError(
+            f"unknown retraction kind {kind!r}: expected one of "
+            f"{RETRACTION_KINDS}"
+        )
+    from ..sources.manifest import VersionedManifest
+
+    vm = VersionedManifest(state_path)
+
+    def _deleter():
+        if kind == "ivf":
+            from ..operators.similarity import delete_from_ivf_index
+
+            return delete_from_ivf_index
+        if kind == "bm25":
+            from ..operators.text import delete_from_bm25_index
+
+            return delete_from_bm25_index
+        from ..operators.dedup import delete_from_minhash_index
+
+        return delete_from_minhash_index
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        version, state = vm.resolve(spark)
+        if _replay_guard(state, checkpoint, batch_id, state_path):
+            return  # replayed batch — already tombstoned
+        _deleter()(
+            batch_df,
+            index_path,
+            delete_token=_batch_token(checkpoint, batch_id),
+        )
+        vm.publish_or_raise(
+            spark,
+            {"last_batch_id": batch_id, "checkpoint": checkpoint},
+            version,
+            "retraction ingest replay marker",
+        )
+        vm.vacuum_superseded(spark)
+
+    return _apply
+
+
+def stream_retraction_ingest(
+    stream: DataFrame,
+    index_path: str,
+    state_path: str,
+    checkpoint: str,
+    kind: str,
+    available_now: bool = False,
+):
+    """Continuous index retraction on an id stream: each micro-batch
+    tombstones its ids in the persisted index via an idempotent
+    O(batch) delete. Returns the started StreamingQuery."""
+    fn = make_retraction_ingest(
+        index_path, state_path, kind, checkpoint=checkpoint
+    )
+    writer = stream.writeStream.foreachBatch(fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

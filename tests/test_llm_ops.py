@@ -1043,3 +1043,121 @@ class TestSemanticDecontaminate:
         assert semantic_decontaminate_index(
             nbench, p, threshold=0.5, nprobe=2
         ).count() == 0
+
+
+class TestBm25Prf:
+    """bm25_prf_topk: pseudo-relevance-feedback expansion — the
+    vocabulary-mismatch recall lever (Rocchio/RM3). Deterministic by
+    construction: integer-tf term mining with term tiebreaks, binary-
+    fraction weights, the shared rounded-ln ranking."""
+
+    def test_recovers_vocabulary_mismatch(self, spark):
+        """The canonical PRF win: the query says "automobile", the
+        target doc only says "motorcar" — but a feedback doc contains
+        both, so the mined term bridges the vocabulary gap."""
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_prf_topk,
+            bm25_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "automobile motorcar motorcar motorcar engine"),
+                (2, "motorcar motorcar chassis wheels brakes"),
+                (3, "gardening soil compost seeds watering cans"),
+                (4, "orbital mechanics delta vee transfer windows"),
+                (5, "sourdough starter hydration ratios and folds"),
+            ],
+            "doc_id long, text string",
+        )
+        qs = spark.createDataFrame(
+            [(100, "automobile")], "query_id long, query_text string"
+        )
+        plain = bm25_topk(docs, qs, k=5).collect()
+        assert {r["doc_id"] for r in plain} == {1}  # mismatch: doc 2 missed
+        prf = bm25_prf_topk(
+            docs, qs, k=5, fb_docs=1, fb_terms=2, fb_weight=0.5
+        ).collect()
+        # feedback doc 1 mines "motorcar" (tf 3) — doc 2 now retrieved
+        assert {r["doc_id"] for r in prf} == {1, 2}
+        by_rank = {r["rank"]: r["doc_id"] for r in prf}
+        assert by_rank[1] == 1  # original term still dominates
+
+    def test_no_new_terms_degrades_to_plain_bm25(self, spark):
+        """Feedback docs whose vocabulary is a subset of the query's
+        mine no new terms (originals keep weight 1.0 via the max-
+        weight union), so PRF must equal plain BM25 value-for-value."""
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_prf_topk,
+            bm25_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark shuffles spark shuffles"),
+                (2, "shuffles spark"),
+                (3, "gardening soil compost seeds watering"),
+            ],
+            "doc_id long, text string",
+        )
+        qs = spark.createDataFrame(
+            [(100, "spark shuffles")], "query_id long, query_text string"
+        )
+        plain = sorted(map(tuple, bm25_topk(docs, qs, k=3).collect()))
+        prf = sorted(
+            map(
+                tuple,
+                bm25_prf_topk(
+                    docs, qs, k=3, fb_docs=2, fb_terms=5
+                ).collect(),
+            )
+        )
+        assert plain == prf
+
+    def test_mined_term_tiebreak_is_lexicographic(self, spark):
+        """Equal integer tf in the feedback set → the lexicographically
+        smaller term is mined (no float enters the selection)."""
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_prf_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "query zebra apple"),   # feedback doc: zebra/apple tf 1 each
+                (2, "apple apple orchard"),
+                (3, "zebra zebra savanna"),
+                (4, "unrelated filler text entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        qs = spark.createDataFrame(
+            [(100, "query")], "query_id long, query_text string"
+        )
+        # fb_terms=2 admits "apple" + "query" but NOT "zebra" ("apple"
+        # < "query" < "zebra" at tf 1): doc 2 retrieved, doc 3 not
+        got = bm25_prf_topk(
+            docs, qs, k=4, fb_docs=1, fb_terms=2
+        ).collect()
+        ids = {r["doc_id"] for r in got}
+        assert 2 in ids
+        assert 3 not in ids
+
+    def test_validation(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_prf_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        qs = spark.createDataFrame(
+            [(1, "a")], "query_id long, query_text string"
+        )
+        with pytest.raises(ValueError, match="fb_docs"):
+            bm25_prf_topk(docs, qs, fb_docs=0)
+        with pytest.raises(ValueError, match="fb_terms"):
+            bm25_prf_topk(docs, qs, fb_terms=-1)
+        with pytest.raises(ValueError, match="fb_weight"):
+            bm25_prf_topk(docs, qs, fb_weight=0.0)
+        with pytest.raises(ValueError, match="fb_weight"):
+            bm25_prf_topk(docs, qs, fb_weight=1.5)
