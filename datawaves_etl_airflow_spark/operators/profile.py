@@ -25,7 +25,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "snapshot_diff"]
 
 #: types whose min/max are meaningful and safely castable to string
 _ORDERABLE = (NumericType, StringType, TimestampType, DateType, BooleanType)
@@ -167,4 +167,69 @@ def grouped_quantiles(
         ]
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows"), *aggs
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two corpus snapshots — ``(id, status)`` for
+    every id present in either, status ∈ ``added`` / ``removed`` /
+    ``changed`` / ``unchanged``. The release audit a dataset pipeline
+    runs between crawls (what did this month's snapshot actually do
+    to the corpus?), and the input to incremental downstream work:
+    ``added`` ∪ ``changed`` is exactly the set to re-embed, re-index
+    (`append_ivf_index` / `append_bm25_index` for added;
+    delete-then-compact-then-re-add for changed), and re-score.
+
+    ``compare_cols`` defaults to every shared non-id column;
+    comparison is per-column NULL-SAFE equality (a NULL→NULL column
+    is unchanged, NULL→value is changed — `<=>` semantics, which
+    plain equality would silently misread as changed-or-unknown).
+
+    One full-outer join on the id — both sides are corpus-sized, so
+    the shuffle is the honest floor (no broadcast assumption); the
+    comparison runs inside the join's projection, no second pass.
+    Contract: one row per id per snapshot (the corpus-id invariant
+    everywhere in this engine); duplicate ids multiply join rows as
+    in any keyed join.
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c != id_col and c in new.columns
+        ]
+    missing = [
+        c
+        for c in compare_cols
+        if c not in old.columns or c not in new.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"compare_cols not in both snapshots: {missing}"
+        )
+    o = old.select(
+        F.col(id_col),
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(id_col),
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(F.col(id_col), status.alias("status"))
     )

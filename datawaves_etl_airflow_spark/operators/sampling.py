@@ -141,6 +141,63 @@ def cap_per_group_prefiltered(
     return cap_per_group(local, group_col, order_cols, k, rank_col)
 
 
+def budget_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    budget: int,
+    weight_col: str,
+    cum_col: str = "cum_w",
+) -> DataFrame:
+    """Quota cap in WEIGHT units (tokens, bytes, chars) instead of
+    rows: admit rows per group in the caller's preference order until
+    the group's cumulative weight would exceed ``budget`` — the
+    token-denominated sibling of :func:`cap_per_group`. A pretraining
+    mixture is specified in TOKENS, and documents are variable-length,
+    so a row cap misstates the mix wherever length correlates with
+    source (it always does: crawl domains differ in document length by
+    orders of magnitude).
+
+    Admission is the strict inclusive rule: a row is kept iff the
+    cumulative weight INCLUDING it stays ≤ ``budget`` — the contract
+    is "never exceed the budget", matching `pack_sequences`' drop rule
+    for oversized documents. With non-negative weights the cumulative
+    sum is monotone, so the kept set is a clean PREFIX of the
+    preference order: the first overflowing row and everything after
+    it are excluded (no best-fit backfilling — that would re-order
+    the caller's preference). Negative weights are a caller error
+    (monotonicity, and with it the prefix property, breaks); weigh
+    with counts.
+
+    Determinism: pass a TOTAL order (include the id as the last sort
+    key) built from engine-stable keys — the module's md5-prefix
+    discipline, or an explicit quality column with an id tiebreak.
+    The cumulative sum is integer when ``weight_col`` is integer, so
+    no float crosses the engine boundary.
+
+    Scale shape: one window shuffle on the group key, same as
+    `cap_per_group` — and the same hot-group hazard. The salted
+    pre-cap trick does NOT transfer (a prefix sum needs the global
+    group order; salt-local prefixes tell a row nothing about its
+    global rank), so for a mega-group pre-bound the window's input
+    with :func:`cap_per_group_prefiltered` at ``k = budget //
+    min_expected_weight`` — rows beyond rank k can never fit in the
+    budget, and the pre-cap's salted phase bounds the single-reducer
+    load the way it does for row quotas.
+
+    Returns the kept rows with ``cum_col`` (the running post-admission
+    total) attached.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(cum_col, F.sum(weight_col).over(w)).filter(
+        F.col(cum_col) <= F.lit(budget)
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     group_col: str,

@@ -2829,3 +2829,107 @@ def ann_recall_eval(
         ).select("nprobe", "n_queries", "mean_overlap", "recall_at_k")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lambda_: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "match_id",
+    score_col: str = "cosine_sim",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, "The Use of MMR, Diversity-Based Reranking", SIGIR
+    1998): greedily re-rank each query's candidate list so the next
+    pick maximizes ``lambda_ · relevance − (1 − lambda_) · max
+    similarity to anything already picked``. The retrieval-side
+    redundancy cut every RAG/context-assembly pipeline needs — a
+    near-dup-heavy corpus fills the whole top-k with copies of one
+    document, and no pointwise score can fix that: the objective is
+    over the SET, inherently sequential.
+
+    ``candidates`` is the caller's bounded top-N per query — e.g.
+    `ivf_search_index` output joined back to the raw vectors, with N
+    a small multiple of ``k`` (the rerank_factor discipline). The
+    greedy loop runs per query in one Arrow-batched `applyInPandas`
+    group (the sanctioned vectorized-UDF case, like the banded-LSH
+    signatures: a data-dependent sequential argmax is precisely what
+    relational operators cannot express), with the pairwise-cosine
+    work one numpy matmul per group — O(N²) floats over a bounded N,
+    never over the corpus. The shuffle key is the query id; queries
+    are independent, so the stage scales with the query set.
+
+    Determinism: selection compares ``(-mmr_value, id)`` tuples, so
+    exact ties break to the smaller id; relevance ties at the first
+    pick (no diversity term yet) do the same. NULL or zero-norm
+    vectors participate as ORTHOGONAL (similarity 0 to everything):
+    they are never penalized for redundancy but never excluded —
+    the kept-singleton spirit of the dedup family.
+
+    Returns ``(query_col, id_col, mmr_rank, mmr_score)`` with at most
+    ``k`` rows per query. ``lambda_ = 1`` reproduces the relevance
+    order; ``lambda_ = 0`` is pure diversity (rarely what anyone
+    wants — keep ≥ 0.3).
+    """
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1]: {lambda_}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    import pandas as pd
+
+    out_schema = (
+        f"{query_col} long, {id_col} long, mmr_rank int, "
+        "mmr_score double"
+    )
+    lam = float(lambda_)
+
+    def _mmr(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                columns=[query_col, id_col, "mmr_rank", "mmr_score"]
+            )
+        qid = pdf[query_col].iloc[0]
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        dim = next(
+            (len(v) for v in pdf[vec_col] if v is not None), 1
+        )
+        mat = np.zeros((n, dim), dtype=np.float64)
+        for i, v in enumerate(pdf[vec_col]):
+            if v is not None and len(v) == dim:
+                mat[i] = v
+        norms = np.linalg.norm(mat, axis=1)
+        nz = norms > 0
+        mat[nz] = mat[nz] / norms[nz, None]
+        sims = mat @ mat.T  # N bounded by the caller's top-N contract
+        selected: list[int] = []
+        remaining = list(range(n))
+        rows = []
+        while remaining and len(selected) < k:
+            best = None
+            best_key = None
+            for i in remaining:
+                penalty = (
+                    max(sims[i, j] for j in selected) if selected else 0.0
+                )
+                val = lam * rel[i] - (1.0 - lam) * penalty
+                key = (-val, ids[i])
+                if best_key is None or key < best_key:
+                    best, best_key = i, key
+            selected.append(best)
+            remaining.remove(best)
+            rows.append(
+                (qid, ids[best], len(selected), -best_key[0])
+            )
+        return pd.DataFrame(
+            rows, columns=[query_col, id_col, "mmr_rank", "mmr_score"]
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(
+        _mmr, schema=out_schema
+    )

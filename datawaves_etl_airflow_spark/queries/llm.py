@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, sampling, similarity, text
+from ..operators import (
+    dedup,
+    multimodal,
+    profile,
+    sampling,
+    similarity,
+    text,
+)
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -1687,6 +1694,110 @@ def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "quota", "rk")
 
 
+def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (`similarity.mmr_rerank`, λ=0.5) on a
+    PLANTED candidate geometry derived in-plan from the embeddings
+    table: three candidates for one query — two copies of vector 0
+    (ids 101, 102, relevance 1.0 / 0.99) and its negation (id 103,
+    relevance 0.90). Pure relevance would rank 101, 102, 103; MMR's
+    second pick must jump to the anti-parallel 103 (value 0.95 vs the
+    redundant copy's −0.005 — margins engineered so no engine's float
+    noise can flip them), leaving 102 last. The greedy selection is
+    therefore a deterministic integer sequence and the oracle is the
+    literal (query, id, rank) table — the llm_simhash_planted
+    pattern applied to set-level re-ranking. Scores are deliberately
+    NOT projected (the planted FACT is the order; the float surface
+    is pinned in TestMmrRerank)."""
+    v0 = _embs(spark, sf_dir).filter(F.col("vec_id") == 0).select(
+        "embedding"
+    )
+    cands = v0.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(101).cast("long").alias("match_id"),
+                    F.lit(1.0).alias("cosine_sim"),
+                    F.col("embedding"),
+                ),
+                F.struct(
+                    F.lit(102).cast("long").alias("match_id"),
+                    F.lit(0.99).alias("cosine_sim"),
+                    F.col("embedding"),
+                ),
+                F.struct(
+                    F.lit(103).cast("long").alias("match_id"),
+                    F.lit(0.90).alias("cosine_sim"),
+                    F.transform(
+                        F.col("embedding"), lambda x: -x
+                    ).alias("embedding"),
+                ),
+            )
+        ).alias("c")
+    ).select(F.lit(1).cast("long").alias("query_id"), "c.*")
+    return similarity.mmr_rerank(cands, k=3, lambda_=0.5).select(
+        "query_id", "match_id", "mmr_rank"
+    )
+
+
+def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source WEIGHT-budget mixture cap (`sampling.budget_per_group`
+    — the token-denominated sibling of `llm_source_quota`'s row cap):
+    each source admits documents in md5(id) order until 5000 chars of
+    budget are spent; the kept set is a clean prefix of the admission
+    order (strict never-exceed rule). Pretraining mixtures are
+    specified in tokens, not documents — a row cap misstates the mix
+    wherever length correlates with source. The cumulative sum is
+    integer (n_chars), so the oracle replays the window exactly."""
+    d = _docs(spark, sf_dir)
+    out = sampling.budget_per_group(
+        d,
+        "source",
+        [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
+        budget=5000,
+        weight_col="n_chars",
+    )
+    return out.select("doc_id", "source", "n_chars", "cum_w")
+
+
+def llm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot audit (`profile.snapshot_diff`): the release
+    diff a dataset pipeline runs between crawls, certified at value
+    level — the "new" snapshot is derived IN-PLAN from the documents
+    table (doc_id % 11 == 0 dropped → removed; % 7 == 0 text-mutated
+    → changed; % 13 == 0 re-added under shifted ids → added; the rest
+    unchanged, with removal taking precedence since a dropped doc has
+    no new-side row to compare), and the per-id statuses aggregate to
+    (status, n_ids, min_id, max_id). Null-safe per-column comparison
+    is the operator's contract; the oracle replays the same full-outer
+    join and CASE."""
+    base = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    new = (
+        base.filter(F.col("doc_id") % 11 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                "text",
+                "source",
+            )
+        )
+    )
+    diff = profile.snapshot_diff(
+        base, new, compare_cols=["text", "source"]
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_ids"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def llm_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (md5-bucket membership, 75/
     12.5/12.5) summarized per (split, lang): the re-run-stable dataset
@@ -1829,8 +1940,10 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: NULL filter — no NULLs in the driver corpus) are value-neutral on
 #: every rotated-out query and re-verified by a full tools/parity.py
 #: run this round. Post-rotation r10 additions llm_ann_ivf_deleted /
-#: llm_bm25_deleted (tombstone-delete lifecycle) are parity-green ×3
-#: SFs and join the r11 queue behind the 8 deferrals.
+#: llm_bm25_deleted (tombstone-delete lifecycle), llm_bm25_prf (PRF
+#: expansion), llm_mmr_diversify (MMR re-rank), llm_token_budget
+#: (weight-budget mixture) and llm_snapshot_diff (release audit) are
+#: parity-green ×3 SFs and join the r11 queue behind the 8 deferrals.
 DRIVER_QUERIES = [
     # never driver-verified, first: the seven r9 additions
     "llm_ann_ivf_pq",
@@ -1922,6 +2035,9 @@ QUERIES = {
     "llm_quality_filter": llm_quality_filter,
     "llm_length_histogram": llm_length_histogram,
     "llm_source_quota": llm_source_quota,
+    "llm_token_budget": llm_token_budget,
+    "llm_snapshot_diff": llm_snapshot_diff,
+    "llm_mmr_diversify": llm_mmr_diversify,
     "llm_temperature_sample": llm_temperature_sample,
     "llm_hash_split": llm_hash_split,
     "llm_pii_scrub": llm_pii_scrub,
@@ -2564,6 +2680,64 @@ ORACLES["llm_source_quota"] = """
         FROM documents
     )
     WHERE rk <= 50
+"""
+
+# llm_mmr_diversify (r10): the planted geometry makes the greedy
+# selection a deterministic integer sequence (see the query docstring)
+# — the oracle is the literal order.
+ORACLES["llm_mmr_diversify"] = """
+    SELECT CAST(1 AS BIGINT) AS query_id,
+           CAST(101 AS BIGINT) AS match_id,
+           CAST(1 AS INTEGER) AS mmr_rank
+    UNION ALL
+    SELECT 1, 103, 2
+    UNION ALL
+    SELECT 1, 102, 3
+"""
+
+# llm_token_budget (r10): the weight-budget window replayed — integer
+# cumulative n_chars in md5(id) admission order, strict inclusive cut.
+ORACLES["llm_token_budget"] = """
+    WITH c AS (
+        SELECT doc_id, source, n_chars,
+               CAST(SUM(n_chars) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_w
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, cum_w FROM c WHERE cum_w <= 5000
+"""
+
+# llm_snapshot_diff (r10): the full-outer snapshot audit replayed —
+# same in-plan "new" derivation, null-safe comparison, CASE statuses.
+ORACLES["llm_snapshot_diff"] = """
+    WITH base AS (SELECT doc_id, text, source FROM documents),
+    neu AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text
+               END AS text,
+               source
+        FROM base WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text, source
+        FROM base WHERE doc_id % 13 = 0
+    ),
+    j AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.text IS NOT DISTINCT FROM n.text
+                     AND o.source IS NOT DISTINCT FROM n.source
+                        THEN 'unchanged'
+                    ELSE 'changed'
+               END AS status
+        FROM base o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+    )
+    SELECT status, COUNT(*) AS n_ids,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM j GROUP BY status
 """
 
 ORACLES["llm_hash_split"] = """

@@ -1161,3 +1161,87 @@ class TestBm25Prf:
             bm25_prf_topk(docs, qs, fb_weight=0.0)
         with pytest.raises(ValueError, match="fb_weight"):
             bm25_prf_topk(docs, qs, fb_weight=1.5)
+
+
+class TestMmrRerank:
+    """mmr_rerank: greedy diversity re-ranking — the set-level
+    objective no pointwise score expresses."""
+
+    def _cands(self, spark):
+        # cluster A: 1/2 identical direction, high relevance;
+        # B: orthogonal, mid relevance; C: opposite, lower relevance
+        return spark.createDataFrame(
+            [
+                (1, 11, 0.98, [1.0, 0.0, 0.0]),
+                (1, 12, 0.97, [1.0, 0.0, 0.0]),
+                (1, 13, 0.80, [0.0, 1.0, 0.0]),
+                (1, 14, 0.70, [-1.0, 0.0, 0.0]),
+            ],
+            "query_id long, match_id long, cosine_sim double, "
+            "embedding array<double>",
+        )
+
+    def test_diversifies_redundant_topk(self, spark):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        got = {
+            r["mmr_rank"]: r["match_id"]
+            for r in mmr_rerank(
+                self._cands(spark), k=3, lambda_=0.5
+            ).collect()
+        }
+        # pick 1: best relevance (11). pick 2: 12 is fully redundant
+        # (sim 1.0 -> value -0.005) while 13 is orthogonal (0.40) and
+        # 14 anti-parallel (0.35 + 0.5 = 0.85): 14 wins on the
+        # diversity term. pick 3: 13 (sim 0 to both) beats 12.
+        assert got == {1: 11, 2: 14, 3: 13}
+
+    def test_lambda_one_is_relevance_order(self, spark):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        got = [
+            r["match_id"]
+            for r in sorted(
+                mmr_rerank(
+                    self._cands(spark), k=4, lambda_=1.0
+                ).collect(),
+                key=lambda r: r["mmr_rank"],
+            )
+        ]
+        assert got == [11, 12, 13, 14]
+
+    def test_null_vector_is_orthogonal_not_excluded(self, spark):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        cands = spark.createDataFrame(
+            [
+                (1, 11, 0.99, [1.0, 0.0]),
+                (1, 12, 0.98, [1.0, 0.0]),
+                (1, 13, 0.60, None),
+            ],
+            "query_id long, match_id long, cosine_sim double, "
+            "embedding array<double>",
+        )
+        got = {
+            r["mmr_rank"]: r["match_id"]
+            for r in mmr_rerank(cands, k=2, lambda_=0.5).collect()
+        }
+        # the NULL-vec candidate is never redundancy-penalized: it
+        # beats the identical twin for the second slot
+        assert got == {1: 11, 2: 13}
+
+    def test_validation(self, spark):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        with pytest.raises(ValueError, match="lambda_"):
+            mmr_rerank(self._cands(spark), lambda_=1.5)
+        with pytest.raises(ValueError, match="k must"):
+            mmr_rerank(self._cands(spark), k=0)

@@ -160,3 +160,65 @@ class TestGroupedQuantiles:
                     ).count()
                 )
                 assert abs(rank - p * n) <= tol, (g, p, rank, n)
+
+
+class TestSnapshotDiff:
+    """snapshot_diff: the between-crawls release audit — full-outer
+    id join + null-safe per-column comparison."""
+
+    def test_statuses(self, spark):
+        from datawaves_etl_airflow_spark.operators.profile import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            [
+                (1, "same", "s1"),
+                (2, "will change", "s1"),
+                (3, "will vanish", "s2"),
+                (4, None, "s2"),          # NULL -> NULL: unchanged
+                (5, None, "s2"),          # NULL -> value: changed
+            ],
+            "doc_id long, text string, source string",
+        )
+        new = spark.createDataFrame(
+            [
+                (1, "same", "s1"),
+                (2, "changed!", "s1"),
+                (4, None, "s2"),
+                (5, "filled in", "s2"),
+                (6, "brand new", "s3"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r["doc_id"]: r["status"]
+            for r in snapshot_diff(old, new).collect()
+        }
+        assert got == {
+            1: "unchanged",
+            2: "changed",
+            3: "removed",
+            4: "unchanged",
+            5: "changed",
+            6: "added",
+        }
+
+    def test_compare_cols_subset_and_validation(self, spark):
+        import pytest
+
+        from datawaves_etl_airflow_spark.operators.profile import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "t", "s1")], "doc_id long, text string, source string"
+        )
+        new = spark.createDataFrame(
+            [(1, "t", "s2")], "doc_id long, text string, source string"
+        )
+        # only compare text: the source change is invisible
+        got = snapshot_diff(old, new, compare_cols=["text"]).collect()
+        assert got[0]["status"] == "unchanged"
+        with pytest.raises(ValueError, match="compare_cols"):
+            snapshot_diff(old, new, compare_cols=["nope"])

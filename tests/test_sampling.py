@@ -269,3 +269,62 @@ class TestTemperatureSample:
         small = min(sizes, key=sizes.get)
         assert fl.get(small, 0) >= nat.get(small, 0)
         assert fl[big] <= nat[big]
+
+
+class TestBudgetPerGroup:
+    """budget_per_group: the weight-denominated quota — kept set is a
+    clean prefix of the preference order, never exceeding the
+    budget."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                # (id, source, weight); preference order = id asc
+                (1, "a", 300),
+                (2, "a", 400),
+                (3, "a", 500),   # cum 1200 > 1000 — cut here
+                (4, "a", 100),   # after the cut: excluded (prefix rule)
+                (1000, "b", 900),
+                (1001, "b", 200),  # cum 1100 > 1000
+                (2000, "c", 5000),  # single row over budget: excluded
+            ],
+            "doc_id long, source string, w long",
+        )
+
+    def test_prefix_and_strict_budget(self, spark):
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            budget_per_group,
+        )
+
+        out = budget_per_group(
+            self._docs(spark),
+            "source",
+            [F.col("doc_id").asc()],
+            budget=1000,
+            weight_col="w",
+        )
+        rows = {r["doc_id"]: r["cum_w"] for r in out.collect()}
+        assert rows == {1: 300, 2: 700, 1000: 900}
+        # no group exceeds the budget, and doc 4 (after the overflow)
+        # is excluded even though it would individually fit — the
+        # kept set is a PREFIX, not a best-fit knapsack
+        assert 4 not in rows and 3 not in rows and 2000 not in rows
+
+    def test_integer_cumsum_and_all_kept_under_budget(self, spark):
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            budget_per_group,
+        )
+
+        out = budget_per_group(
+            self._docs(spark),
+            "source",
+            [F.col("doc_id").asc()],
+            budget=10_000,
+            weight_col="w",
+        )
+        assert out.count() == 7  # everything fits
+        assert dict(out.dtypes)["cum_w"] == "bigint"
