@@ -1263,11 +1263,23 @@ def compact_minhash_index(
             "MinHash index compaction",
         )
     folded = _fold_token_list(
-        payload.get("folded", ()), complete + sorted(t_marked),
+        payload.get("folded", ()), complete, folded_retention
+    )
+    # applied tombstone tokens are durable in their OWN list — see
+    # similarity.compact_ivf_index for the namespace-collision rationale
+    folded_del = _fold_token_list(
+        payload.get("folded_deletes", ()), sorted(t_marked),
         folded_retention,
     )
     if not vm.publish(
-        spark, {**payload, "current": rel, "folded": folded}, version
+        spark,
+        {
+            **payload,
+            "current": rel,
+            "folded": folded,
+            "folded_deletes": folded_del,
+        },
+        version,
     ):
         # a fold's version bump (or a rebuild) landed between this
         # compaction's batch listing and its commit — publishing anyway
@@ -1338,11 +1350,16 @@ def minhash_index_stats(spark, path: str) -> DataFrame:
     # delete debt (`delete_from_minhash_index`): tombstoned docs still
     # pay the probe-side anti-join and their bands/sets bytes until
     # compaction applies them — the maintain watermark reads this
+    # DISTINCT ids: a worklist replayed under fresh tokens re-writes
+    # the same ids, and raw row counts would inflate the debt
+    # watermark into no-op full-rewrite compactions
     tombs = _minhash_tombstone_ids(spark, data_root)
     n_tombstones = (
-        tombs.agg(F.count(F.lit(1)).alias("n_tombstones"))
+        tombs.agg(F.countDistinct("id").alias("n_tombstones"))
         if tombs is not None
-        else spark.range(1).select(F.lit(0).alias("n_tombstones"))
+        else spark.range(1).select(
+            F.lit(0).cast("long").alias("n_tombstones")
+        )
     )
     # 1-row aggregates — the crossJoins broadcast one row each
     return totals.crossJoin(bucket_stats).crossJoin(n_tombstones)
@@ -1583,23 +1600,11 @@ def append_minhash_index(
 def _minhash_tombstone_ids(spark, data_root: str) -> DataFrame | None:
     """Ids deleted from this index version
     (`delete_from_minhash_index`), or None when no complete tombstone
-    batch exists — one column ``id``, matching the bands/sets surface.
-    Only MARKED batch dirs are read (a torn delete is invisible until
-    its same-token replay completes) — the shared completeness rule of
-    `similarity._ivf_tombstone_ids` / `text._bm25_tombstone_ids`."""
-    import posixpath as _pp
+    batch exists — one column ``id``, matching the bands/sets surface;
+    the shared `tombstones.read_tombstone_ids` completeness rule."""
+    from .tombstones import read_tombstone_ids
 
-    from ..sources.fs import glob_paths
-
-    troot = _pp.join(data_root, "tombstones")
-    marked = glob_paths(spark, _pp.join(troot, "batch=*", "_SUCCESS"))
-    if not marked:
-        return None
-    return (
-        spark.read.option("basePath", troot)
-        .parquet(*[p.rsplit("/", 1)[0] for p in marked])
-        .select("id")
-    )
+    return read_tombstone_ids(spark, data_root, "id")
 
 
 def delete_from_minhash_index(
@@ -1628,55 +1633,26 @@ def delete_from_minhash_index(
     ``id`` column — the index's internal id surface). Same-token
     retries overwrite their own batch dir; the manifest version bump
     serializes deletes against compactions; compacted-away tokens are
-    durable in ``folded`` so replays no-op. RE-ADD contract: a
-    tombstone suppresses its id wherever it lives, including batches
-    folded after the delete — re-adding a deleted id requires
-    compacting first. Requires the manifest layout (rebuild a legacy
-    index first).
+    durable in the ``folded_deletes`` list (disjoint from the append
+    tokens' ``folded`` — see `similarity.delete_from_ivf_index`) so
+    replays no-op. RE-ADD contract: a tombstone suppresses its id
+    wherever it lives, including batches folded after the delete —
+    re-adding a deleted id requires compacting first. Requires the
+    manifest layout (rebuild a legacy index first).
     """
-    import posixpath as _pp
-    import uuid as _uuid
+    from .tombstones import tombstone_delete
 
-    from ..sources.fs import require_success_marker
-    from ..sources.manifest import VersionedManifest
-
-    token = (
-        delete_token if delete_token is not None else _uuid.uuid4().hex
-    )
-    if "/" in token or "=" in token:
-        raise ValueError(f"delete_token must be path-safe: {token!r}")
-    spark = ids.sparkSession
-    vm = VersionedManifest(path)
-    for _attempt in range(5):
-        version, payload = vm.resolve(spark)
+    def _resolve(spark, version, payload):
         if payload is None:
             _resolve_minhash_index(spark, path)  # raises if missing
             raise ValueError(
                 f"MinHash index at {path} predates the manifest layout "
                 "— rebuild with write_minhash_index before deleting"
             )
-        if token in set(payload.get("folded", ())):
-            return
         _, data_root = _minhash_meta_from_payload(version, payload, path)
-        tomb = (
-            ids.select(F.col("id"))
-            if "id" in ids.columns
-            else ids.select(F.col(ids.columns[0]).alias("id"))
-        ).distinct()
-        tdir = _pp.join(data_root, "tombstones", f"batch={token}")
-        (
-            tomb.write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .parquet(tdir)
-        )
-        require_success_marker(spark, tdir, "MinHash delete")
-        if vm.publish(spark, payload, version):
-            vm.vacuum_superseded(spark)
-            return
-    raise RuntimeError(
-        f"MinHash index delete {token!r} at {path} lost the manifest "
-        "race 5 times in a row — pause compactions and retry"
-    )
+        return data_root, "id", "id"
+
+    tombstone_delete(ids, path, delete_token, "MinHash delete", _resolve)
 
 
 def dedup_against_index(

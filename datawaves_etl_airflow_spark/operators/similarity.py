@@ -1534,24 +1534,12 @@ def _pq_reconstructed_vec() -> Column:
 def _ivf_tombstone_ids(spark, data_root: str, id_col: str) -> DataFrame | None:
     """Ids deleted from this index version (`delete_from_ivf_index`)
     that every reader must exclude, or None when no complete tombstone
-    batch exists. Only MARKED batch dirs are read — a torn delete
-    commit (data files, no ``_SUCCESS``) is invisible to probes until
-    its same-token replay completes, the same completeness rule
-    compaction applies to cell folds; the one FS listing per probe is
-    the same price the batch layout already pays."""
-    import posixpath as _pp
+    batch exists — the shared `tombstones.read_tombstone_ids`
+    completeness rule (only MARKED batch dirs; a torn delete is
+    invisible until its same-token replay completes)."""
+    from .tombstones import read_tombstone_ids
 
-    from ..sources.fs import glob_paths
-
-    troot = _pp.join(data_root, "tombstones")
-    marked = glob_paths(spark, _pp.join(troot, "batch=*", "_SUCCESS"))
-    if not marked:
-        return None
-    return (
-        spark.read.option("basePath", troot)
-        .parquet(*[p.rsplit("/", 1)[0] for p in marked])
-        .select(id_col)
-    )
+    return read_tombstone_ids(spark, data_root, id_col)
 
 
 def _decoded_cells(spark, cells: DataFrame, meta: dict, data_root: str) -> DataFrame:
@@ -2075,9 +2063,14 @@ def delete_from_ivf_index(
     the manifest version bump serializes deletes against compactions —
     a compaction that globbed before this tombstone landed loses its
     race instead of publishing a version that silently resurrects the
-    rows. Compacted-away tokens are durable in the ``folded`` list so
-    a replay after compaction no-ops instead of re-tombstoning an id a
-    later batch legitimately re-added.
+    rows. Compacted-away tokens are durable in the manifest's
+    ``folded_deletes`` list so a replay after compaction no-ops
+    instead of re-tombstoning an id a later batch legitimately
+    re-added — a list deliberately DISJOINT from the append tokens'
+    ``folded`` (one shared namespace would let a compacted append
+    token silently swallow a later delete that reuses the string, and
+    the default streaming tokens of an add stream and a retraction
+    stream collide by construction).
 
     RE-ADD contract: a tombstone suppresses its id wherever it lives,
     including batches folded AFTER the delete — re-adding a deleted id
@@ -2085,50 +2078,19 @@ def delete_from_ivf_index(
     tombstones), the delete-side twin of `append_bm25_index`'s
     new-docs-only note.
     """
-    import posixpath as _pp
-    import uuid as _uuid
+    from .tombstones import tombstone_delete
 
-    from ..sources.fs import require_success_marker
-    from ..sources.manifest import VersionedManifest
-
-    token = (
-        delete_token if delete_token is not None else _uuid.uuid4().hex
-    )
-    if "/" in token or "=" in token:
-        raise ValueError(f"delete_token must be path-safe: {token!r}")
-    spark = ids.sparkSession
-    vm = VersionedManifest(path)
-    for _attempt in range(5):
-        version, payload = vm.resolve(spark)
+    def _resolve(spark, version, payload):
         if payload is None:
             _resolve_ivf_index(spark, path)  # raises if truly missing
             raise ValueError(
                 f"IVF index at {path} predates the manifest layout — "
                 "rebuild with write_ivf_index before deleting"
             )
-        if token in set(payload.get("folded", ())):
-            return
         meta, data_root = _ivf_meta_from_payload(version, payload, path)
-        id_col = meta["id_col"]
-        tomb = (
-            ids.select(F.col(id_col))
-            if id_col in ids.columns
-            else ids.select(F.col(ids.columns[0]).alias(id_col))
-        ).distinct()
-        tdir = _pp.join(data_root, "tombstones", f"batch={token}")
-        (
-            tomb.write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .parquet(tdir)
-        )
-        require_success_marker(spark, tdir, "IVF delete")
-        if vm.publish(spark, payload, version):
-            vm.vacuum_superseded(spark)
-            return
-    raise RuntimeError(
-        f"IVF index delete {token!r} at {path} lost the manifest race "
-        "5 times in a row — pause compactions and retry"
-    )
+        return data_root, meta["id_col"], meta["id_col"]
+
+    tombstone_delete(ids, path, delete_token, "IVF delete", _resolve)
 
 
 def compact_ivf_index(
@@ -2154,11 +2116,12 @@ def compact_ivf_index(
     base anti-joins the complete tombstone batches, so the new version
     physically drops the deleted rows and starts with no tombstones —
     probes stop paying the deleted rows' scan bytes and the per-probe
-    anti-join. Tombstone tokens join the ``folded`` list (one token
-    namespace with appends), so a delete replayed after its compaction
-    no-ops instead of re-tombstoning an id a later batch legitimately
-    re-added. Torn tombstone commits refuse exactly like torn cell
-    folds."""
+    anti-join. Tombstone tokens join the ``folded_deletes`` list
+    (disjoint from the append tokens' ``folded`` — see
+    `delete_from_ivf_index`), so a delete replayed after its
+    compaction no-ops instead of re-tombstoning an id a later batch
+    legitimately re-added. Torn tombstone commits refuse exactly like
+    torn cell folds."""
     import posixpath as _pp
     import uuid as _uuid
 
@@ -2261,11 +2224,25 @@ def compact_ivf_index(
     from .dedup import _fold_token_list
 
     folded = _fold_token_list(
-        payload.get("folded", ()), complete + sorted(t_marked),
+        payload.get("folded", ()), complete, folded_retention
+    )
+    # applied tombstone tokens are durable in their OWN list — one
+    # namespace with the append tokens would let a compacted append
+    # silently swallow a later delete that reuses the string (the
+    # default streaming tokens collide by construction)
+    folded_del = _fold_token_list(
+        payload.get("folded_deletes", ()), sorted(t_marked),
         folded_retention,
     )
     if not vm.publish(
-        spark, {**payload, "current": rel, "folded": folded}, version
+        spark,
+        {
+            **payload,
+            "current": rel,
+            "folded": folded,
+            "folded_deletes": folded_del,
+        },
+        version,
     ):
         # same contract as compact_minhash_index: a concurrent fold's
         # version bump (or a rebuild) means this compaction's batch
@@ -2403,8 +2380,12 @@ def maintain_ivf_index(
     k_total = meta["n_centroids"] * (meta["n_fine"] or 1)
     stats = ivf_index_stats(spark, path).collect()
     n_rows = sum(r["n_rows"] for r in stats)
+    # DISTINCT ids: a takedown worklist replayed daily under fresh
+    # tokens re-writes the same ids, and raw row counts would inflate
+    # the debt watermark into full-rewrite compactions that reclaim
+    # nothing (per-batch distinct cannot dedupe ACROSS batches)
     tombs = _ivf_tombstone_ids(spark, data_root, meta["id_col"])
-    n_tombstones = tombs.count() if tombs is not None else 0
+    n_tombstones = tombs.distinct().count() if tombs is not None else 0
     balanced = n_rows / k_total if k_total else 0.0
     max_seen = max((r["n_batches"] for r in stats), default=0)
     # None-safe sort key: NULL-vector rows live in a NULL centroid_id
@@ -2862,11 +2843,12 @@ def mmr_rerank(
     are independent, so the stage scales with the query set.
 
     Determinism: selection compares ``(-mmr_value, id)`` tuples, so
-    exact ties break to the smaller id; relevance ties at the first
-    pick (no diversity term yet) do the same. NULL or zero-norm
-    vectors participate as ORTHOGONAL (similarity 0 to everything):
-    they are never penalized for redundancy but never excluded —
-    the kept-singleton spirit of the dedup family.
+    exact ties break to the smaller id (ids need a total order —
+    integers and strings both qualify; the output carries the input's
+    own id/query types). NULL or zero-norm vectors participate as
+    ORTHOGONAL (similarity 0 to everything): they are never penalized
+    for redundancy but never excluded — the kept-singleton spirit of
+    the dedup family.
 
     Returns ``(query_col, id_col, mmr_rank, mmr_score)`` with at most
     ``k`` rows per query. ``lambda_ = 1`` reproduces the relevance
@@ -2878,10 +2860,19 @@ def mmr_rerank(
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     import pandas as pd
+    from pyspark.sql import types as T
 
-    out_schema = (
-        f"{query_col} long, {id_col} long, mmr_rank int, "
-        "mmr_score double"
+    # carry the INPUT's id/query types (string doc ids are a supported
+    # id surface across this engine — hardcoding long here would make
+    # the operator silently unusable for them)
+    in_schema = {f.name: f.dataType for f in candidates.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField(query_col, in_schema[query_col]),
+            T.StructField(id_col, in_schema[id_col]),
+            T.StructField("mmr_rank", T.IntegerType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
     )
     lam = float(lambda_)
 

@@ -358,25 +358,38 @@ def bm25_topk(
     results simply means fewer than k allowed docs share any query
     term — a property of the data, not of an approximation.
     """
-    toks = docs.select(
-        F.col(id_col).alias("_doc"),
-        tokenize(F.col(text_col)).alias("_ws"),
-    )
-    per_doc = toks.select(
-        "_doc", F.size("_ws").alias("_dl"), F.explode("_ws").alias("_w")
-    )
-    tf = per_doc.groupBy("_doc", "_dl", "_w").agg(
-        F.count(F.lit(1)).alias("_tf")
-    )
-    totals = toks.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.avg(F.size("_ws")).alias("_avgdl"),
-    )
+    tf, totals = _bm25_surfaces(docs, text_col, id_col)
     qterms = _bm25_query_terms(queries)
     return _bm25_rank(
         qterms, tf, totals, k, k1, b, max_df_ratio, id_col,
         allowed=allowed,
     )
+
+
+def _bm25_surfaces(
+    docs: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(tf, totals) — the in-session corpus surfaces behind
+    `bm25_topk` and `bm25_prf_topk`: one tokenize pass feeding the
+    per-(doc, term) counts and the 1-row (N, avgdl) aggregate,
+    extracted so the two operators' tokenization and length
+    accounting cannot drift."""
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        tokenize(F.col(text_col)).alias("_ws"),
+    )
+    tf = (
+        toks.select(
+            "_doc", F.size("_ws").alias("_dl"), F.explode("_ws").alias("_w")
+        )
+        .groupBy("_doc", "_dl", "_w")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.size("_ws")).alias("_avgdl"),
+    )
+    return tf, totals
 
 
 def _bm25_query_terms(queries: DataFrame) -> DataFrame:
@@ -512,9 +525,12 @@ def bm25_prf_topk(
     join's left side is |queries| × fb_docs rows (broadcast-sized),
     and the mined-term aggregation output is ≤ |queries| × fb_terms.
     ``max_df_ratio``/``allowed`` pass through to BOTH passes with
-    their usual semantics (the valve also keeps stopword-grade terms
-    out of the expansion — mined stopwords are PRF's classic failure
-    mode, so the valve matters more here than anywhere).
+    their usual semantics, and the valve additionally prunes the
+    MINING POOL itself (stopword-grade terms are excluded before the
+    fb_terms window, not merely dropped from scoring afterwards —
+    otherwise mined stopwords would fill every expansion slot and
+    silently degrade PRF to plain BM25 on exactly the
+    natural-language corpora it targets).
 
     The persisted-index form is deliberately absent: mining feedback
     terms needs doc → terms (a forward index), which the term-bucketed
@@ -528,21 +544,7 @@ def bm25_prf_topk(
         raise ValueError(f"fb_terms must be >= 0: {fb_terms}")
     if not 0.0 < fb_weight <= 1.0:
         raise ValueError(f"fb_weight must be in (0, 1]: {fb_weight}")
-    toks = docs.select(
-        F.col(id_col).alias("_doc"),
-        tokenize(F.col(text_col)).alias("_ws"),
-    )
-    tf = (
-        toks.select(
-            "_doc", F.size("_ws").alias("_dl"), F.explode("_ws").alias("_w")
-        )
-        .groupBy("_doc", "_dl", "_w")
-        .agg(F.count(F.lit(1)).alias("_tf"))
-    )
-    totals = toks.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.avg(F.size("_ws")).alias("_avgdl"),
-    )
+    tf, totals = _bm25_surfaces(docs, text_col, id_col)
     qterms = _bm25_query_terms(queries)
     feedback = _bm25_rank(
         qterms, tf, totals, fb_docs, k1, b, max_df_ratio, id_col,
@@ -550,12 +552,26 @@ def bm25_prf_topk(
     ).select("query_id", F.col(id_col).alias("_doc"))
     # per-query mined terms: INTEGER tf sums over the feedback docs,
     # term-string tiebreak — no float enters the selection
+    mined_src = feedback.join(tf.select("_doc", "_w", "_tf"), "_doc")
+    if max_df_ratio is not None:
+        # the valve applies AT MINING TIME too: feedback docs' highest
+        # -tf terms are stopwords on exactly the natural-language
+        # corpora PRF targets, and mined stopwords would either fill
+        # every fb_terms slot only to be dropped by pass 2's df filter
+        # (silently degrading PRF to plain BM25) or, unvalved, add
+        # noise terms — prune the mining pool by the same df rule
+        dfreq = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+        mined_src = (
+            mined_src.join(dfreq, "_w")
+            .crossJoin(F.broadcast(totals.select("_n")))
+            .filter(F.col("_df") <= F.lit(max_df_ratio) * F.col("_n"))
+            .drop("_df", "_n")
+        )
     wt = Window.partitionBy("query_id").orderBy(
         F.col("_fbtf").desc(), F.col("_w").asc()
     )
     mined = (
-        feedback.join(tf.select("_doc", "_w", "_tf"), "_doc")
-        .groupBy("query_id", "_w")
+        mined_src.groupBy("query_id", "_w")
         .agg(F.sum("_tf").alias("_fbtf"))
         .withColumn("_r", F.row_number().over(wt))
         .filter(F.col("_r") <= fb_terms)
@@ -779,12 +795,16 @@ def _bm25_postings(
 BM25_INDEX_META = "_bm25_index.json"
 
 
-def _resolve_bm25_index(spark, path: str) -> tuple[dict, str]:
-    """(parameter contract, data root) — manifest-committed only (the
-    index is r9-new; there is no legacy layout to fall back to)."""
-    from ..sources.manifest import VersionedManifest
+def _bm25_meta_from_payload(
+    version: int, payload: dict | None, path: str
+) -> tuple[dict, str]:
+    """(parameter contract, data root) from a resolved manifest payload
+    — shared by the probe resolver and the delete writer so each pays
+    exactly one manifest round-trip while keeping the family's
+    missing/corrupt errors (the IVF `_ivf_meta_from_payload`
+    pattern)."""
+    import posixpath as _pp
 
-    version, payload = VersionedManifest(path).resolve(spark)
     if payload is None:
         raise ValueError(
             f"no BM25 index manifest under {path} — not an index "
@@ -801,9 +821,16 @@ def _resolve_bm25_index(spark, path: str) -> tuple[dict, str]:
             f"corrupt BM25 index manifest version {version} under "
             f"{path}: {payload!r}"
         ) from exc
-    import posixpath as _pp
-
     return meta, _pp.join(path, current)
+
+
+def _resolve_bm25_index(spark, path: str) -> tuple[dict, str]:
+    """(parameter contract, data root) — manifest-committed only (the
+    index is r9-new; there is no legacy layout to fall back to)."""
+    from ..sources.manifest import VersionedManifest
+
+    version, payload = VersionedManifest(path).resolve(spark)
+    return _bm25_meta_from_payload(version, payload, path)
 
 
 def write_bm25_index(
@@ -946,23 +973,11 @@ def append_bm25_index(
 def _bm25_tombstone_ids(spark, data_root: str) -> DataFrame | None:
     """Doc ids deleted from this index version
     (`delete_from_bm25_index`), or None when no complete tombstone
-    batch exists — one column ``doc``, matching the postings surface.
-    Only MARKED batch dirs are read (a torn delete commit is invisible
-    until its same-token replay completes), the same completeness rule
-    as `similarity._ivf_tombstone_ids`."""
-    import posixpath as _pp
+    batch exists — one column ``doc``, matching the postings surface;
+    the shared `tombstones.read_tombstone_ids` completeness rule."""
+    from .tombstones import read_tombstone_ids
 
-    from ..sources.fs import glob_paths
-
-    troot = _pp.join(data_root, "tombstones")
-    marked = glob_paths(spark, _pp.join(troot, "batch=*", "_SUCCESS"))
-    if not marked:
-        return None
-    return (
-        spark.read.option("basePath", troot)
-        .parquet(*[p.rsplit("/", 1)[0] for p in marked])
-        .select("doc")
-    )
+    return read_tombstone_ids(spark, data_root, "doc")
 
 
 def delete_from_bm25_index(
@@ -1004,58 +1019,21 @@ def delete_from_bm25_index(
     ``ids`` is a one-column DataFrame (or any DataFrame carrying the
     index's id column). Same-token retries overwrite their own batch
     dir; the manifest version bump serializes deletes against
-    compactions/resizes; compacted-away tokens are durable in
-    ``folded`` so replays no-op. RE-ADD contract: a tombstone
-    suppresses its doc id wherever it lives, including batches folded
-    after the delete — re-adding a deleted id requires compacting
-    first, the delete-side twin of `append_bm25_index`'s
-    new-docs-only note.
+    compactions/resizes; compacted-away tokens are durable in the
+    ``folded_deletes`` list (disjoint from the append tokens'
+    ``folded`` — see `similarity.delete_from_ivf_index`) so replays
+    no-op. RE-ADD contract: a tombstone suppresses its doc id wherever
+    it lives, including batches folded after the delete — re-adding a
+    deleted id requires compacting first, the delete-side twin of
+    `append_bm25_index`'s new-docs-only note.
     """
-    import posixpath as _pp
-    import uuid as _uuid
+    from .tombstones import tombstone_delete
 
-    from ..sources.fs import require_success_marker
-    from ..sources.manifest import VersionedManifest
+    def _resolve(spark, version, payload):
+        meta, data_root = _bm25_meta_from_payload(version, payload, path)
+        return data_root, meta["id_col"], "doc"
 
-    token = (
-        delete_token if delete_token is not None else _uuid.uuid4().hex
-    )
-    if "/" in token or "=" in token:
-        raise ValueError(f"delete_token must be path-safe: {token!r}")
-    spark = ids.sparkSession
-    vm = VersionedManifest(path)
-    for _attempt in range(5):
-        version, payload = vm.resolve(spark)
-        if payload is None:
-            raise ValueError(
-                f"no BM25 index manifest under {path} — not an index "
-                "directory (build one with write_bm25_index)"
-            )
-        if token in set(payload.get("folded", ())):
-            return
-        # parse the already-resolved payload — one manifest round-trip
-        # per attempt, the property every writer here keeps
-        id_col = str(payload["id_col"])
-        data_root = _pp.join(path, str(payload["current"]))
-        tomb = (
-            ids.select(F.col(id_col).alias("doc"))
-            if id_col in ids.columns
-            else ids.select(F.col(ids.columns[0]).alias("doc"))
-        ).distinct()
-        tdir = _pp.join(data_root, "tombstones", f"batch={token}")
-        (
-            tomb.write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .parquet(tdir)
-        )
-        require_success_marker(spark, tdir, "BM25 delete")
-        if vm.publish(spark, payload, version):
-            vm.vacuum_superseded(spark)
-            return
-    raise RuntimeError(
-        f"BM25 index delete {token!r} at {path} lost the manifest race "
-        "5 times in a row — pause compactions and retry"
-    )
+    tombstone_delete(ids, path, delete_token, "BM25 delete", _resolve)
 
 
 def vacuum_bm25_index(spark, path: str) -> list[str]:
@@ -1281,10 +1259,20 @@ def _refold_bm25_index(
         spark, _pp.join(vroot, "meta", "batch=base"), op_name
     )
     folded = _fold_token_list(
-        payload.get("folded", ()), complete + sorted(t_marked),
+        payload.get("folded", ()), complete, folded_retention
+    )
+    # applied tombstone tokens are durable in their OWN list — see
+    # similarity.compact_ivf_index for the namespace-collision rationale
+    folded_del = _fold_token_list(
+        payload.get("folded_deletes", ()), sorted(t_marked),
         folded_retention,
     )
-    new_payload = {**payload, "current": rel, "folded": folded}
+    new_payload = {
+        **payload,
+        "current": rel,
+        "folded": folded,
+        "folded_deletes": folded_del,
+    }
     if new_n_buckets is not None:
         new_payload["n_buckets"] = int(new_n_buckets)
     if not vm.publish(spark, new_payload, version):
@@ -1325,10 +1313,11 @@ def compact_bm25_index(
     Tombstones (`delete_from_bm25_index`) are APPLIED here: the folded
     postings anti-join the complete tombstone batches, N/sum_dl are
     corrected exactly from the dropped rows' ``(doc, dl)``, tombstone
-    tokens join ``folded`` (so delete replays no-op), and the new
-    version starts tombstone-free — a post-compaction probe is
-    value-identical to a fresh build over the surviving corpus. Torn
-    tombstone commits refuse exactly like torn postings folds.
+    tokens join ``folded_deletes`` (so delete replays no-op — a list
+    disjoint from the append tokens' ``folded``), and the new version
+    starts tombstone-free — a post-compaction probe is value-identical
+    to a fresh build over the surviving corpus. Torn tombstone commits
+    refuse exactly like torn postings folds.
     """
     return _refold_bm25_index(
         spark, path, folded_retention, None, "BM25 index compaction"
@@ -1443,11 +1432,16 @@ def bm25_index_stats(spark, path: str) -> DataFrame:
     # delete debt: tombstoned docs still pay probe-side anti-joins and
     # postings bytes until the next compaction applies them — the
     # `maintain_bm25_index` watermark reads this column
+    # DISTINCT docs: a worklist replayed under fresh tokens re-writes
+    # the same ids, and raw row counts would inflate the debt
+    # watermark into no-op full-rewrite compactions
     tombs = _bm25_tombstone_ids(spark, data_root)
     n_tombstones = (
-        tombs.agg(F.count(F.lit(1)).alias("n_tombstones"))
+        tombs.agg(F.countDistinct("doc").alias("n_tombstones"))
         if tombs is not None
-        else spark.range(1).select(F.lit(0).alias("n_tombstones"))
+        else spark.range(1).select(
+            F.lit(0).cast("long").alias("n_tombstones")
+        )
     )
     return (
         totals_meta.crossJoin(n_batches)

@@ -615,7 +615,8 @@ class TestMinhashDeletes:
         assert not _glob.glob(_os.path.join(root, "tombstones", "*"))
         # durable token: replay after compaction must not re-tombstone
         _, payload = VersionedManifest(index_path).resolve(spark)
-        assert "rm1" in payload["folded"]
+        assert "rm1" in payload["folded_deletes"]
+        assert "rm1" not in payload["folded"]
         delete_from_minhash_index(
             spark.createDataFrame([(1,)], "id long"), index_path,
             delete_token="rm1",

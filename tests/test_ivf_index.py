@@ -1502,10 +1502,13 @@ class TestIvfDeletes:
             map(tuple, ivf_search_index(q, p, nprobe=8, k=5).collect())
         )
         assert before == after
-        # the delete token is durable: a replay after compaction must
-        # NOT re-tombstone (a later batch may legitimately re-add ids)
+        # the delete token is durable in its OWN namespace: a replay
+        # after compaction must NOT re-tombstone (a later batch may
+        # legitimately re-add ids), and an append token reusing the
+        # same string must NOT be swallowed by the delete record
         _, payload = VersionedManifest(p).resolve(spark)
-        assert "gdpr1" in payload["folded"]
+        assert "gdpr1" in payload["folded_deletes"]
+        assert "gdpr1" not in payload["folded"]
         delete_from_ivf_index(deleted, p, delete_token="gdpr1")
         assert not glob.glob(os.path.join(root, "tombstones", "*"))
 
@@ -1588,3 +1591,63 @@ class TestIvfDeletes:
                 spark.createDataFrame([(1,)], "vec_id long"),
                 str(tmp_path / "nope"),
             )
+
+    def test_delete_and_append_token_namespaces_are_disjoint(
+        self, spark, tmp_path
+    ):
+        """The collision that motivated folded_deletes: an append
+        batch token compacted into `folded` must not swallow a later
+        delete that reuses the string (the default streaming tokens
+        of an add stream and a retraction stream collide by
+        construction: both emit b0, b1, ...)."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            append_ivf_index,
+            brute_force_topk,
+            compact_ivf_index,
+            delete_from_ivf_index,
+        )
+
+        p = str(tmp_path / "ivfns")
+        vecs = _vectors(spark)
+        write_ivf_index(
+            vecs.filter(F.col("vec_id") < 200), p, n_centroids=8,
+            n_iters=1,
+        )
+        append_ivf_index(
+            vecs.filter(F.col("vec_id") >= 200), p, batch_token="b0"
+        )
+        assert compact_ivf_index(spark, p) is True  # "b0" -> folded
+        # a RETRACTION stream's batch 0 under checkpoint=None also
+        # emits token "b0" — it must still tombstone
+        delete_from_ivf_index(
+            vecs.filter(F.col("vec_id") % 10 == 0).select("vec_id"),
+            p,
+            delete_token="b0",
+        )
+        got = ivf_search_index(_queries(spark), p, nprobe=8, k=5)
+        want = brute_force_topk(
+            vecs.filter(F.col("vec_id") % 10 != 0), _queries(spark), k=5
+        )
+        cols = ["query_id", "match_id", "rank", "cosine_sim"]
+        assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+        assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+
+    def test_maintain_counts_distinct_tombstoned_ids(
+        self, spark, tmp_path
+    ):
+        """A worklist replayed under fresh tokens re-writes the same
+        ids: the debt watermark must count DISTINCT ids, not rows,
+        or every tick fires a full-rewrite compaction that reclaims
+        nothing."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            delete_from_ivf_index,
+            maintain_ivf_index,
+        )
+
+        p, vecs = self._built(spark, tmp_path)
+        dels = vecs.filter(F.col("vec_id") < 30).select("vec_id")
+        delete_from_ivf_index(dels, p, delete_token="day1")
+        delete_from_ivf_index(dels, p, delete_token="day2")
+        rep = maintain_ivf_index(spark, p, max_tombstone_ratio=0.2)
+        assert rep["n_tombstones"] == 30  # not 60
+        assert rep["compacted"] is False  # 30/300 = 10% < 20%

@@ -1162,6 +1162,36 @@ class TestBm25Prf:
         with pytest.raises(ValueError, match="fb_weight"):
             bm25_prf_topk(docs, qs, fb_weight=1.5)
 
+    def test_valve_prunes_the_mining_pool(self, spark):
+        """max_df_ratio must exclude stopword-grade terms BEFORE the
+        fb_terms window: otherwise mined stopwords fill every slot,
+        pass 2's df filter drops them, and PRF silently degrades to
+        plain BM25 on exactly the corpora it targets."""
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_prf_topk,
+        )
+
+        # "the" is in every doc (df ratio 1.0); the feedback doc's
+        # top-tf term is "the", but the valve must mine "motorcar"
+        docs = spark.createDataFrame(
+            [
+                (1, "the the the automobile motorcar motorcar"),
+                (2, "the motorcar chassis wheels"),
+                (3, "the gardening soil compost"),
+                (4, "the orbital mechanics transfer"),
+            ],
+            "doc_id long, text string",
+        )
+        qs = spark.createDataFrame(
+            [(100, "automobile")], "query_id long, query_text string"
+        )
+        got = bm25_prf_topk(
+            docs, qs, k=4, fb_docs=1, fb_terms=1, max_df_ratio=0.9
+        ).collect()
+        # with "the" valved out of mining, the single mined slot goes
+        # to motorcar (tf 2 beats automobile's 1) -> doc 2 retrieved
+        assert 2 in {r["doc_id"] for r in got}
+
 
 class TestMmrRerank:
     """mmr_rerank: greedy diversity re-ranking — the set-level
@@ -1245,3 +1275,25 @@ class TestMmrRerank:
             mmr_rerank(self._cands(spark), lambda_=1.5)
         with pytest.raises(ValueError, match="k must"):
             mmr_rerank(self._cands(spark), k=0)
+
+    def test_mmr_string_ids(self, spark):
+        """The output carries the input's id types — string doc ids
+        are a supported surface."""
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        cands = spark.createDataFrame(
+            [
+                ("q1", "docA", 0.99, [1.0, 0.0]),
+                ("q1", "docB", 0.98, [1.0, 0.0]),
+                ("q1", "docC", 0.70, [0.0, 1.0]),
+            ],
+            "query_id string, match_id string, cosine_sim double, "
+            "embedding array<double>",
+        )
+        got = {
+            r["mmr_rank"]: r["match_id"]
+            for r in mmr_rerank(cands, k=2, lambda_=0.5).collect()
+        }
+        assert got == {1: "docA", 2: "docC"}
