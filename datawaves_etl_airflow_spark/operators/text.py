@@ -795,6 +795,23 @@ def _bm25_postings(
 BM25_INDEX_META = "_bm25_index.json"
 
 
+def _bm25_forward_rows(postings: DataFrame, n_buckets: int) -> DataFrame:
+    """``(doc, dl, term, tf, fbucket)`` — the DOC-hash-bucketed
+    FORWARD twin of the term-bucketed postings, derived from the same
+    tokenize pass: every row of one document lands in its one
+    ``fbucket``, so a doc→terms lookup (PRF feedback mining) reads
+    |fb docs| buckets via static pruning instead of scanning the
+    postings — the forward index the inverted layout cannot emulate
+    (`bm25_prf_topk`'s documented gap, closed by
+    `bm25_prf_search_index`)."""
+    return postings.select(
+        "doc", "dl", "term", "tf",
+        F.pmod(F.xxhash64(F.col("doc")), F.lit(n_buckets)).alias(
+            "fbucket"
+        ),
+    )
+
+
 def _bm25_meta_from_payload(
     version: int, payload: dict | None, path: str
 ) -> tuple[dict, str]:
@@ -814,6 +831,8 @@ def _bm25_meta_from_payload(
         meta = {
             "n_buckets": int(payload["n_buckets"]),
             "id_col": str(payload["id_col"]),
+            # absent on pre-r10 manifests: no forward layout
+            "forward": bool(payload.get("forward", False)),
         }
         current = str(payload["current"])
     except (ValueError, KeyError, TypeError) as exc:
@@ -839,6 +858,7 @@ def write_bm25_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    forward: bool = False,
 ) -> None:
     """Persist the inverted text index: ``postings/`` laid out as
     ``batch=<token>/bucket=<h>`` hive partitions (term-hash buckets)
@@ -855,6 +875,14 @@ def write_bm25_index(
     manifest pointer flips; appends land idempotent same-token batch
     dirs (`append_bm25_index`); superseded versions are reclaimed by
     `vacuum_bm25_index`.
+
+    ``forward=True`` additionally persists the DOC-hash-bucketed
+    forward layout (`_bm25_forward_rows` — the same tokenize pass laid
+    out as ``fbucket=xxhash64(doc)%n``), which `bm25_prf_search_index`
+    needs for bucket-pruned feedback-term mining: the inverted
+    postings cannot serve doc→terms without a full scan. Roughly
+    doubles the index footprint — opt in when PRF runs against this
+    index.
     """
     import posixpath as _pp
     import uuid as _uuid
@@ -883,17 +911,28 @@ def write_bm25_index(
     require_success_marker(
         spark, _pp.join(vroot, "meta", "batch=base"), "BM25 index build"
     )
-    vm.publish_or_raise(
-        spark,
-        {
-            "current": rel,
-            "n_buckets": n_buckets,
-            "id_col": id_col,
-            "layout": "batch-v1",
-        },
-        version,
-        "BM25 index rebuild",
-    )
+    if forward:
+        (
+            _bm25_forward_rows(postings, n_buckets)
+            .repartition("fbucket")
+            .write.mode("errorifexists")
+            .partitionBy("fbucket")
+            .parquet(_pp.join(vroot, "forward", "batch=base"))
+        )
+        require_success_marker(
+            spark,
+            _pp.join(vroot, "forward", "batch=base"),
+            "BM25 index build",
+        )
+    payload = {
+        "current": rel,
+        "n_buckets": n_buckets,
+        "id_col": id_col,
+        "layout": "batch-v1",
+    }
+    if forward:
+        payload["forward"] = True
+    vm.publish_or_raise(spark, payload, version, "BM25 index rebuild")
 
 
 def append_bm25_index(
@@ -961,6 +1000,19 @@ def append_bm25_index(
         stats.write.mode("overwrite").parquet(mdir)
         require_success_marker(spark, pdir, "BM25 fold")
         require_success_marker(spark, mdir, "BM25 fold")
+        if meta["forward"]:
+            # the forward twin folds the same batch rows, so PRF
+            # mining sees appended docs the moment the fold commits
+            fdir = _pp.join(data_root, "forward", f"batch={token}")
+            (
+                _bm25_forward_rows(postings, meta["n_buckets"])
+                .repartition("fbucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("fbucket")
+                .parquet(fdir)
+            )
+            require_success_marker(spark, fdir, "BM25 fold")
         if vm.publish(spark, payload, version):
             vm.vacuum_superseded(spark)
             return
@@ -1042,7 +1094,8 @@ def vacuum_bm25_index(spark, path: str) -> list[str]:
     from ..sources.manifest import VersionedManifest
 
     return VersionedManifest(path).vacuum_versions(
-        spark, ("postings", "meta", "tombstones", BM25_INDEX_META)
+        spark,
+        ("postings", "meta", "forward", "tombstones", BM25_INDEX_META),
     )
 
 
@@ -1073,10 +1126,34 @@ def bm25_search_index(
     what the persisted layout serves without per-query re-aggregation
     (df folds from the probed buckets whole; the filter only prunes
     who may be retrieved)."""
-    import posixpath as _pp
-
     spark = queries.sparkSession
     meta, data_root = _resolve_bm25_index(spark, path)
+    qterms = _bm25_query_terms(queries).localCheckpoint()
+    return _bm25_index_probe(
+        spark, data_root, meta, qterms, k, k1, b, max_df_ratio, allowed
+    )
+
+
+def _bm25_index_probe(
+    spark,
+    data_root: str,
+    meta: dict,
+    qterms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    max_df_ratio: float | None,
+    allowed: DataFrame | None,
+) -> DataFrame:
+    """The ONE persisted-probe core behind `bm25_search_index` and
+    both passes of `bm25_prf_search_index`: fold N/avgdl from the
+    per-batch ``meta/`` rows, collect the query terms' bucket ids
+    (bounded driver read), scan only those postings buckets, prune
+    tombstones, rank via the shared `_bm25_rank` tree. ``qterms`` may
+    carry the ``_qw`` expansion-weight column — it flows through to
+    the weighted scoring."""
+    import posixpath as _pp
+
     stats = (
         spark.read.parquet(_pp.join(data_root, "meta"))
         .agg(
@@ -1084,7 +1161,6 @@ def bm25_search_index(
             (F.sum("sum_dl") / F.sum("n_docs")).alias("_avgdl"),
         )
     )
-    qterms = _bm25_query_terms(queries).localCheckpoint()
     buckets = sorted(
         r["_b"]
         for r in qterms.select(
@@ -1116,6 +1192,158 @@ def bm25_search_index(
     return _bm25_rank(
         qterms, tf, stats, k, k1, b, max_df_ratio, meta["id_col"],
         allowed=allowed,
+    )
+
+
+def bm25_prf_search_index(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    fb_weight: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float | None = None,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """`bm25_prf_topk` against a persisted index built with
+    ``write_bm25_index(forward=True)`` — the production PRF path, and
+    value-identical to the in-session operator over the same corpus
+    (both passes run the shared `_bm25_rank` tree through the shared
+    `_bm25_index_probe`; feedback-term mining reads the SAME
+    (doc, term, tf) rows the in-session form derives, just from the
+    persisted forward layout).
+
+    Probe cost, every stage bucket-pruned or bounded:
+
+    - pass 1 scans the query terms' postings buckets (the
+      `bm25_search_index` bound);
+    - mining scans the |queries|·fb_docs feedback docs' FORWARD
+      buckets (doc-hash static pruning — the whole reason the forward
+      layout exists: the inverted postings cannot serve doc→terms
+      without a full scan);
+    - with ``max_df_ratio`` set, one more postings probe over the
+      candidate terms' buckets fetches their exact df for the
+      mining-time valve — the candidate vocabulary is the feedback
+      docs' vocabulary, so this probe's pruning weakens as fb docs
+      grow (documented, not hidden: a 5-doc feedback set over a
+      64-bucket index still prunes well; valved PRF over hundreds of
+      feedback docs approaches a postings scan);
+    - pass 2 scans the expanded terms' buckets.
+
+    Tombstoned docs are excluded everywhere — retrieval, mining AND
+    df — through the same pruning seams as `bm25_search_index`.
+    Raises if the index has no forward layout (rebuild with
+    ``forward=True``; an append-only migration cannot backfill the
+    forward rows for existing batches).
+    """
+    import posixpath as _pp
+
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1: {fb_docs}")
+    if fb_terms < 0:
+        raise ValueError(f"fb_terms must be >= 0: {fb_terms}")
+    if not 0.0 < fb_weight <= 1.0:
+        raise ValueError(f"fb_weight must be in (0, 1]: {fb_weight}")
+    spark = queries.sparkSession
+    meta, data_root = _resolve_bm25_index(spark, path)
+    if not meta["forward"]:
+        raise ValueError(
+            f"BM25 index at {path} has no forward layout — PRF mining "
+            "needs doc→terms; rebuild with write_bm25_index("
+            "forward=True)"
+        )
+    qterms = _bm25_query_terms(queries).localCheckpoint()
+    feedback = (
+        _bm25_index_probe(
+            spark, data_root, meta, qterms, fb_docs, k1, b,
+            max_df_ratio, allowed,
+        )
+        .select("query_id", F.col(meta["id_col"]).alias("_doc"))
+        .localCheckpoint()
+    )
+    # |queries| × fb_docs ids — the bounded-driver-read pattern
+    fbuckets = sorted(
+        r["_b"]
+        for r in feedback.select(
+            F.pmod(F.xxhash64(F.col("_doc")), F.lit(meta["n_buckets"]))
+            .alias("_b")
+        )
+        .distinct()
+        .collect()
+    )
+    fwd = spark.read.parquet(_pp.join(data_root, "forward")).filter(
+        F.col("fbucket").isin(fbuckets)
+    )
+    tombs = _bm25_tombstone_ids(spark, data_root)
+    if tombs is not None:
+        fwd = fwd.join(tombs, "doc", "left_anti")
+    mined_src = feedback.join(
+        fwd.select(
+            F.col("doc").alias("_doc"),
+            F.col("term").alias("_w"),
+            F.col("tf").alias("_tf"),
+        ),
+        "_doc",
+    )
+    if max_df_ratio is not None:
+        # mining-time valve with EXACT df: probe the candidate terms'
+        # postings buckets (see the docstring's cost note)
+        cand = mined_src.select("_w").distinct().localCheckpoint()
+        cbuckets = sorted(
+            r["_b"]
+            for r in cand.select(
+                F.pmod(
+                    F.xxhash64(F.col("_w")), F.lit(meta["n_buckets"])
+                ).alias("_b")
+            )
+            .distinct()
+            .collect()
+        )
+        cprobe = spark.read.parquet(
+            _pp.join(data_root, "postings")
+        ).filter(F.col("bucket").isin(cbuckets))
+        if tombs is not None:
+            cprobe = cprobe.join(tombs, "doc", "left_anti")
+        dfreq = (
+            cprobe.select(F.col("term").alias("_w"))
+            .join(cand, "_w", "left_semi")
+            .groupBy("_w")
+            .agg(F.count(F.lit(1)).alias("_df"))
+        )
+        n_total = spark.read.parquet(_pp.join(data_root, "meta")).agg(
+            F.sum("n_docs").alias("_n")
+        )
+        mined_src = (
+            mined_src.join(dfreq, "_w")
+            .crossJoin(F.broadcast(n_total))
+            .filter(F.col("_df") <= F.lit(max_df_ratio) * F.col("_n"))
+            .drop("_df", "_n")
+        )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("_fbtf").desc(), F.col("_w").asc()
+    )
+    mined = (
+        mined_src.groupBy("query_id", "_w")
+        .agg(F.sum("_tf").alias("_fbtf"))
+        .withColumn("_r", F.row_number().over(wt))
+        .filter(F.col("_r") <= fb_terms)
+        .select(
+            "query_id", "_w",
+            F.lit(float(fb_weight)).cast("double").alias("_qw"),
+        )
+    )
+    expanded = (
+        qterms.withColumn("_qw", F.lit(1.0))
+        .unionByName(mined)
+        .groupBy("query_id", "_w")
+        .agg(F.max("_qw").alias("_qw"))
+        .localCheckpoint()
+    )
+    return _bm25_index_probe(
+        spark, data_root, meta, expanded, k, k1, b, max_df_ratio,
+        allowed,
     )
 
 
@@ -1162,6 +1390,17 @@ def _refold_bm25_index(
         (_glob_tokens("postings", "bucket=*/part-*") - _glob_tokens("postings", "_SUCCESS"))
         | (_glob_tokens("meta", "part-*") - _glob_tokens("meta", "_SUCCESS"))
     )
+    if meta["forward"]:
+        # the forward twin is a third completeness side: a token whose
+        # forward fold is missing/torn must not be baked into the base
+        marked &= _glob_tokens("forward", "_SUCCESS")
+        torn = sorted(
+            set(torn)
+            | (
+                _glob_tokens("forward", "fbucket=*/part-*")
+                - _glob_tokens("forward", "_SUCCESS")
+            )
+        )
     if torn:
         raise RuntimeError(
             f"BM25 index at {path}: batch dirs {torn} hold data files "
@@ -1197,7 +1436,8 @@ def _refold_bm25_index(
         .select("term", "doc", "dl", "tf", "bucket")
     )
     stats_correction = None
-    if t_marked:
+    tombs = _bm25_tombstone_ids(spark, old_root) if t_marked else None
+    if tombs is not None:
         # apply deletes physically AND correct the corpus stats
         # EXACTLY: each deleted doc's dl travels on its posting rows,
         # so one distinct over the dropped rows yields the (n_docs,
@@ -1207,7 +1447,6 @@ def _refold_bm25_index(
         # correction; it can never match a query, so only the shared
         # N/avgdl scale carries that bias until a true rebuild). The
         # new version starts with no tombstones/ dir at all.
-        tombs = _bm25_tombstone_ids(spark, old_root)
         stats_correction = (
             postings.join(tombs, "doc", "left_semi")
             .select("doc", "dl")
@@ -1252,6 +1491,37 @@ def _refold_bm25_index(
     folded_meta.write.mode("errorifexists").parquet(
         _pp.join(vroot, "meta", "batch=base")
     )
+    if meta["forward"]:
+        # the forward twin folds with the same tombstone anti-join;
+        # on a resize its fbucket re-hashes too (forward bucketing
+        # shares n_buckets, so stale fbucket values would break the
+        # PRF probe's static pruning after the manifest update)
+        fwd = (
+            spark.read.option("basePath", _pp.join(old_root, "forward"))
+            .parquet(
+                *[
+                    _pp.join(old_root, "forward", f"batch={t}")
+                    for t in complete
+                ]
+            )
+            .select("doc", "dl", "term", "tf", "fbucket")
+        )
+        if tombs is not None:
+            fwd = fwd.join(tombs, "doc", "left_anti")
+        if new_n_buckets is not None:
+            fwd = fwd.withColumn(
+                "fbucket",
+                F.pmod(F.xxhash64(F.col("doc")), F.lit(new_n_buckets)),
+            )
+        (
+            fwd.repartition("fbucket")
+            .write.mode("errorifexists")
+            .partitionBy("fbucket")
+            .parquet(_pp.join(vroot, "forward", "batch=base"))
+        )
+        require_success_marker(
+            spark, _pp.join(vroot, "forward", "batch=base"), op_name
+        )
     require_success_marker(
         spark, _pp.join(vroot, "postings", "batch=base"), op_name
     )

@@ -1221,6 +1221,44 @@ def llm_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_bm25_prf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED pseudo-relevance feedback (`text.bm25_prf_search_index`
+    — both BM25 passes bucket-pruned through the shared index probe,
+    feedback mining through the DOC-hash-bucketed ``forward`` layout
+    that `write_bm25_index(forward=True)` persists): the production
+    PRF path, under `llm_bm25_prf`'s oracle VERBATIM — the index form
+    is value-identical to the in-session operator over the same corpus
+    (df/N/avgdl fold additively, mining reads the same (doc, term, tf)
+    rows from the forward buckets), so the llm_bm25_index
+    oracle-reuse pattern applies. 70/30 build+append certifies that
+    the forward side folds additively too. Executed eagerly
+    (localCheckpoint) so the temp index is removed before return."""
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    qs = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(dedup.tokenize(F.col("text")), 1, 6), " "
+        ).alias("query_text"),
+    )
+    idx = tempfile.mkdtemp(prefix="llm_bm25prf_")
+    try:
+        text.write_bm25_index(
+            d.filter(F.col("doc_id") % 10 < 7), idx, n_buckets=16,
+            forward=True,
+        )
+        text.append_bm25_index(
+            d.filter(F.col("doc_id") % 10 >= 7), idx, batch_token="d1"
+        )
+        return text.bm25_prf_search_index(
+            qs, idx, k=5, fb_docs=3, fb_terms=5, fb_weight=0.5
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def llm_hybrid_retrieval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1942,7 +1980,8 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: run this round. Post-rotation r10 additions llm_ann_ivf_deleted /
 #: llm_bm25_deleted (tombstone-delete lifecycle), llm_bm25_prf (PRF
 #: expansion), llm_mmr_diversify (MMR re-rank), llm_token_budget
-#: (weight-budget mixture) and llm_snapshot_diff (release audit) are
+#: (weight-budget mixture), llm_snapshot_diff (release audit) and
+#: llm_bm25_prf_index (persisted PRF over the forward layout) are
 #: parity-green ×3 SFs and join the r11 queue behind the 8 deferrals.
 DRIVER_QUERIES = [
     # never driver-verified, first: the seven r9 additions
@@ -2012,6 +2051,7 @@ QUERIES = {
     "llm_bm25_topk": llm_bm25_topk,
     "llm_bm25_deleted": llm_bm25_deleted,
     "llm_bm25_prf": llm_bm25_prf,
+    "llm_bm25_prf_index": llm_bm25_prf_index,
     "llm_hybrid_retrieval": llm_hybrid_retrieval,
     "llm_hybrid_retrieval_index": llm_hybrid_retrieval_index,
     "llm_bm25_index": llm_bm25_index,
@@ -3030,6 +3070,13 @@ ORACLES["llm_bm25_prf"] = f"""
     )
     SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= 5
 """
+
+# llm_bm25_prf_index: the persisted-PRF probe is value-identical to
+# the in-session operator over the same corpus (shared scoring tree,
+# additive folds, forward-layout mining reads the same rows) — so it
+# shares llm_bm25_prf's two-pass oracle verbatim, the llm_bm25_index
+# reuse pattern.
+ORACLES["llm_bm25_prf_index"] = ORACLES["llm_bm25_prf"]
 
 # llm_ann_ivf_deleted (r10): full-probe search after a tombstone
 # delete ≡ brute force over the SURVIVING corpus — the cosine replay

@@ -632,3 +632,187 @@ class TestBm25Deletes:
         with pytest.raises(ValueError, match="path-safe"):
             delete_from_bm25_index(ids, str(tmp_path / "nope"),
                                    delete_token="a=b")
+
+
+class TestBm25PrfIndex:
+    """bm25_prf_search_index: persisted PRF — pass 1 and pass 2 through
+    the shared index probe, feedback mining through the doc-bucketed
+    forward layout. Must be value-identical to the in-session
+    bm25_prf_topk over the same corpus."""
+
+    def _prf_docs(self, spark):
+        # vocabulary-mismatch corpus: doc 0 bridges "automobile" to
+        # "motorcar"; docs 20.. share "motorcar" but not "automobile"
+        rows = [(0, "automobile motorcar motorcar motorcar engine")]
+        rows += [
+            (i, f"doc number {i} about spark shuffles topic{i % 4}")
+            for i in range(1, 20)
+        ]
+        rows += [
+            (20 + i, f"motorcar chassis wheels brakes model{i}")
+            for i in range(5)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _prf_queries(self, spark):
+        return spark.createDataFrame(
+            [(1, "automobile"), (2, "spark topic1")],
+            "query_id long, query_text string",
+        )
+
+    def test_matches_in_session_prf_after_append(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_prf_search_index,
+            bm25_prf_topk,
+        )
+
+        docs = self._prf_docs(spark)
+        p = str(tmp_path / "prfidx")
+        write_bm25_index(
+            docs.filter(F.col("doc_id") < 20), p, n_buckets=8,
+            forward=True,
+        )
+        append_bm25_index(
+            docs.filter(F.col("doc_id") >= 20), p, batch_token="d1"
+        )
+        got = sorted(
+            map(
+                tuple,
+                bm25_prf_search_index(
+                    self._prf_queries(spark), p, k=5, fb_docs=2,
+                    fb_terms=3,
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                bm25_prf_topk(
+                    docs, self._prf_queries(spark), k=5, fb_docs=2,
+                    fb_terms=3,
+                ).collect(),
+            )
+        )
+        assert got == want
+        # and PRF actually did its job: a motorcar-only doc retrieved
+        # for the "automobile" query
+        assert any(
+            r[0] == 1 and r[1] >= 20 for r in got
+        )  # (query_id, doc_id, ...)
+
+    def test_valved_matches_in_session(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_prf_search_index,
+            bm25_prf_topk,
+        )
+
+        docs = self._prf_docs(spark)
+        p = str(tmp_path / "prfvalve")
+        write_bm25_index(docs, p, n_buckets=8, forward=True)
+        kw = dict(k=5, fb_docs=2, fb_terms=3, max_df_ratio=0.5)
+        got = sorted(
+            map(
+                tuple,
+                bm25_prf_search_index(
+                    self._prf_queries(spark), p, **kw
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                bm25_prf_topk(
+                    docs, self._prf_queries(spark), **kw
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    def test_forward_mining_reads_only_feedback_buckets(
+        self, spark, tmp_path
+    ):
+        """Execution-true pruning proof for the forward layout: the
+        files the mining stage reads all belong to the feedback docs'
+        fbucket dirs — the whole reason the layout exists."""
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_search_index,
+        )
+
+        docs = self._prf_docs(spark)
+        p = str(tmp_path / "prfprune")
+        write_bm25_index(docs, p, n_buckets=8, forward=True)
+        fb = bm25_search_index(
+            self._prf_queries(spark), p, k=2
+        ).select("doc_id")
+        fb_buckets = {
+            r["_b"]
+            for r in fb.select(
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8)).alias("_b")
+            ).collect()
+        }
+        root = _resolve_bm25_index(spark, p)[1]
+        pruned = spark.read.parquet(root + "/forward").filter(
+            F.col("fbucket").isin(sorted(fb_buckets))
+        )
+        read_files = {
+            r["f"]
+            for r in pruned.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        assert read_files  # non-empty: the probe really read something
+        for f in read_files:
+            assert int(f.split("fbucket=")[1].split("/")[0]) in fb_buckets
+
+    def test_lifecycle_compact_resize_delete(self, spark, tmp_path):
+        """The forward layout travels through the whole lifecycle:
+        delete → compact applies on BOTH sides, resize re-hashes
+        fbucket, and PRF keeps answering identically to the in-session
+        operator over the surviving corpus."""
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_prf_search_index,
+            bm25_prf_topk,
+            compact_bm25_index,
+            delete_from_bm25_index,
+            resize_bm25_index,
+        )
+
+        docs = self._prf_docs(spark)
+        p = str(tmp_path / "prflife")
+        write_bm25_index(docs, p, n_buckets=8, forward=True)
+        delete_from_bm25_index(
+            spark.createDataFrame([(21,), (3,)], "doc_id long"), p,
+        )
+        assert compact_bm25_index(spark, p) is True
+        assert resize_bm25_index(spark, p, 16) is True
+        survivors = docs.filter(~F.col("doc_id").isin(21, 3))
+        got = sorted(
+            map(
+                tuple,
+                bm25_prf_search_index(
+                    self._prf_queries(spark), p, k=5, fb_docs=2,
+                    fb_terms=3,
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                bm25_prf_topk(
+                    survivors, self._prf_queries(spark), k=5,
+                    fb_docs=2, fb_terms=3,
+                ).collect(),
+            )
+        )
+        assert got == want
+        root = _resolve_bm25_index(spark, p)[1]
+        fwd = spark.read.parquet(root + "/forward")
+        assert fwd.filter(F.col("doc").isin(21, 3)).count() == 0
+
+    def test_missing_forward_layout_raises(self, spark, index_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_prf_search_index,
+        )
+
+        with pytest.raises(ValueError, match="forward"):
+            bm25_prf_search_index(_queries(spark), index_path)
