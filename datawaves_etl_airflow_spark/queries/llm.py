@@ -1221,6 +1221,104 @@ def llm_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_bm25_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index sync certificate
+    (`sync.sync_bm25_index_to_snapshot` — diff → delete → compact →
+    append, the monthly-crawl composition): the index is built over a
+    DERIVED v1 snapshot (documents with doc_id % 11 == 0 dropped,
+    % 7 == 0 text-mutated, % 13 == 0 extra shifted copies), then
+    synced to the REAL documents table — so the probe must rank
+    exactly like a fresh build over documents, which is
+    `llm_bm25_topk`'s oracle VERBATIM. Every moving part is under the
+    value hash in one row: the snapshot diff's worklist, the
+    tombstone delete, the compaction's exact N/sum_dl correction, the
+    RE-ADD ordering, and the append fold. Executed eagerly
+    (localCheckpoint) so the temp index is removed before return."""
+    import shutil
+    import tempfile
+
+    from ..operators import sync
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    v1 = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" v1")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                "text",
+            )
+        )
+    )
+    qs = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(dedup.tokenize(F.col("text")), 1, 6), " "
+        ).alias("query_text"),
+    )
+    idx = tempfile.mkdtemp(prefix="llm_bm25sync_")
+    try:
+        text.write_bm25_index(v1, idx, n_buckets=16)
+        sync.sync_bm25_index_to_snapshot(
+            v1, d, idx, sync_token="crawl2"
+        )
+        return text.bm25_search_index(qs, idx, k=5).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def llm_ann_ivf_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF twin of `llm_bm25_sync`: index built over a derived v1
+    embedding snapshot (vec_id % 11 == 0 dropped, % 7 == 0 negated,
+    % 13 == 0 extra shifted copies), synced to the REAL embeddings
+    table, probed at FULL probe — exact over the synced corpus under
+    the SAME quantizer, so the oracle is `llm_cosine_topk`'s
+    brute-force replay verbatim. Certifies delete → compact → append
+    against the stored quantizer in one oracle-backed row. Executed
+    eagerly (localCheckpoint) so the temp index is removed before
+    return."""
+    import shutil
+    import tempfile
+
+    from ..operators import sync
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    v1 = (
+        embs.filter(F.col("vec_id") % 11 != 0)
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 7 == 0,
+                F.transform(F.col("embedding"), lambda x: -x),
+            ).otherwise(F.col("embedding")),
+        )
+        .unionByName(
+            embs.filter(F.col("vec_id") % 13 == 0).select(
+                (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+                "embedding",
+            )
+        )
+    )
+    qs = _query_vecs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="llm_ivfsync_")
+    try:
+        similarity.write_ivf_index(v1, idx, n_centroids=16, n_iters=1)
+        sync.sync_ivf_index_to_snapshot(
+            v1, embs, idx, sync_token="crawl2"
+        )
+        return similarity.ivf_search_index(
+            qs, idx, nprobe=16, k=5
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def llm_bm25_prf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED pseudo-relevance feedback (`text.bm25_prf_search_index`
     — both BM25 passes bucket-pruned through the shared index probe,
@@ -1981,8 +2079,10 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: llm_bm25_deleted (tombstone-delete lifecycle), llm_bm25_prf (PRF
 #: expansion), llm_mmr_diversify (MMR re-rank), llm_token_budget
 #: (weight-budget mixture), llm_snapshot_diff (release audit) and
-#: llm_bm25_prf_index (persisted PRF over the forward layout) are
-#: parity-green ×3 SFs and join the r11 queue behind the 8 deferrals.
+#: llm_bm25_prf_index (persisted PRF over the forward layout) and
+#: llm_bm25_sync / llm_ann_ivf_sync (incremental index sync ≡ fresh
+#: build) are parity-green ×3 SFs and join the r11 queue behind the
+#: 8 deferrals.
 DRIVER_QUERIES = [
     # never driver-verified, first: the seven r9 additions
     "llm_ann_ivf_pq",
@@ -2052,6 +2152,8 @@ QUERIES = {
     "llm_bm25_deleted": llm_bm25_deleted,
     "llm_bm25_prf": llm_bm25_prf,
     "llm_bm25_prf_index": llm_bm25_prf_index,
+    "llm_bm25_sync": llm_bm25_sync,
+    "llm_ann_ivf_sync": llm_ann_ivf_sync,
     "llm_hybrid_retrieval": llm_hybrid_retrieval,
     "llm_hybrid_retrieval_index": llm_hybrid_retrieval_index,
     "llm_bm25_index": llm_bm25_index,
@@ -3077,6 +3179,16 @@ ORACLES["llm_bm25_prf"] = f"""
 # shares llm_bm25_prf's two-pass oracle verbatim, the llm_bm25_index
 # reuse pattern.
 ORACLES["llm_bm25_prf_index"] = ORACLES["llm_bm25_prf"]
+
+# llm_bm25_sync: synced-to-documents index ≡ fresh build over
+# documents, so the probe ranks under llm_bm25_topk's oracle verbatim
+# (the strongest form of the compaction's exact-stats-correction
+# claim, composed with the diff worklist and the RE-ADD ordering).
+ORACLES["llm_bm25_sync"] = ORACLES["llm_bm25_topk"]
+
+# llm_ann_ivf_sync: full probe of the synced layout ≡ exact brute
+# force over the embeddings table — llm_cosine_topk's replay verbatim.
+ORACLES["llm_ann_ivf_sync"] = ORACLES["llm_cosine_topk"]
 
 # llm_ann_ivf_deleted (r10): full-probe search after a tombstone
 # delete ≡ brute force over the SURVIVING corpus — the cosine replay

@@ -1,0 +1,169 @@
+"""Incremental index sync: diff → delete → compact → append must be
+value-identical to a fresh build over the new snapshot."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawaves_etl_airflow_spark.operators.sync import (
+    sync_bm25_index_to_snapshot,
+    sync_ivf_index_to_snapshot,
+)
+
+DIM = 8
+
+
+def _old_new_docs(spark):
+    new = spark.createDataFrame(
+        [
+            (i, f"doc {i} about spark shuffles topic{i % 4}")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    old = (
+        new.filter(F.col("doc_id") % 11 != 0)  # v2 adds these back
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" old")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            new.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + F.lit(100_000)).alias("doc_id"),
+                "text",
+            )
+        )
+    )
+    return old, new
+
+
+def _probe_bm25(spark, idx):
+    from datawaves_etl_airflow_spark.operators.text import (
+        bm25_search_index,
+    )
+
+    qs = spark.createDataFrame(
+        [(1, "spark topic1"), (2, "doc shuffles")],
+        "query_id long, query_text string",
+    )
+    return sorted(map(tuple, bm25_search_index(qs, idx, k=8).collect()))
+
+
+class TestBm25Sync:
+    def test_sync_equals_fresh_build(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_index_stats,
+            write_bm25_index,
+        )
+
+        old, new = _old_new_docs(spark)
+        synced = str(tmp_path / "synced")
+        write_bm25_index(old, synced, n_buckets=8)
+        rep = sync_bm25_index_to_snapshot(
+            old, new, synced, sync_token="s1"
+        )
+        assert rep["n_removed"] == 4  # the shifted 100_000+ copies
+        assert rep["n_added"] == 4    # doc_id % 11 == 0: 0,11,22,33
+        assert rep["n_changed"] == 5  # % 7 == 0 minus % 11 overlap (0)
+        assert rep["deleted"] and rep["compacted"] and rep["appended"]
+        fresh = str(tmp_path / "fresh")
+        write_bm25_index(new, fresh, n_buckets=8)
+        assert _probe_bm25(spark, synced) == _probe_bm25(spark, fresh)
+        # stats corrected exactly too
+        assert (
+            bm25_index_stats(spark, synced).first()["n_docs"]
+            == new.count()
+        )
+
+    def test_same_token_rerun_is_replay_safe(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            write_bm25_index,
+        )
+
+        old, new = _old_new_docs(spark)
+        idx = str(tmp_path / "resync")
+        write_bm25_index(old, idx, n_buckets=8)
+        sync_bm25_index_to_snapshot(old, new, idx, sync_token="s1")
+        before = _probe_bm25(spark, idx)
+        # crash-retry of the WHOLE sync under the same token: the
+        # delete no-ops via folded_deletes, the append via folded
+        sync_bm25_index_to_snapshot(old, new, idx, sync_token="s1")
+        assert _probe_bm25(spark, idx) == before
+
+    def test_noop_sync(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            write_bm25_index,
+        )
+
+        _, new = _old_new_docs(spark)
+        idx = str(tmp_path / "noop")
+        write_bm25_index(new, idx, n_buckets=8)
+        before = _probe_bm25(spark, idx)
+        rep = sync_bm25_index_to_snapshot(new, new, idx)
+        assert not rep["deleted"] and not rep["appended"]
+        assert rep["n_unchanged"] == new.count()
+        assert _probe_bm25(spark, idx) == before
+
+
+class TestIvfSync:
+    def _vecs(self, spark, n=120, seed=9):
+        rng = random.Random(seed)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(DIM)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_sync_equals_full_probe_over_new_snapshot(
+        self, spark, tmp_path
+    ):
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            brute_force_topk,
+            delete_from_ivf_index,  # noqa: F401 (family import sanity)
+            ivf_search_index,
+            write_ivf_index,
+        )
+
+        new = self._vecs(spark)
+        old = (
+            new.filter(F.col("vec_id") % 11 != 0)
+            .withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") % 7 == 0,
+                    F.transform(F.col("embedding"), lambda x: -x),
+                ).otherwise(F.col("embedding")),
+            )
+            .unionByName(
+                new.filter(F.col("vec_id") % 13 == 0).select(
+                    (F.col("vec_id") + F.lit(100_000)).alias("vec_id"),
+                    "embedding",
+                )
+            )
+        )
+        idx = str(tmp_path / "ivfsync")
+        write_ivf_index(old, idx, n_centroids=8, n_iters=1)
+        rep = sync_ivf_index_to_snapshot(old, new, idx, sync_token="s1")
+        assert rep["deleted"] and rep["compacted"] and rep["appended"]
+        qs = self._vecs(spark, n=5, seed=77).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = sorted(
+            map(
+                tuple,
+                ivf_search_index(qs, idx, nprobe=8, k=5).collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, brute_force_topk(new, qs, k=5).collect())
+        )
+        assert got == want
