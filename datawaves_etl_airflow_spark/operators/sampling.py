@@ -198,6 +198,88 @@ def budget_per_group(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strat_col: str,
+    n_strata: int,
+    per_stratum: int,
+    id_col: str = "doc_id",
+    boundaries: list[float] | None = None,
+) -> DataFrame:
+    """Equal-mass stratified sampling over a continuous score: split
+    the corpus into ``n_strata`` quality strata and keep
+    ``per_stratum`` rows from EACH — the curation move both naive
+    alternatives miss (top-K collapses onto the score head; a uniform
+    sample reproduces the corpus's skew, starving sparse tails). The
+    standard recipe for building calibration/eval slices across the
+    quality spectrum, or a training mix that deliberately spans it.
+
+    Two stratum-assignment forms, one selection rule:
+
+    - ``boundaries=None`` (default): exact equal-mass strata via
+      ``NTILE(n_strata)`` over ``(strat_col, id)`` — engine-exact and
+      DuckDB-replayable (the registered oracle's form), but the
+      global ntile window sorts on ONE reducer: fine to the low
+      hundreds of millions of rows, and the honest hazard above that
+      (the `profile.grouped_quantiles` exact-form caveat, same
+      shape);
+    - ``boundaries=[b1 < b2 < …]`` (production form): map-side
+      assignment — stratum i is ``score ≤ b_i`` first match, else the
+      last stratum — ZERO global sort; feed it cut points from
+      `profile.grouped_quantiles`' sketch path (approximate
+      boundaries move only rows near the cuts; pinned ≡ the ntile
+      form on fixtures whose exact quantiles are supplied).
+
+    Selection within a stratum keeps the ``per_stratum`` smallest
+    ``md5(id)`` rows (id tiebreak) — the module's md5-prefix
+    discipline, so membership survives re-runs and repartitions; the
+    per-stratum window shuffles on the stratum id (n_strata reducers,
+    each bounded by its stratum — pre-bound a pathological stratum
+    with `cap_per_group_prefiltered` if per_stratum is huge).
+
+    Returns the kept rows with ``stratum`` (1-based) and ``rk``
+    attached. NULL scores sort first in both forms (they land in
+    stratum 1 — filter upstream if unscored rows must not be
+    sampled).
+    """
+    if n_strata < 1:
+        raise ValueError(f"n_strata must be >= 1: {n_strata}")
+    if per_stratum < 1:
+        raise ValueError(f"per_stratum must be >= 1: {per_stratum}")
+    if boundaries is not None:
+        if sorted(boundaries) != list(boundaries) or len(
+            boundaries
+        ) != n_strata - 1:
+            raise ValueError(
+                "boundaries must be n_strata - 1 ascending cut points"
+            )
+        stratum = F.lit(n_strata)
+        for i in range(len(boundaries) - 1, -1, -1):
+            stratum = F.when(
+                F.col(strat_col) <= F.lit(float(boundaries[i])),
+                F.lit(i + 1),
+            ).otherwise(stratum)
+        # NULL scores: a NULL comparison would fall through every
+        # when() into the LAST stratum — pin them to stratum 1, where
+        # the ntile form's nulls-first ordering puts them
+        stratum = F.when(
+            F.col(strat_col).isNull(), F.lit(1)
+        ).otherwise(stratum)
+        staged = df.withColumn("stratum", stratum)
+    else:
+        wn = Window.orderBy(
+            F.col(strat_col).asc(), F.col(id_col).asc()
+        )
+        staged = df.withColumn("stratum", F.ntile(n_strata).over(wn))
+    wk = Window.partitionBy("stratum").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        staged.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= per_stratum)
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     group_col: str,

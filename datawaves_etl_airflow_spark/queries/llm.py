@@ -1875,6 +1875,23 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified sampling (`sampling.stratified_sample`,
+    ntile form): 10 docs from each of 4 equal-mass n_chars strata —
+    the calibration-slice builder that spans the quality spectrum
+    where top-K collapses onto the head and a uniform sample
+    reproduces the skew. DuckDB replays NTILE over the identical
+    total order and the md5 per-stratum pick value-for-value. The
+    map-side ``boundaries=`` scale form is pinned ≡ this form in
+    TestStratifiedSample."""
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        "n_chars",
+        n_strata=4,
+        per_stratum=10,
+    ).select("doc_id", "n_chars", "stratum", "rk")
+
+
 def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source WEIGHT-budget mixture cap (`sampling.budget_per_group`
     — the token-denominated sibling of `llm_source_quota`'s row cap):
@@ -2081,8 +2098,8 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (weight-budget mixture), llm_snapshot_diff (release audit) and
 #: llm_bm25_prf_index (persisted PRF over the forward layout) and
 #: llm_bm25_sync / llm_ann_ivf_sync (incremental index sync ≡ fresh
-#: build) are parity-green ×3 SFs and join the r11 queue behind the
-#: 8 deferrals.
+#: build) and llm_stratified_sample (equal-mass quality strata) are
+#: parity-green ×3 SFs and join the r11 queue behind the 8 deferrals.
 DRIVER_QUERIES = [
     # never driver-verified, first: the seven r9 additions
     "llm_ann_ivf_pq",
@@ -2180,6 +2197,7 @@ QUERIES = {
     "llm_token_budget": llm_token_budget,
     "llm_snapshot_diff": llm_snapshot_diff,
     "llm_mmr_diversify": llm_mmr_diversify,
+    "llm_stratified_sample": llm_stratified_sample,
     "llm_temperature_sample": llm_temperature_sample,
     "llm_hash_split": llm_hash_split,
     "llm_pii_scrub": llm_pii_scrub,
@@ -2835,6 +2853,28 @@ ORACLES["llm_mmr_diversify"] = """
     SELECT 1, 103, 2
     UNION ALL
     SELECT 1, 102, 3
+"""
+
+# llm_stratified_sample (r10): NTILE over the identical total order +
+# the md5 per-stratum pick, replayed value-for-value.
+ORACLES["llm_stratified_sample"] = """
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               NTILE(4) OVER (
+                   ORDER BY n_chars ASC, doc_id ASC
+               ) AS stratum
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_chars, stratum,
+               ROW_NUMBER() OVER (
+                   PARTITION BY stratum
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC
+               ) AS rk
+        FROM s
+    )
+    SELECT doc_id, n_chars, stratum, rk FROM r WHERE rk <= 10
 """
 
 # llm_token_budget (r10): the weight-budget window replayed — integer

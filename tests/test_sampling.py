@@ -328,3 +328,98 @@ class TestBudgetPerGroup:
         )
         assert out.count() == 7  # everything fits
         assert dict(out.dtypes)["cum_w"] == "bigint"
+
+
+class TestStratifiedSample:
+    """stratified_sample: equal-mass quality strata + deterministic
+    md5 pick per stratum; boundaries form = the map-side scale path,
+    pinned ≡ ntile when given the exact cuts."""
+
+    def _scored(self, spark, with_null=False):
+        from pyspark.sql import functions as F
+
+        rows = [(i, float(i)) for i in range(40)]
+        if with_null:
+            rows.append((100, None))
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    def test_ntile_form_equal_mass_and_deterministic(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        out = stratified_sample(
+            self._scored(spark), "score", n_strata=4, per_stratum=3
+        ).collect()
+        assert len(out) == 12
+        by_stratum = {}
+        for r in out:
+            by_stratum.setdefault(r["stratum"], []).append(r)
+        assert set(by_stratum) == {1, 2, 3, 4}
+        for stratum, rows in by_stratum.items():
+            assert len(rows) == 3
+            # stratum membership follows the score deciles exactly
+            for r in rows:
+                assert (stratum - 1) * 10 <= r["doc_id"] < stratum * 10
+        # re-run identical (md5 membership is layout/run-pure)
+        again = stratified_sample(
+            self._scored(spark).repartition(7), "score",
+            n_strata=4, per_stratum=3,
+        ).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_boundaries_form_matches_ntile_on_exact_cuts(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        ntile = sorted(
+            map(
+                tuple,
+                stratified_sample(
+                    self._scored(spark), "score", 4, 3
+                ).collect(),
+            )
+        )
+        mapped = sorted(
+            map(
+                tuple,
+                stratified_sample(
+                    self._scored(spark), "score", 4, 3,
+                    boundaries=[9.0, 19.0, 29.0],
+                ).collect(),
+            )
+        )
+        assert ntile == mapped
+
+    def test_null_scores_land_in_stratum_one_both_forms(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        for kw in ({}, {"boundaries": [9.0, 19.0, 29.0]}):
+            out = stratified_sample(
+                self._scored(spark, with_null=True), "score", 4, 50,
+                **kw,
+            )
+            row = out.filter("doc_id = 100").collect()
+            assert row and row[0]["stratum"] == 1
+
+    def test_validation(self, spark):
+        import pytest
+
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        d = self._scored(spark)
+        with pytest.raises(ValueError, match="n_strata"):
+            stratified_sample(d, "score", 0, 3)
+        with pytest.raises(ValueError, match="per_stratum"):
+            stratified_sample(d, "score", 4, 0)
+        with pytest.raises(ValueError, match="boundaries"):
+            stratified_sample(d, "score", 4, 3, boundaries=[1.0])
+        with pytest.raises(ValueError, match="boundaries"):
+            stratified_sample(
+                d, "score", 4, 3, boundaries=[3.0, 2.0, 1.0]
+            )
