@@ -85,6 +85,67 @@ def assign_split(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    train: int = 192,
+    val: int = 224,
+    max_docs_per_band: int | None = None,
+) -> DataFrame:
+    """`assign_split`, but keyed on the document's NEAR-DUP CLUSTER
+    instead of its own id — the leakage-safe eval split. A per-doc
+    hash split puts two near-identical documents on opposite sides of
+    the train/test boundary at exactly the corpus's near-dup rate,
+    which is train-on-test contamination by construction (the same
+    failure decontamination sweeps hunt across EXTERNAL benchmarks,
+    here produced internally by the split itself). Keying the hash on
+    the cluster representative sends every member of a component to
+    ONE side.
+
+    Composition of the engine's own pieces: `dedup.minhash_dedup_pairs`
+    (banded LSH + exact verify at ``threshold``; pass
+    ``max_docs_per_band`` in boilerplate-heavy corpora — the
+    production valve) → `dedup.duplicate_clusters` (min-label CC) →
+    hash the CLUSTER id for clustered docs, the doc's own id for
+    singletons (coalesce — singletons dominate, and their key equals
+    plain `assign_split`'s, so the two splits agree everywhere
+    near-dups don't exist). Split fractions hold in expectation over
+    CLUSTERS rather than docs — a giant component moves together, the
+    point of the exercise.
+
+    Returns ``docs`` + ``split`` + ``split_key`` (the cluster id or
+    own id the hash was taken over — keep it in the export manifest
+    so a later audit can re-derive membership).
+    """
+    from .dedup import duplicate_clusters, minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        max_docs_per_band=max_docs_per_band,
+    )
+    labels = duplicate_clusters(pairs).withColumnRenamed(
+        "cluster_id", "_ck"
+    )
+    keyed = docs.join(
+        labels.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("split_key", F.coalesce(F.col("_ck"), F.col(id_col)))
+    h = hash_hex(F.col("split_key"))
+    return (
+        keyed.withColumn(
+            "split",
+            F.when(h < F.lit(_hex2(train)), F.lit("train"))
+            .when(h < F.lit(_hex2(val)), F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .drop("_ck")
+    )
+
+
 def sample_by_hash(df: DataFrame, id_col: str, keep: int) -> DataFrame:
     """Deterministic ~keep/256 downsample by id hash — the profiling
     pass a 100 TB pipeline runs instead of ``.sample()`` (whose output

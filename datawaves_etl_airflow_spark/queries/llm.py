@@ -1892,6 +1892,46 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars", "stratum", "rk")
 
 
+def llm_leakage_safe_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-safe train/val/test split
+    (`sampling.leakage_safe_split` — the hash split keyed on the
+    near-dup CLUSTER, so near-identical docs can never straddle the
+    eval boundary), certified on planted exact duplicates: the corpus
+    is documents ∪ a re-identified copy (`_doubled_corpus`), and for
+    EVERY original the planted fact is that it lands in the same
+    split as its copy (exact dups share every MinHash band, so the
+    pair is always one component — and if a natural ≥threshold chain
+    merges components at some SF, the pair STILL shares the one
+    cluster key, which is why the compared projection is the
+    engine-independent boolean rather than the split labels
+    themselves, the `llm_simhash_planted` pattern). ``split_valid``
+    pins the label domain. Pytest covers the rest (singleton
+    agreement with `assign_split`, plain-split separation on planted
+    pairs)."""
+    doubled = _doubled_corpus(spark, sf_dir)
+    out = sampling.leakage_safe_split(
+        doubled.select("doc_id", "text"), threshold=0.99
+    ).select("doc_id", "split")
+    orig = out.filter(F.col("doc_id") < 100000).alias("a")
+    copy = (
+        out.filter(F.col("doc_id") >= 100000)
+        .select(
+            (F.col("doc_id") - 100000).alias("doc_id"),
+            F.col("split").alias("_csplit"),
+        )
+        .alias("b")
+    )
+    return orig.join(copy, "doc_id").select(
+        "doc_id",
+        (F.col("split") == F.col("_csplit")).alias("together"),
+        F.col("split").isin("train", "val", "test").alias(
+            "split_valid"
+        ),
+    )
+
+
 def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source WEIGHT-budget mixture cap (`sampling.budget_per_group`
     — the token-denominated sibling of `llm_source_quota`'s row cap):
@@ -2098,8 +2138,9 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (weight-budget mixture), llm_snapshot_diff (release audit) and
 #: llm_bm25_prf_index (persisted PRF over the forward layout) and
 #: llm_bm25_sync / llm_ann_ivf_sync (incremental index sync ≡ fresh
-#: build) and llm_stratified_sample (equal-mass quality strata) are
-#: parity-green ×3 SFs and join the r11 queue behind the 8 deferrals.
+#: build), llm_stratified_sample (equal-mass quality strata) and
+#: llm_leakage_safe_split (cluster-keyed eval split) are parity-green
+#: ×3 SFs and join the r11 queue behind the 8 deferrals.
 DRIVER_QUERIES = [
     # never driver-verified, first: the seven r9 additions
     "llm_ann_ivf_pq",
@@ -2198,6 +2239,7 @@ QUERIES = {
     "llm_snapshot_diff": llm_snapshot_diff,
     "llm_mmr_diversify": llm_mmr_diversify,
     "llm_stratified_sample": llm_stratified_sample,
+    "llm_leakage_safe_split": llm_leakage_safe_split,
     "llm_temperature_sample": llm_temperature_sample,
     "llm_hash_split": llm_hash_split,
     "llm_pii_scrub": llm_pii_scrub,
@@ -2853,6 +2895,17 @@ ORACLES["llm_mmr_diversify"] = """
     SELECT 1, 103, 2
     UNION ALL
     SELECT 1, 102, 3
+"""
+
+# llm_leakage_safe_split (r10): the planted facts — every original
+# shares its exact-copy's split (cluster-keyed hashing), labels from
+# the closed domain. Engine-independent booleans by design: the split
+# LABELS can shift wherever natural ≥threshold chains merge planted
+# components (8 such pairs exist at sf0.1), but the pair stays
+# together under any merge.
+ORACLES["llm_leakage_safe_split"] = """
+    SELECT doc_id, TRUE AS together, TRUE AS split_valid
+    FROM documents
 """
 
 # llm_stratified_sample (r10): NTILE over the identical total order +

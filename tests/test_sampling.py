@@ -423,3 +423,88 @@ class TestStratifiedSample:
             stratified_sample(
                 d, "score", 4, 3, boundaries=[3.0, 2.0, 1.0]
             )
+
+
+class TestLeakageSafeSplit:
+    """leakage_safe_split: near-dups can never straddle the eval
+    boundary — the hash is keyed on the cluster, not the doc."""
+
+    def _corpus(self, spark):
+        from pyspark.sql import functions as F
+
+        base = spark.createDataFrame(
+            [
+                (i, f"unique document number {i} with its own words "
+                    f"entirely about subject {i * 7} and nothing else")
+                for i in range(60)
+            ],
+            "doc_id long, text string",
+        )
+        # 20 planted exact-dup pairs (i, i+1000), i < 20
+        copies = base.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+        return base.unionByName(copies)
+
+    def test_pairs_never_straddle_and_plain_split_does(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            assign_split,
+            leakage_safe_split,
+        )
+
+        corpus = self._corpus(spark)
+        safe = {
+            r["doc_id"]: r["split"]
+            for r in leakage_safe_split(
+                corpus, threshold=0.8
+            ).collect()
+        }
+        plain = {
+            r["doc_id"]: r["split"]
+            for r in assign_split(corpus).collect()
+        }
+        # every planted pair lands together under the safe split
+        for i in range(20):
+            assert safe[i] == safe[i + 1000], i
+        # ...whereas the per-doc hash split separates at least one
+        # pair (the leakage this operator exists to prevent; with 20
+        # pairs the per-pair separation odds make this deterministic
+        # for these fixed ids)
+        assert any(plain[i] != plain[i + 1000] for i in range(20))
+
+    def test_singletons_agree_with_assign_split(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            assign_split,
+            leakage_safe_split,
+        )
+
+        corpus = self._corpus(spark)
+        safe = {
+            r["doc_id"]: (r["split"], r["split_key"])
+            for r in leakage_safe_split(
+                corpus, threshold=0.8
+            ).collect()
+        }
+        plain = {
+            r["doc_id"]: r["split"]
+            for r in assign_split(corpus).collect()
+        }
+        # docs with no near-dup keep their own id as the key and so
+        # agree with the plain split exactly
+        for i in range(20, 60):
+            assert safe[i] == (plain[i], i)
+
+    def test_cluster_key_is_component_min(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            leakage_safe_split,
+        )
+
+        corpus = self._corpus(spark)
+        keys = {
+            r["doc_id"]: r["split_key"]
+            for r in leakage_safe_split(
+                corpus, threshold=0.8
+            ).collect()
+        }
+        for i in range(20):
+            assert keys[i] == i and keys[i + 1000] == i

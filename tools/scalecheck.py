@@ -224,6 +224,20 @@ def main() -> None:
                 _scaled_docs(spark, args.sf, mult), p, n_buckets=64
             )
             bm25_by_mult[mult] = p
+    # persisted-PRF twin (r10): own indexes with the forward layout —
+    # the claim is that BOTH passes + forward mining stay bucket-pruned
+    # as the corpus grows (mining reads a FIXED |Q|·fb_docs docs'
+    # forward buckets; the residual is the probed buckets' own growth,
+    # the bm25_probe_pruned shape paid ~three times)
+    bm25f_by_mult: dict[int, str] = {}
+    if wanted("prf_probe_pruned"):
+        for mult in sorted({1, args.factor}):
+            p = os.path.join(idx_root, f"bm25f_{mult}")
+            text.write_bm25_index(
+                _scaled_docs(spark, args.sf, mult), p, n_buckets=64,
+                forward=True,
+            )
+            bm25f_by_mult[mult] = p
     bm25_queries = (
         spark.read.parquet(f"{args.sf}/documents.parquet")
         .limit(5)
@@ -514,6 +528,10 @@ def main() -> None:
         "bm25_probe_pruned_valved": lambda mult: text.bm25_search_index(
             bm25_queries, bm25_by_mult[mult], k=10,
             max_df_ratio=valves.recommended("bm25_topk", "max_df_ratio"),
+        ),
+        "prf_probe_pruned": lambda mult: text.bm25_prf_search_index(
+            bm25_queries, bm25f_by_mult[mult], k=10, fb_docs=3,
+            fb_terms=5,
         ),
         "ann_probe_pruned": lambda mult: similarity.ivf_search_index(
             ann_queries, ivf_by_mult[mult], nprobe=4, k=5
