@@ -308,11 +308,15 @@ def stratified_sample(
     if per_stratum < 1:
         raise ValueError(f"per_stratum must be >= 1: {per_stratum}")
     if boundaries is not None:
-        if sorted(boundaries) != list(boundaries) or len(
-            boundaries
-        ) != n_strata - 1:
+        strictly_ascending = all(
+            a < b for a, b in zip(boundaries, boundaries[1:])
+        )
+        if not strictly_ascending or len(boundaries) != n_strata - 1:
+            # non-strict cuts would silently EMPTY a stratum (the
+            # first-match CASE can never reach a duplicated boundary)
             raise ValueError(
-                "boundaries must be n_strata - 1 ascending cut points"
+                "boundaries must be n_strata - 1 STRICTLY ascending "
+                "cut points"
             )
         stratum = F.lit(n_strata)
         for i in range(len(boundaries) - 1, -1, -1):

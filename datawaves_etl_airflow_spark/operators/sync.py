@@ -26,9 +26,22 @@ any probe of the same quantizer (the stored quantizer does not adapt
 embedding distribution drifts). Pinned in tests and by the
 llm_bm25_sync / llm_ann_ivf_sync driver oracles, which probe a
 synced index under the FRESH-BUILD query's oracle verbatim.
+
+Crash-retry: a re-run under the SAME ``sync_token`` is replay-safe at
+every step — the delete replays no-op via ``folded_deletes``, the
+append via ``folded`` (or its same-token overwrite), and a crash
+INSIDE the append's job commit (part files landed, no ``_SUCCESS``)
+is healed by discarding the sync's OWN torn ``<token>-add`` batch
+dirs before the compaction: without that, the compaction's
+torn-commit refusal would fire on debris the retry itself is about
+to rewrite, wedging the sync behind a manual cleanup. Foreign torn
+batches (someone else's crashed ingest) still refuse loudly — only
+dirs under this sync's token are ours to discard.
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,9 +53,9 @@ _ADDED = ("added", "changed")
 def _diff_sets(
     old: DataFrame, new: DataFrame, id_col: str, compare_cols: list[str]
 ) -> tuple[DataFrame, dict]:
-    """(diff, counts) — the snapshot diff plus its per-status counts
-    (one bounded 4-row collect, reported back to the caller's job
-    log)."""
+    """(worklist, counts) — the snapshot diff's non-unchanged rows
+    plus per-status counts (one bounded 4-row collect for the
+    caller's job log)."""
     from .profile import snapshot_diff
 
     diff_all = snapshot_diff(old, new, id_col=id_col, compare_cols=compare_cols)
@@ -67,6 +80,79 @@ def _diff_sets(
     }
 
 
+def _discard_torn_own_append(
+    spark, data_root: str, sides: tuple[str, ...], batch_token: str
+) -> bool:
+    """Remove THIS sync's append batch dirs when they hold data files
+    without a ``_SUCCESS`` marker — the crash-inside-job-commit
+    debris a same-token retry is about to rewrite anyway. Complete
+    dirs (marker present) are left alone: the compaction folds them
+    and the append replay no-ops via ``folded``. Returns whether
+    anything was discarded."""
+    import posixpath as _pp
+
+    from ..sources.fs import delete_path, path_exists
+
+    discarded = False
+    for side in sides:
+        bdir = _pp.join(data_root, side, f"batch={batch_token}")
+        if path_exists(spark, _pp.join(bdir, "_SUCCESS")):
+            continue
+        if path_exists(spark, bdir):
+            # torn (data, no marker) or empty — either way ours to
+            # rewrite; removing it keeps the compaction's refusal
+            # reserved for foreign crashes
+            delete_path(spark, bdir)
+            discarded = True
+    return discarded
+
+
+def _run_sync(
+    old: DataFrame,
+    new: DataFrame,
+    path: str,
+    id_col: str,
+    compare_cols: list[str],
+    sync_token: str | None,
+    delete_fn: Callable,
+    compact_fn: Callable,
+    append_fn: Callable,
+    data_root_fn: Callable,
+    sides: tuple[str, ...],
+) -> dict:
+    """The ONE delete→compact→append driver behind both sync fronts —
+    token construction, worklist plumbing, crash-retry healing and
+    report bookkeeping live here so the two families cannot drift."""
+    import uuid as _uuid
+
+    token = sync_token if sync_token is not None else _uuid.uuid4().hex
+    diff, report = _diff_sets(old, new, id_col, compare_cols)
+    spark = new.sparkSession
+    dels = diff.filter(F.col("status").isin(*_CHANGED)).select(id_col)
+    report["deleted"] = report["compacted"] = False
+    if report["n_removed"] + report["n_changed"] > 0:
+        delete_fn(dels, path, delete_token=f"{token}-del")
+        report["deleted"] = True
+        # a prior run of THIS sync may have crashed inside its
+        # append's job commit — discard that torn debris (ours to
+        # rewrite) so the compaction's torn-commit refusal stays
+        # reserved for FOREIGN crashes
+        _discard_torn_own_append(
+            spark, data_root_fn(spark), sides, f"{token}-add"
+        )
+        # REQUIRED between delete and re-append (the RE-ADD contract)
+        report["compacted"] = compact_fn(spark, path)
+    adds = new.join(
+        diff.filter(F.col("status").isin(*_ADDED)).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    report["appended"] = report["n_added"] + report["n_changed"] > 0
+    if report["appended"]:
+        append_fn(adds, path, batch_token=f"{token}-add")
+    return report
+
+
 def sync_bm25_index_to_snapshot(
     old_docs: DataFrame,
     new_docs: DataFrame,
@@ -81,38 +167,31 @@ def sync_bm25_index_to_snapshot(
     `write_bm25_index(new_docs)` (exact stats correction at the
     compaction). ``sync_token`` namespaces the delete/append tokens
     (``<token>-del`` / ``<token>-add``) so a re-run of the SAME sync
-    is replay-safe end to end: the delete replays no-op via
-    ``folded_deletes``, the append via ``folded``. Returns the diff
-    counts + which steps ran."""
+    is replay-safe end to end, including a crash inside the append's
+    job commit (module docstring). Returns the diff counts + which
+    steps ran."""
     from .text import (
+        _resolve_bm25_index,
         append_bm25_index,
         compact_bm25_index,
         delete_from_bm25_index,
     )
 
-    import uuid as _uuid
-
-    token = sync_token if sync_token is not None else _uuid.uuid4().hex
-    diff, report = _diff_sets(old_docs, new_docs, id_col, [text_col])
-    spark = new_docs.sparkSession
-    dels = diff.filter(F.col("status").isin(*_CHANGED)).select(id_col)
-    report["deleted"] = report["compacted"] = False
-    if report["n_removed"] + report["n_changed"] > 0:
-        delete_from_bm25_index(dels, path, delete_token=f"{token}-del")
-        report["deleted"] = True
-        # REQUIRED between delete and re-append (the RE-ADD contract)
-        report["compacted"] = compact_bm25_index(spark, path)
-    adds = new_docs.join(
-        diff.filter(F.col("status").isin(*_ADDED)).select(id_col),
+    return _run_sync(
+        old_docs,
+        new_docs,
+        path,
         id_col,
-        "left_semi",
+        [text_col],
+        sync_token,
+        delete_fn=delete_from_bm25_index,
+        compact_fn=compact_bm25_index,
+        append_fn=lambda df, p, batch_token: append_bm25_index(
+            df, p, batch_token=batch_token, text_col=text_col
+        ),
+        data_root_fn=lambda spark: _resolve_bm25_index(spark, path)[1],
+        sides=("postings", "meta", "forward"),
     )
-    report["appended"] = report["n_added"] + report["n_changed"] > 0
-    if report["appended"]:
-        append_bm25_index(
-            adds, path, batch_token=f"{token}-add", text_col=text_col
-        )
-    return report
 
 
 def sync_ivf_index_to_snapshot(
@@ -131,28 +210,24 @@ def sync_ivf_index_to_snapshot(
     distribution drifts (the standing append contract). Vector change
     detection is null-safe array equality on ``vec_col``."""
     from .similarity import (
+        _resolve_ivf_index,
         append_ivf_index,
         compact_ivf_index,
         delete_from_ivf_index,
     )
 
-    import uuid as _uuid
-
-    token = sync_token if sync_token is not None else _uuid.uuid4().hex
-    diff, report = _diff_sets(old_vectors, new_vectors, id_col, [vec_col])
-    spark = new_vectors.sparkSession
-    dels = diff.filter(F.col("status").isin(*_CHANGED)).select(id_col)
-    report["deleted"] = report["compacted"] = False
-    if report["n_removed"] + report["n_changed"] > 0:
-        delete_from_ivf_index(dels, path, delete_token=f"{token}-del")
-        report["compacted"] = compact_ivf_index(spark, path)
-        report["deleted"] = True
-    adds = new_vectors.join(
-        diff.filter(F.col("status").isin(*_ADDED)).select(id_col),
+    return _run_sync(
+        old_vectors,
+        new_vectors,
+        path,
         id_col,
-        "left_semi",
+        [vec_col],
+        sync_token,
+        delete_fn=delete_from_ivf_index,
+        compact_fn=compact_ivf_index,
+        append_fn=lambda df, p, batch_token: append_ivf_index(
+            df, p, batch_token=batch_token
+        ),
+        data_root_fn=lambda spark: _resolve_ivf_index(spark, path)[1],
+        sides=("cells",),
     )
-    report["appended"] = report["n_added"] + report["n_changed"] > 0
-    if report["appended"]:
-        append_ivf_index(adds, path, batch_token=f"{token}-add")
-    return report

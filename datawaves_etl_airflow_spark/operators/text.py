@@ -896,6 +896,11 @@ def write_bm25_index(
     rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")
     vroot = _pp.join(path, rel)
     postings, meta = _bm25_postings(docs, text_col, id_col, n_buckets)
+    if forward:
+        # the forward write consumes the SAME postings lineage — an
+        # unpersisted plan would re-run the whole tokenize/aggregate
+        # (the dominant build cost) for the second write
+        postings = postings.persist()
     (
         postings.repartition("bucket")
         .write.mode("errorifexists")
@@ -919,6 +924,7 @@ def write_bm25_index(
             .partitionBy("fbucket")
             .parquet(_pp.join(vroot, "forward", "batch=base"))
         )
+        postings.unpersist()
         require_success_marker(
             spark,
             _pp.join(vroot, "forward", "batch=base"),
@@ -988,6 +994,10 @@ def append_bm25_index(
         postings, stats = _bm25_postings(
             docs, text_col, meta["id_col"], meta["n_buckets"]
         )
+        if meta["forward"]:
+            # two writes consume this lineage — persist or the batch
+            # tokenize/aggregate runs twice (see write_bm25_index)
+            postings = postings.persist()
         pdir = _pp.join(data_root, "postings", f"batch={token}")
         (
             postings.repartition("bucket")
@@ -1012,6 +1022,7 @@ def append_bm25_index(
                 .partitionBy("fbucket")
                 .parquet(fdir)
             )
+            postings.unpersist()
             require_success_marker(spark, fdir, "BM25 fold")
         if vm.publish(spark, payload, version):
             vm.vacuum_superseded(spark)

@@ -423,6 +423,11 @@ class TestStratifiedSample:
             stratified_sample(
                 d, "score", 4, 3, boundaries=[3.0, 2.0, 1.0]
             )
+        # non-strict duplicates would silently EMPTY a stratum
+        with pytest.raises(ValueError, match="STRICTLY"):
+            stratified_sample(
+                d, "score", 4, 3, boundaries=[5.0, 5.0, 9.0]
+            )
 
 
 class TestLeakageSafeSplit:

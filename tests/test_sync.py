@@ -167,3 +167,78 @@ class TestIvfSync:
             map(tuple, brute_force_topk(new, qs, k=5).collect())
         )
         assert got == want
+
+
+class TestSyncCrashRetry:
+    """A re-run under the same sync_token must heal a crash INSIDE the
+    append's job commit: the sync discards its OWN torn batch dirs
+    before compacting, so the torn-commit refusal stays reserved for
+    foreign crashes."""
+
+    def test_retry_heals_torn_own_append(self, spark, tmp_path):
+        import os
+
+        from datawaves_etl_airflow_spark.operators.text import (
+            _resolve_bm25_index,
+            append_bm25_index,
+            compact_bm25_index,
+            delete_from_bm25_index,
+            write_bm25_index,
+        )
+
+        old, new = _old_new_docs(spark)
+        idx = str(tmp_path / "crash")
+        write_bm25_index(old, idx, n_buckets=8)
+        # reproduce the first run up to a crash inside the append's
+        # job commit: delete + compact committed, append dir torn
+        dels = old.select("doc_id").exceptAll(
+            old.join(new, ["doc_id", "text"], "left_semi").select(
+                "doc_id"
+            )
+        )
+        delete_from_bm25_index(dels, idx, delete_token="s1-del")
+        assert compact_bm25_index(spark, idx) is True
+        adds = new.join(old, ["doc_id", "text"], "left_anti")
+        append_bm25_index(adds, idx, batch_token="s1-add")
+        root = _resolve_bm25_index(spark, idx)[1]
+        for side in ("postings", "meta"):
+            os.remove(
+                os.path.join(root, side, "batch=s1-add", "_SUCCESS")
+            )
+        # the retry (same token) must succeed, not wedge on its own
+        # debris — and end value-identical to a fresh build
+        rep = sync_bm25_index_to_snapshot(
+            old, new, idx, sync_token="s1"
+        )
+        assert rep["appended"] is True
+        fresh = str(tmp_path / "fresh")
+        write_bm25_index(new, fresh, n_buckets=8)
+        assert _probe_bm25(spark, idx) == _probe_bm25(spark, fresh)
+
+    def test_foreign_torn_batch_still_refuses(self, spark, tmp_path):
+        import os
+
+        import pytest
+
+        from datawaves_etl_airflow_spark.operators.text import (
+            _resolve_bm25_index,
+            append_bm25_index,
+            write_bm25_index,
+        )
+
+        old, new = _old_new_docs(spark)
+        idx = str(tmp_path / "foreign")
+        write_bm25_index(old, idx, n_buckets=8)
+        # someone ELSE's crashed ingest left a torn batch — the sync
+        # must refuse loudly, never discard data it does not own
+        append_bm25_index(
+            new.limit(3), idx, batch_token="other-ingest"
+        )
+        root = _resolve_bm25_index(spark, idx)[1]
+        os.remove(
+            os.path.join(
+                root, "postings", "batch=other-ingest", "_SUCCESS"
+            )
+        )
+        with pytest.raises(RuntimeError, match="torn job commit"):
+            sync_bm25_index_to_snapshot(old, new, idx, sync_token="s1")
