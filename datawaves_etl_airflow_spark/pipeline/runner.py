@@ -384,3 +384,61 @@ def maintenance_pipeline(
 
     p.add("maintain_report", _report, deps=names)
     return p
+
+
+def sync_pipeline(
+    spark: SparkSession,
+    bm25_syncs=(),
+    ivf_syncs=(),
+) -> Pipeline:
+    """The incremental index syncs (`operators.sync`) as declarable
+    `Pipeline` tasks — the release-tick twin of `maintenance_pipeline`:
+    when a new corpus snapshot lands, one ``sync_<kind>_<name>`` task
+    per index drives it to the snapshot (diff → delete → compact →
+    append), all independent (each index's manifest serializes its own
+    writers), plus a terminal ``sync_report`` task folding the per-
+    index diff-count reports into one tick summary.
+
+    Each entry is ``(path, old_df, new_df)`` or ``(path, old_df,
+    new_df, options_dict)`` — options pass through to the sync
+    (``sync_token`` for replay-stable release ids, column overrides).
+    Task names disambiguate duplicate basenames exactly like the
+    maintenance specs. Run one tick with ``sync_pipeline(...).run()``.
+    """
+    from ..operators.sync import (
+        sync_bm25_index_to_snapshot,
+        sync_ivf_index_to_snapshot,
+    )
+
+    fronts = {
+        "bm25": sync_bm25_index_to_snapshot,
+        "ivf": sync_ivf_index_to_snapshot,
+    }
+    p = Pipeline()
+    names: list[str] = []
+    seen: set[str] = set()
+    for kind, entries in (("bm25", bm25_syncs), ("ivf", ivf_syncs)):
+        for entry in entries:
+            path, old_df, new_df = entry[0], entry[1], entry[2]
+            opts = dict(entry[3]) if len(entry) > 3 else {}
+            base = os.path.basename(str(path).rstrip("/")) or "index"
+            name = f"sync_{kind}_{base}"
+            suffix = len(names)
+            while name in seen:
+                name = f"sync_{kind}_{base}_{suffix}"
+                suffix += 1
+            seen.add(name)
+            names.append(name)
+            p.add(
+                name,
+                lambda c, kind=kind, path=path, old_df=old_df,
+                new_df=new_df, opts=opts: fronts[kind](
+                    old_df, new_df, path, **opts
+                ),
+            )
+
+    def _report(ctx: dict) -> dict:
+        return {n: ctx[n] for n in names}
+
+    p.add("sync_report", _report, deps=names)
+    return p

@@ -462,3 +462,85 @@ class TestMaintenancePipeline:
         assert len(names) == 2 and len(set(names)) == 2
         ctx = p.run()
         assert len(ctx["maintain_report"]) == 2
+
+
+class TestSyncPipeline:
+    """sync_pipeline: the release tick as declared tasks — one sync
+    per index + a report barrier."""
+
+    def test_one_tick_syncs_both_kinds(self, spark, tmp_path):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_search_index,
+            write_ivf_index,
+        )
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_search_index,
+            bm25_topk,
+            write_bm25_index,
+        )
+        from datawaves_etl_airflow_spark.pipeline.runner import (
+            sync_pipeline,
+        )
+
+        new_docs = spark.createDataFrame(
+            [
+                (i, f"doc {i} about spark shuffles topic{i % 3}")
+                for i in range(30)
+            ],
+            "doc_id long, text string",
+        )
+        old_docs = new_docs.filter(F.col("doc_id") % 5 != 0)
+        rng = random.Random(3)
+        new_vecs = spark.createDataFrame(
+            [
+                (i, [rng.uniform(-1, 1) for _ in range(8)])
+                for i in range(60)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        old_vecs = new_vecs.filter(F.col("vec_id") % 5 != 0)
+        bidx = str(tmp_path / "b")
+        vidx = str(tmp_path / "v")
+        write_bm25_index(old_docs, bidx, n_buckets=8)
+        write_ivf_index(old_vecs, vidx, n_centroids=4, n_iters=1)
+        ctx = sync_pipeline(
+            spark,
+            bm25_syncs=[(bidx, old_docs, new_docs,
+                         {"sync_token": "rel1"})],
+            ivf_syncs=[(vidx, old_vecs, new_vecs,
+                        {"sync_token": "rel1"})],
+        ).run()
+        rep = ctx["sync_report"]
+        assert set(rep) == {"sync_bm25_b", "sync_ivf_v"}
+        assert rep["sync_bm25_b"]["n_added"] == 6
+        assert rep["sync_ivf_v"]["n_added"] == 12
+        # both indexes now answer as a fresh build over the snapshot
+        qs = spark.createDataFrame(
+            [(1, "spark topic1")], "query_id long, query_text string"
+        )
+        got = sorted(
+            map(tuple, bm25_search_index(qs, bidx, k=5).collect())
+        )
+        want = sorted(
+            map(tuple, bm25_topk(new_docs, qs, k=5).collect())
+        )
+        assert got == want
+        vq = new_vecs.limit(3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got_v = sorted(
+            map(
+                tuple,
+                ivf_search_index(vq, vidx, nprobe=4, k=5).collect(),
+            )
+        )
+        want_v = sorted(
+            map(tuple, brute_force_topk(new_vecs, vq, k=5).collect())
+        )
+        assert got_v == want_v
