@@ -270,3 +270,101 @@ def build_maintenance_dag(
     for name, _kind, _path, _opts in specs:
         ops[name] >> ops["maintain_report"]
     return ops
+
+
+def build_sync_dag(
+    dag,
+    bm25_syncs=(),
+    ivf_syncs=(),
+    session_factory: Callable | None = None,
+    operator_cls=None,
+):
+    """The incremental-index-sync release tick
+    (`pipeline.runner.sync_pipeline`) at Airflow granularity — one
+    PythonOperator per index plus a terminal report operator. Unlike
+    the single-session runner, task inputs here are PARQUET PATHS
+    (``(index_path, old_snapshot_path, new_snapshot_path)`` or the
+    same + an options dict): an Airflow task cannot carry a live
+    DataFrame across the process boundary, and reading the snapshots
+    at RUN time inside each task is also what a real deployment does
+    (the snapshot lands on storage; the DAG run is parameterized by
+    its path). DAG-definition time imports nothing heavy — names and
+    deps come from the entries alone (the parse-loop rule).
+
+    Each task obtains its own session, reads both snapshots, runs the
+    sync, and returns the JSON-safe diff-count report (XCom-friendly).
+    The terminal ``sync_report`` re-reads nothing (sync reports are
+    the tick's product, unlike maintenance where post-tick stats are
+    re-readable state) — it simply depends on every sync so the DAG
+    run's success means every index reached the snapshot.
+    """
+    if operator_cls is None:
+        try:
+            from airflow.operators.python import PythonOperator as operator_cls
+        except ImportError as exc:  # pragma: no cover - env without airflow
+            raise ImportError(
+                "Airflow is not installed; either install apache-airflow "
+                "or run one tick with "
+                "pipeline.runner.sync_pipeline(...).run()"
+            ) from exc
+    import os as _os
+
+    specs = []
+    seen: set[str] = set()
+    for kind, entries in (("bm25", bm25_syncs), ("ivf", ivf_syncs)):
+        for entry in entries:
+            path, old_p, new_p = entry[0], entry[1], entry[2]
+            opts = dict(entry[3]) if len(entry) > 3 else {}
+            base = _os.path.basename(str(path).rstrip("/")) or "index"
+            name = f"sync_{kind}_{base}"
+            suffix = len(specs)
+            while name in seen:
+                name = f"sync_{kind}_{base}_{suffix}"
+                suffix += 1
+            seen.add(name)
+            specs.append((name, kind, path, old_p, new_p, opts))
+
+    def _one_task(
+        kind: str, path: str, old_p: str, new_p: str, opts: dict
+    ) -> Callable[[], dict]:
+        def run() -> dict:
+            spark = _resolve_session_factory(session_factory)(
+                "index-sync"
+            )
+            from ..operators.sync import (
+                sync_bm25_index_to_snapshot,
+                sync_ivf_index_to_snapshot,
+            )
+
+            fn = (
+                sync_bm25_index_to_snapshot
+                if kind == "bm25"
+                else sync_ivf_index_to_snapshot
+            )
+            return fn(
+                spark.read.parquet(old_p),
+                spark.read.parquet(new_p),
+                path,
+                **opts,
+            )
+
+        return run
+
+    ops = {
+        name: operator_cls(
+            task_id=name,
+            python_callable=_one_task(kind, path, old_p, new_p, opts),
+            dag=dag,
+        )
+        for name, kind, path, old_p, new_p, opts in specs
+    }
+
+    def _report() -> dict:
+        return {"synced": [s[0] for s in specs]}
+
+    ops["sync_report"] = operator_cls(
+        task_id="sync_report", python_callable=_report, dag=dag
+    )
+    for name, *_rest in specs:
+        ops[name] >> ops["sync_report"]
+    return ops

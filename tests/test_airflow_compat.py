@@ -191,3 +191,69 @@ class TestMaintenanceDag:
 
         with pytest.raises(ImportError, match="maintenance_pipeline"):
             build_maintenance_dag(object(), ivf_indexes=["/x"])
+
+
+class TestSyncDag:
+    """build_sync_dag: the incremental-sync release tick at Airflow
+    granularity — PARQUET-PATH task inputs (a task cannot carry a live
+    DataFrame; the deployment's snapshot lands on storage), one
+    operator per index + a terminal report."""
+
+    def test_wiring_and_one_tick(self, spark, tmp_path):
+        import json
+
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_search_index,
+            bm25_topk,
+            write_bm25_index,
+        )
+        from datawaves_etl_airflow_spark.pipeline.airflow_compat import (
+            build_sync_dag,
+        )
+
+        new_docs = spark.createDataFrame(
+            [(i, f"doc {i} about spark data topic{i % 3}")
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        old_docs = new_docs.filter(F.col("doc_id") % 4 != 0)
+        old_p = str(tmp_path / "snap_old")
+        new_p = str(tmp_path / "snap_new")
+        old_docs.write.parquet(old_p)
+        new_docs.write.parquet(new_p)
+        idx = str(tmp_path / "b_idx")
+        write_bm25_index(old_docs, idx, n_buckets=8)
+        ops = build_sync_dag(
+            object(),
+            bm25_syncs=[(idx, old_p, new_p, {"sync_token": "rel1"})],
+            session_factory=lambda name: spark,
+            operator_cls=_StubOperator,
+        )
+        assert sorted(ops) == ["sync_bm25_b_idx", "sync_report"]
+        assert ops["sync_bm25_b_idx"].downstream == ["sync_report"]
+        rep = ops["sync_bm25_b_idx"].python_callable()
+        json.dumps(rep)  # XCom-safe
+        assert rep["n_added"] == 5  # doc_id % 4 == 0: 0,4,8,12,16
+        assert ops["sync_report"].python_callable() == {
+            "synced": ["sync_bm25_b_idx"]
+        }
+        qs = spark.createDataFrame(
+            [(1, "spark topic1")], "query_id long, query_text string"
+        )
+        got = sorted(
+            map(tuple, bm25_search_index(qs, idx, k=5).collect())
+        )
+        want = sorted(
+            map(tuple, bm25_topk(new_docs, qs, k=5).collect())
+        )
+        assert got == want
+
+    def test_missing_airflow_raises_clearly(self):
+        from datawaves_etl_airflow_spark.pipeline.airflow_compat import (
+            build_sync_dag,
+        )
+
+        with pytest.raises(ImportError, match="sync_pipeline"):
+            build_sync_dag(object(), bm25_syncs=[("/x", "/o", "/n")])
