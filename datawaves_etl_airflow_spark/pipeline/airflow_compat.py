@@ -33,7 +33,12 @@ from collections.abc import Callable
 # pyspark (or the operator modules) into every parse loop. The heavy
 # runner imports happen inside the stage callables at RUN time;
 # pipeline.maintenance is stdlib-only by contract.
-from .maintenance import _maintainer, maintenance_task_specs
+from .maintenance import (
+    _maintainer,
+    maintenance_task_specs,
+    sync_task_specs,
+)
+
 
 def _resolve_session_factory(session_factory: Callable | None) -> Callable:
     """Default to the engine's `session.get_spark`, resolved at task
@@ -44,6 +49,25 @@ def _resolve_session_factory(session_factory: Callable | None) -> Callable:
     from ..session import get_spark
 
     return get_spark
+
+
+def _resolve_operator_cls(operator_cls, fallback_hint: str):
+    """Default to Airflow's PythonOperator (imported lazily — tests
+    and airflow-less environments inject a stub), with the
+    per-builder single-session fallback named in the error. One
+    helper so an Airflow import-path change (e.g. a major-version
+    move) lands in one place for every DAG builder."""
+    if operator_cls is not None:
+        return operator_cls
+    try:
+        from airflow.operators.python import PythonOperator
+
+        return PythonOperator
+    except ImportError as exc:  # pragma: no cover - env without airflow
+        raise ImportError(
+            "Airflow is not installed; either install apache-airflow "
+            f"or run {fallback_hint}"
+        ) from exc
 
 
 #: (stage name, phases it executes, upstream stage names)
@@ -148,15 +172,11 @@ def build_airflow_dag(
     .PythonOperator`` (imported lazily); inject a stub in tests or a
     custom operator in production. Returns ``{task_id: operator}``.
     """
-    if operator_cls is None:
-        try:
-            from airflow.operators.python import PythonOperator as operator_cls
-        except ImportError as exc:  # pragma: no cover - env without airflow
-            raise ImportError(
-                "Airflow is not installed; either install apache-airflow "
-                "or run the pipeline with pipeline.runner.run_evm_day "
-                "(single-session, no orchestrator needed)"
-            ) from exc
+    operator_cls = _resolve_operator_cls(
+        operator_cls,
+        "the pipeline with pipeline.runner.run_evm_day "
+        "(single-session, no orchestrator needed)",
+    )
 
     stages = evm_day_stages(
         export_base,
@@ -194,15 +214,10 @@ def build_maintenance_dag(
     operator builds (or reuses) its own SparkSession and returns the
     maintainer's JSON-safe report dict (XCom-friendly by
     construction). Returns ``{task_id: operator}``."""
-    if operator_cls is None:
-        try:
-            from airflow.operators.python import PythonOperator as operator_cls
-        except ImportError as exc:  # pragma: no cover - env without airflow
-            raise ImportError(
-                "Airflow is not installed; either install apache-airflow "
-                "or run one tick with "
-                "pipeline.runner.maintenance_pipeline(...).run()"
-            ) from exc
+    operator_cls = _resolve_operator_cls(
+        operator_cls,
+        "one tick with pipeline.runner.maintenance_pipeline(...).run()",
+    )
     # DAG-definition time needs only names + deps: maintenance_task_specs
     # is import-free (the Airflow scheduler re-parses dagfiles
     # continuously — dragging the pyspark-heavy operator modules into
@@ -298,31 +313,11 @@ def build_sync_dag(
     re-readable state) — it simply depends on every sync so the DAG
     run's success means every index reached the snapshot.
     """
-    if operator_cls is None:
-        try:
-            from airflow.operators.python import PythonOperator as operator_cls
-        except ImportError as exc:  # pragma: no cover - env without airflow
-            raise ImportError(
-                "Airflow is not installed; either install apache-airflow "
-                "or run one tick with "
-                "pipeline.runner.sync_pipeline(...).run()"
-            ) from exc
-    import os as _os
-
-    specs = []
-    seen: set[str] = set()
-    for kind, entries in (("bm25", bm25_syncs), ("ivf", ivf_syncs)):
-        for entry in entries:
-            path, old_p, new_p = entry[0], entry[1], entry[2]
-            opts = dict(entry[3]) if len(entry) > 3 else {}
-            base = _os.path.basename(str(path).rstrip("/")) or "index"
-            name = f"sync_{kind}_{base}"
-            suffix = len(specs)
-            while name in seen:
-                name = f"sync_{kind}_{base}_{suffix}"
-                suffix += 1
-            seen.add(name)
-            specs.append((name, kind, path, old_p, new_p, opts))
+    operator_cls = _resolve_operator_cls(
+        operator_cls,
+        "one tick with pipeline.runner.sync_pipeline(...).run()",
+    )
+    specs = sync_task_specs(bm25_syncs, ivf_syncs)
 
     def _one_task(
         kind: str, path: str, old_p: str, new_p: str, opts: dict

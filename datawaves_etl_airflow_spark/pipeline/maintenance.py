@@ -62,3 +62,42 @@ def _maintainer(kind: str):
     return getattr(
         importlib.import_module(mod_name, package=__package__), fn_name
     )
+
+
+def sync_task_specs(
+    bm25_syncs=(), ivf_syncs=()
+) -> list[tuple[str, str, str, object, object, dict]]:
+    """``[(task_name, kind, index_path, old_src, new_src, opts), ...]``
+    — the sync release tick's task shape, shared by
+    `runner.sync_pipeline` (DataFrame sources) and
+    `airflow_compat.build_sync_dag` (parquet-path sources): one
+    naming/dedup rule so the single-session runner and the Airflow DAG
+    produce identical task ids for the same inputs (callers correlate
+    reports by name). Sources are opaque here — this module stays
+    import-light for the scheduler's parse loop. Entries must be
+    ``(index_path, old, new)`` or ``(index_path, old, new, opts)``;
+    anything else (e.g. a bare path, the maintenance entry shape)
+    fails fast instead of being silently character-sliced."""
+    specs: list[tuple[str, str, str, object, object, dict]] = []
+    seen: set[str] = set()
+    for kind, entries in (("bm25", bm25_syncs), ("ivf", ivf_syncs)):
+        for entry in entries:
+            if not isinstance(entry, (tuple, list)) or len(entry) not in (
+                3,
+                4,
+            ):
+                raise ValueError(
+                    "sync entry must be (index_path, old, new) or "
+                    f"(index_path, old, new, opts); got {entry!r}"
+                )
+            path, old, new = entry[0], entry[1], entry[2]
+            opts = dict(entry[3]) if len(entry) == 4 else {}
+            base = os.path.basename(str(path).rstrip("/")) or "index"
+            name = f"sync_{kind}_{base}"
+            suffix = len(specs)
+            while name in seen:
+                name = f"sync_{kind}_{base}_{suffix}"
+                suffix += 1
+            seen.add(name)
+            specs.append((name, kind, path, old, new, opts))
+    return specs

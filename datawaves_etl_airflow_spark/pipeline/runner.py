@@ -341,7 +341,11 @@ def run_evm_day(
 # pipeline.maintenance (the Airflow scheduler's parse loop must be able
 # to compute DAG shape without pyspark); re-exported here for callers
 # that naturally hold the heavy runner module anyway
-from .maintenance import _maintainer, maintenance_task_specs  # noqa: E402,F401
+from .maintenance import (  # noqa: E402,F401
+    _maintainer,
+    maintenance_task_specs,
+    sync_task_specs,
+)
 
 
 def maintenance_pipeline(
@@ -387,7 +391,6 @@ def maintenance_pipeline(
 
 
 def sync_pipeline(
-    spark: SparkSession,
     bm25_syncs=(),
     ivf_syncs=(),
 ) -> Pipeline:
@@ -402,8 +405,11 @@ def sync_pipeline(
     Each entry is ``(path, old_df, new_df)`` or ``(path, old_df,
     new_df, options_dict)`` — options pass through to the sync
     (``sync_token`` for replay-stable release ids, column overrides).
-    Task names disambiguate duplicate basenames exactly like the
-    maintenance specs. Run one tick with ``sync_pipeline(...).run()``.
+    Task names come from the shared `sync_task_specs` rule, so this
+    runner and `airflow_compat.build_sync_dag` produce identical ids
+    for the same inputs. No session parameter: the syncs run on the
+    session that created the snapshot DataFrames. Run one tick with
+    ``sync_pipeline(...).run()``.
     """
     from ..operators.sync import (
         sync_bm25_index_to_snapshot,
@@ -414,28 +420,17 @@ def sync_pipeline(
         "bm25": sync_bm25_index_to_snapshot,
         "ivf": sync_ivf_index_to_snapshot,
     }
+    specs = sync_task_specs(bm25_syncs, ivf_syncs)
     p = Pipeline()
-    names: list[str] = []
-    seen: set[str] = set()
-    for kind, entries in (("bm25", bm25_syncs), ("ivf", ivf_syncs)):
-        for entry in entries:
-            path, old_df, new_df = entry[0], entry[1], entry[2]
-            opts = dict(entry[3]) if len(entry) > 3 else {}
-            base = os.path.basename(str(path).rstrip("/")) or "index"
-            name = f"sync_{kind}_{base}"
-            suffix = len(names)
-            while name in seen:
-                name = f"sync_{kind}_{base}_{suffix}"
-                suffix += 1
-            seen.add(name)
-            names.append(name)
-            p.add(
-                name,
-                lambda c, kind=kind, path=path, old_df=old_df,
-                new_df=new_df, opts=opts: fronts[kind](
-                    old_df, new_df, path, **opts
-                ),
-            )
+    for name, kind, path, old_df, new_df, opts in specs:
+        p.add(
+            name,
+            lambda c, kind=kind, path=path, old_df=old_df,
+            new_df=new_df, opts=opts: fronts[kind](
+                old_df, new_df, path, **opts
+            ),
+        )
+    names = [s[0] for s in specs]
 
     def _report(ctx: dict) -> dict:
         return {n: ctx[n] for n in names}

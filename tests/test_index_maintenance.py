@@ -509,7 +509,6 @@ class TestSyncPipeline:
         write_bm25_index(old_docs, bidx, n_buckets=8)
         write_ivf_index(old_vecs, vidx, n_centroids=4, n_iters=1)
         ctx = sync_pipeline(
-            spark,
             bm25_syncs=[(bidx, old_docs, new_docs,
                          {"sync_token": "rel1"})],
             ivf_syncs=[(vidx, old_vecs, new_vecs,
@@ -544,3 +543,16 @@ class TestSyncPipeline:
             map(tuple, brute_force_topk(new_vecs, vq, k=5).collect())
         )
         assert got_v == want_v
+
+
+    def test_bare_path_entry_fails_fast(self, spark):
+        import pytest
+
+        from datawaves_etl_airflow_spark.pipeline.runner import (
+            sync_pipeline,
+        )
+
+        # the maintenance entry shape (a bare path) must not be
+        # silently character-sliced into (path[0], path[1], path[2])
+        with pytest.raises(ValueError, match="sync entry"):
+            sync_pipeline(bm25_syncs=["/data/idx"])
