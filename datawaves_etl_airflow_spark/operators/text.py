@@ -484,6 +484,109 @@ def _bm25_rank(
     )
 
 
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Standard ranked-retrieval evaluation — one row per query with
+    ``ndcg_at_k``, ``mrr`` and ``n_rel_in_k`` — over ANY ranked list
+    this engine produces (`bm25_topk` / `bm25_search_index` /
+    `ivf_search_index` / `rrf_fuse` / `mmr_rerank` output; pass
+    ``id_col`` to match). The offline eval harness a retrieval
+    deployment runs against judged queries, complementing
+    `similarity.ann_recall_eval` (which measures recall of the exact
+    top-k — a property of the INDEX) with graded ranking quality — a
+    property of the SCORING (Järvelin & Kekäläinen, "Cumulated
+    Gain-Based Evaluation of IR Techniques", TOIS 2002).
+
+    ``qrels`` carries ``(query_col, id_col, rel_col)`` integer graded
+    relevance. Definitions, deterministic and engine-replayable:
+
+    - DCG@k  = Σ over result ranks r ≤ k of (2^rel − 1) / log2(r + 1)
+      (unjudged docs count rel 0 — the standard convention);
+    - IDCG@k = the same sum over the query's qrels sorted rel-DESC,
+      truncated at k (ties among equal rel cannot change the value,
+      so no tiebreak is needed for determinism);
+    - nDCG@k = ROUND(DCG/IDCG, 6), and 0.0 when the query has no
+      positive qrels (IDCG = 0 — scoring an unjudgeable query 0 keeps
+      the mean honest rather than silently dropping it; filter
+      upstream if exclusion is wanted);
+    - MRR    = ROUND(1 / first rank with rel > 0, 6), 0.0 if none
+      retrieved in the list;
+    - n_rel_in_k = judged-positive results at rank ≤ k.
+
+    The ROUND(…, 6) is the module's ln-reproducibility contract
+    (log2 = ln ratio; ln is not IEEE-mandated cross-engine — the
+    `bm25_topk` rationale). Plan shape: results≤k left-join qrels on
+    (query, doc) + one aggregation, and an IDCG window over qrels
+    partitioned by query — all shuffles on the query key; qrel sets
+    are bounded by judgment effort, never corpus-sized.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    r = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+        F.col(rank_col).alias("_r"),
+    )
+    j = qrels.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+        F.col(rel_col).alias("_rel"),
+    )
+    joined = r.join(j, ["_q", "_d"], "left").withColumn(
+        "_rel", F.coalesce(F.col("_rel"), F.lit(0))
+    )
+    gain = (F.pow(F.lit(2.0), F.col("_rel")) - F.lit(1.0)) / F.log2(
+        F.col("_r") + F.lit(1.0)
+    )
+    per_q = joined.groupBy("_q").agg(
+        F.sum(gain).alias("_dcg"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_r"))).alias("_first"),
+        F.count(F.when(F.col("_rel") > 0, F.lit(1))).alias(
+            "n_rel_in_k"
+        ),
+    )
+    wi = Window.partitionBy("_q").orderBy(F.col("_rel").desc())
+    ideal = (
+        j.filter(F.col("_rel") > 0)
+        .withColumn("_ir", F.row_number().over(wi))
+        .filter(F.col("_ir") <= k)
+        .groupBy("_q")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("_rel")) - F.lit(1.0))
+                / F.log2(F.col("_ir") + F.lit(1.0))
+            ).alias("_idcg")
+        )
+    )
+    return (
+        per_q.join(ideal, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.round(
+                F.when(
+                    F.col("_idcg").isNull() | (F.col("_idcg") == 0),
+                    F.lit(0.0),
+                ).otherwise(F.col("_dcg") / F.col("_idcg")),
+                6,
+            ).alias("ndcg_at_k"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("_first"), F.lit(0.0)
+                ),
+                6,
+            ).alias("mrr"),
+            "n_rel_in_k",
+        )
+    )
+
+
 def bm25_prf_topk(
     docs: DataFrame,
     queries: DataFrame,

@@ -1357,6 +1357,45 @@ def llm_bm25_prf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def llm_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval evaluation (`text.retrieval_metrics` — nDCG@10
+    / MRR / judged hits, Järvelin & Kekäläinen TOIS 2002) over the
+    proven `bm25_topk` ranking with DERIVED graded qrels (rel 2 where
+    doc_id % 5 == query_id, rel 1 where doc_id % 7 == query_id,
+    max-merged — deterministic, engine-independent, and dense enough
+    that every metric branch fires at every SF). DuckDB replays the
+    ranking, the join, the DCG/IDCG sums and the ROUND(…, 6)
+    ln-reproducibility contract value-for-value — the eval-harness
+    completion of the retrieval stack (ann_recall_eval measures the
+    INDEX; this measures the SCORING)."""
+    d = _docs(spark, sf_dir)
+    qs = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(dedup.tokenize(F.col("text")), 1, 6), " "
+        ).alias("query_text"),
+    )
+    results = text.bm25_topk(d, qs, k=10)
+    ids = d.select("doc_id")
+    qrels = (
+        ids.select(
+            (F.col("doc_id") % 5).alias("query_id"),
+            "doc_id",
+            F.lit(2).alias("rel"),
+        )
+        .unionByName(
+            ids.filter(F.col("doc_id") % 7 < 5).select(
+                (F.col("doc_id") % 7).alias("query_id"),
+                "doc_id",
+                F.lit(1).alias("rel"),
+            )
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("rel").alias("rel"))
+    )
+    return text.retrieval_metrics(results, qrels, k=10)
+
+
 def llm_hybrid_retrieval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2139,7 +2178,8 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: llm_bm25_prf_index (persisted PRF over the forward layout) and
 #: llm_bm25_sync / llm_ann_ivf_sync (incremental index sync ≡ fresh
 #: build), llm_stratified_sample (equal-mass quality strata) and
-#: llm_leakage_safe_split (cluster-keyed eval split) are parity-green
+#: llm_leakage_safe_split (cluster-keyed eval split) and
+#: llm_retrieval_metrics (nDCG/MRR eval harness) are parity-green
 #: ×3 SFs and join the r11 queue behind the 8 deferrals.
 DRIVER_QUERIES = [
     # never driver-verified, first: the seven r9 additions
@@ -2210,6 +2250,7 @@ QUERIES = {
     "llm_bm25_deleted": llm_bm25_deleted,
     "llm_bm25_prf": llm_bm25_prf,
     "llm_bm25_prf_index": llm_bm25_prf_index,
+    "llm_retrieval_metrics": llm_retrieval_metrics,
     "llm_bm25_sync": llm_bm25_sync,
     "llm_ann_ivf_sync": llm_ann_ivf_sync,
     "llm_hybrid_retrieval": llm_hybrid_retrieval,
@@ -3264,6 +3305,57 @@ ORACLES["llm_bm25_prf"] = f"""
         FROM pair2
     )
     SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= 5
+"""
+
+# llm_retrieval_metrics (r10): the bm25 ranking at k=10 + derived
+# graded qrels + the DCG/IDCG/MRR arithmetic, replayed end to end
+# (ROUND(…,6) absorbs log2's cross-engine last-ulp, the bm25 rule).
+_B25_10 = ORACLES["llm_bm25_topk"].replace(
+    "WHERE rank <= 5", "WHERE rank <= 10"
+)
+ORACLES["llm_retrieval_metrics"] = f"""
+    WITH res AS ({_B25_10}),
+    qr AS (
+        SELECT query_id, doc_id, MAX(rel) AS rel FROM (
+            SELECT doc_id % 5 AS query_id, doc_id, 2 AS rel
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 7, doc_id, 1
+            FROM documents WHERE doc_id % 7 < 5
+        ) GROUP BY 1, 2
+    ),
+    jj AS (
+        SELECT r.query_id, r.rank, COALESCE(q.rel, 0) AS rel
+        FROM res r
+        LEFT JOIN qr q
+          ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+    ),
+    agg AS (
+        SELECT query_id,
+               SUM((POW(2.0, rel) - 1) / log2(rank + 1)) AS dcg,
+               MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+               COUNT(CASE WHEN rel > 0 THEN 1 END) AS n_rel_in_k
+        FROM jj GROUP BY 1
+    ),
+    ideal AS (
+        SELECT query_id,
+               SUM((POW(2.0, rel) - 1) / log2(ir + 1)) AS idcg
+        FROM (
+            SELECT query_id, rel,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY rel DESC
+                   ) AS ir
+            FROM qr WHERE rel > 0
+        ) WHERE ir <= 10 GROUP BY 1
+    )
+    SELECT a.query_id,
+           ROUND(
+               CASE WHEN i.idcg IS NULL OR i.idcg = 0 THEN 0.0
+                    ELSE a.dcg / i.idcg END, 6
+           ) AS ndcg_at_k,
+           ROUND(COALESCE(1.0 / first_rel, 0.0), 6) AS mrr,
+           n_rel_in_k
+    FROM agg a LEFT JOIN ideal i ON a.query_id = i.query_id
 """
 
 # llm_bm25_prf_index: the persisted-PRF probe is value-identical to

@@ -1297,3 +1297,79 @@ class TestMmrRerank:
             for r in mmr_rerank(cands, k=2, lambda_=0.5).collect()
         }
         assert got == {1: "docA", 2: "docC"}
+
+
+class TestRetrievalMetrics:
+    """retrieval_metrics: nDCG@k / MRR / hit counts over any ranked
+    list + graded qrels — hand-computed values, edge conventions."""
+
+    def _run(self, spark, results, qrels, k=3):
+        from datawaves_etl_airflow_spark.operators.text import (
+            retrieval_metrics,
+        )
+
+        res = spark.createDataFrame(
+            results, "query_id long, doc_id long, rank int"
+        )
+        qr = spark.createDataFrame(
+            qrels, "query_id long, doc_id long, rel int"
+        )
+        return {
+            r["query_id"]: r
+            for r in retrieval_metrics(res, qr, k=k).collect()
+        }
+
+    def test_hand_computed_ndcg(self, spark):
+        got = self._run(
+            spark,
+            # ranks 1..3: rel 2, unjudged, rel 1; rel-3 doc unretrieved
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            [(1, 10, 2), (1, 12, 1), (1, 99, 3)],
+        )[1]
+        dcg = 3.0 / 1.0 + 0.0 + 1.0 / 2.0
+        idcg = 7.0 + 3.0 / math.log2(3.0) + 1.0 / 2.0
+        assert got["ndcg_at_k"] == round(dcg / idcg, 6)
+        assert got["mrr"] == 1.0
+        assert got["n_rel_in_k"] == 2
+
+    def test_no_positive_qrels_scores_zero(self, spark):
+        got = self._run(
+            spark, [(1, 10, 1), (1, 11, 2)], [(1, 10, 0)]
+        )[1]
+        assert got["ndcg_at_k"] == 0.0
+        assert got["mrr"] == 0.0
+        assert got["n_rel_in_k"] == 0
+
+    def test_mrr_first_positive_rank(self, spark):
+        got = self._run(
+            spark,
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            [(1, 11, 1)],
+        )[1]
+        assert got["mrr"] == 0.5
+        assert got["n_rel_in_k"] == 1
+
+    def test_k_cut_ignores_deep_hits(self, spark):
+        got = self._run(
+            spark,
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4)],
+            [(1, 13, 3)],
+            k=3,
+        )[1]
+        assert got["n_rel_in_k"] == 0
+        assert got["mrr"] == 0.0
+        # but IDCG truncation is at k over qrels, and DCG saw nothing:
+        assert got["ndcg_at_k"] == 0.0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from datawaves_etl_airflow_spark.operators.text import (
+            retrieval_metrics,
+        )
+
+        res = spark.createDataFrame(
+            [(1, 10, 1)], "query_id long, doc_id long, rank int"
+        )
+        with _pytest.raises(ValueError, match="k must"):
+            retrieval_metrics(res, res, k=0)
