@@ -120,9 +120,10 @@ def _run_sync(
     data_root_fn: Callable,
     sides: tuple[str, ...],
 ) -> dict:
-    """The ONE delete→compact→append driver behind both sync fronts —
-    token construction, worklist plumbing, crash-retry healing and
-    report bookkeeping live here so the two families cannot drift."""
+    """The ONE delete→compact→append driver behind all three sync
+    fronts (BM25 / IVF / MinHash) — token construction, worklist
+    plumbing, crash-retry healing and report bookkeeping live here so
+    the families cannot drift."""
     import uuid as _uuid
 
     token = sync_token if sync_token is not None else _uuid.uuid4().hex
@@ -230,4 +231,59 @@ def sync_ivf_index_to_snapshot(
         ),
         data_root_fn=lambda spark: _resolve_ivf_index(spark, path)[1],
         sides=("cells",),
+    )
+
+
+def sync_minhash_index_to_snapshot(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sync_token: str | None = None,
+) -> dict:
+    """The MinHash-dedup twin of `sync_bm25_index_to_snapshot`,
+    completing snapshot sync across all three persisted indexes:
+    delete (removed ∪ changed) → compact → append (added ∪ changed)
+    under the STORED banding contract (k / n_hashes / n_bands come
+    from the manifest — `append_minhash_index` re-shingles only the
+    worklist rows). Post-sync, `dedup_against_index` probes are
+    value-identical to a `write_minhash_index(new_docs)` fresh build:
+    banding is deterministic per (text, params), so unchanged docs
+    keep bit-identical band rows and shingle sets, and the compaction
+    drops the deleted ids from BOTH probe surfaces (bands and sets).
+    Without this operator the release tick that syncs the retrieval
+    indexes would leave the dedup index drifting until a manual
+    rebuild — a changed doc would keep claiming new-batch rows as
+    near-duplicates of its STALE text. Same crash-retry contract as
+    the other two fronts (module docstring); write-order note: a
+    crash between the append's sets and bands writes leaves the batch
+    merely unindexed, never verifying against missing sets."""
+    from .dedup import (
+        _resolve_minhash_index,
+        append_minhash_index,
+        compact_minhash_index,
+        delete_from_minhash_index,
+    )
+
+    return _run_sync(
+        old_docs,
+        new_docs,
+        path,
+        id_col,
+        [text_col],
+        sync_token,
+        delete_fn=delete_from_minhash_index,
+        compact_fn=compact_minhash_index,
+        append_fn=lambda df, p, batch_token: append_minhash_index(
+            df,
+            p,
+            batch_token=batch_token,
+            text_col=text_col,
+            id_col=id_col,
+        ),
+        data_root_fn=lambda spark: _resolve_minhash_index(spark, path)[
+            1
+        ],
+        sides=("sets", "bands"),
     )

@@ -1044,11 +1044,74 @@ def write_bm25_index(
     vm.publish_or_raise(spark, payload, version, "BM25 index rebuild")
 
 
+def _bm25_check_append_ids(
+    spark, data_root: str, meta: dict, docs: DataFrame, token: str
+) -> None:
+    """Raise if any batch doc id is already present in the index — the
+    opt-in enforcement of the append-only/new-docs-only contract
+    (`append_bm25_index(check_ids=True)`). The lookup is the forward
+    layout's bounded probe: the batch ids' doc-hash buckets only
+    (static pruning), never a postings scan. This round's calculus
+    change: pre-forward, doc identity was unguardable without an
+    O(index) scan per append, so the contract was documented only;
+    with ``forward=True`` the probe is O(|batch buckets|).
+
+    The SAME token's prior rows are excluded (a same-token retry
+    overwrites its own dirs — not a duplicate). Tombstoned-but-not-
+    compacted ids still raise, deliberately: that IS the RE-ADD
+    contract (a tombstone suppresses its id even in later batches —
+    compact first). Because the check runs inside the manifest CAS
+    loop, a concurrent fold that commits the same id first causes this
+    fold's publish to lose the race, re-resolve, re-check, and raise."""
+    import posixpath as _pp
+
+    batch_ids = (
+        docs.select(F.col(meta["id_col"]).alias("doc"))
+        .distinct()
+        .localCheckpoint()
+    )
+    fbuckets = sorted(
+        r["_b"]
+        for r in batch_ids.select(
+            F.pmod(F.xxhash64(F.col("doc")), F.lit(meta["n_buckets"]))
+            .alias("_b")
+        )
+        .distinct()
+        .collect()
+    )
+    if not fbuckets:
+        return
+    fwd = (
+        spark.read.parquet(_pp.join(data_root, "forward"))
+        .filter(F.col("fbucket").isin(fbuckets))
+        .filter(F.col("batch") != F.lit(token))
+    )
+    sample = [
+        r["doc"]
+        for r in fwd.join(batch_ids, "doc", "left_semi")
+        .select("doc")
+        .distinct()
+        .limit(10)
+        .collect()
+    ]
+    if sample:
+        raise ValueError(
+            f"append_bm25_index(check_ids=True): batch doc ids already "
+            f"present in the index at {data_root} (sample: {sample}) — "
+            "re-ingesting a doc would double-count its postings, df, N "
+            "and avgdl. To update documents, use "
+            "sync_bm25_index_to_snapshot, or delete_from_bm25_index + "
+            "compact_bm25_index before re-appending (the RE-ADD "
+            "contract)."
+        )
+
+
 def append_bm25_index(
     docs: DataFrame,
     path: str,
     batch_token: str | None = None,
     text_col: str = "text",
+    check_ids: bool = False,
 ) -> None:
     """Fold a new document batch into the persisted BM25 index without
     a rebuild: tokenize/count the batch only (O(|batch|)), land its
@@ -1062,14 +1125,24 @@ def append_bm25_index(
     over the union — pinned in TestBm25Index.
 
     APPEND-ONLY / NEW-DOCS-ONLY contract: the token guards replays of
-    the SAME batch, but nothing can guard doc identity across batches
-    — the same ``doc_id`` folded under two different tokens
+    the SAME batch, but by default nothing guards doc identity across
+    batches — the same ``doc_id`` folded under two different tokens
     double-counts its postings, df, N and avgdl, silently skewing
     every subsequent score (unlike the IVF index, where a duplicate id
     only duplicates a candidate row). Re-ingesting or UPDATING a
-    document therefore requires a rebuild (`write_bm25_index` over the
-    corrected corpus) — the same class of caveat as the IVF side's
-    quantizer-doesn't-adapt note on `similarity.append_ivf_index`."""
+    document therefore requires `sync_bm25_index_to_snapshot`, a
+    delete → compact → re-append, or a rebuild (`write_bm25_index`
+    over the corrected corpus) — the same class of caveat as the IVF
+    side's quantizer-doesn't-adapt note on
+    `similarity.append_ivf_index`.
+
+    ``check_ids=True`` (requires a ``forward=True`` index) turns that
+    one silent-corruption path into a loud error: before writing, the
+    fold probes the batch ids' FORWARD buckets (bounded, doc-hash
+    pruned — see `_bm25_check_append_ids`) and raises on any overlap
+    with committed batches. Off by default: trusted new-docs-only
+    ingest (the streaming path, the sync's post-compaction append)
+    should not pay the probe."""
     import posixpath as _pp
     import uuid as _uuid
 
@@ -1094,6 +1167,14 @@ def append_bm25_index(
         if token in set(payload.get("folded", ())):
             return
         meta, data_root = _resolve_bm25_index(spark, path)
+        if check_ids:
+            if not meta["forward"]:
+                raise ValueError(
+                    f"append_bm25_index(check_ids=True) on {path}: the "
+                    "identity probe needs the forward layout — rebuild "
+                    "with write_bm25_index(forward=True)"
+                )
+            _bm25_check_append_ids(spark, data_root, meta, docs, token)
         postings, stats = _bm25_postings(
             docs, text_col, meta["id_col"], meta["n_buckets"]
         )

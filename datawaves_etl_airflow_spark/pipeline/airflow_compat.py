@@ -291,6 +291,7 @@ def build_sync_dag(
     dag,
     bm25_syncs=(),
     ivf_syncs=(),
+    minhash_syncs=(),
     session_factory: Callable | None = None,
     operator_cls=None,
 ):
@@ -317,7 +318,7 @@ def build_sync_dag(
         operator_cls,
         "one tick with pipeline.runner.sync_pipeline(...).run()",
     )
-    specs = sync_task_specs(bm25_syncs, ivf_syncs)
+    specs = sync_task_specs(bm25_syncs, ivf_syncs, minhash_syncs)
 
     def _one_task(
         kind: str, path: str, old_p: str, new_p: str, opts: dict
@@ -326,16 +327,13 @@ def build_sync_dag(
             spark = _resolve_session_factory(session_factory)(
                 "index-sync"
             )
-            from ..operators.sync import (
-                sync_bm25_index_to_snapshot,
-                sync_ivf_index_to_snapshot,
-            )
+            from ..operators import sync as _sync
 
-            fn = (
-                sync_bm25_index_to_snapshot
-                if kind == "bm25"
-                else sync_ivf_index_to_snapshot
-            )
+            fn = {
+                "bm25": _sync.sync_bm25_index_to_snapshot,
+                "ivf": _sync.sync_ivf_index_to_snapshot,
+                "minhash": _sync.sync_minhash_index_to_snapshot,
+            }[kind]
             return fn(
                 spark.read.parquet(old_p),
                 spark.read.parquet(new_p),

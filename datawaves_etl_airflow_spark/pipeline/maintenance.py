@@ -65,7 +65,7 @@ def _maintainer(kind: str):
 
 
 def sync_task_specs(
-    bm25_syncs=(), ivf_syncs=()
+    bm25_syncs=(), ivf_syncs=(), minhash_syncs=()
 ) -> list[tuple[str, str, str, object, object, dict]]:
     """``[(task_name, kind, index_path, old_src, new_src, opts), ...]``
     — the sync release tick's task shape, shared by
@@ -80,7 +80,11 @@ def sync_task_specs(
     fails fast instead of being silently character-sliced."""
     specs: list[tuple[str, str, str, object, object, dict]] = []
     seen: set[str] = set()
-    for kind, entries in (("bm25", bm25_syncs), ("ivf", ivf_syncs)):
+    for kind, entries in (
+        ("bm25", bm25_syncs),
+        ("ivf", ivf_syncs),
+        ("minhash", minhash_syncs),
+    ):
         for entry in entries:
             if not isinstance(entry, (tuple, list)) or len(entry) not in (
                 3,

@@ -393,6 +393,7 @@ def maintenance_pipeline(
 def sync_pipeline(
     bm25_syncs=(),
     ivf_syncs=(),
+    minhash_syncs=(),
 ) -> Pipeline:
     """The incremental index syncs (`operators.sync`) as declarable
     `Pipeline` tasks — the release-tick twin of `maintenance_pipeline`:
@@ -414,13 +415,15 @@ def sync_pipeline(
     from ..operators.sync import (
         sync_bm25_index_to_snapshot,
         sync_ivf_index_to_snapshot,
+        sync_minhash_index_to_snapshot,
     )
 
     fronts = {
         "bm25": sync_bm25_index_to_snapshot,
         "ivf": sync_ivf_index_to_snapshot,
+        "minhash": sync_minhash_index_to_snapshot,
     }
-    specs = sync_task_specs(bm25_syncs, ivf_syncs)
+    specs = sync_task_specs(bm25_syncs, ivf_syncs, minhash_syncs)
     p = Pipeline()
     for name, kind, path, old_df, new_df, opts in specs:
         p.add(

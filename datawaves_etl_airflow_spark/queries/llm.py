@@ -1319,6 +1319,62 @@ def llm_ann_ivf_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def llm_minhash_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-dedup leg of the snapshot-sync estate
+    (`sync.sync_minhash_index_to_snapshot` — r10's one asymmetry: the
+    release tick synced BM25+IVF but left the dedup index to drift).
+    The index is built over a DERIVED v1 of the corpus partition
+    (docs with doc_id % 10 != 7; of those, % 11 == 0 dropped,
+    % 7 == 0 text-mutated, % 13 == 0 extra shifted copies), synced to
+    the REAL corpus partition, then probed with the % 10 == 7 batch —
+    so `dedup_against_index` must answer exactly like
+    `llm_incremental_dedup`'s fresh build, whose exact all-pairs
+    Jaccard oracle this query reuses VERBATIM. One green row
+    certifies the diff worklist, the tombstone delete, the
+    compaction's two-sided (bands AND sets) apply, the RE-ADD
+    ordering, and the banded append under the stored contract.
+    Executed eagerly (localCheckpoint) so the temp index is removed
+    before return."""
+    import shutil
+    import tempfile
+
+    from ..operators import sync
+
+    docs = _docs(spark, sf_dir)
+    probe = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id", "text"
+    )
+    v1 = (
+        corpus.filter(F.col("doc_id") % 11 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" v1 drift")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                "text",
+            )
+        )
+    )
+    idx = tempfile.mkdtemp(prefix="llm_mhsync_")
+    try:
+        dedup.write_minhash_index(v1, idx, n_hashes=64, n_bands=32)
+        sync.sync_minhash_index_to_snapshot(
+            v1, corpus, idx, sync_token="crawl2"
+        )
+        out = dedup.dedup_against_index(probe, idx, threshold=0.5)
+        return out.select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def llm_bm25_prf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED pseudo-relevance feedback (`text.bm25_prf_search_index`
     — both BM25 passes bucket-pruned through the shared index probe,
@@ -2253,6 +2309,7 @@ QUERIES = {
     "llm_retrieval_metrics": llm_retrieval_metrics,
     "llm_bm25_sync": llm_bm25_sync,
     "llm_ann_ivf_sync": llm_ann_ivf_sync,
+    "llm_minhash_sync": llm_minhash_sync,
     "llm_hybrid_retrieval": llm_hybrid_retrieval,
     "llm_hybrid_retrieval_index": llm_hybrid_retrieval_index,
     "llm_bm25_index": llm_bm25_index,
@@ -3374,6 +3431,12 @@ ORACLES["llm_bm25_sync"] = ORACLES["llm_bm25_topk"]
 # llm_ann_ivf_sync: full probe of the synced layout ≡ exact brute
 # force over the embeddings table — llm_cosine_topk's replay verbatim.
 ORACLES["llm_ann_ivf_sync"] = ORACLES["llm_cosine_topk"]
+
+# llm_minhash_sync (r11): the dedup index synced from the derived v1
+# snapshot back to the real corpus partition must probe exactly like
+# llm_incremental_dedup's fresh build — its exact all-pairs Jaccard
+# oracle verbatim (same corpus/batch split, same threshold).
+ORACLES["llm_minhash_sync"] = ORACLES["llm_incremental_dedup"]
 
 # llm_ann_ivf_deleted (r10): full-probe search after a tombstone
 # delete ≡ brute force over the SURVIVING corpus — the cosine replay

@@ -223,21 +223,34 @@ class TestSyncDag:
         new_p = str(tmp_path / "snap_new")
         old_docs.write.parquet(old_p)
         new_docs.write.parquet(new_p)
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            write_minhash_index,
+        )
+
         idx = str(tmp_path / "b_idx")
+        midx = str(tmp_path / "m_idx")
         write_bm25_index(old_docs, idx, n_buckets=8)
+        write_minhash_index(old_docs, midx, n_hashes=32, n_bands=16)
         ops = build_sync_dag(
             object(),
             bm25_syncs=[(idx, old_p, new_p, {"sync_token": "rel1"})],
+            minhash_syncs=[(midx, old_p, new_p,
+                            {"sync_token": "rel1"})],
             session_factory=lambda name: spark,
             operator_cls=_StubOperator,
         )
-        assert sorted(ops) == ["sync_bm25_b_idx", "sync_report"]
+        assert sorted(ops) == [
+            "sync_bm25_b_idx", "sync_minhash_m_idx", "sync_report"
+        ]
         assert ops["sync_bm25_b_idx"].downstream == ["sync_report"]
         rep = ops["sync_bm25_b_idx"].python_callable()
         json.dumps(rep)  # XCom-safe
         assert rep["n_added"] == 5  # doc_id % 4 == 0: 0,4,8,12,16
+        mrep = ops["sync_minhash_m_idx"].python_callable()
+        json.dumps(mrep)
+        assert mrep["n_added"] == 5
         assert ops["sync_report"].python_callable() == {
-            "synced": ["sync_bm25_b_idx"]
+            "synced": ["sync_bm25_b_idx", "sync_minhash_m_idx"]
         }
         qs = spark.createDataFrame(
             [(1, "spark topic1")], "query_id long, query_text string"

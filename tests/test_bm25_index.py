@@ -816,3 +816,101 @@ class TestBm25PrfIndex:
 
         with pytest.raises(ValueError, match="forward"):
             bm25_prf_search_index(_queries(spark), index_path)
+
+
+class TestAppendIdentityGuard:
+    """append_bm25_index(check_ids=True): the opt-in doc-identity
+    probe over the forward buckets — the one silent-corruption path
+    of the index estate (double-counted postings/df/N/avgdl) turned
+    into a loud error."""
+
+    @pytest.fixture()
+    def fwd_index(self, spark, tmp_path):
+        p = str(tmp_path / "bm25f")
+        write_bm25_index(
+            _docs(spark, 0, 20), p, n_buckets=16, forward=True
+        )
+        return p
+
+    def test_overlapping_append_raises(self, spark, fwd_index):
+        with pytest.raises(ValueError, match="already\\s+present"):
+            append_bm25_index(
+                _docs(spark, 15, 25), fwd_index,
+                batch_token="d1", check_ids=True,
+            )
+        # and nothing landed: the probe runs before any write
+        root = _resolve_bm25_index(spark, fwd_index)[1]
+        assert not os.path.exists(
+            os.path.join(root, "postings", "batch=d1")
+        )
+
+    def test_disjoint_append_passes_and_folds(self, spark, fwd_index):
+        append_bm25_index(
+            _docs(spark, 20, 30), fwd_index,
+            batch_token="d1", check_ids=True,
+        )
+        got = sorted(
+            map(
+                tuple,
+                bm25_search_index(
+                    _queries(spark), fwd_index, k=5
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                bm25_topk(
+                    _docs(spark, 0, 30), _queries(spark), k=5
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    def test_same_token_retry_excludes_own_rows(self, spark, fwd_index):
+        # a fully-committed append retried under the SAME token must
+        # not see its own rows as duplicates (the replay contract)
+        batch = _docs(spark, 20, 30)
+        append_bm25_index(
+            batch, fwd_index, batch_token="d1", check_ids=True
+        )
+        append_bm25_index(
+            batch, fwd_index, batch_token="d1", check_ids=True
+        )
+        root = _resolve_bm25_index(spark, fwd_index)[1]
+        fwd = spark.read.parquet(os.path.join(root, "forward"))
+        rows = fwd.filter(F.col("doc") == 25)
+        # one (doc, term) row per term — the overwrite did not double
+        assert rows.count() == rows.select("term").distinct().count()
+
+    def test_tombstoned_id_still_raises_readd_contract(
+        self, spark, fwd_index
+    ):
+        from datawaves_etl_airflow_spark.operators.text import (
+            compact_bm25_index,
+            delete_from_bm25_index,
+        )
+
+        delete_from_bm25_index(
+            _docs(spark, 5, 6).select("doc_id"), fwd_index,
+            delete_token="t1",
+        )
+        # tombstoned but not compacted: RE-ADD must still refuse
+        with pytest.raises(ValueError, match="RE-ADD"):
+            append_bm25_index(
+                _docs(spark, 5, 6), fwd_index,
+                batch_token="d2", check_ids=True,
+            )
+        # after compaction the id is physically gone — re-add allowed
+        assert compact_bm25_index(spark, fwd_index) is True
+        append_bm25_index(
+            _docs(spark, 5, 6), fwd_index,
+            batch_token="d3", check_ids=True,
+        )
+
+    def test_check_without_forward_layout_raises(self, spark, index_path):
+        with pytest.raises(ValueError, match="forward"):
+            append_bm25_index(
+                _docs(spark, 20, 25), index_path,
+                batch_token="d1", check_ids=True,
+            )

@@ -504,20 +504,30 @@ class TestSyncPipeline:
             "vec_id long, embedding array<double>",
         )
         old_vecs = new_vecs.filter(F.col("vec_id") % 5 != 0)
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            write_minhash_index,
+        )
+
         bidx = str(tmp_path / "b")
         vidx = str(tmp_path / "v")
+        midx = str(tmp_path / "m")
         write_bm25_index(old_docs, bidx, n_buckets=8)
         write_ivf_index(old_vecs, vidx, n_centroids=4, n_iters=1)
+        write_minhash_index(old_docs, midx, n_hashes=32, n_bands=16)
         ctx = sync_pipeline(
             bm25_syncs=[(bidx, old_docs, new_docs,
                          {"sync_token": "rel1"})],
             ivf_syncs=[(vidx, old_vecs, new_vecs,
                         {"sync_token": "rel1"})],
+            minhash_syncs=[(midx, old_docs, new_docs,
+                            {"sync_token": "rel1"})],
         ).run()
         rep = ctx["sync_report"]
-        assert set(rep) == {"sync_bm25_b", "sync_ivf_v"}
+        assert set(rep) == {"sync_bm25_b", "sync_ivf_v",
+                            "sync_minhash_m"}
         assert rep["sync_bm25_b"]["n_added"] == 6
         assert rep["sync_ivf_v"]["n_added"] == 12
+        assert rep["sync_minhash_m"]["n_added"] == 6
         # both indexes now answer as a fresh build over the snapshot
         qs = spark.createDataFrame(
             [(1, "spark topic1")], "query_id long, query_text string"

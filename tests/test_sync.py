@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from datawaves_etl_airflow_spark.operators.sync import (
     sync_bm25_index_to_snapshot,
     sync_ivf_index_to_snapshot,
+    sync_minhash_index_to_snapshot,
 )
 
 DIM = 8
@@ -167,6 +168,112 @@ class TestIvfSync:
             map(tuple, brute_force_topk(new, qs, k=5).collect())
         )
         assert got == want
+
+
+class TestMinhashSync:
+    """The dedup-index leg (r10's one estate asymmetry): synced bands
+    AND sets must probe exactly like a fresh build — banding is
+    deterministic per (text, params), so equality is value-for-value,
+    not just same-candidates."""
+
+    def _docs(self, spark):
+        # near-dup-rich corpus: doc 2i+1 shares most words with 2i
+        base = [
+            f"alpha bravo charlie delta echo foxtrot golf hotel "
+            f"india juliet kilo topic{i % 5} filler{i}"
+            for i in range(20)
+        ]
+        rows = []
+        for i, t in enumerate(base):
+            rows.append((2 * i, t))
+            rows.append((2 * i + 1, t + " extra"))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _probe(self, spark, idx, batch):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            dedup_against_index,
+        )
+
+        return sorted(
+            map(
+                tuple,
+                dedup_against_index(
+                    batch, idx, threshold=0.5
+                ).collect(),
+            )
+        )
+
+    def test_sync_equals_fresh_build(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            minhash_index_stats,
+            write_minhash_index,
+        )
+
+        new = self._docs(spark)
+        old = (
+            new.filter(F.col("doc_id") % 11 != 0)
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" drifted words")),
+                ).otherwise(F.col("text")),
+            )
+            .unionByName(
+                new.filter(F.col("doc_id") % 13 == 0).select(
+                    (F.col("doc_id") + F.lit(100_000)).alias(
+                        "doc_id"
+                    ),
+                    "text",
+                )
+            )
+        )
+        synced = str(tmp_path / "synced")
+        write_minhash_index(old, synced, n_hashes=64, n_bands=32)
+        rep = sync_minhash_index_to_snapshot(
+            old, new, synced, sync_token="s1"
+        )
+        assert rep["deleted"] and rep["compacted"] and rep["appended"]
+        fresh = str(tmp_path / "fresh")
+        write_minhash_index(new, fresh, n_hashes=64, n_bands=32)
+        batch = spark.createDataFrame(
+            [(500, self._docs(spark).collect()[0]["text"])],
+            "doc_id long, text string",
+        )
+        got = self._probe(spark, synced, batch)
+        assert got == self._probe(spark, fresh, batch)
+        assert len(got) >= 1  # the probe actually matches something
+        stats = minhash_index_stats(spark, synced).first()
+        assert stats["n_docs"] == new.count()
+
+    def test_same_token_rerun_is_replay_safe(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            write_minhash_index,
+        )
+
+        new = self._docs(spark)
+        old = new.filter(F.col("doc_id") % 5 != 0)
+        idx = str(tmp_path / "resync")
+        write_minhash_index(old, idx, n_hashes=64, n_bands=32)
+        sync_minhash_index_to_snapshot(old, new, idx, sync_token="s1")
+        batch = new.limit(4).select(
+            (F.col("doc_id") + F.lit(900)).alias("doc_id"), "text"
+        )
+        before = self._probe(spark, idx, batch)
+        sync_minhash_index_to_snapshot(old, new, idx, sync_token="s1")
+        assert self._probe(spark, idx, batch) == before
+
+    def test_noop_sync(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            write_minhash_index,
+        )
+
+        new = self._docs(spark)
+        idx = str(tmp_path / "noop")
+        write_minhash_index(new, idx, n_hashes=64, n_bands=32)
+        rep = sync_minhash_index_to_snapshot(new, new, idx)
+        assert not rep["deleted"] and not rep["appended"]
+        assert rep["n_unchanged"] == new.count()
 
 
 class TestSyncCrashRetry:
