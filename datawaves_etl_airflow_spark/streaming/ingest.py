@@ -176,6 +176,7 @@ def make_neardup_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint: str | None = None,
+    on_suppressed=None,
 ):
     """Per-micro-batch online NEAR-dup filter (the streaming twin of
     `operators.dedup.dedup_against_index`), exposed for direct testing
@@ -260,6 +261,10 @@ def make_neardup_ingest(
         version, state = _last_state(spark)
         if _replay_guard(state, checkpoint, batch_id, accepted_path):
             return  # replayed batch — already ingested
+        _notify_suppressed(
+            on_suppressed, spark, index_path, "minhash",
+            batch_df.select(id_col), batch_id,
+        )
         pairs = dedup_against_index(
             batch_df, index_path, threshold, text_col, id_col
         )
@@ -322,6 +327,7 @@ def stream_neardup_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     available_now: bool = False,
+    on_suppressed=None,
 ):
     """Online near-duplicate filtering on a document stream: survivors
     land in ``accepted_path/docs`` and the MinHash index at
@@ -331,7 +337,7 @@ def stream_neardup_ingest(
     started StreamingQuery."""
     fn = make_neardup_ingest(
         index_path, accepted_path, threshold, text_col, id_col,
-        checkpoint=checkpoint,
+        checkpoint=checkpoint, on_suppressed=on_suppressed,
     )
     writer = stream.writeStream.foreachBatch(fn).option(
         "checkpointLocation", checkpoint
@@ -346,6 +352,7 @@ def make_semantic_ingest(
     accepted_path: str,
     threshold: float = 0.9,
     checkpoint: str | None = None,
+    on_suppressed=None,
 ):
     """Per-micro-batch online EMBEDDING near-dup filter — the semantic
     twin of `make_neardup_ingest` (which covers the MinHash/text path)
@@ -425,6 +432,10 @@ def make_semantic_ingest(
         # version's cells, joining cell ids from different quantizers
         meta, data_root = _resolve_ivf_index(spark, index_path)
         vec_col, id_col = meta["vec_col"], meta["id_col"]
+        _notify_suppressed(
+            on_suppressed, spark, index_path, "ivf",
+            batch_df.select(id_col), batch_id,
+        )
         coarse, fine = _load_quantizer(spark, data_root, meta["n_fine"])
         norm = batch_df.select(
             F.col(id_col).alias("_vid"),
@@ -537,6 +548,7 @@ def stream_semantic_ingest(
     checkpoint: str,
     threshold: float = 0.9,
     available_now: bool = False,
+    on_suppressed=None,
 ):
     """Online semantic (embedding near-dup) filtering on a vector
     stream: survivors land in ``accepted_path/docs`` and the persisted
@@ -545,7 +557,8 @@ def stream_semantic_ingest(
     (`stream_neardup_ingest` covers text). Returns the started
     StreamingQuery."""
     fn = make_semantic_ingest(
-        index_path, accepted_path, threshold, checkpoint=checkpoint
+        index_path, accepted_path, threshold, checkpoint=checkpoint,
+        on_suppressed=on_suppressed,
     )
     writer = stream.writeStream.foreachBatch(fn).option(
         "checkpointLocation", checkpoint
@@ -560,6 +573,7 @@ def make_bm25_ingest(
     state_path: str,
     text_col: str = "text",
     checkpoint: str | None = None,
+    on_suppressed=None,
 ):
     """Per-micro-batch fold of a document stream into the persisted
     BM25 inverted index (`operators.text.append_bm25_index`) — the
@@ -599,6 +613,16 @@ def make_bm25_ingest(
         version, state = vm.resolve(spark)
         if _replay_guard(state, checkpoint, batch_id, state_path):
             return  # replayed batch — already folded
+        if on_suppressed is not None:
+            from ..operators.text import _resolve_bm25_index
+
+            _notify_suppressed(
+                on_suppressed, spark, index_path, "bm25",
+                batch_df.select(
+                    _resolve_bm25_index(spark, index_path)[0]["id_col"]
+                ),
+                batch_id,
+            )
         append_bm25_index(
             batch_df,
             index_path,
@@ -623,12 +647,14 @@ def stream_bm25_ingest(
     checkpoint: str,
     text_col: str = "text",
     available_now: bool = False,
+    on_suppressed=None,
 ):
     """Continuous lexical-index maintenance on a document stream: each
     micro-batch folds into the persisted BM25 index via an idempotent
     O(batch) append. Returns the started StreamingQuery."""
     fn = make_bm25_ingest(
-        index_path, state_path, text_col=text_col, checkpoint=checkpoint
+        index_path, state_path, text_col=text_col,
+        checkpoint=checkpoint, on_suppressed=on_suppressed,
     )
     writer = stream.writeStream.foreachBatch(fn).option(
         "checkpointLocation", checkpoint
@@ -639,6 +665,82 @@ def stream_bm25_ingest(
 
 
 RETRACTION_KINDS = ("ivf", "bm25", "minhash")
+
+
+def suppressed_add_ids(
+    spark,
+    index_path: str,
+    kind: str,
+    ids: DataFrame,
+    max_sample: int = 10,
+) -> dict:
+    """Observability probe for the ADD/RETRACT ordering caveat
+    (`make_retraction_ingest` docstring): which ids of an ADD batch
+    have LIVE tombstones in the index. Such an add folds but stays
+    suppressed at every probe until a compaction clears the tombstone
+    (the RE-ADD contract) — exactly the state an inverted
+    retract-before-add race produces, and otherwise invisible: the
+    fold succeeds, the doc just never surfaces. Returns
+    ``{"n_suppressed": int, "sample": [ids...]}``.
+
+    Cost is O(|tombstones| + |batch ids|) — the tombstone surface is
+    the index's delete debt, already bounded by the
+    ``max_tombstone_ratio`` maintenance watermark, so this is a cheap
+    per-trigger check. ``ids`` is any one-column DataFrame of the
+    batch's ids. Wire it through the add-side ingests'
+    ``on_suppressed`` callback rather than calling it post-hoc: the
+    signal matters at fold time, when the feed that emitted the
+    retraction early can still be fixed."""
+    from ..operators.tombstones import read_tombstone_ids
+
+    if kind not in RETRACTION_KINDS:
+        raise ValueError(
+            f"unknown index kind {kind!r}: expected one of "
+            f"{RETRACTION_KINDS}"
+        )
+    if kind == "ivf":
+        from ..operators.similarity import _resolve_ivf_index
+
+        meta, data_root = _resolve_ivf_index(spark, index_path)
+        surface_col = meta["id_col"]
+    elif kind == "bm25":
+        from ..operators.text import _resolve_bm25_index
+
+        data_root = _resolve_bm25_index(spark, index_path)[1]
+        surface_col = "doc"
+    else:
+        from ..operators.dedup import _resolve_minhash_index
+
+        data_root = _resolve_minhash_index(spark, index_path)[1]
+        surface_col = "id"
+    tombs = read_tombstone_ids(spark, data_root, surface_col)
+    if tombs is None:
+        return {"n_suppressed": 0, "sample": []}
+    tombs = tombs.select(F.col(surface_col).alias("_tomb"))
+    hits = (
+        ids.select(F.col(ids.columns[0]).alias("_tomb"))
+        .distinct()
+        .join(tombs, "_tomb", "left_semi")
+    )
+    sample = [r["_tomb"] for r in hits.limit(max_sample).collect()]
+    n = len(sample)
+    if n == max_sample:  # bounded count only when the sample saturated
+        n = hits.count()
+    return {"n_suppressed": n, "sample": sample}
+
+
+def _notify_suppressed(
+    on_suppressed, spark, index_path: str, kind: str, ids: DataFrame,
+    batch_id: int,
+) -> None:
+    """Fire the opt-in ordering-inversion hook (observe-only: the fold
+    proceeds regardless — takedown-wins is the documented semantics;
+    the hook exists so the inversion is SEEN, not swallowed)."""
+    if on_suppressed is None:
+        return
+    rep = suppressed_add_ids(spark, index_path, kind, ids)
+    if rep["n_suppressed"]:
+        on_suppressed({"batch_id": batch_id, "kind": kind, **rep})
 
 
 def make_retraction_ingest(
@@ -678,7 +780,11 @@ def make_retraction_ingest(
     lives, including batches folded after it — the RE-ADD contract on
     the delete operators). Feed retractions from a queue that emits a
     doc's delete only after its ingest committed, or run both through
-    one stream.
+    one stream. The inversion is OBSERVABLE on the add side: pass
+    ``on_suppressed=`` to the add ingests (backed by
+    `suppressed_add_ids`) and an add whose id already carries a live
+    tombstone — exactly the state a retract-before-add race leaves —
+    fires the callback instead of folding silently into suppression.
     """
     if kind not in RETRACTION_KINDS:
         raise ValueError(

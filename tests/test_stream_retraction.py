@@ -231,3 +231,112 @@ class TestRetractionStreaming:
             )
         )
         assert got == want
+
+
+class TestSuppressedAddObservability:
+    """The ADD/RETRACT ordering-inversion hook: an add whose id
+    already carries a live tombstone fires ``on_suppressed`` instead
+    of folding silently into suppression (observe-only — the fold
+    still proceeds; takedown-wins is the documented semantics)."""
+
+    def _docs(self, spark, ids):
+        return spark.createDataFrame(
+            [(i, f"doc {i} about spark topic{i % 3}") for i in ids],
+            "doc_id long, text string",
+        )
+
+    def test_minhash_add_after_retract_fires_hook(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            delete_from_minhash_index,
+            write_minhash_index,
+        )
+        from datawaves_etl_airflow_spark.streaming.ingest import (
+            make_neardup_ingest,
+        )
+
+        idx = str(tmp_path / "midx")
+        acc = str(tmp_path / "macc")
+        write_minhash_index(
+            self._docs(spark, range(10)), idx, n_hashes=32, n_bands=16
+        )
+        # the retraction lands FIRST (the inversion)
+        delete_from_minhash_index(
+            self._docs(spark, [3]).select("doc_id"), idx,
+            delete_token="t1",
+        )
+        seen = []
+        fn = make_neardup_ingest(
+            idx, acc, checkpoint="ck", on_suppressed=seen.append
+        )
+        fn(self._docs(spark, [3, 100]), 0)
+        assert len(seen) == 1
+        assert seen[0]["kind"] == "minhash"
+        assert seen[0]["n_suppressed"] == 1
+        assert seen[0]["sample"] == [3]
+        assert seen[0]["batch_id"] == 0
+        # a clean batch fires nothing
+        fn(self._docs(spark, [101, 102]), 1)
+        assert len(seen) == 1
+
+    def test_bm25_add_after_retract_fires_hook(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_search_index,
+            delete_from_bm25_index,
+            write_bm25_index,
+        )
+        from datawaves_etl_airflow_spark.streaming.ingest import (
+            make_bm25_ingest,
+        )
+
+        idx = str(tmp_path / "bidx")
+        write_bm25_index(
+            self._docs(spark, range(10)), idx, n_buckets=8
+        )
+        delete_from_bm25_index(
+            self._docs(spark, [4]).select("doc_id"), idx,
+            delete_token="t1",
+        )
+        seen = []
+        fn = make_bm25_ingest(
+            idx, str(tmp_path / "bstate"), checkpoint="ck",
+            on_suppressed=seen.append,
+        )
+        fn(self._docs(spark, [4, 200]), 0)
+        assert [r["sample"] for r in seen] == [[4]]
+        # observe-only: the fold proceeded, and the tombstone still
+        # suppresses the re-added doc at probe time (RE-ADD contract)
+        qs = spark.createDataFrame(
+            [(1, "doc topic1")], "query_id long, query_text string"
+        )
+        hits = bm25_search_index(qs, idx, k=50)
+        assert hits.filter(F.col("doc_id") == 4).count() == 0
+        assert hits.filter(F.col("doc_id") == 200).count() == 1
+
+    def test_probe_reports_zero_without_tombstones(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            write_minhash_index,
+        )
+        from datawaves_etl_airflow_spark.streaming.ingest import (
+            suppressed_add_ids,
+        )
+
+        idx = str(tmp_path / "cleanidx")
+        write_minhash_index(
+            self._docs(spark, range(5)), idx, n_hashes=32, n_bands=16
+        )
+        rep = suppressed_add_ids(
+            spark, idx, "minhash",
+            self._docs(spark, [1, 2]).select("doc_id"),
+        )
+        assert rep == {"n_suppressed": 0, "sample": []}
+
+    def test_unknown_kind_raises(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.streaming.ingest import (
+            suppressed_add_ids,
+        )
+
+        with pytest.raises(ValueError, match="unknown index kind"):
+            suppressed_add_ids(
+                spark, str(tmp_path), "hnsw",
+                self._docs(spark, [1]).select("doc_id"),
+            )
