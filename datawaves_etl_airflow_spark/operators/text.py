@@ -587,6 +587,106 @@ def retrieval_metrics(
     )
 
 
+def _hard_negatives(
+    hits: DataFrame,
+    qrels: DataFrame,
+    n_negatives: int,
+    query_col: str,
+    id_col: str,
+    rel_col: str,
+) -> DataFrame:
+    """Shared post-retrieval core of both hard-negative fronts: drop
+    judged-positive docs from the ranked hits, re-rank the survivors
+    by retrieval rank. The neg_rank window shares the rank window's
+    query-key partitioning — no extra shuffle beyond the qrels
+    anti-join (qrels are judgment-bounded, broadcast-sized in
+    practice)."""
+    positives = qrels.filter(F.col(rel_col) > 0).select(
+        query_col, id_col
+    )
+    negs = hits.join(positives, [query_col, id_col], "left_anti")
+    w = Window.partitionBy(query_col).orderBy(F.col("rank").asc())
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= n_negatives)
+        .select(query_col, id_col, "score", "neg_rank")
+    )
+
+
+def mine_hard_negatives(
+    docs: DataFrame,
+    queries: DataFrame,
+    qrels: DataFrame,
+    n_negatives: int = 5,
+    depth: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_col: str = "query_id",
+    rel_col: str = "rel",
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training data —
+    per judged query, the ``n_negatives`` TOP-RANKED retrieved docs
+    that are NOT judged relevant: ``(query_id, doc_id, score,
+    neg_rank)``. The standard dense-retrieval recipe (DPR, Karpukhin
+    et al. EMNLP 2020 §3.2 "BM25 hard negatives"; sentence-
+    transformers mine the same way): lexically close but unjudged
+    docs make far stronger contrastive negatives than random samples,
+    and mining them over the full corpus is exactly the kind of job
+    that runs at 100 TB — one BM25 retrieval pass (`bm25_topk` — the
+    term-keyed join is the inherent cost; ``max_df_ratio`` is the
+    stopword valve) + a judgment-bounded anti-join.
+
+    ``depth`` is the retrieval pool per query (mine from the top-20,
+    keep 5 — deeper pools trade harder negatives for more
+    false-negative risk: an unjudged-but-relevant doc at rank 2 is
+    likelier than at rank 20). ``qrels`` carries ``(query_col,
+    id_col, rel_col)``; rows with ``rel_col > 0`` are positives and
+    are excluded — unjudged and rel-0 docs are fair negatives (the
+    DPR convention). Training pairs come from joining the output back
+    to the positives; this operator deliberately emits only the mined
+    negative side."""
+    hits = bm25_topk(
+        docs, queries, k=depth, k1=k1, b=b, text_col=text_col,
+        id_col=id_col, max_df_ratio=max_df_ratio,
+    )
+    return _hard_negatives(
+        hits, qrels, n_negatives, query_col, id_col, rel_col
+    )
+
+
+def mine_hard_negatives_index(
+    queries: DataFrame,
+    qrels: DataFrame,
+    path: str,
+    n_negatives: int = 5,
+    depth: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_col: str = "query_id",
+    rel_col: str = "rel",
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """`mine_hard_negatives` against a persisted BM25 index — the
+    production path (nightly mining over a standing corpus index
+    instead of re-aggregating tf/df per run): the retrieval pass is
+    `bm25_search_index`'s bucket-pruned probe, the post-processing is
+    the shared `_hard_negatives` core, so results are value-identical
+    to the in-session form over the same corpus (the llm_bm25_index
+    equivalence, pinned in tests)."""
+    spark = queries.sparkSession
+    id_col = _resolve_bm25_index(spark, path)[0]["id_col"]
+    hits = bm25_search_index(
+        queries, path, k=depth, k1=k1, b=b,
+        max_df_ratio=max_df_ratio,
+    )
+    return _hard_negatives(
+        hits, qrels, n_negatives, query_col, id_col, rel_col
+    )
+
+
 def bm25_prf_topk(
     docs: DataFrame,
     queries: DataFrame,

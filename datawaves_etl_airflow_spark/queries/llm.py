@@ -1452,6 +1452,44 @@ def llm_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.retrieval_metrics(results, qrels, k=10)
 
 
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (`text.mine_hard_negatives` — the DPR
+    "BM25 hard negatives" recipe, EMNLP 2020 §3.2) under a FULL value
+    oracle: the proven depth-10 BM25 ranking (llm_bm25_topk's contract)
+    with llm_retrieval_metrics' derived graded qrels, judged positives
+    anti-joined out, survivors re-ranked — DuckDB replays retrieval,
+    the NOT-EXISTS exclusion and the neg_rank window value-for-value.
+    The training-data completion of the retrieval stack: metrics
+    measure the scoring, this MINES from it."""
+    d = _docs(spark, sf_dir)
+    qs = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(dedup.tokenize(F.col("text")), 1, 6), " "
+        ).alias("query_text"),
+    )
+    ids = d.select("doc_id")
+    qrels = (
+        ids.select(
+            (F.col("doc_id") % 5).alias("query_id"),
+            "doc_id",
+            F.lit(2).alias("rel"),
+        )
+        .unionByName(
+            ids.filter(F.col("doc_id") % 7 < 5).select(
+                (F.col("doc_id") % 7).alias("query_id"),
+                "doc_id",
+                F.lit(1).alias("rel"),
+            )
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("rel").alias("rel"))
+    )
+    return text.mine_hard_negatives(
+        d, qs, qrels, n_negatives=5, depth=10
+    )
+
+
 def llm_hybrid_retrieval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2310,6 +2348,7 @@ QUERIES = {
     "llm_bm25_sync": llm_bm25_sync,
     "llm_ann_ivf_sync": llm_ann_ivf_sync,
     "llm_minhash_sync": llm_minhash_sync,
+    "llm_hard_negatives": llm_hard_negatives,
     "llm_hybrid_retrieval": llm_hybrid_retrieval,
     "llm_hybrid_retrieval_index": llm_hybrid_retrieval_index,
     "llm_bm25_index": llm_bm25_index,
@@ -3413,6 +3452,36 @@ ORACLES["llm_retrieval_metrics"] = f"""
            ROUND(COALESCE(1.0 / first_rel, 0.0), 6) AS mrr,
            n_rel_in_k
     FROM agg a LEFT JOIN ideal i ON a.query_id = i.query_id
+"""
+
+# llm_hard_negatives (r11): depth-10 retrieval (the _B25_10 replay),
+# judged positives (rel > 0 of the llm_retrieval_metrics qrels)
+# removed via NOT EXISTS, survivors re-ranked by retrieval rank.
+ORACLES["llm_hard_negatives"] = f"""
+    WITH hits AS ({_B25_10}),
+    qr AS (
+        SELECT query_id, doc_id, MAX(rel) AS rel FROM (
+            SELECT doc_id % 5 AS query_id, doc_id, 2 AS rel
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 7, doc_id, 1
+            FROM documents WHERE doc_id % 7 < 5
+        ) GROUP BY 1, 2
+    ),
+    negs AS (
+        SELECT h.query_id, h.doc_id, h.score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY h.query_id ORDER BY h.rank ASC
+               ) AS neg_rank
+        FROM hits h
+        WHERE NOT EXISTS (
+            SELECT 1 FROM qr q
+            WHERE q.query_id = h.query_id
+              AND q.doc_id = h.doc_id AND q.rel > 0
+        )
+    )
+    SELECT query_id, doc_id, score, neg_rank
+    FROM negs WHERE neg_rank <= 5
 """
 
 # llm_bm25_prf_index: the persisted-PRF probe is value-identical to

@@ -1373,3 +1373,101 @@ class TestRetrievalMetrics:
         )
         with _pytest.raises(ValueError, match="k must"):
             retrieval_metrics(res, res, k=0)
+
+
+class TestHardNegatives:
+    """mine_hard_negatives: DPR-style BM25 hard negatives — the
+    top-ranked retrieved docs not judged positive, re-ranked."""
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "spark shuffles data between executors"),
+                (2, "spark spark spark broadcast joins avoid shuffles"),
+                (3, "the quick brown fox jumps over a lazy dog"),
+                (4, "spark executors run tasks and shuffles happen"),
+                (5, "a completely unrelated gardening manual chapter"),
+                (6, "spark shuffles and more spark shuffles daily"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def _queries(self, spark):
+        return spark.createDataFrame(
+            [(100, "spark shuffles")],
+            "query_id long, query_text string",
+        )
+
+    def test_positives_excluded_and_reranked(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bm25_topk,
+            mine_hard_negatives,
+        )
+
+        # judge the retrieval's #1 doc relevant; rel=0 rows are NOT
+        # positives (the DPR convention: judged-irrelevant is a fair
+        # — even ideal — negative)
+        hits = bm25_topk(
+            self._corpus(spark), self._queries(spark), k=6
+        ).collect()
+        top1 = hits[0]["doc_id"]
+        qrels = spark.createDataFrame(
+            [(100, top1, 2), (100, 3, 0)],
+            "query_id long, doc_id long, rel int",
+        )
+        got = mine_hard_negatives(
+            self._corpus(spark), self._queries(spark), qrels,
+            n_negatives=2, depth=6,
+        ).collect()
+        assert [r["neg_rank"] for r in got] == [1, 2]
+        assert top1 not in {r["doc_id"] for r in got}
+        # neg_rank 1 is the best-ranked NON-positive retrieved doc
+        non_pos = [r for r in hits if r["doc_id"] != top1]
+        assert got[0]["doc_id"] == non_pos[0]["doc_id"]
+        assert got[0]["score"] == non_pos[0]["score"]
+
+    def test_unjudged_query_keeps_full_pool(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            mine_hard_negatives,
+        )
+
+        qrels = spark.createDataFrame(
+            [], "query_id long, doc_id long, rel int"
+        )
+        got = mine_hard_negatives(
+            self._corpus(spark), self._queries(spark), qrels,
+            n_negatives=3, depth=6,
+        ).collect()
+        assert [r["neg_rank"] for r in got] == [1, 2, 3]
+
+    def test_index_form_matches_in_session(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.text import (
+            mine_hard_negatives,
+            mine_hard_negatives_index,
+            write_bm25_index,
+        )
+
+        qrels = spark.createDataFrame(
+            [(100, 2, 1)], "query_id long, doc_id long, rel int"
+        )
+        p = str(tmp_path / "hnidx")
+        write_bm25_index(self._corpus(spark), p, n_buckets=8)
+        got = sorted(
+            map(
+                tuple,
+                mine_hard_negatives_index(
+                    self._queries(spark), qrels, p,
+                    n_negatives=3, depth=5,
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                mine_hard_negatives(
+                    self._corpus(spark), self._queries(spark), qrels,
+                    n_negatives=3, depth=5,
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
