@@ -100,12 +100,25 @@ def word_shingles(
     # sort; array_distinct gives per-doc DISTINCT with zero shuffle
     # (docs shorter than k yield one shingle of the whole doc —
     # slice truncates at the end, concat_ws skips nothing)
-    idx = F.sequence(F.lit(0), F.greatest(F.size("w") - k, F.lit(0)))
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, k))
-    )
     return src.select(
-        "id", F.explode(F.array_distinct(shingles)).alias("shingle")
+        "id",
+        F.explode(
+            F.array_distinct(_kgram_string_array(F.col("w"), k))
+        ).alias("shingle"),
+    )
+
+
+def _kgram_string_array(words_col: Column, k: int) -> Column:
+    """Ordered STRING word k-grams: position i → words[i..i+k) joined
+    by one space (final gram truncates; sub-k docs yield one gram of
+    the whole doc) — the un-hashed twin of `_kgram_hash_array`, kept
+    as one expression so string and hashed shingle consumers
+    (`word_shingles`, `source_overlap(hashed=False)`) cannot drift."""
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(words_col) - k, F.lit(0))
+    )
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words_col, i + 1, k))
     )
 
 
@@ -922,6 +935,96 @@ def benchmark_contamination(
         )
         .withColumn(
             "overlap_frac", F.col("n_overlap") / F.col("n_shingles")
+        )
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    hashed: bool = True,
+) -> DataFrame:
+    """Cross-SOURCE k-shingle contamination matrix — one row per
+    unordered source pair: ``(source_a, source_b, n_shared,
+    jaccard)`` with ``n_shared`` the count of DISTINCT shingles both
+    sources contain and ``jaccard`` the shingle-set Jaccard (6 dp).
+    The mixture-design report `benchmark_contamination` cannot give:
+    that operator probes docs against ONE benchmark; this measures
+    every source against every other, which is what decides whether
+    two crawls/dumps are near-copies before their mixture weights are
+    set (a CommonCrawl snapshot and a web-dump that share half their
+    shingles should not both enter at full weight).
+
+    Plan: per-doc distinct grams map-side (`_kgram_hash_array` /
+    `_kgram_string_array` — array_distinct before the explode), ONE
+    distinct on (source, shingle), then the shingle-keyed self-join.
+    Pair volume per shingle is (sources containing it)², bounded by
+    the source count squared — never corpus²; per-source totals ride
+    back in as a broadcast |sources|-row side. ``hashed=True`` (the
+    scale default) moves 8-byte longs through both shuffles instead
+    of k-word strings; counts equal string counts up to 64-bit
+    collisions (the `word_shingle_hashes` bound)."""
+    words = tokenize(F.col(text_col))
+    src = docs.select(
+        F.col(group_col).alias("src"),
+        F.col(id_col).alias("id"),
+        words.alias("w"),
+        # id-keyed repartition: the word_shingles materialization
+        # barrier (lambda inputs re-evaluate without it) with even
+        # distribution — NOT src-keyed, which would skew to |sources|
+        # partitions
+    ).repartition(F.col("id"))
+    gram = (
+        _kgram_hash_array(F.col("w"), k)
+        if hashed
+        else _kgram_string_array(F.col("w"), k)
+    )
+    sh = (
+        src.select(
+            "src", F.explode(F.array_distinct(gram)).alias("sh")
+        )
+        .distinct()
+        .persist()  # feeds per-source totals AND both join legs
+    )
+    per = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        sh.select(F.col("src").alias("source_a"), "sh")
+        .join(sh.select(F.col("src").alias("source_b"), "sh"), "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(
+                per.select(
+                    F.col("src").alias("source_a"),
+                    F.col("n").alias("_na"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                per.select(
+                    F.col("src").alias("source_b"),
+                    F.col("n").alias("_nb"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
         )
     )
 

@@ -214,6 +214,17 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (`dedup.source_overlap` —
+    distinct-3-shingle sharing + set Jaccard per unordered source
+    pair, the report that decides whether two crawls are near-copies
+    before mixture weights are set). Runs the hashed scale path;
+    DuckDB replays over the STRING shingles (the `_SHINGLES` macro
+    joined to each doc's source) — equal counts up to 64-bit
+    collisions, the standing `word_shingle_hashes` equivalence."""
+    return dedup.source_overlap(_docs(spark, sf_dir), hashed=True)
+
+
 def llm_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates within Hamming distance 3
     (rows-only: signatures are Spark xxhash64-based)."""
@@ -2349,6 +2360,7 @@ QUERIES = {
     "llm_ann_ivf_sync": llm_ann_ivf_sync,
     "llm_minhash_sync": llm_minhash_sync,
     "llm_hard_negatives": llm_hard_negatives,
+    "llm_source_overlap": llm_source_overlap,
     "llm_hybrid_retrieval": llm_hybrid_retrieval,
     "llm_hybrid_retrieval_index": llm_hybrid_retrieval_index,
     "llm_bm25_index": llm_bm25_index,
@@ -3482,6 +3494,28 @@ ORACLES["llm_hard_negatives"] = f"""
     )
     SELECT query_id, doc_id, score, neg_rank
     FROM negs WHERE neg_rank <= 5
+"""
+
+ORACLES["llm_source_overlap"] = f"""
+    WITH sh AS ({_SHINGLES}),
+    srcsh AS (
+        SELECT DISTINCT d.source AS src, s.shingle
+        FROM sh s JOIN documents d ON s.id = d.doc_id
+    ),
+    per AS (SELECT src, COUNT(*) AS n FROM srcsh GROUP BY 1),
+    pair AS (
+        SELECT a.src AS source_a, b.src AS source_b,
+               COUNT(*) AS n_shared
+        FROM srcsh a
+        JOIN srcsh b ON a.shingle = b.shingle AND a.src < b.src
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           ROUND(n_shared * 1.0 / (pa.n + pb.n - n_shared), 6)
+               AS jaccard
+    FROM pair
+    JOIN per pa ON pair.source_a = pa.src
+    JOIN per pb ON pair.source_b = pb.src
 """
 
 # llm_bm25_prf_index: the persisted-PRF probe is value-identical to

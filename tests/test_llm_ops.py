@@ -1471,3 +1471,48 @@ class TestHardNegatives:
             )
         )
         assert got == want and len(got) > 0
+
+
+class TestSourceOverlap:
+    """source_overlap: cross-source shingle contamination matrix."""
+
+    def _docs(self, spark):
+        # src a and b share the 'alpha bravo charlie delta' run;
+        # src c is disjoint
+        return spark.createDataFrame(
+            [
+                (1, "a", "alpha bravo charlie delta echo"),
+                (2, "a", "foxtrot golf hotel india juliet"),
+                (3, "b", "alpha bravo charlie delta kilo"),
+                (4, "b", "lima mike november oscar papa"),
+                (5, "c", "quebec romeo sierra tango uniform"),
+            ],
+            "doc_id long, source string, text string",
+        )
+
+    def test_matrix_values(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            source_overlap,
+        )
+
+        got = {
+            (r["source_a"], r["source_b"]): (r["n_shared"], r["jaccard"])
+            for r in source_overlap(self._docs(spark), k=3).collect()
+        }
+        # shared 3-grams of a∩b: 'alpha bravo charlie',
+        # 'bravo charlie delta' = 2; each source has 6 distinct
+        # 3-grams (2 docs × 3 grams, no within-source repeats)
+        assert got[("a", "b")] == (2, round(2 / (6 + 6 - 2), 6))
+        # disjoint pairs produce NO row (inner join — absence is the
+        # signal, matching the oracle's semantics)
+        assert ("a", "c") not in got and ("b", "c") not in got
+
+    def test_hashed_equals_string_form(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            source_overlap,
+        )
+
+        d = self._docs(spark)
+        h = sorted(map(tuple, source_overlap(d, hashed=True).collect()))
+        s = sorted(map(tuple, source_overlap(d, hashed=False).collect()))
+        assert h == s and len(h) == 1
