@@ -385,12 +385,28 @@ def evt_seaport_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: d_enrich_transactions (the j1 3-way-join shape holds an r10 generic
 #: slot; the other five d_enrich_* joins are r9-green). All three stay
 #: parity-green and lead the r11 queue.
+#: Round-11 rotation: the three r8-green deferrals the r10 verdict
+#: queued lead (each's family twin went green r9/r10), then the ten
+#: r9-last-green domain queries. The r10-green five
+#: (s1_staging_scan_json, call_transfer_decode, d4_token_transfers,
+#: d_enrich_geth_traces, d_new_tokens) rotate out parity-pinned; no
+#: domain source changed this round.
 DRIVER_QUERIES = [
-    "s1_staging_scan_json",
-    "call_transfer_decode",
-    "d4_token_transfers",
-    "d_enrich_geth_traces",
-    "d_new_tokens",
+    # r8-stale deferrals (the r10 verdict's freshness queue), first
+    "d_enrich_transactions",
+    "d_verify_root_traces",
+    "evt_seaport_decode",
+    # r9-last-green cohort
+    "s2_staging_scan_csv",
+    "d_enrich_blocks",
+    "d_enrich_logs",
+    "d_enrich_traces",
+    "d_enrich_token_transfers",
+    "d_enrich_contracts",
+    "d_prices_fill",
+    "d_verify_have_latest",
+    "evt_transfer_decode",
+    "d5_extract_contracts",
 ]
 
 QUERIES = {

@@ -837,29 +837,23 @@ def g2_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: j5_composite_key_join (twin d_enrich_geth_traces holds an r10 domain
 #: slot), w4_rolling_range_window (twins w1/w2 r9) — all parity-green,
 #: leading the r11 freshness queue.
+#: Round-11 rotation: the five r8-green family-twinned deferrals the
+#: r10 verdict queued lead, then three r9 picks (a1 — the verify
+#: family's generic anchor; e1 — the set-op family; aj1 — the as-of
+#: join whose bucketed twin aj2 holds the slot ahead of it). The
+#: r10-green thirteen rotate out parity-pinned; no generic source
+#: changed this round.
 DRIVER_QUERIES = [
-    # r7-stale deferrals (r9 verdict rotation head), first
-    "a2_count_col_vs_star",
-    "g4_purchase_trend",
-    "h3_hopping_windows",
-    "j6b_anti_join_prefiltered",
-    "j9_full_outer_rollup",
-    "p5_conjunctive_filter",
-    "u1_intersect_users",
-    # r8-last-green cohort (13 of 18; the 5 family-twinned defer to r11)
-    "f_scalar_surface",
-    "g2_grouped_quantiles",
-    "j1_order_revenue_3way",
-    "m1_upsert_dimension",
-    "m2_scd2_history",
-    "m3_incremental_merge",
-    "pv1_pivot_linestatus",
-    "q1_pricing_summary",
-    "rj1_promo_range_join",
-    "sk1_salted_agg",
-    "w3_sessionization",
-    "x1_approx_aggregates",
-    "x3_profile_orders",
+    # r8-stale deferrals (the r10 verdict's freshness queue), first
+    "aj2_asof_bucketed",
+    "g1_rollup_returnflag",
+    "h2_range_pruned_scan",
+    "j5_composite_key_join",
+    "w4_rolling_range_window",
+    # r9-last-green picks
+    "a1_count_existence",
+    "e1_except_parts",
+    "aj1_asof_clicks",
 ]
 
 #: columns profiled by x3 (orderable subset of orders)

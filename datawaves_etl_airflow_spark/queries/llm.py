@@ -2286,35 +2286,51 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: llm_leakage_safe_split (cluster-keyed eval split) and
 #: llm_retrieval_metrics (nDCG/MRR eval harness) are parity-green
 #: ×3 SFs and join the r11 queue behind the 8 deferrals.
+#: Round-11 rotation: never-driver-verified first — the three r11
+#: additions (MinHash-index snapshot sync, DPR hard-negative mining,
+#: cross-source contamination matrix), then the fourteen r10
+#: post-rotation additions (each parity-green ×3 SFs since r10 and
+#: independently re-verified by the r10 judge; first driver rows this
+#: round). Then the eight r8-green family-twinned deferrals the r10
+#: verdict queued, then four r9 anchors: llm_jaccard_pairs /
+#: llm_dedup_clusters / llm_dedup_exact (the word-shingle expression
+#: was refactored into _kgram_string_array this round — re-certify
+#: the chain) and llm_cosine_topk (the base replay many ANN oracles
+#: reuse). The r10-green set rotates out parity-pinned.
 DRIVER_QUERIES = [
-    # never driver-verified, first: the seven r9 additions
-    "llm_ann_ivf_pq",
-    "llm_ann_ivf_pq_rerank",
-    "llm_ann_ivf_filtered",
-    "llm_bm25_topk",
-    "llm_hybrid_retrieval",
-    "llm_bm25_index",
-    "llm_semantic_decontaminate",
-    # then this round's two new production compositions
-    "llm_hybrid_retrieval_index",
-    "llm_semantic_decontaminate_index",
-    # r8-last-green cohort (16 of 24; the 8 family-twinned defer to r11)
-    "llm_chunking",
-    "llm_decontaminate",
-    "llm_fingerprint",
-    "llm_frame_sample",
-    "llm_incremental_dedup",
-    "llm_length_histogram",
-    "llm_multimodal_meta",
-    "llm_passage_dedup",
-    "llm_pii_scrub",
-    "llm_quality_filter",
-    "llm_repetition",
-    "llm_temperature_sample",
-    "llm_tfidf_keywords",
-    "llm_token_counts",
-    "llm_unigram_logprob",
-    "llm_wordcount",
+    # never driver-verified: r11 additions
+    "llm_minhash_sync",
+    "llm_hard_negatives",
+    "llm_source_overlap",
+    # never driver-verified: r10 post-rotation additions
+    "llm_ann_ivf_deleted",
+    "llm_ann_ivf_sync",
+    "llm_ann_recall_curve",
+    "llm_bm25_deleted",
+    "llm_bm25_filtered",
+    "llm_bm25_prf",
+    "llm_bm25_prf_index",
+    "llm_bm25_sync",
+    "llm_leakage_safe_split",
+    "llm_mmr_diversify",
+    "llm_retrieval_metrics",
+    "llm_snapshot_diff",
+    "llm_stratified_sample",
+    "llm_token_budget",
+    # r8-stale cohort (the r10 verdict's deferral list)
+    "llm_ann_ivf_2level",
+    "llm_ann_ivf_index",
+    "llm_cell_outliers",
+    "llm_knn_ivf_eval",
+    "llm_neardup_embeddings",
+    "llm_semantic_dedup",
+    "llm_semantic_dedup_ivf_diverse",
+    "llm_simhash_planted",
+    # r9 anchors: changed shingle surface + the cosine base replay
+    "llm_jaccard_pairs",
+    "llm_dedup_clusters",
+    "llm_dedup_exact",
+    "llm_cosine_topk",
 ]
 
 QUERIES = {

@@ -217,7 +217,11 @@ def main() -> None:
     # FIXED 5-query probe against a 10×/100× indexed corpus (bucket
     # count fixed: pruning ratio is per-term, independent of corpus)
     bm25_by_mult: dict[int, str] = {}
-    if wanted("bm25_probe_pruned") or wanted("bm25_probe_pruned_valved"):
+    if wanted(
+        "bm25_probe_pruned",
+        "bm25_probe_pruned_valved",
+        "hard_negatives_probe_pruned",
+    ):
         for mult in sorted({1, args.factor}):
             p = os.path.join(idx_root, f"bm25_{mult}")
             text.write_bm25_index(
@@ -529,6 +533,25 @@ def main() -> None:
             bm25_queries, bm25_by_mult[mult], k=10,
             max_df_ratio=valves.recommended("bm25_topk", "max_df_ratio"),
         ),
+        # hard-negative mining (r11): FIXED judged query set against
+        # a growing indexed corpus — retrieval is the bm25_probe_pruned
+        # shape, the positives anti-join is judgment-bounded, so the
+        # ratio must track bm25_probe_pruned's
+        "hard_negatives_probe_pruned": lambda mult: (
+            text.mine_hard_negatives_index(
+                bm25_queries,
+                spark.read.parquet(f"{args.sf}/documents.parquet")
+                .limit(50)
+                .select(
+                    (F.col("doc_id") % 5).alias("query_id"),
+                    "doc_id",
+                    F.lit(1).alias("rel"),
+                ),
+                bm25_by_mult[mult],
+                n_negatives=5,
+                depth=10,
+            )
+        ),
         "prf_probe_pruned": lambda mult: text.bm25_prf_search_index(
             bm25_queries, bm25f_by_mult[mult], k=10, fb_docs=3,
             fb_terms=5,
@@ -652,6 +675,15 @@ def main() -> None:
             max_docs_per_band=valves.recommended(
                 "neardup_pairs_banded", "max_docs_per_band"
             ),
+        ),
+        # cross-source contamination matrix (r11): sources stay fixed
+        # as the corpus grows (how real mixtures grow) — the per-doc
+        # shingling is the map-side scan, the (source, shingle)
+        # distinct partial-aggregates map-side onto a near-saturating
+        # type set, and pair volume is bounded by sources^2 per
+        # shingle — the ratio must track the scan, never pairs
+        "source_overlap": lambda mult: dedup.source_overlap(
+            _scaled_docs(spark, args.sf, mult)
         ),
         "exact_dedup": lambda mult: dedup.exact_dedup_groups(
             _scaled_docs(spark, args.sf, mult)
