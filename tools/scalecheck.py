@@ -58,6 +58,25 @@ def _scaled_docs(spark, sf_dir: str, factor: int) -> DataFrame:
     return out
 
 
+def _scaled_docs_with_source(spark, sf_dir: str, factor: int) -> DataFrame:
+    # the _scaled_docs shape with the source column preserved — the
+    # source_overlap op groups by it (sources stay FIXED as the corpus
+    # grows: how real mixtures grow)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = [
+        d.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" copytoken{i}")).alias("text"),
+            "source",
+        )
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def _scaled_embs(spark, sf_dir: str, factor: int) -> DataFrame:
     # Copies get a per-(copy, dim) deterministic SIGN pattern, not a
     # one-dim rescale: rescaling flips no signs, so every copy of a
@@ -683,7 +702,7 @@ def main() -> None:
         # type set, and pair volume is bounded by sources^2 per
         # shingle — the ratio must track the scan, never pairs
         "source_overlap": lambda mult: dedup.source_overlap(
-            _scaled_docs(spark, args.sf, mult)
+            _scaled_docs_with_source(spark, args.sf, mult)
         ),
         "exact_dedup": lambda mult: dedup.exact_dedup_groups(
             _scaled_docs(spark, args.sf, mult)
