@@ -886,6 +886,129 @@ def unigram_logprob(
     )
 
 
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int | None = None,
+) -> DataFrame:
+    """BPE merge-candidate statistics — corpus-wide frequency of every
+    adjacent CHARACTER pair, the quantity one byte-pair-encoding merge
+    iteration maximizes (Sennrich et al., "Neural Machine Translation
+    of Rare Words with Subword Units", ACL 2016 — ``get_stats`` over
+    the word histogram): ``(pair, n)``, optionally the deterministic
+    top-``top_n`` (n DESC, pair ASC — a distributed TakeOrdered,
+    never a global window).
+
+    The tokenizer-training prep step a 100 TB pipeline actually runs:
+    ONE corpus-scale pass builds the word histogram (token explode +
+    hash aggregate — the same shape as `unigram_logprob`'s vocab),
+    and the pair pass then costs O(|vocab| · word_len), corpus-size-
+    independent — the standard histogram trick (SentencePiece / HF
+    tokenizers train from word counts, not raw text). Pairs count
+    WITH multiplicity within a word ("aaa" contributes "aa" twice),
+    weighted by word frequency — the reference algorithm's exact
+    accounting. Single-char words contribute no pairs and are
+    filtered before the histogram. Full BPE training iterates
+    merge-apply-recount on the DRIVER over the bounded histogram;
+    this operator is the corpus-facing distributed step.
+    """
+    words = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # ascending by construction (length >= 2 ⇒ stop >= 1): sequence()
+    # would silently generate DESCENDING for shorter words
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.col("word").substr(i, F.lit(2)),
+    )
+    out = (
+        words.select(F.explode(pair_arr).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+    if top_n is not None:
+        out = out.orderBy(
+            F.col("n").desc(), F.col("pair").asc()
+        ).limit(top_n)
+    return out
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 100,
+    text_col: str = "text",
+    max_vocab_rows: int = 5_000_000,
+) -> list[tuple[str, str]]:
+    """Full BPE merge-rule training: ONE distributed pass builds the
+    corpus word histogram, then the merge loop runs on the DRIVER
+    over that bounded histogram — exactly the reference algorithm
+    (Sennrich ACL 2016; SentencePiece/HF train from word counts the
+    same way), with the corpus-scale work in the right place: the
+    histogram is the only pass that touches 100 TB, and each merge
+    iteration is O(|vocab|) driver CPU, corpus-size-independent.
+
+    Returns the ordered merge rules ``[(left, right), ...]`` —
+    iteration 1's rule is by construction `bpe_pair_counts`' top pair
+    (pinned in tests). Tiebreak is (count DESC, pair ASC), making the
+    rules deterministic cross-run. ``max_vocab_rows`` guards the
+    bounded driver read (the `max_benchmark_rows` pattern): the count
+    check runs BEFORE the collect, so an unexpectedly unbounded
+    vocabulary raises instead of OOMing the driver — raise the cap
+    deliberately, or pre-filter the tail (min_freq) upstream."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1: {n_merges}")
+    hist_df = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    ).persist()
+    try:
+        n_vocab = hist_df.count()
+        if n_vocab > max_vocab_rows:
+            raise ValueError(
+                f"word histogram has {n_vocab} rows > max_vocab_rows="
+                f"{max_vocab_rows} — raise the cap deliberately or "
+                "pre-filter rare words before training"
+            )
+        hist = [
+            (tuple(r["word"]), r["freq"]) for r in hist_df.collect()
+        ]
+    finally:
+        hist_df.unpersist()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in hist:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_hist = []
+        for syms, freq in hist:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_hist.append((tuple(out), freq))
+        hist = new_hist
+    return merges
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 128,

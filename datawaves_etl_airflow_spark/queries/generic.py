@@ -850,9 +850,10 @@ DRIVER_QUERIES = [
     "h2_range_pruned_scan",
     "j5_composite_key_join",
     "w4_rolling_range_window",
-    # r9-last-green picks
+    # r9-last-green picks (e1_except_parts defers one round to fund
+    # llm_bpe_pairs' never-verified slot — its set-op family twin
+    # u1_intersect_users is r10-green)
     "a1_count_existence",
-    "e1_except_parts",
     "aj1_asof_clicks",
 ]
 

@@ -214,6 +214,17 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate counting (`text.bpe_pair_counts` — the
+    distributed get_stats step of tokenizer training, ACL 2016): the
+    50 most frequent adjacent character pairs across the corpus,
+    computed over the word histogram so the pair pass is
+    vocab-bounded. DuckDB replays the histogram, the per-word
+    multiplicity-weighted pair explode and the (n DESC, pair ASC)
+    top-50 value-for-value."""
+    return text.bpe_pair_counts(_docs(spark, sf_dir), top_n=50)
+
+
 def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix (`dedup.source_overlap` —
     distinct-3-shingle sharing + set Jaccard per unordered source
@@ -2302,6 +2313,7 @@ DRIVER_QUERIES = [
     "llm_minhash_sync",
     "llm_hard_negatives",
     "llm_source_overlap",
+    "llm_bpe_pairs",
     # never driver-verified: r10 post-rotation additions
     "llm_ann_ivf_deleted",
     "llm_ann_ivf_sync",
@@ -2377,6 +2389,7 @@ QUERIES = {
     "llm_minhash_sync": llm_minhash_sync,
     "llm_hard_negatives": llm_hard_negatives,
     "llm_source_overlap": llm_source_overlap,
+    "llm_bpe_pairs": llm_bpe_pairs,
     "llm_hybrid_retrieval": llm_hybrid_retrieval,
     "llm_hybrid_retrieval_index": llm_hybrid_retrieval_index,
     "llm_bm25_index": llm_bm25_index,
@@ -3510,6 +3523,24 @@ ORACLES["llm_hard_negatives"] = f"""
     )
     SELECT query_id, doc_id, score, neg_rank
     FROM negs WHERE neg_rank <= 5
+"""
+
+ORACLES["llm_bpe_pairs"] = f"""
+    WITH w AS (
+        SELECT unnest(ws) AS word
+        FROM (SELECT {_WORDS} AS ws FROM documents)
+    ),
+    hist AS (
+        SELECT word, COUNT(*) AS freq
+        FROM w WHERE len(word) >= 2 GROUP BY 1
+    ),
+    pairs AS (
+        SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+        FROM hist, UNNEST(range(1, len(word))) AS u(i)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY 1
+    ORDER BY n DESC, pair ASC LIMIT 50
 """
 
 ORACLES["llm_source_overlap"] = f"""

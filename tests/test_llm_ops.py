@@ -1516,3 +1516,79 @@ class TestSourceOverlap:
         h = sorted(map(tuple, source_overlap(d, hashed=True).collect()))
         s = sorted(map(tuple, source_overlap(d, hashed=False).collect()))
         assert h == s and len(h) == 1
+
+
+class TestBpe:
+    """bpe_pair_counts + train_bpe_merges: the tokenizer-training prep
+    step — distributed word histogram, reference merge loop."""
+
+    def _docs(self, spark):
+        # "abab" x3, "abc" x2, "ab" x1 (lowercased by tokenize)
+        return spark.createDataFrame(
+            [
+                (1, "abab abab ABc"),
+                (2, "abab abc ab"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_pair_counts_with_multiplicity(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bpe_pair_counts,
+        )
+
+        got = {
+            r["pair"]: r["n"]
+            for r in bpe_pair_counts(self._docs(spark)).collect()
+        }
+        # "abab" (freq 3): ab x2, ba x1  → ab 6, ba 3
+        # "abc"  (freq 2): ab, bc        → ab 2, bc 2
+        # "ab"   (freq 1): ab            → ab 1
+        assert got == {"ab": 9, "ba": 3, "bc": 2}
+
+    def test_top_n_is_deterministic(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bpe_pair_counts,
+        )
+
+        got = bpe_pair_counts(self._docs(spark), top_n=2).collect()
+        assert [(r["pair"], r["n"]) for r in got] == [
+            ("ab", 9), ("ba", 3),
+        ]
+
+    def test_merges_match_reference_algorithm(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bpe_pair_counts,
+            train_bpe_merges,
+        )
+
+        merges = train_bpe_merges(self._docs(spark), n_merges=3)
+        # iter 1: ab(9) → merge (a,b); hist: (ab,ab)x3, (ab,c)x2, (ab)x1
+        # iter 2: (ab,ab)=3 vs (ab,c)=2 → merge (ab,ab)
+        # iter 3: only (ab,c)=2 remains
+        assert merges == [("a", "b"), ("ab", "ab"), ("ab", "c")]
+        # first rule ≡ the distributed pair count's top-1, by
+        # construction (same counts, same tiebreak)
+        top1 = bpe_pair_counts(self._docs(spark), top_n=1).first()
+        assert "".join(merges[0]) == top1["pair"]
+
+    def test_merge_loop_stops_when_dry(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            train_bpe_merges,
+        )
+
+        one = spark.createDataFrame(
+            [(1, "ab ab")], "doc_id long, text string"
+        )
+        # after (a,b) the only word is a single symbol — loop stops
+        assert train_bpe_merges(one, n_merges=10) == [("a", "b")]
+
+    def test_vocab_cap_raises_before_collect(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            train_bpe_merges,
+        )
+
+        with pytest.raises(ValueError, match="max_vocab_rows"):
+            train_bpe_merges(
+                self._docs(spark), n_merges=1, max_vocab_rows=2
+            )
