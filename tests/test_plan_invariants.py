@@ -67,6 +67,19 @@ ALLOWED_BNLJ = {
     "llm_semantic_decontaminate": "corpus x broadcast 1-row benchmark "
     "array aggregate (collect_list over the 10-row benchmark set) — "
     "the cell_outliers zero-shuffle argmax shape",
+    # r10 post-rotation additions, first registered by the r11
+    # rotation (same inherited bm25 stats-broadcast shape):
+    "llm_bm25_prf": "bm25's broadcast 1-row (N, avgdl) corpus-stats "
+    "aggregate, in BOTH PRF passes + the feedback-term mining's "
+    "1-row N broadcast",
+    "llm_retrieval_metrics": "bm25_topk's broadcast 1-row (N, avgdl) "
+    "corpus-stats aggregate — inherited through the ranked-results "
+    "pass; the qrels joins are query-keyed hash joins",
+    # r11 additions:
+    "llm_hard_negatives": "bm25_topk's broadcast 1-row (N, avgdl) "
+    "corpus-stats aggregate — the llm_bm25_topk pattern inherited "
+    "through the retrieval pass; the qrels anti-join itself is a "
+    "broadcast HASH join",
 }
 
 
