@@ -433,6 +433,98 @@ def temperature_sample(
     )
 
 
+def epoch_upsample(
+    df: DataFrame,
+    group_col: str,
+    quotas,
+    id_col: str = "doc_id",
+    max_epochs: float | None = None,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """The UP-sampling half of mixture execution — repeat each group's
+    documents to hit a per-group target ROW quota: ``floor(quota/n)``
+    full epochs of the whole group plus a deterministic fractional
+    remainder (smallest md5(id) first — the module's selection
+    discipline, so membership survives re-runs and repartitions).
+    `temperature_sample` plans and CAPS (it can only keep ≤ n rows
+    per group); this executes the other direction of the published
+    recipes — GPT-3's Table 2.2 weights small high-quality corpora at
+    2-3+ epochs while CommonCrawl stays under 1, and the
+    data-constrained-scaling result (Muennighoff et al. 2023,
+    arXiv:2305.16264) motivates ``max_epochs``: repetition beyond ~4
+    epochs adds little — the cap clamps each group's quota to
+    ``floor(max_epochs · n)`` before the split.
+
+    ``quotas`` is ``{group: target_rows}`` or a ``(group_col,
+    quota)`` DataFrame (broadcast — group cardinality ~ sources).
+    Output repeats input rows with a 0-based ``epoch_col`` copy
+    index: downstream shard shuffle / packing interleaves copies, and
+    ``(id, epoch)`` is the unique key. Groups without a quota row
+    pass through unchanged as epoch 0 (quota = n). Plan shape: one
+    count aggregate, a broadcast quota join, a zero-shuffle
+    explode(sequence) for the full epochs, and one group-keyed window
+    for the remainder — the window is the `temperature_sample` hazard
+    and takes the same salting recipe if a group is mega-sized.
+    """
+    spark = df.sparkSession
+    if isinstance(quotas, dict):
+        quotas = spark.createDataFrame(
+            [(k, int(v)) for k, v in quotas.items()],
+            f"{group_col} string, quota long",
+        )
+    else:
+        quotas = quotas.select(
+            group_col, F.col("quota").cast("long").alias("quota")
+        )
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    plan = counts.join(F.broadcast(quotas), group_col, "left").select(
+        group_col,
+        "_n",
+        F.coalesce(F.col("quota"), F.col("_n")).alias("_q"),
+    )
+    if max_epochs is not None:
+        plan = plan.withColumn(
+            "_q",
+            F.least(
+                F.col("_q"),
+                F.floor(F.lit(float(max_epochs)) * F.col("_n")).cast(
+                    "long"
+                ),
+            ),
+        )
+    plan = plan.select(
+        group_col,
+        F.expr("_q DIV _n").alias("_full"),
+        F.expr("_q % _n").alias("_rem"),
+    )
+    src = df.join(F.broadcast(plan), group_col)
+    # full epochs: explode over [0, _full) — empty array when the
+    # quota is below one epoch (sequence() alone would generate a
+    # DESCENDING range there and resurrect rows)
+    full = src.select(
+        *df.columns,
+        F.explode(
+            F.when(
+                F.col("_full") > 0,
+                F.sequence(F.lit(0), (F.col("_full") - 1).cast("int")),
+            ).otherwise(F.array())
+        ).alias(epoch_col),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    rem = (
+        src.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_rem"))
+        .select(
+            *df.columns, F.col("_full").cast("int").alias(epoch_col)
+        )
+    )
+    return full.unionByName(rem)
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

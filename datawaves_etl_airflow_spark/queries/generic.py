@@ -850,11 +850,11 @@ DRIVER_QUERIES = [
     "h2_range_pruned_scan",
     "j5_composite_key_join",
     "w4_rolling_range_window",
-    # r9-last-green picks (e1_except_parts defers one round to fund
-    # llm_bpe_pairs' never-verified slot — its set-op family twin
-    # u1_intersect_users is r10-green)
+    # r9-last-green pick (e1_except_parts and aj1_asof_clicks defer
+    # one round to fund llm_bpe_pairs' and llm_epoch_upsample's
+    # never-verified slots — e1's set-op twin u1_intersect_users is
+    # r10-green, aj1's bucketed twin aj2 holds the slot above)
     "a1_count_existence",
-    "aj1_asof_clicks",
 ]
 
 #: columns profiled by x3 (orderable subset of orders)

@@ -1985,6 +1985,35 @@ def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "quota", "rk")
 
 
+def llm_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware up-sampling (`sampling.epoch_upsample` — the GPT-3
+    Table 2.2 direction `temperature_sample` cannot execute: repeat
+    small high-quality sources past one epoch). Per-source quotas are
+    derived with pure integer math so both engines replay them
+    exactly: even-length source names target 1.7 epochs
+    (``n·17 DIV 10`` → one full epoch + an md5-ranked 70% remainder),
+    odd-length ones HALF an epoch (``n DIV 2`` → the zero-full-epoch
+    branch, pure remainder selection). DuckDB replays the quota
+    table, the range() epoch explode and the md5 remainder ranking
+    value-for-value; (doc_id, epoch) is the output key."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    q = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "source",
+            F.when(
+                F.length("source") % 2 == 0,
+                F.expr("_n * 17 DIV 10"),
+            )
+            .otherwise(F.expr("_n DIV 2"))
+            .alias("quota"),
+        )
+    )
+    out = sampling.epoch_upsample(d, "source", q)
+    return out.select("doc_id", "source", "epoch")
+
+
 def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-ranking (`similarity.mmr_rerank`, λ=0.5) on a
     PLANTED candidate geometry derived in-plan from the embeddings
@@ -2314,6 +2343,7 @@ DRIVER_QUERIES = [
     "llm_hard_negatives",
     "llm_source_overlap",
     "llm_bpe_pairs",
+    "llm_epoch_upsample",
     # never driver-verified: r10 post-rotation additions
     "llm_ann_ivf_deleted",
     "llm_ann_ivf_sync",
@@ -2390,6 +2420,7 @@ QUERIES = {
     "llm_hard_negatives": llm_hard_negatives,
     "llm_source_overlap": llm_source_overlap,
     "llm_bpe_pairs": llm_bpe_pairs,
+    "llm_epoch_upsample": llm_epoch_upsample,
     "llm_hybrid_retrieval": llm_hybrid_retrieval,
     "llm_hybrid_retrieval_index": llm_hybrid_retrieval_index,
     "llm_bm25_index": llm_bm25_index,
@@ -3523,6 +3554,39 @@ ORACLES["llm_hard_negatives"] = f"""
     )
     SELECT query_id, doc_id, score, neg_rank
     FROM negs WHERE neg_rank <= 5
+"""
+
+ORACLES["llm_epoch_upsample"] = """
+    WITH n AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+    ),
+    plan AS (
+        SELECT source, n,
+               CASE WHEN len(source) % 2 = 0
+                    THEN (n * 17) // 10 ELSE n // 2 END AS q
+        FROM n
+    ),
+    split AS (
+        SELECT source, q // n AS fullep, q % n AS rem FROM plan
+    ),
+    fullrows AS (
+        SELECT d.doc_id, d.source, CAST(e AS INTEGER) AS epoch
+        FROM documents d
+        JOIN split s ON d.source = s.source,
+        UNNEST(range(0, s.fullep)) AS u(e)
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source, s.fullep, s.rem,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rk
+        FROM documents d JOIN split s ON d.source = s.source
+    )
+    SELECT doc_id, source, epoch FROM fullrows
+    UNION ALL
+    SELECT doc_id, source, CAST(fullep AS INTEGER) AS epoch
+    FROM ranked WHERE rk <= rem
 """
 
 ORACLES["llm_bpe_pairs"] = f"""

@@ -513,3 +513,82 @@ class TestLeakageSafeSplit:
         }
         for i in range(20):
             assert keys[i] == i and keys[i + 1000] == i
+
+
+class TestEpochUpsample:
+    """epoch_upsample: full epochs + deterministic md5 remainder —
+    the up-sampling half of mixture execution."""
+
+    def _docs(self, spark):
+        rows = [(i, "small") for i in range(10)] + [
+            (100 + i, "big") for i in range(40)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_full_epochs_plus_remainder(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            epoch_upsample,
+        )
+
+        out = epoch_upsample(
+            self._docs(spark), "source", {"small": 25, "big": 20}
+        ).collect()
+        small = [r for r in out if r["source"] == "small"]
+        big = [r for r in out if r["source"] == "big"]
+        # small: 25 = 2 full epochs of 10 + 5 remainder at epoch 2
+        assert len(small) == 25
+        assert sorted(
+            {r["epoch"] for r in small if True}
+        ) == [0, 1, 2]
+        assert sum(1 for r in small if r["epoch"] == 2) == 5
+        # big: 20 < 40 → zero full epochs, 20-row remainder at epoch 0
+        assert len(big) == 20 and {r["epoch"] for r in big} == {0}
+        # (id, epoch) unique
+        assert len({(r["doc_id"], r["epoch"]) for r in out}) == len(out)
+
+    def test_remainder_is_md5_deterministic(self, spark):
+        import hashlib
+
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            epoch_upsample,
+        )
+
+        out = epoch_upsample(
+            self._docs(spark), "source", {"big": 3}
+        ).collect()
+        got = sorted(
+            r["doc_id"] for r in out if r["source"] == "big"
+        )
+        want = sorted(
+            sorted(
+                range(100, 140),
+                key=lambda i: (
+                    hashlib.md5(str(i).encode()).hexdigest(), i
+                ),
+            )[:3]
+        )
+        assert got == want
+
+    def test_group_without_quota_passes_through(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            epoch_upsample,
+        )
+
+        out = epoch_upsample(
+            self._docs(spark), "source", {"small": 20}
+        ).collect()
+        big = [r for r in out if r["source"] == "big"]
+        assert len(big) == 40 and {r["epoch"] for r in big} == {0}
+
+    def test_max_epochs_clamps(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            epoch_upsample,
+        )
+
+        out = epoch_upsample(
+            self._docs(spark), "source", {"small": 100},
+            max_epochs=2.5,
+        ).collect()
+        small = [r for r in out if r["source"] == "small"]
+        # clamp: floor(2.5 * 10) = 25, not 100
+        assert len(small) == 25
