@@ -946,6 +946,7 @@ def source_overlap(
     id_col: str = "doc_id",
     k: int = 3,
     hashed: bool = True,
+    max_sources_per_shingle: int | None = None,
 ) -> DataFrame:
     """Cross-SOURCE k-shingle contamination matrix — one row per
     unordered source pair: ``(source_a, source_b, n_shared,
@@ -989,6 +990,22 @@ def source_overlap(
         .distinct()
         .persist()  # feeds per-source totals AND both join legs
     )
+    if max_sources_per_shingle is not None:
+        # the valve (the max_df_ratio family): a shingle present in
+        # nearly EVERY source is a stopword-gram — it carries no
+        # between-source signal yet drives the worst-case pair volume
+        # (S² rows per shingle). Valved shingles leave the measured
+        # UNIVERSE, not just the join: per-source totals shrink with
+        # them, so jaccard stays a true set Jaccard over the valved
+        # shingle universe (the semantics an analyst can reason about)
+        sh = sh.join(
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_ns"))
+            .filter(F.col("_ns") <= max_sources_per_shingle)
+            .select("sh"),
+            "sh",
+            "left_semi",
+        )
     per = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     shared = (
         sh.select(F.col("src").alias("source_a"), "sh")

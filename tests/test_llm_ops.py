@@ -1518,6 +1518,37 @@ class TestSourceOverlap:
         assert h == s and len(h) == 1
 
 
+    def test_max_sources_per_shingle_valve(self, spark):
+        """The stopword-gram valve removes universal shingles from the
+        measured UNIVERSE (totals shrink too — jaccard stays a true
+        set Jaccard over the valved universe)."""
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            source_overlap,
+        )
+
+        # 'x y z' in all three sources (valved at <=2); 'p q r'
+        # shared by a,b only (kept)
+        d = spark.createDataFrame(
+            [
+                (1, "a", "x y z p q r"),
+                (2, "b", "x y z p q r"),
+                (3, "c", "x y z m n o"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        got = {
+            (r["source_a"], r["source_b"]): (r["n_shared"], r["jaccard"])
+            for r in source_overlap(
+                d, k=3, max_sources_per_shingle=2
+            ).collect()
+        }
+        # per doc 3-grams: [xyz, yzp, zpq, pqr] / same / [xyz, yzm, zmn, mno]
+        # xyz is in all 3 -> valved; a∩b keeps yzp, zpq, pqr (3 of 3)
+        assert got[("a", "b")] == (3, 1.0)
+        # a∩c shared only xyz -> valved away entirely: no row
+        assert ("a", "c") not in got and ("b", "c") not in got
+
+
 class TestBpe:
     """bpe_pair_counts + train_bpe_merges: the tokenizer-training prep
     step — distributed word histogram, reference merge loop."""
