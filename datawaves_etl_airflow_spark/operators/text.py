@@ -79,6 +79,62 @@ QUALITY_WEIGHTS = {
 }
 
 
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compressibility as a quality/repetition signal —
+    ``(id, n_bytes, n_compressed, ratio)`` with ratio =
+    compressed/raw UTF-8 bytes (6 dp): the RefinedWeb/MassiveText
+    family's cheap content filter — machine-generated boilerplate and
+    looped spam compress far below natural prose (~0.3–0.45 for
+    English text; << 0.3 flags repetition `ngram_repetition` then
+    localizes, >> 0.9 flags already-compressed/binary junk that
+    leaked through the text column).
+
+    This is a sanctioned Arrow-batched Python surface (one scalar
+    pandas UDF over the text column — zlib is stdlib C, ~100 MB/s per
+    core, and no JVM expression computes DEFLATE): the UDF returns
+    only the compressed LENGTH; byte length, the division and the
+    rounding stay JVM-side. NULL text → NULL metrics (no fake zeros);
+    empty text → ratio NULL (0/0 has no honest value). Deterministic
+    for a fixed zlib version+level — pin thresholds per deployment,
+    not across zlib upgrades (the compressed SIZE may drift a few
+    bytes between zlib builds; the signal, not the exact integer, is
+    the contract — hence no DuckDB oracle, pytest pins against the
+    same interpreter's zlib)."""
+    import pandas as pd  # noqa: F401 (documents the Arrow path)
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    @pandas_udf("long")
+    def _zlen(s):
+        import zlib
+
+        return s.map(
+            lambda t: None
+            if t is None
+            else len(zlib.compress(t.encode("utf-8"), lvl))
+        )
+
+    t = F.col(text_col)
+    n_bytes = F.octet_length(t)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_bytes.alias("n_bytes"),
+        _zlen(t).alias("n_compressed"),
+    ).withColumn(
+        "ratio",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.round(F.col("n_compressed") / F.col("n_bytes"), 6),
+        ),
+    )
+
+
 def quality_logit(
     docs: DataFrame,
     text_col: str = "text",

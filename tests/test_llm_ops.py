@@ -1549,6 +1549,59 @@ class TestSourceOverlap:
         assert ("a", "c") not in got and ("b", "c") not in got
 
 
+class TestCompressionRatio:
+    """compression_ratio: the zlib compressibility quality signal —
+    Arrow-batched scalar UDF, JVM-side arithmetic."""
+
+    def test_values_match_direct_zlib(self, spark):
+        import zlib
+
+        from datawaves_etl_airflow_spark.operators.text import (
+            compression_ratio,
+        )
+
+        texts = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "spam spam spam spam spam spam spam spam spam spam"),
+            (3, ""),
+            (4, None),
+        ]
+        d = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {r["id"]: r for r in compression_ratio(d).collect()}
+        for i, t in texts:
+            if t is None:
+                assert got[i]["n_compressed"] is None
+                assert got[i]["ratio"] is None
+            else:
+                raw = t.encode("utf-8")
+                z = len(zlib.compress(raw, 6))
+                assert got[i]["n_bytes"] == len(raw)
+                assert got[i]["n_compressed"] == z
+                if raw:
+                    assert got[i]["ratio"] == round(z / len(raw), 6)
+                else:
+                    assert got[i]["ratio"] is None
+        # the signal: looped spam compresses far below natural prose
+        assert got[2]["ratio"] < got[1]["ratio"]
+
+    def test_plan_is_arrow_batched_not_row_python(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            compression_ratio,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "abc")], "doc_id long, text string"
+        )
+        plan = (
+            compression_ratio(d)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+
+
 class TestBpe:
     """bpe_pair_counts + train_bpe_merges: the tokenizer-training prep
     step — distributed word histogram, reference merge loop."""
