@@ -25,7 +25,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["profile_table", "snapshot_diff"]
+__all__ = ["profile_table", "snapshot_diff", "corpus_stats"]
 
 #: types whose min/max are meaningful and safely castable to string
 _ORDERABLE = (NumericType, StringType, TimestampType, DateType, BooleanType)
@@ -233,3 +233,56 @@ def snapshot_diff(
         o.join(n, id_col, "full_outer")
         .select(F.col(id_col), status.alias("status"))
     )
+
+
+def corpus_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """One-row corpus summary — the data-card numbers a dataset
+    release publishes (HF dataset cards, the Pile/ROOTS papers'
+    corpus tables): ``(n_docs, n_tokens, n_chars, mean_doc_tokens,
+    n_<group>s ..., top_<group> ...)`` with one distinct-count and
+    modal value per ``group_cols`` entry (top by count, ties broken
+    by value ASC for determinism).
+
+    Plan: ONE pass for the global aggregates (map-side partial) plus
+    one tiny groupBy per group column whose result folds in as a
+    broadcast 1-row aggregate — group cardinality ~ sources/langs,
+    never corpus. Token counts reuse `dedup.tokenize`'s whitespace
+    discipline so the numbers agree with every other operator's."""
+    from .dedup import tokenize
+
+    t = F.col(text_col)
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size(tokenize(t))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.coalesce(F.sum(F.length(t)), F.lit(0))
+        .cast("long")
+        .alias("n_chars"),
+    ).withColumn(
+        "mean_doc_tokens",
+        F.when(
+            F.col("n_docs") > 0,
+            F.round(F.col("n_tokens") / F.col("n_docs"), 6),
+        ),
+    )
+    for g in group_cols:
+        per = docs.groupBy(g).agg(F.count(F.lit(1)).alias("_n"))
+        top = (
+            per.orderBy(F.col("_n").desc(), F.col(g).asc())
+            .limit(1)
+            .select(
+                F.col(g).alias(f"top_{g}"),
+            )
+        )
+        n_distinct = per.agg(
+            F.count(F.lit(1)).alias(f"n_{g}s")
+        )
+        base = base.crossJoin(F.broadcast(n_distinct)).crossJoin(
+            F.broadcast(top)
+        )
+    return base

@@ -1985,6 +1985,18 @@ def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "quota", "rk")
 
 
+def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus data card (`profile.corpus_stats` — the release
+    summary a dataset publishes): doc/token/char totals, mean doc
+    length, and per-dimension distinct counts + deterministic modal
+    values for source and lang. DuckDB replays every aggregate; token
+    counts go through the shared tokenize discipline so the card
+    agrees with every other operator's numbers."""
+    from ..operators.profile import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
 def llm_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-aware up-sampling (`sampling.epoch_upsample` — the GPT-3
     Table 2.2 direction `temperature_sample` cannot execute: repeat
@@ -2332,11 +2344,10 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: post-rotation additions (each parity-green ×3 SFs since r10 and
 #: independently re-verified by the r10 judge; first driver rows this
 #: round). Then the eight r8-green family-twinned deferrals the r10
-#: verdict queued, then four r9 anchors: llm_jaccard_pairs /
-#: llm_dedup_clusters / llm_dedup_exact (the word-shingle expression
-#: was refactored into _kgram_string_array this round — re-certify
-#: the chain) and llm_cosine_topk (the base replay many ANN oracles
-#: reuse). The r10-green set rotates out parity-pinned.
+#: verdict queued, then three r9 anchors: llm_jaccard_pairs (the
+#: dedup family's exact-Jaccard certificate), llm_dedup_exact, and
+#: llm_cosine_topk (the base replay many ANN oracles reuse). The
+#: r10-green set rotates out parity-pinned.
 DRIVER_QUERIES = [
     # never driver-verified: r11 additions
     "llm_minhash_sync",
@@ -2344,6 +2355,7 @@ DRIVER_QUERIES = [
     "llm_source_overlap",
     "llm_bpe_pairs",
     "llm_epoch_upsample",
+    "llm_corpus_stats",
     # never driver-verified: r10 post-rotation additions
     "llm_ann_ivf_deleted",
     "llm_ann_ivf_sync",
@@ -2368,9 +2380,14 @@ DRIVER_QUERIES = [
     "llm_semantic_dedup",
     "llm_semantic_dedup_ivf_diverse",
     "llm_simhash_planted",
-    # r9 anchors: changed shingle surface + the cosine base replay
+    # r9 anchors: the dedup family's exact-Jaccard certificate (the
+    # round's _kgram_string_array refactor is expression-identical and
+    # consumed by no query, but jaccard re-certifies the banded chain
+    # anyway), the exact-dedup base, and the cosine replay the ANN
+    # oracles reuse (llm_dedup_clusters defers one round — r9-green,
+    # surface untouched, the heaviest driver slot — funding
+    # llm_corpus_stats' never-verified slot)
     "llm_jaccard_pairs",
-    "llm_dedup_clusters",
     "llm_dedup_exact",
     "llm_cosine_topk",
 ]
@@ -2421,6 +2438,7 @@ QUERIES = {
     "llm_source_overlap": llm_source_overlap,
     "llm_bpe_pairs": llm_bpe_pairs,
     "llm_epoch_upsample": llm_epoch_upsample,
+    "llm_corpus_stats": llm_corpus_stats,
     "llm_hybrid_retrieval": llm_hybrid_retrieval,
     "llm_hybrid_retrieval_index": llm_hybrid_retrieval_index,
     "llm_bm25_index": llm_bm25_index,
@@ -3554,6 +3572,43 @@ ORACLES["llm_hard_negatives"] = f"""
     )
     SELECT query_id, doc_id, score, neg_rank
     FROM negs WHERE neg_rank <= 5
+"""
+
+ORACLES["llm_corpus_stats"] = f"""
+    WITH base AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(COALESCE(SUM(
+                   len(list_filter({_WORDS}, x -> x <> ''))
+               ), 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(SUM(len(text)), 0) AS BIGINT) AS n_chars
+        FROM documents
+    ),
+    s AS (
+        SELECT COUNT(*) AS n_sources FROM (
+            SELECT DISTINCT source FROM documents
+        )
+    ),
+    st AS (
+        SELECT source AS top_source FROM (
+            SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+            ORDER BY n DESC, source ASC LIMIT 1
+        )
+    ),
+    l AS (
+        SELECT COUNT(*) AS n_langs FROM (
+            SELECT DISTINCT lang FROM documents
+        )
+    ),
+    lt AS (
+        SELECT lang AS top_lang FROM (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+            ORDER BY n DESC, lang ASC LIMIT 1
+        )
+    )
+    SELECT n_docs, n_tokens, n_chars,
+           ROUND(n_tokens * 1.0 / n_docs, 6) AS mean_doc_tokens,
+           n_sources, top_source, n_langs, top_lang
+    FROM base, s, st, l, lt
 """
 
 ORACLES["llm_epoch_upsample"] = """

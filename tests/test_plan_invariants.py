@@ -76,6 +76,9 @@ ALLOWED_BNLJ = {
     "corpus-stats aggregate — inherited through the ranked-results "
     "pass; the qrels joins are query-keyed hash joins",
     # r11 additions:
+    "llm_corpus_stats": "1-row global aggregate x broadcast 1-row "
+    "per-dimension aggregates (distinct count + modal value per "
+    "group column) — every side is a single row by construction",
     "llm_hard_negatives": "bm25_topk's broadcast 1-row (N, avgdl) "
     "corpus-stats aggregate — the llm_bm25_topk pattern inherited "
     "through the retrieval pass; the qrels anti-join itself is a "

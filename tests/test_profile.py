@@ -222,3 +222,41 @@ class TestSnapshotDiff:
         assert got[0]["status"] == "unchanged"
         with pytest.raises(ValueError, match="compare_cols"):
             snapshot_diff(old, new, compare_cols=["nope"])
+
+
+class TestCorpusStats:
+    """corpus_stats: the one-row data card."""
+
+    def test_values(self, spark):
+        from datawaves_etl_airflow_spark.operators.profile import (
+            corpus_stats,
+        )
+
+        d = spark.createDataFrame(
+            [
+                (1, "one two three", "web", "en"),
+                (2, "four five", "web", "en"),
+                (3, "six", "books", "fr"),
+            ],
+            "doc_id long, text string, source string, lang string",
+        )
+        r = corpus_stats(d).first()
+        assert r["n_docs"] == 3 and r["n_tokens"] == 6
+        assert r["n_chars"] == len("one two three") + len("four five") + 3
+        assert r["mean_doc_tokens"] == 2.0
+        assert r["n_sources"] == 2 and r["top_source"] == "web"
+        assert r["n_langs"] == 2 and r["top_lang"] == "en"
+
+    def test_modal_tiebreak_is_value_asc(self, spark):
+        from datawaves_etl_airflow_spark.operators.profile import (
+            corpus_stats,
+        )
+
+        d = spark.createDataFrame(
+            [
+                (1, "a", "zeta", "en"),
+                (2, "b", "alpha", "en"),
+            ],
+            "doc_id long, text string, source string, lang string",
+        )
+        assert corpus_stats(d).first()["top_source"] == "alpha"
