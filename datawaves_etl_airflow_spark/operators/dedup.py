@@ -467,6 +467,108 @@ def verify_pairs_with_sets(
     )
 
 
+def jaccard_join_prefix(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_docs_per_token: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs shingle Jaccard ≥ ``threshold`` via PREFIX
+    FILTERING — the AllPairs/PPJoin family (Bayardo et al., "Scaling
+    Up All Pairs Similarity Search", WWW 2007; Xiao et al. WWW 2008):
+    ``(id_a, id_b, n_inter, sz_a, sz_b, jaccard)`` with id_a < id_b.
+    The exact counterpart of `minhash_dedup_pairs`: the banded form
+    trades an S-curve miss rate for fixed cost; this one has ZERO
+    false negatives by construction and is the right tool when the
+    threshold is high (0.8+) — prefixes shrink to (1−t)·|doc|+1
+    tokens, so candidate volume collapses exactly where LSH needs the
+    most bands.
+
+    The filter: order every doc's shingles by ONE consistent global
+    order — (corpus df ASC, token ASC), rarest first, the order that
+    makes prefixes both small and selective — and keep only the first
+    ``|s| − ceil(t·|s|) + 1`` tokens (the Jaccard prefix). Any pair
+    with J ≥ t MUST share a prefix token: if not, their intersection
+    lies entirely in the two suffixes, and ``|a∩b| ≤
+    min(ceil(t·|a|) − 1, ceil(t·|b|) − 1) < t·max(|a|,|b|) ≤
+    t·|a∪b|`` — a contradiction. Candidates then form by a
+    token-keyed self-join of the PREFIXES only, with conservative
+    size pruning (``J ≥ t ⇒ t·|big| ≤ |small|``, applied with
+    floor/epsilon bias so float rounding can only ADMIT an extra
+    candidate, never drop a true one); exact verification reuses
+    `verify_pairs_with_sets`.
+
+    Plan shape: df counts (token-keyed agg over the explode), a
+    PER-DOC rank window (id-keyed — no global token rank is ever
+    materialized; the (df, token) pair IS the order), the prefix
+    self-join (volume Σ_tok prefix_df(tok)² — bounded by rare-first
+    ordering), and the two verify joins. ``max_docs_per_token``
+    is the familiar skew valve (`max_docs_per_fp` family): dropping
+    prefix tokens above the cap bounds the worst bucket but FORFEITS
+    exactness for pairs whose only shared prefix token was hot —
+    default None keeps the zero-false-negative contract."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    sets = word_shingle_hash_sets(docs, text_col, id_col, k).persist()
+    ex = sets.select(
+        "id", F.size("shset").alias("sz"),
+        F.explode("shset").alias("tok"),
+    )
+    dft = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    # epsilon biases ceil DOWN → prefix LONGER → conservative (a
+    # too-short prefix is the one error that loses true pairs)
+    plen = (
+        F.col("sz")
+        - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9))
+        + 1
+    )
+    wp = Window.partitionBy("id").orderBy(
+        F.col("_df").asc(), F.col("tok").asc()
+    )
+    prefix = (
+        ex.join(dft, "tok")
+        .withColumn("_pos", F.row_number().over(wp))
+        .filter(F.col("_pos") <= plen)
+        .select("id", "sz", "tok")
+    )
+    if max_docs_per_token is not None:
+        prefix = prefix.join(
+            prefix.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_docs_per_token)
+            .select("tok"),
+            "tok",
+            "left_semi",
+        )
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("_sa"), "tok"
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("_sb"), "tok"
+    )
+    cands = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # size pruning, float-safe by bias: floor(t·big) ≤ t·big, so
+        # the test only ever ADMITS a borderline pair for verification
+        .filter(
+            F.least("_sa", "_sb")
+            >= F.floor(
+                F.lit(float(threshold)) * F.greatest("_sa", "_sb")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # persisted `sets` feeds both the prefix explode and the verify
+    # joins (no unpersist on the lazy result — the
+    # minhash_dedup_pairs precedent; the caller's action releases it
+    # with the session's cache policy)
+    return verify_pairs_with_sets(sets, cands, threshold)
+
+
 def jaccard_all_pairs_from_sets(
     sets: DataFrame, threshold: float
 ) -> DataFrame:

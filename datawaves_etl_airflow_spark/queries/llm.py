@@ -75,6 +75,24 @@ def llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard pairs (j ≥ 0.5) via prefix filtering
+    (`dedup.jaccard_join_prefix` — AllPairs/PPJoin, WWW'07): the
+    zero-false-negative counterpart of llm_jaccard_pairs' banded LSH,
+    sharing its exact all-pairs DuckDB oracle VERBATIM — but here the
+    oracle needs NO recall argument: the prefix filter provably never
+    drops a qualifying pair, so a green row certifies the filter's
+    correctness proof, the rarest-first per-doc ordering, the
+    conservative size pruning and the shared exact verify."""
+    out = dedup.jaccard_join_prefix(
+        _docs(spark, sf_dir), threshold=0.5
+    )
+    return out.select(
+        "id_a", "id_b", "n_inter", "sz_a", "sz_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH dedup pairs, exact-verified at j ≥ 0.5 (rows-only:
     the candidate set depends on Spark's xxhash64)."""
@@ -2356,6 +2374,7 @@ DRIVER_QUERIES = [
     "llm_bpe_pairs",
     "llm_epoch_upsample",
     "llm_corpus_stats",
+    "llm_jaccard_prefix",
     # never driver-verified: r10 post-rotation additions
     "llm_ann_ivf_deleted",
     "llm_ann_ivf_sync",
@@ -2380,21 +2399,20 @@ DRIVER_QUERIES = [
     "llm_semantic_dedup",
     "llm_semantic_dedup_ivf_diverse",
     "llm_simhash_planted",
-    # r9 anchors: the dedup family's exact-Jaccard certificate (the
-    # round's _kgram_string_array refactor is expression-identical and
-    # consumed by no query, but jaccard re-certifies the banded chain
-    # anyway), the exact-dedup base, and the cosine replay the ANN
-    # oracles reuse (llm_dedup_clusters defers one round — r9-green,
-    # surface untouched, the heaviest driver slot — funding
-    # llm_corpus_stats' never-verified slot)
+    # r9 anchors: the banded form beside its new exact twin (one
+    # oracle, two plans — the strongest cross-check in the corpus),
+    # and the cosine replay the ANN oracles reuse. llm_dedup_clusters
+    # and llm_dedup_exact defer one round (both r9-green with
+    # untouched plans) funding llm_corpus_stats' and
+    # llm_jaccard_prefix's never-verified slots.
     "llm_jaccard_pairs",
-    "llm_dedup_exact",
     "llm_cosine_topk",
 ]
 
 QUERIES = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_jaccard_pairs": llm_jaccard_pairs,
+    "llm_jaccard_prefix": llm_jaccard_prefix,
     "llm_incremental_dedup": llm_incremental_dedup,
     "llm_passage_dedup": llm_passage_dedup,
     "llm_chunking": llm_chunking,
@@ -3706,6 +3724,11 @@ ORACLES["llm_ann_ivf_sync"] = ORACLES["llm_cosine_topk"]
 # llm_incremental_dedup's fresh build — its exact all-pairs Jaccard
 # oracle verbatim (same corpus/batch split, same threshold).
 ORACLES["llm_minhash_sync"] = ORACLES["llm_incremental_dedup"]
+
+# llm_jaccard_prefix (r11): the prefix-filtered EXACT join shares the
+# banded form's exact all-pairs oracle verbatim — and needs no recall
+# argument (zero false negatives by the prefix-filter proof).
+ORACLES["llm_jaccard_prefix"] = ORACLES["llm_jaccard_pairs"]
 
 # llm_ann_ivf_deleted (r10): full-probe search after a tombstone
 # delete ≡ brute force over the SURVIVING corpus — the cosine replay

@@ -1602,6 +1602,98 @@ class TestCompressionRatio:
         assert "BatchEvalPython" not in plan
 
 
+class TestJaccardPrefixJoin:
+    """jaccard_join_prefix: EXACT all-pairs via prefix filtering —
+    must equal the exact O(n^2) base on every corpus, at every
+    threshold (the zero-false-negative contract)."""
+
+    def _random_docs(self, spark, seed, n=60):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(30)]
+        rows = []
+        for i in range(n):
+            base = [rng.choice(vocab) for _ in range(rng.randint(3, 18))]
+            rows.append((i, " ".join(base)))
+            if i % 3 == 0:  # planted near-dup: perturb one word
+                mut = list(base)
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+                rows.append((1000 + i, " ".join(mut)))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_equals_exact_all_pairs_across_thresholds(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            jaccard_all_pairs_from_sets,
+            jaccard_join_prefix,
+            word_shingle_hash_sets,
+        )
+
+        for seed, t in [(1, 0.5), (2, 0.8), (3, 0.3), (4, 1.0)]:
+            d = self._random_docs(spark, seed)
+            got = sorted(
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in jaccard_join_prefix(d, threshold=t).collect()
+            )
+            sets = word_shingle_hash_sets(d)
+            want = sorted(
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in jaccard_all_pairs_from_sets(
+                    sets, threshold=t
+                ).collect()
+            )
+            assert got == want, f"seed={seed} t={t}"
+            assert len(got) > 0, f"seed={seed} t={t}: vacuous corpus"
+
+    def test_boundary_pair_at_exact_threshold_kept(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            jaccard_join_prefix,
+        )
+
+        # docs sharing exactly half their shingle sets: 5 shared
+        # 3-grams of 'a b c d e f g', sets sized to give J = 0.5
+        d = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j"),      # 8 shingles
+                (2, "a b c d e f g x y z"),      # 8 shingles, 5 shared
+            ],
+            "doc_id long, text string",
+        )
+        # J = 5 / (8 + 8 - 5) = 5/11; exact-threshold boundary
+        got = jaccard_join_prefix(d, threshold=5 / 11).collect()
+        assert len(got) == 1 and abs(got[0]["jaccard"] - 5 / 11) < 1e-12
+
+    def test_valve_is_explicit_recall_trade(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            jaccard_join_prefix,
+        )
+
+        # 6 identical docs: every prefix token is shared by all 6 —
+        # the cap drops them, and the duplicate crowd goes unfound
+        # (the documented trade; default None keeps exactness)
+        d = spark.createDataFrame(
+            [(i, "p q r s t u v w") for i in range(6)],
+            "doc_id long, text string",
+        )
+        exact = jaccard_join_prefix(d, threshold=0.9).collect()
+        assert len(exact) == 15  # all C(6,2) identical pairs
+        valved = jaccard_join_prefix(
+            d, threshold=0.9, max_docs_per_token=3
+        ).collect()
+        assert len(valved) == 0
+
+    def test_invalid_threshold_raises(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            jaccard_join_prefix,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="threshold"):
+            jaccard_join_prefix(d, threshold=0.0)
+
+
 class TestBpe:
     """bpe_pair_counts + train_bpe_merges: the tokenizer-training prep
     step — distributed word histogram, reference merge loop."""

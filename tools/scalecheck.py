@@ -655,6 +655,20 @@ def main() -> None:
         "j5_factfact_join": lambda mult: j5(
             _scaled_lineitem(spark, args.sf, mult)
         ),
+        # the EXACT twin of minhash_pairs (r11): prefix-filtered
+        # all-pairs at the same threshold — candidate volume is
+        # Σ prefix_df², kept comparable by the rarest-first ordering;
+        # head-to-head with the banded row measures what exactness
+        # costs at this threshold
+        "jaccard_prefix_exact": lambda mult: dedup.jaccard_join_prefix(
+            _scaled_docs(spark, args.sf, mult), threshold=0.5,
+        ),
+        # the operator's DESIGN point: at t=0.9 prefixes shrink to
+        # ~0.1·|doc|+1 rarest tokens, which is where exact beats
+        # banded LSH (which would need many more bands up there)
+        "jaccard_prefix_exact_hi": lambda mult: dedup.jaccard_join_prefix(
+            _scaled_docs(spark, args.sf, mult), threshold=0.9,
+        ),
         "minhash_pairs": lambda mult: dedup.minhash_dedup_pairs(
             _scaled_docs(spark, args.sf, mult),
             threshold=0.5, n_hashes=64, n_bands=32,
