@@ -52,40 +52,38 @@ class TestRegistrationPolicy:
         )
 
     def test_registration_order_never_verified_first(self):
-        """Round-10 rotation: the never-driver-verified queries lead
+        """Round-11 rotation: the never-driver-verified queries lead
         their module block, then the stalest cohorts (freshness
         policy: no driver green older than two rounds) — a budget cut
         still lands on the freshest evidence first."""
         names = list(entrymod.queries())
-        # domain block: the r8-last-green sentinels (minus the three
-        # documented family-twinned deferrals)
-        assert names[0] == "s1_staging_scan_json"
-        # llm block: the seven never-driver-verified r9 additions lead,
-        # then this round's two new production compositions, then the
-        # r8-green cohort
+        # domain block: the three r8-stale deferrals lead
+        assert names[0] == "d_enrich_transactions"
+        # llm block: the seven r11 additions + fourteen r10
+        # post-rotation additions (all never driver-verified) lead,
+        # then the r8-stale cohort, then the r9 anchors
         for new in (
-            "llm_ann_ivf_pq",
-            "llm_ann_ivf_pq_rerank",
-            "llm_ann_ivf_filtered",
-            "llm_bm25_topk",
-            "llm_hybrid_retrieval",
-            "llm_bm25_index",
-            "llm_semantic_decontaminate",
-            "llm_hybrid_retrieval_index",
-            "llm_semantic_decontaminate_index",
+            "llm_minhash_sync",
+            "llm_hard_negatives",
+            "llm_source_overlap",
+            "llm_bpe_pairs",
+            "llm_epoch_upsample",
+            "llm_corpus_stats",
+            "llm_jaccard_prefix",
+            "llm_ann_ivf_deleted",
+            "llm_bm25_sync",
+            "llm_token_budget",
         ):
-            assert names.index(new) < names.index("llm_chunking")
-        # generic block: the seven r7-stale deferrals lead
+            assert names.index(new) < names.index("llm_ann_ivf_2level")
+        # generic block: the five r8-stale deferrals lead
         for stale in (
-            "a2_count_col_vs_star",
-            "g4_purchase_trend",
-            "h3_hopping_windows",
-            "j6b_anti_join_prefiltered",
-            "j9_full_outer_rollup",
-            "p5_conjunctive_filter",
-            "u1_intersect_users",
+            "aj2_asof_bucketed",
+            "g1_rollup_returnflag",
+            "h2_range_pruned_scan",
+            "j5_composite_key_join",
+            "w4_rolling_range_window",
         ):
-            assert names.index(stale) < names.index("f_scalar_surface")
+            assert names.index(stale) < names.index("a1_count_existence")
 
     def test_driver_lists_subset_of_full_corpus(self):
         from datawaves_etl_airflow_spark.queries import domain, generic, llm
