@@ -345,6 +345,46 @@ def stratified_sample(
     )
 
 
+def _temperature_quotas(
+    df: DataFrame,
+    group_col: str,
+    total_budget: int,
+    alpha: float,
+    weight_scale: int,
+) -> DataFrame:
+    """The ONE n^alpha integer quota computation behind
+    `temperature_sample` (cap direction) and `execute_mixture` (both
+    directions) — extracted so the two fronts cannot drift: integer
+    weights ``floor(weight_scale·n^alpha)``, BIGINT floor-division
+    quotas, the correctly-rounded sqrt/identity spellings for the
+    engine-stable alphas. Returns ``(group_col, quota)``."""
+    n = F.col("_n")
+    if alpha == 0.5:
+        raw = F.sqrt(n)  # correctly-rounded IEEE sqrt, engine-identical
+    elif alpha == 0:
+        raw = F.lit(1.0)
+    elif alpha == 1:
+        raw = n.cast("double")
+    else:
+        raw = F.pow(n, F.lit(float(alpha)))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    weights = counts.select(
+        group_col,
+        F.floor(F.lit(float(weight_scale)) * raw).cast("bigint").alias("_w"),
+    )
+    return (
+        weights.crossJoin(
+            F.broadcast(weights.agg(F.sum("_w").alias("_tot")))
+        )
+        .select(
+            group_col,
+            F.expr(
+                f"CAST({int(total_budget)} AS BIGINT) * _w DIV _tot"
+            ).alias("quota"),
+        )
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     group_col: str,
@@ -391,30 +431,8 @@ def temperature_sample(
     Returns the kept rows with ``rank_col`` (1-based within group) and
     ``quota`` attached.
     """
-    n = F.col("_n")
-    if alpha == 0.5:
-        raw = F.sqrt(n)  # correctly-rounded IEEE sqrt, engine-identical
-    elif alpha == 0:
-        raw = F.lit(1.0)
-    elif alpha == 1:
-        raw = n.cast("double")
-    else:
-        raw = F.pow(n, F.lit(float(alpha)))
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    weights = counts.select(
-        group_col,
-        F.floor(F.lit(float(weight_scale)) * raw).cast("bigint").alias("_w"),
-    )
-    quotas = (
-        weights.crossJoin(
-            F.broadcast(weights.agg(F.sum("_w").alias("_tot")))
-        )
-        .select(
-            group_col,
-            F.expr(f"CAST({total_budget} AS BIGINT) * _w DIV _tot").alias(
-                "quota"
-            ),
-        )
+    quotas = _temperature_quotas(
+        df, group_col, total_budget, alpha, weight_scale
     )
     ordered = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
     with_q = df.join(F.broadcast(quotas), group_col)
@@ -523,6 +541,43 @@ def epoch_upsample(
         )
     )
     return full.unionByName(rem)
+
+
+def execute_mixture(
+    df: DataFrame,
+    group_col: str,
+    total_budget: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    max_epochs: float | None = None,
+    weight_scale: int = 1_000_000,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Plan AND execute a temperature mixture in BOTH directions in
+    one call: the shared `_temperature_quotas` integer math decides
+    each group's target, then `epoch_upsample` realizes it — groups
+    above quota down-select to their smallest-md5 rows (epoch 0,
+    exactly `temperature_sample`'s kept SET — same ordering, pinned
+    in tests), groups below quota repeat whole epochs + an md5
+    remainder. This is the one-call form of the published mixture
+    recipes where weights imply BOTH under- and over-one-epoch rates
+    (GPT-3 Table 2.2; XLM-R's p^alpha): planning with
+    `temperature_sample` alone silently caps the up-side at 1 epoch.
+    Output carries ``epoch_col``; total rows = Σ quotas (± nothing:
+    each group lands exactly on its integer quota, unlike the cap
+    form where a small group simply runs out). ``max_epochs`` bounds
+    repetition (data-constrained-scaling guidance)."""
+    quotas = _temperature_quotas(
+        df, group_col, total_budget, alpha, weight_scale
+    )
+    return epoch_upsample(
+        df,
+        group_col,
+        quotas,
+        id_col=id_col,
+        max_epochs=max_epochs,
+        epoch_col=epoch_col,
+    )
 
 
 def pack_sequences(

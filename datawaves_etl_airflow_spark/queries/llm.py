@@ -93,6 +93,19 @@ def llm_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility signal (`text.compression_ratio`) over the
+    corpus — rows-only BY DESIGN: the compressed length is a property
+    of the deployed zlib build (deterministic per build, a few bytes
+    of drift across builds), so no cross-engine oracle exists; value
+    pins live in pytest against the same interpreter's zlib
+    (TestCompressionRatio)."""
+    out = text.compression_ratio(_docs(spark, sf_dir))
+    return out.select(
+        F.col("id").alias("doc_id"), "n_bytes", "n_compressed", "ratio"
+    )
+
+
 def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH dedup pairs, exact-verified at j ≥ 0.5 (rows-only:
     the candidate set depends on Spark's xxhash64)."""
@@ -2003,6 +2016,24 @@ def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "quota", "rk")
 
 
+def llm_mixture_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call mixture execution (`sampling.execute_mixture`,
+    alpha=0 → uniform per-source quotas from a 600-row budget): big
+    sources DOWN-select to their md5-smallest quota rows, small
+    sources REPEAT past one epoch — both directions of the GPT-3
+    recipe through the shared integer quota math + the epoch split,
+    replayed by DuckDB value-for-value. At sf0.001 every source
+    upsamples, at sf0.1 every source caps, at sf0.01 both branches
+    fire — one query, all three regimes across the parity SFs."""
+    out = sampling.execute_mixture(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        "source",
+        total_budget=600,
+        alpha=0,
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
 def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus data card (`profile.corpus_stats` — the release
     summary a dataset publishes): doc/token/char totals, mean doc
@@ -2375,6 +2406,7 @@ DRIVER_QUERIES = [
     "llm_epoch_upsample",
     "llm_corpus_stats",
     "llm_jaccard_prefix",
+    "llm_mixture_execute",
     # never driver-verified: r10 post-rotation additions
     "llm_ann_ivf_deleted",
     "llm_ann_ivf_sync",
@@ -2399,20 +2431,21 @@ DRIVER_QUERIES = [
     "llm_semantic_dedup",
     "llm_semantic_dedup_ivf_diverse",
     "llm_simhash_planted",
-    # r9 anchors: the banded form beside its new exact twin (one
-    # oracle, two plans — the strongest cross-check in the corpus),
-    # and the cosine replay the ANN oracles reuse. llm_dedup_clusters
-    # and llm_dedup_exact defer one round (both r9-green with
-    # untouched plans) funding llm_corpus_stats' and
-    # llm_jaccard_prefix's never-verified slots.
+    # r9 anchor: the banded form beside its new exact twin (one
+    # oracle, two plans — the strongest cross-check in the corpus).
+    # llm_dedup_clusters, llm_dedup_exact and llm_cosine_topk defer
+    # one round (all r9-green with untouched plans; the cosine replay
+    # is exercised through the four in-slot ANN queries whose oracles
+    # derive from it) funding the never-verified r11 slots.
     "llm_jaccard_pairs",
-    "llm_cosine_topk",
 ]
 
 QUERIES = {
     "llm_dedup_exact": llm_dedup_exact,
     "llm_jaccard_pairs": llm_jaccard_pairs,
     "llm_jaccard_prefix": llm_jaccard_prefix,
+    "llm_compression_ratio": llm_compression_ratio,
+    "llm_mixture_execute": llm_mixture_execute,
     "llm_incremental_dedup": llm_incremental_dedup,
     "llm_passage_dedup": llm_passage_dedup,
     "llm_chunking": llm_chunking,
@@ -3627,6 +3660,42 @@ ORACLES["llm_corpus_stats"] = f"""
            ROUND(n_tokens * 1.0 / n_docs, 6) AS mean_doc_tokens,
            n_sources, top_source, n_langs, top_lang
     FROM base, s, st, l, lt
+"""
+
+ORACLES["llm_mixture_execute"] = """
+    WITH c AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n, CAST(1000000 AS BIGINT) AS w FROM c
+    ),
+    q AS (
+        SELECT source, n,
+               CAST(CAST(600 AS BIGINT) * w
+                    // (SELECT SUM(w) FROM w) AS BIGINT) AS quota
+        FROM w
+    ),
+    split AS (
+        SELECT source, quota // n AS fullep, quota % n AS rem FROM q
+    ),
+    fullrows AS (
+        SELECT d.doc_id, d.source, CAST(e AS INTEGER) AS epoch
+        FROM documents d
+        JOIN split s ON d.source = s.source,
+        UNNEST(range(0, s.fullep)) AS u(e)
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source, s.fullep, s.rem,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rk
+        FROM documents d JOIN split s ON d.source = s.source
+    )
+    SELECT doc_id, source, epoch FROM fullrows
+    UNION ALL
+    SELECT doc_id, source, CAST(fullep AS INTEGER) AS epoch
+    FROM ranked WHERE rk <= rem
 """
 
 ORACLES["llm_epoch_upsample"] = """

@@ -76,6 +76,9 @@ ALLOWED_BNLJ = {
     "corpus-stats aggregate — inherited through the ranked-results "
     "pass; the qrels joins are query-keyed hash joins",
     # r11 additions:
+    "llm_mixture_execute": "broadcast 1-row total-weight aggregate "
+    "in the shared _temperature_quotas math — the whitelisted "
+    "llm_temperature_sample shape, inherited",
     "llm_corpus_stats": "1-row global aggregate x broadcast 1-row "
     "per-dimension aggregates (distinct count + modal value per "
     "group column) — every side is a single row by construction",

@@ -592,3 +592,50 @@ class TestEpochUpsample:
         small = [r for r in out if r["source"] == "small"]
         # clamp: floor(2.5 * 10) = 25, not 100
         assert len(small) == 25
+
+
+class TestExecuteMixture:
+    """execute_mixture: both mixture directions through the shared
+    quota math + epoch split."""
+
+    def _docs(self, spark):
+        rows = [(i, "small") for i in range(5)] + [
+            (100 + i, "big") for i in range(45)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_both_directions_hit_exact_quotas(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            execute_mixture,
+        )
+
+        # alpha=0: uniform 20/20 quotas from a 40-row budget —
+        # small (5 docs) upsamples 4x, big (45) caps at 20
+        out = execute_mixture(
+            self._docs(spark), "source", total_budget=40, alpha=0
+        ).collect()
+        small = [r for r in out if r["source"] == "small"]
+        big = [r for r in out if r["source"] == "big"]
+        assert len(small) == 20 and len(big) == 20
+        assert {r["epoch"] for r in small} == {0, 1, 2, 3}
+        assert {r["epoch"] for r in big} == {0}
+
+    def test_cap_direction_equals_temperature_sample_set(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            execute_mixture,
+            temperature_sample,
+        )
+
+        d = self._docs(spark)
+        mix = execute_mixture(d, "source", total_budget=8, alpha=0.5)
+        cap = temperature_sample(d, "source", total_budget=8, alpha=0.5)
+        got = sorted(
+            (r["doc_id"], r["source"])
+            for r in mix.filter("source = 'big'").collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["source"])
+            for r in cap.filter("source = 'big'").collect()
+        )
+        # the down-selected group keeps the IDENTICAL md5-ranked set
+        assert got == want and len(got) > 0
