@@ -271,18 +271,23 @@ def corpus_stats(
         ),
     )
     for g in group_cols:
-        per = docs.groupBy(g).agg(F.count(F.lit(1)).alias("_n"))
-        top = (
-            per.orderBy(F.col("_n").desc(), F.col(g).asc())
-            .limit(1)
-            .select(
-                F.col(g).alias(f"top_{g}"),
+        # ONE always-one-row fold per dimension (distinct count +
+        # modal value via min_by over (−count, value) — max count,
+        # then value ASC): an empty corpus yields a zeros/NULLs card
+        # row, never a vanished card (a limit-1 modal side would
+        # annihilate the crossJoin on empty input)
+        dim = (
+            docs.groupBy(g)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{g}s"),
+                F.min_by(
+                    F.col(g),
+                    F.struct(
+                        (-F.col("_n")).alias("a"), F.col(g).alias("b")
+                    ),
+                ).alias(f"top_{g}"),
             )
         )
-        n_distinct = per.agg(
-            F.count(F.lit(1)).alias(f"n_{g}s")
-        )
-        base = base.crossJoin(F.broadcast(n_distinct)).crossJoin(
-            F.broadcast(top)
-        )
+        base = base.crossJoin(F.broadcast(dim))
     return base

@@ -92,3 +92,87 @@ class TestEmptyInputs:
         assert [tuple(r) for r in out.collect()] == [
             (1, "a", dt.datetime(2020, 1, 1), None)
         ]
+
+
+class TestEmptyInputsR11:
+    """Zero-row robustness for the r11 operator additions."""
+
+    def _docs(self, spark):
+        return _empty(spark, [
+            ("doc_id", LongType()), ("text", StringType()),
+            ("source", StringType()), ("lang", StringType()),
+        ])
+
+    def test_source_overlap(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            source_overlap,
+        )
+
+        out = source_overlap(self._docs(spark))
+        assert out.count() == 0
+        assert out.columns == [
+            "source_a", "source_b", "n_shared", "jaccard",
+        ]
+
+    def test_jaccard_join_prefix(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            jaccard_join_prefix,
+        )
+
+        assert jaccard_join_prefix(self._docs(spark)).count() == 0
+
+    def test_bpe(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bpe_pair_counts,
+            train_bpe_merges,
+        )
+
+        assert bpe_pair_counts(self._docs(spark), top_n=5).count() == 0
+        assert train_bpe_merges(self._docs(spark), n_merges=3) == []
+
+    def test_compression_ratio(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            compression_ratio,
+        )
+
+        out = compression_ratio(self._docs(spark))
+        assert out.count() == 0
+        assert out.columns == ["id", "n_bytes", "n_compressed", "ratio"]
+
+    def test_hard_negatives(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            mine_hard_negatives,
+        )
+
+        queries = _empty(spark, [
+            ("query_id", LongType()), ("query_text", StringType()),
+        ])
+        qrels = _empty(spark, [
+            ("query_id", LongType()), ("doc_id", LongType()),
+            ("rel", LongType()),
+        ])
+        out = mine_hard_negatives(self._docs(spark), queries, qrels)
+        assert out.count() == 0
+
+    def test_epoch_upsample_and_mixture(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            epoch_upsample,
+            execute_mixture,
+        )
+
+        d = self._docs(spark).select("doc_id", "source")
+        assert epoch_upsample(d, "source", {"web": 5}).count() == 0
+        assert execute_mixture(d, "source", 10, alpha=0).count() == 0
+
+    def test_corpus_stats_empty_card(self, spark):
+        from datawaves_etl_airflow_spark.operators.profile import (
+            corpus_stats,
+        )
+
+        # the one-row card still materializes on an empty corpus —
+        # zeros and NULLs, never a raise or a vanished card
+        r = corpus_stats(self._docs(spark)).collect()
+        assert len(r) == 1
+        assert r[0]["n_docs"] == 0 and r[0]["n_tokens"] == 0
+        assert r[0]["mean_doc_tokens"] is None
+        assert r[0]["n_sources"] == 0 and r[0]["top_source"] is None
