@@ -329,6 +329,96 @@ def decode_image(
     return payloads.mapInPandas(_batches, schema=IMAGE_FEATURE_SCHEMA)
 
 
+AHASH_SCHEMA = StructType([
+    StructField("id", LongType(), False),
+    StructField("simhash", LongType(), True),
+])
+
+
+def image_ahash(
+    payloads: DataFrame,
+    on_error: str = "fail",
+    codecs=None,
+) -> DataFrame:
+    """Perceptual AVERAGE-HASH per image payload → ``(id, simhash)``
+    — the 64-bit image near-dup key (aHash: 8×8 average-pooled
+    thumbnail, one bit per pixel vs the thumbnail mean). The output
+    column is deliberately named ``simhash``: it plugs straight into
+    `dedup.simhash_candidate_pairs`' 16-bit-chunk pigeonhole join, so
+    image near-dup pairs at Hamming ≤ 3 come from the SAME machinery
+    text SimHash uses — the LAION-style image dedup path (exact
+    re-encodes hash identically; global brightness/contrast shifts
+    are invariant by construction, since every bit compares a pixel
+    to the same thumbnail's own mean).
+
+    Decode goes through the pluggable codec tier (`codecs.py` —
+    FAKI / PGM / feature-flagged PIL) with `decode_image`'s
+    ``on_error`` quarantine contract. Pooling: images ≥ 8 px per side
+    average-pool over an 8-bucket partition of each axis
+    (integer-exact reduceat); smaller sides fall back to
+    nearest-neighbor sampling (an upsampled mean would invent
+    precision). One Arrow-batched map, zero shuffles."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError("on_error must be 'fail' or 'skip'")
+    from .codecs import image_codecs
+
+    codec_list = list(codecs) if codecs is not None else image_codecs()
+    dispatch = [(c.sniff, c.decode) for c in codec_list]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, sigs = [], []
+            for iid, b in zip(pdf["id"], pdf["payload"]):
+                if b is None:
+                    continue
+                b = bytes(b)
+                try:
+                    img = None
+                    for sniff, decode in dispatch:
+                        if sniff(b):
+                            img = decode(b)
+                            break
+                    if img is None:
+                        raise ValueError("bad image container")
+                except (ValueError, OSError) as e:
+                    if on_error == "fail":
+                        raise ValueError(
+                            f"payload id={iid}: bad image container "
+                            f"({e})"
+                        ) from e
+                    continue
+                h, w = img.shape
+
+                def _axis(n: int) -> "np.ndarray":
+                    return (np.arange(8) * n) // 8
+
+                if h >= 8 and w >= 8:
+                    r_idx, c_idx = _axis(h), _axis(w)
+                    sums = np.add.reduceat(
+                        np.add.reduceat(
+                            img.astype(np.int64), r_idx, axis=0
+                        ),
+                        c_idx,
+                        axis=1,
+                    )
+                    r_cnt = np.diff(np.append(r_idx, h))
+                    c_cnt = np.diff(np.append(c_idx, w))
+                    thumb = sums / np.outer(r_cnt, c_cnt)
+                else:
+                    thumb = img[_axis(h)][:, _axis(w)].astype(
+                        np.float64
+                    )
+                bits = (thumb > thumb.mean()).flatten()
+                v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                ids.append(int(iid))
+                sigs.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame({"id": ids, "simhash": sigs})
+
+    return payloads.mapInPandas(_batches, schema=AHASH_SCHEMA)
+
+
 #: deterministic fake audio container: magic + u32 sample rate + u32
 #: sample count + s16le samples (sha256(id) tiled). The audio sibling
 #: of FAKI/FAKV — stands in for wav/flac so decode → feature →

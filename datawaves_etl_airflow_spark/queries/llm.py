@@ -1856,6 +1856,42 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_docs(spark, sf_dir))
 
 
+def llm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted image near-dup detection via perceptual average-hash
+    (`multimodal.image_ahash` → `dedup.simhash_candidate_pairs` — the
+    LAION-style image dedup path on the engine's existing SimHash
+    candidate machinery): docs 0–49 get fake image payloads whose
+    PIXELS derive from doc_id % 25, so ids i and i+25 are exact pixel
+    copies — their 64-bit aHashes are equal and the pigeonhole join
+    must pair each at Hamming 0 (sha256-noise cross-pairs collide at
+    2^-64). The oracle is the planted pair list, adapting to each
+    SF's id range."""
+    d = _docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") < 50
+    )
+    imgs = multimodal.encode_fake_image(
+        d.select((F.col("doc_id") % 25).alias("img"))
+        .distinct()
+        .select(
+            "img", F.lit(24).alias("w"), F.lit(16).alias("h")
+        ),
+        "w",
+        "h",
+        id_col="img",
+    ).withColumnRenamed("id", "img")
+    pays = d.select(
+        "doc_id", (F.col("doc_id") % 25).alias("img")
+    ).join(imgs, "img").select(
+        F.col("doc_id").alias("id"), "payload"
+    )
+    pairs = dedup.simhash_candidate_pairs(
+        multimodal.image_ahash(pays)
+    )
+    return pairs.filter(F.col("hamming") == 0).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload plumbing: mapInPandas metadata extraction."""
     payloads = multimodal.attach_binary_payload(_docs(spark, sf_dir))
@@ -2446,6 +2482,7 @@ QUERIES = {
     "llm_jaccard_prefix": llm_jaccard_prefix,
     "llm_compression_ratio": llm_compression_ratio,
     "llm_mixture_execute": llm_mixture_execute,
+    "llm_image_phash": llm_image_phash,
     "llm_incremental_dedup": llm_incremental_dedup,
     "llm_passage_dedup": llm_passage_dedup,
     "llm_chunking": llm_chunking,
@@ -3660,6 +3697,16 @@ ORACLES["llm_corpus_stats"] = f"""
            ROUND(n_tokens * 1.0 / n_docs, 6) AS mean_doc_tokens,
            n_sources, top_source, n_langs, top_lang
     FROM base, s, st, l, lt
+"""
+
+# llm_image_phash (r11): the planted exact-pixel-copy pair list —
+# ids i and i+25 share payload bytes, so their aHashes are equal and
+# the pigeonhole candidates must surface each pair at Hamming 0.
+ORACLES["llm_image_phash"] = """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(0 AS INTEGER) AS hamming
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 25
+    WHERE a.doc_id < 25 AND b.doc_id < 50
 """
 
 ORACLES["llm_mixture_execute"] = """

@@ -1694,6 +1694,108 @@ class TestJaccardPrefixJoin:
             jaccard_join_prefix(d, threshold=0.0)
 
 
+class TestImageAhash:
+    """image_ahash: perceptual average-hash → the text-SimHash
+    candidate machinery, unchanged."""
+
+    def _pgm(self, px):
+        h = len(px)
+        w = len(px[0])
+        body = bytes(v for row in px for v in row)
+        return b"P5\n%d %d\n255\n" % (w, h) + body
+
+    def _grad(self, w, h, shift=0):
+        return [
+            [min(235, (3 * x + 5 * y) % 200) + shift for x in range(w)]
+            for y in range(h)
+        ]
+
+    def test_identical_payloads_hash_identically(self, spark):
+        from datawaves_etl_airflow_spark.operators.multimodal import (
+            encode_fake_image,
+            image_ahash,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, 32, 24), (2, 32, 24)], "doc_id long, w int, h int"
+        )
+        pays = encode_fake_image(docs, "w", "h").collect()
+        # same bytes under two ids: re-attach row 1's payload as id 99
+        dup = spark.createDataFrame(
+            [(1, bytearray(pays[0]["payload"])),
+             (99, bytearray(pays[0]["payload"]))],
+            "id long, payload binary",
+        )
+        got = {r["id"]: r["simhash"] for r in image_ahash(dup).collect()}
+        assert got[1] == got[99]
+
+    def test_brightness_shift_is_invariant(self, spark):
+        from datawaves_etl_airflow_spark.operators.multimodal import (
+            image_ahash,
+        )
+
+        rows = [
+            (1, bytearray(self._pgm(self._grad(16, 16)))),
+            (2, bytearray(self._pgm(self._grad(16, 16, shift=20)))),
+        ]
+        d = spark.createDataFrame(rows, "id long, payload binary")
+        got = {r["id"]: r["simhash"] for r in image_ahash(d).collect()}
+        assert got[1] == got[2]
+
+    def test_local_edit_small_hamming_found_by_pigeonhole(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            simhash_candidate_pairs,
+        )
+        from datawaves_etl_airflow_spark.operators.multimodal import (
+            image_ahash,
+        )
+
+        base = self._grad(32, 32)
+        edited = [row[:] for row in base]
+        for y in range(4):          # blank one 4x4 corner block
+            for x in range(4):
+                edited[y][x] = 255
+        import hashlib as _h
+
+        noise = [
+            [
+                _h.sha256(b"%d:%d" % (y, x)).digest()[0]
+                for x in range(32)
+            ]
+            for y in range(32)
+        ]
+        d = spark.createDataFrame(
+            [
+                (1, bytearray(self._pgm(base))),
+                (2, bytearray(self._pgm(edited))),
+                (3, bytearray(self._pgm(noise))),
+            ],
+            "id long, payload binary",
+        )
+        sigs = image_ahash(d)
+        pairs = simhash_candidate_pairs(sigs).filter("hamming <= 3")
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_on_error_skip_quarantines(self, spark):
+        from datawaves_etl_airflow_spark.operators.multimodal import (
+            image_ahash,
+        )
+
+        d = spark.createDataFrame(
+            [(1, bytearray(self._pgm(self._grad(8, 8)))),
+             (2, bytearray(b"not an image"))],
+            "id long, payload binary",
+        )
+        import pytest as _pt
+
+        with _pt.raises(Exception, match="bad image container"):
+            image_ahash(d).collect()
+        got = image_ahash(d, on_error="skip").collect()
+        assert [r["id"] for r in got] == [1]
+
+
 class TestBpe:
     """bpe_pair_counts + train_bpe_merges: the tokenizer-training prep
     step — distributed word histogram, reference merge loop."""
