@@ -63,6 +63,15 @@ from __future__ import annotations
 #: which is what production search engines ship (stopword lists are
 #: this valve, precomputed). Applies to `text.bm25_topk` and
 #: `text.bm25_search_index` (same probe tree).
+#: r11 additions: jaccard_join_prefix's prefix-token cap is the same
+#: Σ bucket² judgment as the band caps (a prefix token shared by 10k
+#: docs is a boilerplate gram — rare-first ordering makes that
+#: pathological by construction); source_overlap's cap is a COUNT of
+#: sources, not docs — a shingle in ≥ half the sources carries no
+#: between-source signal (the max_df_ratio judgment applied to the
+#: source dimension), so production reporting caps it at 32 (any
+#: shingle in more than ~32 of a typical 10-100-source mixture is a
+#: stopword-gram; matrices over fewer sources are unaffected).
 PRODUCTION_VALVES: dict[str, float] = {
     "minhash_dedup_pairs.max_docs_per_band": 10_000,
     "neardup_pairs_banded.max_docs_per_band": 10_000,
@@ -70,6 +79,8 @@ PRODUCTION_VALVES: dict[str, float] = {
     "semantic_dedup.max_cell_size": 10_000,
     "winnow_dedup_pairs.max_docs_per_fp": 64,
     "bm25_topk.max_df_ratio": 0.5,
+    "jaccard_join_prefix.max_docs_per_token": 10_000,
+    "source_overlap.max_sources_per_shingle": 32,
 }
 
 

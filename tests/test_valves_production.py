@@ -204,3 +204,53 @@ class TestBm25MaxDfRatio:
         got = text.bm25_search_index(mixed, p, k=5, max_df_ratio=ratio)
         want = text.bm25_topk(docs, mixed, k=5, max_df_ratio=ratio)
         assert _rows(got) == _rows(want)
+
+
+class TestR11Valves:
+    """The r11 valves at their recommended caps: identical to the
+    exact form on healthy corpora (the caps only fire on degenerate
+    crowds — pinned separately in each operator's own skew test)."""
+
+    def test_jaccard_prefix_valved_equals_exact(self, spark):
+        d = _docs(spark)
+        exact = sorted(
+            map(
+                tuple,
+                dedup.jaccard_join_prefix(d, threshold=0.5).collect(),
+            )
+        )
+        valved = sorted(
+            map(
+                tuple,
+                dedup.jaccard_join_prefix(
+                    d,
+                    threshold=0.5,
+                    max_docs_per_token=int(
+                        recommended(
+                            "jaccard_join_prefix", "max_docs_per_token"
+                        )
+                    ),
+                ).collect(),
+            )
+        )
+        assert valved == exact and len(exact) > 0
+
+    def test_source_overlap_valved_equals_exact(self, spark):
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        exact = sorted(
+            map(tuple, dedup.source_overlap(d).collect())
+        )
+        valved = sorted(
+            map(
+                tuple,
+                dedup.source_overlap(
+                    d,
+                    max_sources_per_shingle=int(
+                        recommended(
+                            "source_overlap", "max_sources_per_shingle"
+                        )
+                    ),
+                ).collect(),
+            )
+        )
+        assert valved == exact and len(exact) > 0
