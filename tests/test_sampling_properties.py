@@ -74,3 +74,53 @@ class TestTemperatureSampleProperties:
         for g, (quota, ids) in expected.items():
             assert got.get(g, set()) == ids, (g, quota)
         assert len(out) <= budget
+
+
+class TestEpochUpsampleProperties:
+    """epoch_upsample ≡ a pure-Python replay: per-group output size
+    lands exactly on the (clamped) quota, epochs split into
+    floor(q/n) full copies + an md5-ranked remainder, (id, epoch)
+    unique — starved quotas, over-epoch quotas and single-doc groups
+    all emerge from the generator."""
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        rows=_rows,
+        quotas=st.dictionaries(
+            st.sampled_from(["A", "B", "C", "D"]),
+            st.integers(0, 60),
+            max_size=4,
+        ),
+    )
+    def test_matches_reference(self, spark, rows, quotas):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            epoch_upsample,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = epoch_upsample(df, "source", quotas).collect()
+        groups = defaultdict(list)
+        for i, g in rows:
+            groups[g].append(i)
+        got = defaultdict(list)
+        for r in out:
+            got[r["source"]].append((r["doc_id"], r["epoch"]))
+        for g, ids in groups.items():
+            n = len(ids)
+            q = quotas.get(g, n)
+            rows_g = got.get(g, [])
+            assert len(rows_g) == q, (g, q, n)
+            assert len(set(rows_g)) == len(rows_g)  # (id, epoch) unique
+            full, rem = q // n, q % n
+            # every doc appears exactly `full` times at epochs 0..full-1
+            for i in ids:
+                epochs = sorted(e for d, e in rows_g if d == i)
+                base = list(range(full))
+                ranked = sorted(
+                    ids,
+                    key=lambda x: (
+                        hashlib.md5(str(x).encode()).hexdigest(), x
+                    ),
+                )
+                want = base + ([full] if i in set(ranked[:rem]) else [])
+                assert epochs == want, (g, i)
