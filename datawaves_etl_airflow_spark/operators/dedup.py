@@ -2062,6 +2062,51 @@ def duplicate_passages(
     )
 
 
+def passage_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 1,
+) -> DataFrame:
+    """PASSAGE-level benchmark decontamination — ``(id,
+    n_shared_fps)`` for corpus docs sharing ≥ ``min_shared`` winnowed
+    fingerprints with ANY benchmark document. The third granularity
+    of the decontamination story, with a guarantee the other two
+    cannot give: by the winnowing theorem, every VERBATIM run of
+    ≥ ``k + w − 1`` words copied from the benchmark shares ≥ 1
+    selected fingerprint — zero false negatives at that run length.
+    `benchmark_contamination` (k-gram overlap) scores diffuse
+    similarity but a short quoted answer string inside a long doc
+    dilutes below any overlap-fraction threshold;
+    `semantic_decontaminate` catches paraphrase but not provably;
+    this tier is the test-set-quote detector (the GPT-3/Lee-et-al.
+    decontamination concern).
+
+    Plan: both sides run the shared winnowing map
+    (`winnow_fingerprints` — ~2/(w+1) density, map-side); the
+    benchmark's distinct fingerprint set broadcasts (benchmarks are
+    MB-scale against a TB corpus) so the corpus side NEVER shuffles
+    for the probe — one broadcast-hash semi-probe + the id-keyed
+    count, the `benchmark_contamination` shape at passage
+    granularity. Sub-``k``-word docs emit no fingerprints (exact
+    dedup is their tier, the standing winnowing contract)."""
+    corpus_fps = winnow_fingerprints(docs, text_col, id_col, k, w)
+    bench_fps = (
+        winnow_fingerprints(benchmark, text_col, id_col, k, w)
+        .select("fp")
+        .distinct()
+    )
+    return (
+        corpus_fps.join(F.broadcast(bench_fps), "fp")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
 def cluster_representatives(
     clusters: DataFrame,
     scores: DataFrame,

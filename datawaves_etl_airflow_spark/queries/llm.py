@@ -256,6 +256,51 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_pair_counts(_docs(spark, sf_dir), top_n=50)
 
 
+def llm_passage_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Passage-level benchmark decontamination
+    (`dedup.passage_contamination` — winnowed-fingerprint probe,
+    zero false negatives for ≥ k+w−1 = 23-word verbatim runs),
+    self-checking via the llm_passage_dedup planted construction:
+    the benchmark is the doc_id % 7 == 0 slice; for each qualifying
+    benchmark doc (≥ 23 words) a corpus doc is planted at
+    id + 1,000,000 whose text is the benchmark doc's words REVERSED
+    (no shared 8-gram runs) followed by its first 23 words — a
+    verbatim 23-word quote the operator MUST flag by the winnowing
+    theorem. Output restricted to the planted id range so the oracle
+    is the exact qualifying-source list (natural corpus↔benchmark
+    sharing is real signal but not engine-independent)."""
+    docs = _docs(spark, sf_dir)
+    toks = dedup.tokenize(F.col("text"))
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "text"
+    )
+    src = docs.select("doc_id", toks.alias("ws")).filter(
+        (F.col("doc_id") % 7 == 0) & (F.size("ws") >= 23)
+    )
+    planted = src.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.reverse("ws"), F.slice("ws", 1, 23)),
+        ).alias("text"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    out = dedup.passage_contamination(corpus, bench, k=8, w=16)
+    return (
+        out.filter(F.col("id") >= 1_000_000)
+        .select(
+            (F.col("id") - 1_000_000).alias("doc_id"),
+            F.lit(True).alias("passage_found"),
+        )
+    )
+
+
 def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix (`dedup.source_overlap` —
     distinct-3-shingle sharing + set Jaccard per unordered source
@@ -2483,6 +2528,7 @@ QUERIES = {
     "llm_compression_ratio": llm_compression_ratio,
     "llm_mixture_execute": llm_mixture_execute,
     "llm_image_phash": llm_image_phash,
+    "llm_passage_decontaminate": llm_passage_decontaminate,
     "llm_incremental_dedup": llm_incremental_dedup,
     "llm_passage_dedup": llm_passage_dedup,
     "llm_chunking": llm_chunking,
@@ -3697,6 +3743,17 @@ ORACLES["llm_corpus_stats"] = f"""
            ROUND(n_tokens * 1.0 / n_docs, 6) AS mean_doc_tokens,
            n_sources, top_source, n_langs, top_lang
     FROM base, s, st, l, lt
+"""
+
+# llm_passage_decontaminate (r11): the planted-quote construction —
+# every qualifying benchmark source (% 7 == 0, ≥ 23 words) has a
+# planted corpus doc quoting its first 23 words verbatim, which the
+# winnowing theorem forces the operator to flag. Same qualifying-set
+# oracle as llm_passage_dedup (the shared construction).
+ORACLES["llm_passage_decontaminate"] = f"""
+    SELECT doc_id, TRUE AS passage_found
+    FROM (SELECT doc_id, {_WORDS} AS ws FROM documents)
+    WHERE doc_id % 7 = 0 AND len(ws) >= 23
 """
 
 # llm_image_phash (r11): the planted exact-pixel-copy pair list —

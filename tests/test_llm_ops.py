@@ -1796,6 +1796,76 @@ class TestImageAhash:
         assert [r["id"] for r in got] == [1]
 
 
+class TestPassageContamination:
+    """passage_contamination: the winnowing-theorem decontamination
+    tier — a >= k+w-1-word verbatim quote MUST be flagged."""
+
+    def test_quote_detected_diffuse_overlap_not(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            passage_contamination,
+        )
+
+        bench_words = [f"b{i}" for i in range(40)]
+        bench = spark.createDataFrame(
+            [(1, " ".join(bench_words))], "doc_id long, text string"
+        )
+        # doc 10 quotes a 23-word run verbatim inside unrelated text;
+        # doc 11 shares many WORDS but no 8-word run (shuffled order);
+        # doc 12 is unrelated
+        filler = [f"x{i}" for i in range(30)]
+        quote = bench_words[5:28]  # 23 words = k + w - 1
+        shuffled = [bench_words[(7 * i + 3) % 40] for i in range(30)]
+        corpus = spark.createDataFrame(
+            [
+                (10, " ".join(filler[:15] + quote + filler[15:])),
+                (11, " ".join(shuffled)),
+                (12, " ".join(f"z{i}" for i in range(40))),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["id"]: r["n_shared_fps"]
+            for r in passage_contamination(
+                corpus, bench, k=8, w=16
+            ).collect()
+        }
+        assert 10 in got and got[10] >= 1
+        assert 11 not in got and 12 not in got
+
+    def test_min_shared_raises_the_bar(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            passage_contamination,
+        )
+
+        bench_words = [f"b{i}" for i in range(60)]
+        bench = spark.createDataFrame(
+            [(1, " ".join(bench_words))], "doc_id long, text string"
+        )
+        # the whole benchmark doc verbatim → many shared fps
+        corpus = spark.createDataFrame(
+            [(10, " ".join(bench_words))], "doc_id long, text string"
+        )
+        lo = passage_contamination(corpus, bench, min_shared=1)
+        hi = passage_contamination(corpus, bench, min_shared=3)
+        assert lo.first()["n_shared_fps"] >= 3
+        assert hi.count() == 1
+
+    def test_short_docs_emit_nothing(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            passage_contamination,
+        )
+
+        bench = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(10, "a b c")], "doc_id long, text string"
+        )
+        # both sides below k words: no fingerprints, no rows (exact
+        # dedup is the tier for tiny docs — the winnowing contract)
+        assert passage_contamination(corpus, bench, k=8).count() == 0
+
+
 class TestBpe:
     """bpe_pair_counts + train_bpe_merges: the tokenizer-training prep
     step — distributed word histogram, reference merge loop."""
