@@ -486,9 +486,12 @@ def epoch_upsample(
     """
     spark = df.sparkSession
     if isinstance(quotas, dict):
+        # infer the group key's type from the dict keys (a hard-coded
+        # string schema would silently mistype an integer group col
+        # and the quota join would miss every group)
         quotas = spark.createDataFrame(
             [(k, int(v)) for k, v in quotas.items()],
-            f"{group_col} string, quota long",
+            [group_col, "quota"],
         )
     else:
         quotas = quotas.select(

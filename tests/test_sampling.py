@@ -639,3 +639,17 @@ class TestExecuteMixture:
         )
         # the down-selected group keeps the IDENTICAL md5-ranked set
         assert got == want and len(got) > 0
+
+    def test_integer_group_keys_via_dict(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            epoch_upsample,
+        )
+
+        d = spark.createDataFrame(
+            [(i, i % 2) for i in range(10)], "doc_id long, grp long"
+        )
+        out = epoch_upsample(
+            d, "grp", {0: 10, 1: 2}, id_col="doc_id"
+        ).collect()
+        assert sum(1 for r in out if r["grp"] == 0) == 10
+        assert sum(1 for r in out if r["grp"] == 1) == 2
