@@ -942,6 +942,97 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Bigram Stupid-Backoff LM score per document — ``(id,
+    n_scored, avg_logprob)``: for each adjacent token pair (a, b),
+    ``ln(c(ab)/c(a·))`` when the LM corpus saw the bigram, else
+    ``ln(backoff · c(b)/N)`` (Brants et al., "Large Language Models
+    in Machine Translation", EMNLP 2007 — the smoothing that actually
+    scales: no discount estimation, just counts). The KenLM-tier
+    upgrade over `unigram_logprob`: word-salad whose WORDS are common
+    but whose TRANSITIONS are not (shuffled text, keyword stuffing)
+    scores high under unigrams and low here.
+
+    ``lm_docs`` is the REFERENCE corpus the counts come from — the
+    production shape (score this month's crawl under last month's
+    trusted corpus; that is when the backoff branch carries the
+    signal). Default None scores ``docs`` under its own counts, where
+    every transition is by construction seen (the backoff branch is
+    provably dead — fine for relative ranking, stated so nobody
+    mistakes self-scoring for held-out scoring). OOV continuation
+    words (absent from the LM entirely) take an add-one floor:
+    ``c(b)`` coalesces to 1 before the backoff term — deterministic
+    and replayable, never ln(0).
+
+    ``n_scored`` counts scored transitions (tokens − 1 per doc);
+    single-token and empty docs emit no row (no transition to score —
+    absence is the honest "unscorable", not a fake 0). Context count
+    is ``c(a·)`` — a's count AS A CONTEXT (bigrams starting with a),
+    so seen-bigram probabilities sum to exactly 1 per context. Only
+    the OUTPUT is rounded (6 dp, the module's ln contract)."""
+
+    def _toks(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(tokenize(F.col(text_col))).alias("pos", "w"),
+        )
+
+    def _bigrams(t: DataFrame) -> DataFrame:
+        win = Window.partitionBy("id").orderBy("pos")
+        return (
+            t.withColumn("w_next", F.lead("w").over(win))
+            .filter(F.col("w_next").isNotNull())
+            .select(
+                "id",
+                F.col("w").alias("a"),
+                F.col("w_next").alias("b"),
+            )
+        )
+
+    lm_toks = _toks(lm_docs) if lm_docs is not None else _toks(docs)
+    lm_bi = _bigrams(lm_toks)
+    bi = _bigrams(_toks(docs)) if lm_docs is not None else lm_bi
+    bi_counts = lm_bi.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    )
+    ctx_counts = lm_bi.groupBy("a").agg(
+        F.count(F.lit(1)).alias("c_a")
+    )
+    uni = lm_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    total = lm_toks.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        bi.join(bi_counts, ["a", "b"], "left")
+        .join(ctx_counts, "a", "left")
+        .join(uni.withColumnRenamed("w", "b"), "b", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.when(
+                F.col("c_ab").isNotNull(),
+                F.log(F.col("c_ab") / F.col("c_a")),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(float(backoff))
+                    * F.coalesce(F.col("c_w"), F.lit(1))
+                    / F.col("n_total")
+                )
+            )
+            .alias("_lp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )
+
+
 def bpe_pair_counts(
     docs: DataFrame,
     text_col: str = "text",

@@ -256,6 +256,24 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_pair_counts(_docs(spark, sf_dir), top_n=50)
 
 
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Stupid-Backoff LM scoring (`text.bigram_logprob` —
+    Brants et al. EMNLP 2007) in its production shape: ALL docs
+    scored under an LM built from the doc_id % 3 != 0 slice, so the
+    held-out third exercises the backoff branch (unseen bigrams →
+    ln(0.4·c(b)/N), OOV continuation floor c(b)→1) while in-LM docs
+    exercise the seen branch (ln(c(ab)/c(a·))). DuckDB replays the
+    bigram/context/unigram counts, both branches and the OOV floor
+    value-for-value under the rounded-ln contract."""
+    d = _docs(spark, sf_dir)
+    out = text.bigram_logprob(
+        d, lm_docs=d.filter(F.col("doc_id") % 3 != 0)
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_scored", "avg_logprob"
+    )
+
+
 def llm_passage_decontaminate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2529,6 +2547,7 @@ QUERIES = {
     "llm_mixture_execute": llm_mixture_execute,
     "llm_image_phash": llm_image_phash,
     "llm_passage_decontaminate": llm_passage_decontaminate,
+    "llm_bigram_logprob": llm_bigram_logprob,
     "llm_incremental_dedup": llm_incremental_dedup,
     "llm_passage_dedup": llm_passage_dedup,
     "llm_chunking": llm_chunking,
@@ -3743,6 +3762,54 @@ ORACLES["llm_corpus_stats"] = f"""
            ROUND(n_tokens * 1.0 / n_docs, 6) AS mean_doc_tokens,
            n_sources, top_source, n_langs, top_lang
     FROM base, s, st, l, lt
+"""
+
+# llm_bigram_logprob (r11): bigram Stupid-Backoff under the %3-slice
+# LM — counts, both scoring branches and the OOV add-one floor
+# replayed; ROUND(…,6) absorbs ln's cross-engine last ulp.
+ORACLES["llm_bigram_logprob"] = f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter({_WORDS}, x -> x <> '') AS ws
+        FROM documents
+    ),
+    lm AS (SELECT * FROM d WHERE doc_id % 3 <> 0),
+    lm_bi AS (
+        SELECT ws[CAST(i AS INTEGER)] AS a,
+               ws[CAST(i AS INTEGER) + 1] AS b
+        FROM lm, UNNEST(range(1, len(ws))) AS u(i)
+    ),
+    cab AS (SELECT a, b, COUNT(*) AS c_ab FROM lm_bi GROUP BY 1, 2),
+    ca AS (SELECT a, COUNT(*) AS c_a FROM lm_bi GROUP BY 1),
+    uni AS (
+        SELECT w, COUNT(*) AS c_w
+        FROM (SELECT unnest(ws) AS w FROM lm) GROUP BY 1
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n
+        FROM (SELECT unnest(ws) AS w FROM lm)
+    ),
+    bi AS (
+        SELECT doc_id AS id,
+               ws[CAST(i AS INTEGER)] AS a,
+               ws[CAST(i AS INTEGER) + 1] AS b
+        FROM d, UNNEST(range(1, len(ws))) AS u(i)
+    ),
+    sc AS (
+        SELECT bi.id,
+               CASE WHEN cab.c_ab IS NOT NULL
+                    THEN ln(cab.c_ab * 1.0 / ca.c_a)
+                    ELSE ln(0.4 * COALESCE(uni.c_w, 1) * 1.0 / tot.n)
+               END AS lp
+        FROM bi
+        LEFT JOIN cab ON bi.a = cab.a AND bi.b = cab.b
+        LEFT JOIN ca ON bi.a = ca.a
+        LEFT JOIN uni ON bi.b = uni.w
+        CROSS JOIN tot
+    )
+    SELECT id AS doc_id, COUNT(*) AS n_scored,
+           ROUND(AVG(lp), 6) AS avg_logprob
+    FROM sc GROUP BY 1
 """
 
 # llm_passage_decontaminate (r11): the planted-quote construction —

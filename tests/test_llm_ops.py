@@ -1866,6 +1866,95 @@ class TestPassageContamination:
         assert passage_contamination(corpus, bench, k=8).count() == 0
 
 
+class TestBigramLogprob:
+    """bigram_logprob: Stupid-Backoff vs a pure-Python replay."""
+
+    def test_matches_reference_both_branches(self, spark):
+        import math
+        from collections import Counter
+
+        from datawaves_etl_airflow_spark.operators.text import (
+            bigram_logprob,
+        )
+
+        lm_rows = [(1, "the cat sat on the mat"),
+                   (2, "the dog sat on the rug")]
+        score_rows = lm_rows + [(3, "the cat ate a fish")]
+        lm = spark.createDataFrame(lm_rows, "doc_id long, text string")
+        d = spark.createDataFrame(
+            score_rows, "doc_id long, text string"
+        )
+        got = {
+            r["id"]: (r["n_scored"], r["avg_logprob"])
+            for r in bigram_logprob(d, lm_docs=lm).collect()
+        }
+        toks = {i: t.split() for i, t in score_rows}
+        lm_toks = [w for i, t in lm_rows for w in t.split()]
+        lm_bi = Counter(
+            (a, b)
+            for i, t in lm_rows
+            for a, b in zip(t.split(), t.split()[1:])
+        )
+        ctx = Counter(a for a, b in lm_bi.elements())
+        uni = Counter(lm_toks)
+        n = len(lm_toks)
+        for i, ws in toks.items():
+            lps = []
+            for a, b in zip(ws, ws[1:]):
+                if (a, b) in lm_bi:
+                    lps.append(math.log(lm_bi[(a, b)] / ctx[a]))
+                else:  # backoff, OOV continuation floored to count 1
+                    lps.append(math.log(0.4 * uni.get(b, 1) / n))
+            assert got[i][0] == len(lps)
+            assert got[i][1] == round(sum(lps) / len(lps), 6), i
+
+    def test_self_scoring_backoff_branch_is_dead(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bigram_logprob,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "a b c a b")], "doc_id long, text string"
+        )
+        r = bigram_logprob(d).first()
+        # every transition seen: avg lp is finite and from the seen
+        # branch only (c(ab)/c(a) ≤ 1 → lp ≤ 0)
+        assert r["n_scored"] == 4 and r["avg_logprob"] <= 0
+
+    def test_word_salad_scores_below_natural_transitions(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bigram_logprob,
+        )
+
+        lm = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog")
+             for i in range(5)],
+            "doc_id long, text string",
+        )
+        probe = spark.createDataFrame(
+            [(100, "the quick brown fox jumps"),
+             (101, "fox the jumps brown quick")],  # same WORDS, salad
+            "doc_id long, text string",
+        )
+        got = {
+            r["id"]: r["avg_logprob"]
+            for r in bigram_logprob(probe, lm_docs=lm).collect()
+        }
+        assert got[100] > got[101]
+
+    def test_sub_two_token_docs_emit_no_row(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bigram_logprob,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "solo"), (2, ""), (3, "a b")],
+            "doc_id long, text string",
+        )
+        got = {r["id"] for r in bigram_logprob(d).collect()}
+        assert got == {3}
+
+
 class TestBpe:
     """bpe_pair_counts + train_bpe_merges: the tokenizer-training prep
     step — distributed word histogram, reference merge loop."""
