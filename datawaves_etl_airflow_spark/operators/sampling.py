@@ -146,6 +146,66 @@ def leakage_safe_split(
     )
 
 
+def split_leakage_report(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    n_hashes: int = 64,
+    n_bands: int = 32,
+    max_docs_per_band: int | None = None,
+) -> DataFrame:
+    """The split AUDIT — near-dup pair counts by split pair:
+    ``(split_a, split_b, n_pairs)`` with the pair's splits
+    least/greatest-normalized. CROSS-split rows are train-on-test
+    contamination by construction — the exact failure
+    `leakage_safe_split` exists to prevent, here MEASURED so it can
+    be asserted: on an externally-provided split, a legacy
+    random/hash split, or as the regression check that this engine's
+    own cluster-keyed split reports zero cross rows. Same-split rows
+    are context (the corpus's internal near-dup rate).
+
+    Pairs come from `dedup.minhash_dedup_pairs` (banded LSH + exact
+    verify at ``threshold``; ``max_docs_per_band`` is the standing
+    production valve), so the report costs one dedup pass + two
+    id-keyed split joins + a tiny groupBy — |splits|² output rows."""
+    from .dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        docs,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        max_docs_per_band=max_docs_per_band,
+    )
+    splits = docs.select(F.col(id_col), F.col(split_col))
+    return (
+        pairs.join(
+            splits.select(
+                F.col(id_col).alias("id_a"),
+                F.col(split_col).alias("_sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col(id_col).alias("id_b"),
+                F.col(split_col).alias("_sb"),
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def sample_by_hash(df: DataFrame, id_col: str, keep: int) -> DataFrame:
     """Deterministic ~keep/256 downsample by id hash — the profiling
     pass a 100 TB pipeline runs instead of ``.sample()`` (whose output

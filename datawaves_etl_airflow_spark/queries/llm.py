@@ -256,6 +256,21 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_pair_counts(_docs(spark, sf_dir), top_n=50)
 
 
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit (`sampling.split_leakage_report` at j ≥
+    0.5, the proven 64×32 full-recall banding): the plain per-doc
+    hash split (`assign_split` — leaky by construction: near-dup
+    pairs straddle the boundary at the corpus's near-dup rate) is
+    audited, and DuckDB replays the EXACT all-pairs Jaccard, the
+    md5 split assignment, the least/greatest pair normalization and
+    the counts — certifying the measurement the leakage-safe split's
+    zero-cross-row guarantee is asserted against."""
+    d = sampling.assign_split(_docs(spark, sf_dir))
+    return sampling.split_leakage_report(
+        d, threshold=0.5, n_hashes=64, n_bands=32
+    )
+
+
 def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram Stupid-Backoff LM scoring (`text.bigram_logprob` —
     Brants et al. EMNLP 2007) in its production shape: ALL docs
@@ -2548,6 +2563,7 @@ QUERIES = {
     "llm_image_phash": llm_image_phash,
     "llm_passage_decontaminate": llm_passage_decontaminate,
     "llm_bigram_logprob": llm_bigram_logprob,
+    "llm_split_leakage": llm_split_leakage,
     "llm_incremental_dedup": llm_incremental_dedup,
     "llm_passage_dedup": llm_passage_dedup,
     "llm_chunking": llm_chunking,
@@ -3762,6 +3778,46 @@ ORACLES["llm_corpus_stats"] = f"""
            ROUND(n_tokens * 1.0 / n_docs, 6) AS mean_doc_tokens,
            n_sources, top_source, n_langs, top_lang
     FROM base, s, st, l, lt
+"""
+
+# llm_split_leakage (r11): the audit's full replay — exact all-pairs
+# Jaccard >= 0.5 (the llm_incremental_dedup CTE, unrestricted), the
+# md5 hash-split CASE, least/greatest pair normalization, counts.
+ORACLES["llm_split_leakage"] = f"""
+    WITH sh AS ({_SHINGLES}),
+    sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS ia, b.id AS ib, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    verified AS (
+        SELECT ia, ib FROM inter
+        JOIN sz sa ON inter.ia = sa.id
+        JOIN sz sb ON inter.ib = sb.id
+        WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5
+    ),
+    sp AS (
+        SELECT doc_id,
+               CASE
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                        < 'c0' THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                        < 'e0' THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM documents
+    ),
+    px AS (
+        SELECT least(sa.split, sb.split) AS split_a,
+               greatest(sa.split, sb.split) AS split_b
+        FROM verified
+        JOIN sp sa ON verified.ia = sa.doc_id
+        JOIN sp sb ON verified.ib = sb.doc_id
+    )
+    SELECT split_a, split_b, COUNT(*) AS n_pairs
+    FROM px GROUP BY 1, 2
 """
 
 # llm_bigram_logprob (r11): bigram Stupid-Backoff under the %3-slice

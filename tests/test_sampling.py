@@ -653,3 +653,42 @@ class TestExecuteMixture:
         ).collect()
         assert sum(1 for r in out if r["grp"] == 0) == 10
         assert sum(1 for r in out if r["grp"] == 1) == 2
+
+
+class TestSplitLeakageReport:
+    """split_leakage_report: the audit leakage_safe_split's guarantee
+    is asserted against."""
+
+    def _near_dup_corpus(self, spark):
+        base = [
+            " ".join(f"w{i}_{j}" for j in range(8)) for i in range(12)
+        ]
+        rows = []
+        for i, t in enumerate(base):
+            rows.append((2 * i, t))
+            rows.append((2 * i + 1, t + " extra"))  # near-dup twin
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_plain_hash_split_leaks_cluster_split_does_not(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            assign_split,
+            leakage_safe_split,
+            split_leakage_report,
+        )
+
+        d = self._near_dup_corpus(spark)
+        leaky = split_leakage_report(
+            assign_split(d), threshold=0.5, n_bands=32
+        ).collect()
+        cross = sum(
+            r["n_pairs"] for r in leaky if r["split_a"] != r["split_b"]
+        )
+        total = sum(r["n_pairs"] for r in leaky)
+        assert total == 12  # every twin pair found (full recall here)
+        assert cross > 0    # the per-doc hash split leaks
+        safe = split_leakage_report(
+            leakage_safe_split(d, threshold=0.5), threshold=0.5,
+            n_bands=32,
+        ).collect()
+        assert sum(r["n_pairs"] for r in safe) == 12
+        assert all(r["split_a"] == r["split_b"] for r in safe)
