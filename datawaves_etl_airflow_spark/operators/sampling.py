@@ -546,12 +546,21 @@ def epoch_upsample(
     """
     spark = df.sparkSession
     if isinstance(quotas, dict):
-        # infer the group key's type from the dict keys (a hard-coded
-        # string schema would silently mistype an integer group col
-        # and the quota join would miss every group)
+        # the group key's type comes from df's OWN column (a
+        # hard-coded string schema would silently mistype an integer
+        # group col and the quota join would miss every group; key
+        # inference would fail outright on an empty dict — the
+        # legitimate "no overrides, everything passes through" call)
+        from pyspark.sql.types import LongType, StructField, StructType
+
         quotas = spark.createDataFrame(
             [(k, int(v)) for k, v in quotas.items()],
-            [group_col, "quota"],
+            StructType([
+                StructField(
+                    group_col, df.schema[group_col].dataType, True
+                ),
+                StructField("quota", LongType(), True),
+            ]),
         )
     else:
         quotas = quotas.select(
