@@ -263,3 +263,38 @@ class TestScd2Plan:
         # slice nor history ever hits a sort-merge join
         assert "BroadcastHashJoin" in p
         assert "SortMergeJoin" not in p
+
+
+class TestR12QueuePlanInvariants:
+    """The four r11 additions parked in the r12 rotation queue are
+    NOT in the registered set, so the global plan sweep
+    (test_plan_invariants) does not reach them — pin their invariants
+    here so they enter r12 with the same no-products/no-row-Python
+    guarantee as every registered plan."""
+
+    FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
+    #: sanctioned BNLJ shapes, same rationale as the registered
+    #: whitelist: 1-row broadcast aggregates only
+    ALLOWS_BNLJ = {
+        "llm_bigram_logprob",  # broadcast 1-row LM-total aggregate
+    }
+
+    @staticmethod
+    def _plan(spark, name):
+        import __spark_entry__ as e
+
+        df = e.queries_all()[name](spark, "/root/testdata/sf0.001")
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_queue_plans_clean(self, spark):
+        for name in (
+            "llm_image_phash",
+            "llm_passage_decontaminate",
+            "llm_bigram_logprob",
+            "llm_split_leakage",
+        ):
+            plan = self._plan(spark, name)
+            for bad in self.FORBIDDEN:
+                assert bad not in plan, f"{name}: {bad}"
+            if name not in self.ALLOWS_BNLJ:
+                assert "BroadcastNestedLoopJoin" not in plan, name
