@@ -721,6 +721,11 @@ def main() -> None:
         "exact_dedup": lambda mult: dedup.exact_dedup_groups(
             _scaled_docs(spark, args.sf, mult)
         ),
+        # bigram LM scoring (r11): counts + per-doc scoring joins —
+        # token-keyed aggregates over the explode, expected ≈linear
+        "bigram_logprob": lambda mult: text.bigram_logprob(
+            _scaled_docs(spark, args.sf, mult)
+        ),
         "text_quality": lambda mult: text.quality_logit(
             _scaled_docs(spark, args.sf, mult)
         ),
