@@ -7,6 +7,17 @@ approximating CORRECTNESS_r{N}.json so mismatches surface before the
 driver runs.
 
 Usage: python tools/parity.py [--sf /root/testdata/sf0.01] [name ...]
+
+``--freshness`` runs the rotation-staleness gate instead (r10 verdict
+task 8, enforced by judge-hand-built histogram in r10 and r11): it
+cross-references the current registration (``DRIVER_QUERIES``) against
+every committed ``CORRECTNESS_r*.json`` and FAILS when any corpus
+query's PROJECTED latest-green age — assuming every currently
+registered query goes green in the upcoming driver run — would exceed
+``--max-age`` rounds (default 2, the "nothing older than current−2"
+rule two judges enforced by hand). Never-driver-verified queries that
+are NOT in the registration are also failures: they would stay
+unverified forever under the current rotation.
 """
 
 from __future__ import annotations
@@ -86,6 +97,100 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def freshness(max_age: int) -> int:
+    """Rotation-staleness gate over committed CORRECTNESS_r*.json.
+
+    Projected age model: the upcoming round is max(committed round)+1;
+    a registered query is assumed to go green that round (the driver
+    has run every registered query every round since the 50-cap was
+    adopted in r3), an unregistered one keeps its committed latest
+    green. FAIL when any projected age exceeds ``max_age`` or a
+    never-verified query is left out of the registration. No Spark
+    session — this reads module registries and JSON only.
+    """
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    rounds: list[int] = []
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        r = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        rounds.append(r)
+        for q, row in json.load(open(f)).items():
+            green = (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+            ) or (
+                # rows-only-by-design: the driver ran the query, got
+                # rows, and records no_oracle — that IS its green
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green:
+                latest[q] = max(r, latest.get(q, 0))
+    if not rounds:
+        print("freshness: no CORRECTNESS_r*.json committed yet")
+        return 1
+    upcoming = max(rounds) + 1
+
+    registered: list[str] = []
+    corpus: list[str] = []
+    oracled: set[str] = set()
+    for modname in ("domain", "llm", "generic"):
+        mod = __import__(
+            f"datawaves_etl_airflow_spark.queries.{modname}",
+            fromlist=[modname],
+        )
+        registered.extend(mod.DRIVER_QUERIES)
+        corpus.extend(mod.QUERIES)
+        oracled.update(mod.ORACLES)
+
+    n_fail = 0
+    histogram: dict[int, int] = {}
+    rows_only_stale: list[str] = []
+    for q in corpus:
+        if q in latest:
+            if q not in oracled:
+                # rows-only-by-design: its driver check is weak
+                # (rows>=0), parity/pytest are the real gates — exempt
+                # from the staleness clock, reported informationally
+                if upcoming - latest[q] > max_age and q not in registered:
+                    rows_only_stale.append(f"{q}(r{latest[q]})")
+                continue
+            projected = upcoming if q in registered else latest[q]
+            age = upcoming - projected
+            histogram[latest[q]] = histogram.get(latest[q], 0) + 1
+            if age > max_age:
+                print(
+                    f"STALE {q}: last green r{latest[q]}, not registered "
+                    f"→ projected age {age} > {max_age}"
+                )
+                n_fail += 1
+        elif q not in registered:
+            print(f"NEVER-VERIFIED {q}: no driver row and not registered")
+            n_fail += 1
+    n_new = sum(1 for q in registered if q not in latest)
+    print(
+        f"\nfreshness: upcoming r{upcoming}, {len(corpus)} corpus queries, "
+        f"{len(registered)} registered ({n_new} never-verified, leading), "
+        f"oracled-green histogram {dict(sorted(histogram.items()))}"
+    )
+    if rows_only_stale:
+        print(
+            "note: rows-only-by-design rows older than the clock "
+            f"(exempt): {rows_only_stale}"
+        )
+    dead = sorted(set(latest) - set(corpus))
+    if dead:
+        print(f"note: {len(dead)} historical rows no longer in corpus: {dead}")
+    print("FAIL" if n_fail else "OK")
+    return 1 if n_fail else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -94,8 +199,22 @@ def main() -> int:
         action="store_true",
         help="only the driver-registered subset, in driver order",
     )
+    ap.add_argument(
+        "--freshness",
+        action="store_true",
+        help="rotation-staleness gate (no Spark); see module docstring",
+    )
+    ap.add_argument(
+        "--max-age",
+        type=int,
+        default=2,
+        help="max projected rounds since last green (with --freshness)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    if args.freshness:
+        return freshness(args.max_age)
 
     import duckdb
 
