@@ -108,6 +108,15 @@ class _World:
                 m: importlib.import_module(f"{_PKG}.queries.{m}")
                 for m in ("domain", "generic", "llm")
             }
+            # the e2e pipeline day is A/B'd too (r11 verdict task 2:
+            # pipeline_day_sec had no A/B protection) — import its
+            # module tree under this world's root so a later
+            # sys.modules lookup resolves to this world's code
+            for extra in (f"{_PKG}.pipeline.runner", f"{_PKG}.testing.fixtures"):
+                try:
+                    importlib.import_module(extra)
+                except Exception:
+                    pass  # a world without the runner skips the day A/B
         finally:
             sys.path.remove(self.root)
         for _mod, mod in mods.items():
@@ -251,11 +260,58 @@ def run_ab(ref: str) -> None:
         skipped = [
             q for _m, q in BENCH_QUERY_NAMES if q not in shared
         ]
+
+        # --- pipeline-day A/B (r11 verdict task 2): the e2e product
+        # headline gets the same interleaved protocol as the queries —
+        # fresh temp warehouse per run, min-of-2 pairs after one
+        # untimed pair (the day runs ~8s; 3 pairs would double the
+        # mode's runtime for one number)
+        def _day_sample(world: _World) -> float | None:
+            import tempfile
+
+            world.activate()
+            try:
+                runner = sys.modules.get(f"{_PKG}.pipeline.runner")
+                domain = sys.modules.get(f"{_PKG}.queries.domain")
+                fx = sys.modules.get(f"{_PKG}.testing.fixtures")
+                if runner is None or fx is None or domain is None:
+                    return None
+                base = fx.ensure_fixtures()
+                with tempfile.TemporaryDirectory() as wh:
+                    spark.catalog.clearCache()
+                    t0 = time.time()
+                    runner.run_evm_day(
+                        spark, base, wh, fx.DS,
+                        decode_events=[domain.TRANSFER_EVENT],
+                    )
+                    return time.time() - t0
+            finally:
+                world.deactivate()
+
+        pipeline_day = None
+        if _day_sample(snap) is not None and _day_sample(head) is not None:
+            day_s, day_h = [], []
+            for _ in range(2):
+                day_s.append(_day_sample(snap))
+                day_h.append(_day_sample(head))
+            s, h = min(day_s), min(day_h)
+            pipeline_day = {
+                "snap": round(s, 3),
+                "head": round(h, 3),
+                "ratio": round(h / s, 3) if s > 0 else None,
+            }
+
         flags = {
             q: r["ratio"]
             for q, r in results.items()
             if r["ratio"] is not None and abs(r["ratio"] - 1) > 0.15
         }
+        if (
+            pipeline_day is not None
+            and pipeline_day["ratio"] is not None
+            and abs(pipeline_day["ratio"] - 1) > 0.15
+        ):
+            flags["pipeline_day_e2e"] = pipeline_day["ratio"]
         head_fp = _world_fingerprint(repo)
         snap_fp = _world_fingerprint(wt)
         out = {
@@ -271,6 +327,7 @@ def run_ab(ref: str) -> None:
                 sum(r["snap"] for r in results.values()), 3
             ),
             "queries": results,
+            "pipeline_day_e2e": pipeline_day,
             "flags_outside_15pct": flags,
             "skipped_not_in_both": skipped,
             "timing": "interleaved min-of-3 pairs, cache cleared per "

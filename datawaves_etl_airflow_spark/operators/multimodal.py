@@ -351,6 +351,15 @@ def image_ahash(
     are invariant by construction, since every bit compares a pixel
     to the same thumbnail's own mean).
 
+    FLAT-IMAGE DEGENERACY: the mean-threshold bit has no information
+    when the thumbnail has no variance — for a uniform image no pixel
+    strictly exceeds its own mean, every bit is 0, and an all-black
+    and an all-white image would read as Hamming-0 duplicates. Such
+    payloads get ``simhash = NULL`` (id still emitted) so callers can
+    pre-filter flat images before the candidate join instead of
+    clustering every solid-color asset together; near-flat images
+    (any variance at all) hash normally.
+
     Decode goes through the pluggable codec tier (`codecs.py` —
     FAKI / PGM / feature-flagged PIL) with `decode_image`'s
     ``on_error`` quarantine contract. Pooling: images ≥ 8 px per side
@@ -410,11 +419,18 @@ def image_ahash(
                     thumb = img[_axis(h)][:, _axis(w)].astype(
                         np.float64
                     )
+                ids.append(int(iid))
+                if thumb.max() == thumb.min():
+                    # zero-variance thumbnail: every bit would be 0
+                    # (flat-image degeneracy, see docstring)
+                    sigs.append(None)
+                    continue
                 bits = (thumb > thumb.mean()).flatten()
                 v = int.from_bytes(np.packbits(bits).tobytes(), "big")
-                ids.append(int(iid))
                 sigs.append(v - (1 << 64) if v >= (1 << 63) else v)
-            yield pd.DataFrame({"id": ids, "simhash": sigs})
+            yield pd.DataFrame(
+                {"id": ids, "simhash": pd.array(sigs, dtype="Int64")}
+            )
 
     return payloads.mapInPandas(_batches, schema=AHASH_SCHEMA)
 

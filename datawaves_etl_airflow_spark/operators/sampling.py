@@ -32,10 +32,16 @@ from pyspark.sql.window import Window
 __all__ = [
     "hash_hex",
     "assign_split",
+    "leakage_safe_split",
+    "split_leakage_report",
     "sample_by_hash",
     "cap_per_group",
     "cap_per_group_prefiltered",
+    "budget_per_group",
+    "stratified_sample",
     "temperature_sample",
+    "epoch_upsample",
+    "execute_mixture",
     "pack_sequences",
     "shuffle_shards",
     "write_training_shards",

@@ -1432,8 +1432,16 @@ def _bm25_check_append_ids(
     contract (a tombstone suppresses its id even in later batches —
     compact first). Because the check runs inside the manifest CAS
     loop, a concurrent fold that commits the same id first causes this
-    fold's publish to lose the race, re-resolve, re-check, and raise."""
+    fold's publish to lose the race, re-resolve, re-check, and raise.
+
+    Only COMPLETE batches (``_SUCCESS`` at the batch dir — the same
+    marked-batch rule compact/probe apply) participate: a FOREIGN
+    torn append's partial forward rows never committed, so counting
+    them would spuriously raise on ids whose fold the crashed ingest's
+    own same-token retry is about to rewrite (r11 ADVICE)."""
     import posixpath as _pp
+
+    from ..sources.fs import glob_paths
 
     batch_ids = (
         docs.select(F.col(meta["id_col"]).alias("doc"))
@@ -1451,10 +1459,19 @@ def _bm25_check_append_ids(
     )
     if not fbuckets:
         return
+    marked = sorted(
+        p.rsplit("batch=", 1)[1].split("/", 1)[0]
+        for p in glob_paths(
+            spark, _pp.join(data_root, "forward", "batch=*", "_SUCCESS")
+        )
+    )
+    marked = [t for t in marked if t != token]
+    if not marked:
+        return
     fwd = (
         spark.read.parquet(_pp.join(data_root, "forward"))
         .filter(F.col("fbucket").isin(fbuckets))
-        .filter(F.col("batch") != F.lit(token))
+        .filter(F.col("batch").isin(marked))
     )
     sample = [
         r["doc"]

@@ -264,7 +264,17 @@ def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited, and DuckDB replays the EXACT all-pairs Jaccard, the
     md5 split assignment, the least/greatest pair normalization and
     the counts — certifying the measurement the leakage-safe split's
-    zero-cross-row guarantee is asserted against."""
+    zero-cross-row guarantee is asserted against.
+
+    RECALL CAVEAT (the llm_jaccard_pairs contract, stated here too
+    per r11 ADVICE): the engine side is banded LSH, the oracle is
+    exact all-pairs — the pin is the EMPIRICAL full recall of 64×32
+    banding at the driver SFs (per-pair miss ≈ (1−j²)³² ≤ 1e-4 at
+    j=0.5), not a theorem. If a future SF bump ever fails this row
+    with engine counts strictly ≤ the oracle's, diagnose it as a
+    missed borderline candidate pair (banding recall), not a
+    correctness bug — `llm_jaccard_prefix` is the zero-false-negative
+    twin to confirm against."""
     d = sampling.assign_split(_docs(spark, sf_dir))
     return sampling.split_leakage_report(
         d, threshold=0.5, n_hashes=64, n_bands=32
@@ -3783,6 +3793,9 @@ ORACLES["llm_corpus_stats"] = f"""
 # llm_split_leakage (r11): the audit's full replay — exact all-pairs
 # Jaccard >= 0.5 (the llm_incremental_dedup CTE, unrestricted), the
 # md5 hash-split CASE, least/greatest pair normalization, counts.
+# Engine side is banded (64x32, empirically full-recall at driver
+# SFs); an engine-<=-oracle count mismatch at a new SF means a missed
+# borderline pair, not a bug — see the query docstring (r11 ADVICE).
 ORACLES["llm_split_leakage"] = f"""
     WITH sh AS ({_SHINGLES}),
     sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
