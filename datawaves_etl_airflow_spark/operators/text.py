@@ -731,7 +731,14 @@ def mine_hard_negatives_index(
     `bm25_search_index`'s bucket-pruned probe, the post-processing is
     the shared `_hard_negatives` core, so results are value-identical
     to the in-session form over the same corpus (the llm_bm25_index
-    equivalence, pinned in tests)."""
+    equivalence, pinned in tests).
+
+    ``max_df_ratio`` passes straight through to the probe — at scale,
+    run it at `valves.recommended("mine_hard_negatives",
+    "max_df_ratio")` (0.5, bm25's stopword judgment): unvalved, a
+    stopword-grade query term drags corpus-sized postings into the
+    mine (measured 11.6× at the 100× decade vs 7.6× valved —
+    SCALE.md `hard_negatives_probe_pruned`)."""
     spark = queries.sparkSession
     id_col = _resolve_bm25_index(spark, path)[0]["id_col"]
     hits = bm25_search_index(
@@ -1154,6 +1161,164 @@ def train_bpe_merges(
             new_hist.append((tuple(out), freq))
         hist = new_hist
     return merges
+
+
+#: BPE encode framing chars (control plane of the symbol string):
+#: \x00 separates words, \x01/\x02 bracket each symbol. Tokens can
+#: never contain them (tokenize splits on whitespace only, but these
+#: are asserted at encode time anyway).
+_BPE_W, _BPE_L, _BPE_R = "\x00", "\x01", "\x02"
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "auto",
+    max_expr_rules: int = 64,
+) -> DataFrame:
+    """Segment a corpus with trained BPE merge rules →
+    ``(id, tokens array<string>, n_tokens)`` — the encode half of the
+    tokenizer story `bpe_pair_counts`/`train_bpe_merges` start
+    (Sennrich ACL 2016 apply step; what SentencePiece/HF do at
+    inference). Map-side only: broadcast-by-closure rules, zero
+    shuffles, zero joins — the plan is one projection over the scan.
+
+    Greedy application is ITERATIVE (each rule rewrites the symbol
+    sequence the next rule sees), which SQL can't express over an
+    unbounded rule list — but it IS a chain of LITERAL string
+    replaces under the right rendering: each symbol is framed as
+    ``\\x01sym\\x02`` and symbols are space-separated (words separated
+    by a ``\\x00`` chunk), so rule (a,b) is exactly
+    ``replace("\\x01a\\x02 \\x01b\\x02" → "\\x01ab\\x02")`` — framing
+    makes a false prefix/suffix match impossible ("xa b" can never
+    match rule (a,b): the pattern requires ``\\x01a``, the string has
+    ``\\x01xa``), and left-to-right non-overlapping replacement is
+    precisely the reference algorithm's scan order
+    (`train_bpe_merges`' application loop). Two execution tiers:
+
+    - ``expr`` (default up to ``max_expr_rules``): the replace chain
+      as ONE whole-stage-codegen'd column expression — JVM-side, and
+      replayable verbatim by DuckDB's ``replace()`` (the driver
+      oracle).
+    - ``arrow`` (above the cap, e.g. a 50k-rule GPT-2-class
+      tokenizer, where a 50k-deep expression tree would break
+      codegen): Arrow-batched ``mapInPandas`` applying the same
+      greedy scan per DISTINCT word with per-batch memoization —
+      corpus cost ~O(distinct words per batch), still map-side.
+
+    Both tiers are pinned value-identical in tests; ids are one
+    broadcast dictionary join away (vocab = alphabet + merge outputs
+    in rule order) and deliberately out of scope here."""
+    if method not in ("auto", "expr", "arrow"):
+        raise ValueError(f"unknown method: {method}")
+    for a, b in merges:
+        for part in (a, b):
+            if any(c in part for c in (" ", _BPE_W, _BPE_L, _BPE_R)):
+                raise ValueError(
+                    f"merge rule {(a, b)!r} contains a framing/space "
+                    "char — rules must come from train_bpe_merges over "
+                    "whitespace-tokenized text"
+                )
+    use_expr = method == "expr" or (
+        method == "auto" and len(merges) <= max_expr_rules
+    )
+    if use_expr:
+        if len(merges) > max_expr_rules and method == "expr":
+            raise ValueError(
+                f"{len(merges)} rules > max_expr_rules="
+                f"{max_expr_rules}: a replace chain this deep risks "
+                "codegen limits — use method='arrow' or raise the cap"
+            )
+        joined = F.array_join(tokenize(F.col(text_col)), _BPE_W)
+        sym = F.rtrim(
+            F.regexp_replace(joined, "(.)", f"{_BPE_L}$1{_BPE_R} ")
+        )
+        for a, b in merges:
+            sym = F.replace(
+                sym,
+                F.lit(f"{_BPE_L}{a}{_BPE_R} {_BPE_L}{b}{_BPE_R}"),
+                F.lit(f"{_BPE_L}{a}{b}{_BPE_R}"),
+            )
+        toks = F.transform(
+            F.filter(
+                F.split(sym, " "),
+                lambda t: (t != F.lit(""))
+                & (t != F.lit(f"{_BPE_L}{_BPE_W}{_BPE_R}")),
+            ),
+            lambda t: t.substr(F.lit(2), F.length(t) - 2),
+        )
+        return docs.select(
+            F.col(id_col).alias("id"),
+            toks.alias("tokens"),
+            F.size(toks).alias("n_tokens"),
+        )
+
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rules = list(merges)
+    out_schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("tokens", ArrayType(StringType()), False),
+        StructField("n_tokens", IntegerType(), False),
+    ])
+    src = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    )
+
+    def _encode_word(word: str, memo: dict) -> list[str]:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        for a, b in rules:
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        memo[word] = syms
+        return syms
+
+    def _batches(it):
+        import re as _re
+
+        memo: dict = {}
+        for pdf in it:
+            ids, toks_col, n_col = [], [], []
+            for iid, txt in zip(pdf["id"], pdf["text"]):
+                toks: list[str] = []
+                # exactly tokenize()'s contract: lower, split on the
+                # ASCII \s+ run (Java's \s), drop empties
+                for w in _re.split(
+                    r"\s+", str(txt).lower(), flags=_re.ASCII
+                ):
+                    if not w:
+                        continue
+                    toks.extend(_encode_word(w, memo))
+                ids.append(int(iid))
+                toks_col.append(toks)
+                n_col.append(len(toks))
+            yield pd.DataFrame(
+                {"id": ids, "tokens": toks_col, "n_tokens": n_col}
+            )
+
+    return src.mapInPandas(_batches, schema=out_schema)
 
 
 def chunk_documents(

@@ -72,6 +72,13 @@ from __future__ import annotations
 #: source dimension), so production reporting caps it at 32 (any
 #: shingle in more than ~32 of a typical 10-100-source mixture is a
 #: stopword-gram; matrices over fewer sources are unaffected).
+#: r12 addition: hard-negative mining rides bm25's probe tree
+#: (`mine_hard_negatives` / `mine_hard_negatives_index` pass
+#: ``max_df_ratio`` straight through to it), so it inherits the SAME
+#: stopword judgment and value — measured at 11.6× unvalved vs 7.6×
+#: valved at the 100× decade (SCALE.md `hard_negatives_probe_pruned`):
+#: the unvalved residual is exactly the stopword-grade postings the
+#: bm25 valve drops.
 PRODUCTION_VALVES: dict[str, float] = {
     "minhash_dedup_pairs.max_docs_per_band": 10_000,
     "neardup_pairs_banded.max_docs_per_band": 10_000,
@@ -79,6 +86,7 @@ PRODUCTION_VALVES: dict[str, float] = {
     "semantic_dedup.max_cell_size": 10_000,
     "winnow_dedup_pairs.max_docs_per_fp": 64,
     "bm25_topk.max_df_ratio": 0.5,
+    "mine_hard_negatives.max_df_ratio": 0.5,
     "jaccard_join_prefix.max_docs_per_token": 10_000,
     "source_overlap.max_sources_per_shingle": 32,
 }

@@ -2244,6 +2244,160 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed BPE merge rules for llm_bpe_encode — corpus-independent
+#: constants (a static SQL oracle cannot replay TRAINING, which has
+#: its own certificates: llm_bpe_pairs' top-pair pin and the
+#: train→encode round-trip pytest). Deliberately ITERATIVE:
+#: (s,c)→(sc,a)→(sca,n) builds 'scan' across three rules and
+#: (t,h)→(th,e) builds 'the', so later rules consume earlier rules'
+#: outputs — the property that distinguishes BPE application from
+#: independent replacements. The DuckDB oracle is GENERATED from this
+#: same constant, so the two engines cannot drift.
+_BPE_RULES = [
+    ("t", "h"), ("th", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("e", "r"),
+    ("t", "a"), ("ta", "b"),
+]
+
+
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE corpus segmentation (`text.bpe_encode`, expression tier —
+    the framed literal-replace chain, one map-side projection over the
+    scan: zero shuffles before the final histogram aggregate) under a
+    FULL value oracle: the encoded corpus's token histogram
+    ``(token, n, n_docs)``. Rules are the fixed iterative
+    `_BPE_RULES`; DuckDB replays the identical rendering
+    (\\x01-framed symbols, \\x00 word separators via chr()) and the
+    identical replace chain generated from the same constant — the
+    encode half of the tokenizer story llm_bpe_pairs' training
+    certificate started."""
+    enc = text.bpe_encode(_docs(spark, sf_dir), _BPE_RULES)
+    tok = enc.select("id", F.explode("tokens").alias("token"))
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("id").alias("n_docs"),
+    )
+
+
+def llm_mmr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MMR composition end to end in one driver row
+    (r10 verdict task 4 — the gap llm_hybrid_retrieval_index closed
+    for RRF): persisted-IVF shortlist (`write_ivf_index` →
+    `ivf_search_index` at FULL probe, hence exact top-k by cosine) →
+    join back to the raw vectors → `similarity.mmr_rerank` (λ=0.5).
+
+    PLANTED exact-arithmetic geometry (the llm_mmr_diversify pattern,
+    but with relevance coming from the INDEX PROBE instead of
+    literals): corpus = id 101 = 4e₀+3e₁ (cos to the query 4/5),
+    id 102 = 24e₀+7e₁ (24/25), id 103 = e₂ (0), plus the embeddings
+    table as realistic filler with dim 0 forced negative (cos < 0 —
+    never in the top-3; ids shifted +1e6 clear of the planted range).
+    Query = e₀; shortlist k=3 at full probe is exactly {102, 101,
+    103}. MMR pick 1 = 102; pick 2 must jump to the orthogonal 103
+    (margin 0 vs −0.068: rel 0.8 of the redundant 101 loses to its
+    sim-to-102 of 117/125 = 0.936), leaving 101 last — 102, 103, 101.
+    Norms (5, 25, 1, 1) and dots are exact small integers, so no
+    engine's float noise can flip a margin; the oracle is the literal
+    order. Executed eagerly (localCheckpoint) so the temp index is
+    removed before return."""
+    import shutil
+    import tempfile
+
+    dim = 64
+
+    def _v(pairs):
+        vals = [0.0] * dim
+        for i, x in pairs:
+            vals[i] = float(x)
+        return vals
+
+    planted = spark.createDataFrame(
+        [
+            (101, _v([(0, 4), (1, 3)])),
+            (102, _v([(0, 24), (1, 7)])),
+            (103, _v([(2, 1)])),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    filler = _embs(spark, sf_dir).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                i == 0, -F.abs(x.cast("double")) - F.lit(1.0)
+            ).otherwise(x.cast("double")),
+        ).alias("embedding"),
+    )
+    corpus = planted.unionByName(filler)
+    qs = spark.createDataFrame(
+        [(1, _v([(0, 1)]))], "query_id long, query_vec array<double>"
+    )
+    idx = tempfile.mkdtemp(prefix="llm_mmri_")
+    try:
+        similarity.write_ivf_index(corpus, idx, n_centroids=8, n_iters=1)
+        short = similarity.ivf_search_index(qs, idx, nprobe=8, k=3)
+        cands = short.join(
+            corpus.select(
+                F.col("vec_id").alias("match_id"), "embedding"
+            ),
+            "match_id",
+        )
+        return (
+            similarity.mmr_rerank(cands, k=3, lambda_=0.5)
+            .select("query_id", "match_id", "mmr_rank")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def llm_prf_vs_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker A/B evaluation in ONE driver row (r10 verdict task 5):
+    nDCG@10 / MRR / judged-hits of plain BM25 vs PRF-expanded BM25
+    over the SAME derived graded qrels — the eval harness answering
+    the question it exists for ("did query expansion help?") instead
+    of certifying its arithmetic in isolation
+    (llm_retrieval_metrics). Both ranking legs and both metric legs
+    are the proven oracle bodies; DuckDB replays the pair side by
+    side, labeled by the ``ranker`` column."""
+    d = _docs(spark, sf_dir)
+    qs = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(dedup.tokenize(F.col("text")), 1, 6), " "
+        ).alias("query_text"),
+    )
+    ids = d.select("doc_id")
+    qrels = (
+        ids.select(
+            (F.col("doc_id") % 5).alias("query_id"),
+            "doc_id",
+            F.lit(2).alias("rel"),
+        )
+        .unionByName(
+            ids.filter(F.col("doc_id") % 7 < 5).select(
+                (F.col("doc_id") % 7).alias("query_id"),
+                "doc_id",
+                F.lit(1).alias("rel"),
+            )
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("rel").alias("rel"))
+    )
+    plain = text.bm25_topk(d, qs, k=10)
+    prf = text.bm25_prf_topk(d, qs, k=10, fb_docs=3, fb_terms=5)
+    m_plain = text.retrieval_metrics(plain, qrels, k=10).select(
+        F.lit("bm25").alias("ranker"),
+        "query_id", "ndcg_at_k", "mrr", "n_rel_in_k",
+    )
+    m_prf = text.retrieval_metrics(prf, qrels, k=10).select(
+        F.lit("bm25_prf").alias("ranker"),
+        "query_id", "ndcg_at_k", "mrr", "n_rel_in_k",
+    )
+    return m_plain.unionByName(m_prf)
+
+
 def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-stratified sampling (`sampling.stratified_sample`,
     ntile form): 10 docs from each of 4 equal-mass n_chars strata —
@@ -2644,6 +2798,9 @@ QUERIES = {
     "llm_token_budget": llm_token_budget,
     "llm_snapshot_diff": llm_snapshot_diff,
     "llm_mmr_diversify": llm_mmr_diversify,
+    "llm_mmr_index": llm_mmr_index,
+    "llm_bpe_encode": llm_bpe_encode,
+    "llm_prf_vs_bm25_eval": llm_prf_vs_bm25_eval,
     "llm_stratified_sample": llm_stratified_sample,
     "llm_leakage_safe_split": llm_leakage_safe_split,
     "llm_temperature_sample": llm_temperature_sample,
@@ -4370,3 +4527,124 @@ ORACLES["llm_cell_outliers"] = f"""
            s < 0.12 AS is_outlier
     FROM ranked WHERE rn = 1
 """
+
+
+# llm_mmr_index (r12): same planted-order contract as
+# llm_mmr_diversify — the exact-arithmetic geometry (query docstring)
+# makes the full-probe shortlist AND the greedy MMR selection a
+# deterministic integer sequence, so the oracle is the literal order.
+ORACLES["llm_mmr_index"] = """
+    SELECT CAST(1 AS BIGINT) AS query_id,
+           CAST(102 AS BIGINT) AS match_id,
+           CAST(1 AS INTEGER) AS mmr_rank
+    UNION ALL
+    SELECT 1, 103, 2
+    UNION ALL
+    SELECT 1, 101, 3
+"""
+
+
+def _bpe_encode_oracle() -> str:
+    """GENERATED from _BPE_RULES (the query's constant — the two
+    engines cannot drift): the identical symbol rendering
+    (chr(1)-framed symbols, chr(0) word separator, space-joined) and
+    the identical literal replace chain, then the token histogram.
+    chr() everywhere because a raw NUL byte inside a SQL literal is a
+    parser hazard; framing chars can never appear in corpus tokens
+    (tokenize splits on whitespace only and the operator validates
+    rules)."""
+    expr = (
+        "rtrim(regexp_replace(array_to_string(ws, chr(0)), '(.)', "
+        "chr(1) || '\\1' || chr(2) || ' ', 'g'))"
+    )
+    for a, b in _BPE_RULES:
+        pat = f"chr(1) || '{a}' || chr(2) || ' ' || chr(1) || '{b}' || chr(2)"
+        rep = f"chr(1) || '{a}{b}' || chr(2)"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+    WITH d AS (
+        SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS ws
+        FROM documents
+    ),
+    sym AS (SELECT doc_id, {expr} AS s FROM d),
+    fr AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(s, ' '),
+                      x -> x <> ''
+                      AND x <> chr(1) || chr(0) || chr(2))) AS f
+        FROM sym
+    ),
+    tok AS (
+        SELECT doc_id, substr(f, 2, len(f) - 2) AS token FROM fr
+    )
+    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM tok GROUP BY token
+"""
+
+
+ORACLES["llm_bpe_encode"] = _bpe_encode_oracle()
+
+# llm_prf_vs_bm25_eval (r12): BOTH ranking legs and BOTH metric legs
+# are the proven oracle bodies (llm_bm25_topk / llm_bm25_prf at k=10 +
+# llm_retrieval_metrics' DCG/IDCG/MRR arithmetic), labeled and
+# unioned. WITH-inside-subquery keeps each leg's CTE namespace closed.
+_PRF_10 = ORACLES["llm_bm25_prf"].replace(
+    "WHERE rank <= 5", "WHERE rank <= 10"
+)
+
+
+def _ranker_metrics_sql(hits_sql: str, label: str) -> str:
+    return f"""
+    SELECT * FROM (
+    WITH res AS ({hits_sql}),
+    qr AS (
+        SELECT query_id, doc_id, MAX(rel) AS rel FROM (
+            SELECT doc_id % 5 AS query_id, doc_id, 2 AS rel
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 7, doc_id, 1
+            FROM documents WHERE doc_id % 7 < 5
+        ) GROUP BY 1, 2
+    ),
+    jj AS (
+        SELECT r.query_id, r.rank, COALESCE(q.rel, 0) AS rel
+        FROM res r
+        LEFT JOIN qr q
+          ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+    ),
+    agg AS (
+        SELECT query_id,
+               SUM((POW(2.0, rel) - 1) / log2(rank + 1)) AS dcg,
+               MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+               COUNT(CASE WHEN rel > 0 THEN 1 END) AS n_rel_in_k
+        FROM jj GROUP BY 1
+    ),
+    ideal AS (
+        SELECT query_id,
+               SUM((POW(2.0, rel) - 1) / log2(ir + 1)) AS idcg
+        FROM (
+            SELECT query_id, rel,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY rel DESC
+                   ) AS ir
+            FROM qr WHERE rel > 0
+        ) WHERE ir <= 10 GROUP BY 1
+    )
+    SELECT '{label}' AS ranker,
+           a.query_id,
+           ROUND(
+               CASE WHEN i.idcg IS NULL OR i.idcg = 0 THEN 0.0
+                    ELSE a.dcg / i.idcg END, 6
+           ) AS ndcg_at_k,
+           ROUND(COALESCE(1.0 / first_rel, 0.0), 6) AS mrr,
+           n_rel_in_k
+    FROM agg a LEFT JOIN ideal i ON a.query_id = i.query_id
+    )
+"""
+
+
+ORACLES["llm_prf_vs_bm25_eval"] = (
+    _ranker_metrics_sql(_B25_10, "bm25")
+    + " UNION ALL "
+    + _ranker_metrics_sql(_PRF_10, "bm25_prf")
+)

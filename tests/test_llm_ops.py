@@ -2029,3 +2029,149 @@ class TestBpe:
             train_bpe_merges(
                 self._docs(spark), n_merges=1, max_vocab_rows=2
             )
+
+
+class TestBpeEncode:
+    """bpe_encode (r12): the apply/encode half of the tokenizer story
+    — greedy ordered merge application, expression tier (framed
+    literal-replace chain) ≡ arrow tier ≡ a pure-Python reference."""
+
+    def _ref_encode(self, text, merges):
+        import re
+
+        toks = []
+        for w in re.split(r"\s+", text.lower(), flags=re.ASCII):
+            if not w:
+                continue
+            syms = list(w)
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            toks.extend(syms)
+        return toks
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "abab abab abc"),
+                (2, "the cat sat on the mat"),
+                (3, "banana bandana"),
+                (4, ""),
+                (5, "  spaced   out  "),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_expr_matches_reference(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bpe_encode,
+            train_bpe_merges,
+        )
+
+        docs = self._corpus(spark)
+        merges = train_bpe_merges(docs, n_merges=6)
+        got = {
+            r["id"]: (list(r["tokens"]), r["n_tokens"])
+            for r in bpe_encode(docs, merges).collect()
+        }
+        for row in docs.collect():
+            want = self._ref_encode(row["text"], merges)
+            assert got[row["doc_id"]] == (want, len(want)), row["text"]
+
+    def test_expr_equals_arrow(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bpe_encode,
+            train_bpe_merges,
+        )
+
+        docs = self._corpus(spark)
+        merges = train_bpe_merges(docs, n_merges=6)
+        expr = sorted(
+            (r["id"], tuple(r["tokens"]), r["n_tokens"])
+            for r in bpe_encode(docs, merges, method="expr").collect()
+        )
+        arrow = sorted(
+            (r["id"], tuple(r["tokens"]), r["n_tokens"])
+            for r in bpe_encode(docs, merges, method="arrow").collect()
+        )
+        assert expr == arrow and len(expr) == 5
+
+    def test_roundtrip_concat_preserves_text(self, spark):
+        """Segmentation must partition each word: concatenating the
+        emitted tokens reproduces the whitespace-normalized text."""
+        from datawaves_etl_airflow_spark.operators.text import (
+            bpe_encode,
+            train_bpe_merges,
+        )
+
+        docs = self._corpus(spark)
+        merges = train_bpe_merges(docs, n_merges=8)
+        got = {
+            r["id"]: "".join(r["tokens"])
+            for r in bpe_encode(docs, merges).collect()
+        }
+        for row in docs.collect():
+            want = "".join(row["text"].lower().split())
+            assert got[row["doc_id"]] == want
+
+    def test_framing_blocks_false_prefix_suffix_matches(self, spark):
+        """The hazard the \\x01..\\x02 framing exists for: after rule
+        (x,a) the word 'xab' holds symbols [xa, b]; rule (a,b) must
+        NOT fire on the 'a' inside 'xa' (an unframed replace would
+        produce 'xab' as one token). Mirror case on the suffix side."""
+        from datawaves_etl_airflow_spark.operators.text import bpe_encode
+
+        d = spark.createDataFrame(
+            [(1, "xab"), (2, "abx"), (3, "ab")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["id"]: list(r["tokens"])
+            for r in bpe_encode(d, [("x", "a"), ("a", "b")]).collect()
+        }
+        assert got[1] == ["xa", "b"]
+        assert got[2] == ["ab", "x"]
+        assert got[3] == ["ab"]
+        got2 = {
+            r["id"]: list(r["tokens"])
+            for r in bpe_encode(d, [("b", "x"), ("a", "b")]).collect()
+        }
+        assert got2[1] == ["x", "ab"]
+        assert got2[2] == ["a", "bx"]
+
+    def test_greedy_overlap_is_leftmost(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import bpe_encode
+
+        d = spark.createDataFrame(
+            [(1, "aaa aaaa")], "doc_id long, text string"
+        )
+        got = bpe_encode(d, [("a", "a")]).first()
+        assert list(got["tokens"]) == ["aa", "a", "aa", "aa"]
+
+    def test_bad_rule_raises(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import bpe_encode
+
+        d = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="framing"):
+            bpe_encode(d, [("a", "b c")])
+
+    def test_expr_cap_raises(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import bpe_encode
+
+        d = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+        rules = [("a", "b")] * 65
+        with pytest.raises(ValueError, match="max_expr_rules"):
+            bpe_encode(d, rules, method="expr")
+        # auto silently takes the arrow tier instead
+        assert bpe_encode(d, rules).first()["tokens"] == ["ab"]

@@ -254,3 +254,81 @@ class TestR11Valves:
             )
         )
         assert valved == exact and len(exact) > 0
+
+
+class TestHardNegativesMaxDfRatio:
+    """mine_hard_negatives.max_df_ratio = 0.5 (r12): hard-negative
+    mining rides bm25's probe tree, so its valve is the SAME stopword
+    judgment — pinned as a true PASS-THROUGH: the valved mine equals
+    the _hard_negatives post-processing of the valved retrieval, the
+    persisted-index form applies the same rule, and the registry
+    carries bm25's value (the 100x decade measured 11.6x unvalved vs
+    7.6x valved — SCALE.md hard_negatives_probe_pruned)."""
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (i, f"the document unique{i} covers topic{i % 3} deeply")
+                for i in range(40)
+            ],
+            "doc_id long, text string",
+        )
+
+    def _qrels(self, spark):
+        # doc 7 judged positive for the query — it must be excluded
+        return spark.createDataFrame(
+            [(1, 7, 1)], "query_id long, doc_id long, rel long"
+        )
+
+    def test_registry_matches_bm25(self):
+        assert recommended(
+            "mine_hard_negatives", "max_df_ratio"
+        ) == recommended("bm25_topk", "max_df_ratio")
+
+    def test_valve_passes_through_to_probe(self, spark):
+        from datawaves_etl_airflow_spark.operators import text
+
+        docs = self._corpus(spark)
+        qs = spark.createDataFrame(
+            [(1, "the unique7 topic1")],
+            "query_id long, query_text string",
+        )
+        ratio = recommended("mine_hard_negatives", "max_df_ratio")
+        mined = text.mine_hard_negatives(
+            docs, qs, self._qrels(spark), n_negatives=5, depth=10,
+            max_df_ratio=ratio,
+        )
+        # the composition the operator promises: valved retrieval,
+        # then the shared post-processing — value-identical
+        hits = text.bm25_topk(docs, qs, k=10, max_df_ratio=ratio)
+        expect = text._hard_negatives(
+            hits, self._qrels(spark), 5, "query_id", "doc_id", "rel"
+        )
+        assert _rows(mined) == _rows(expect)
+        # and the valve FIRED: 'the' (df 1.0) contributes nothing, so
+        # the valved mine differs from the unvalved one
+        unvalved = text.mine_hard_negatives(
+            docs, qs, self._qrels(spark), n_negatives=5, depth=10
+        )
+        assert _rows(mined) != _rows(unvalved)
+
+    def test_index_form_applies_same_rule(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators import text
+
+        docs = self._corpus(spark)
+        qs = spark.createDataFrame(
+            [(1, "the unique7 topic1")],
+            "query_id long, query_text string",
+        )
+        ratio = recommended("mine_hard_negatives", "max_df_ratio")
+        p = str(tmp_path / "hnidx")
+        text.write_bm25_index(docs, p, n_buckets=8)
+        mined_idx = text.mine_hard_negatives_index(
+            qs, self._qrels(spark), p, n_negatives=5, depth=10,
+            max_df_ratio=ratio,
+        )
+        mined = text.mine_hard_negatives(
+            docs, qs, self._qrels(spark), n_negatives=5, depth=10,
+            max_df_ratio=ratio,
+        )
+        assert _rows(mined_idx) == _rows(mined)

@@ -240,6 +240,7 @@ def main() -> None:
         "bm25_probe_pruned",
         "bm25_probe_pruned_valved",
         "hard_negatives_probe_pruned",
+        "hard_negatives_probe_pruned_valved",
     ):
         for mult in sorted({1, args.factor}):
             p = os.path.join(idx_root, f"bm25_{mult}")
@@ -684,6 +685,27 @@ def main() -> None:
                 bm25_by_mult[mult],
                 n_negatives=5,
                 depth=10,
+            )
+        ),
+        # the valved production posture (r12: mine_hard_negatives'
+        # registry entry) — drops stopword-grade query terms' postings,
+        # which is exactly the unvalved form's super-linear residual
+        "hard_negatives_probe_pruned_valved": lambda mult: (
+            text.mine_hard_negatives_index(
+                bm25_queries,
+                spark.read.parquet(f"{args.sf}/documents.parquet")
+                .limit(50)
+                .select(
+                    (F.col("doc_id") % 5).alias("query_id"),
+                    "doc_id",
+                    F.lit(1).alias("rel"),
+                ),
+                bm25_by_mult[mult],
+                n_negatives=5,
+                depth=10,
+                max_df_ratio=valves.recommended(
+                    "mine_hard_negatives", "max_df_ratio"
+                ),
             )
         ),
         "prf_probe_pruned": lambda mult: text.bm25_prf_search_index(
