@@ -17,7 +17,7 @@ CORRECTNESS row. ``queries()`` therefore registers exactly the 50
 highest-information queries (every SURVEY §2 operator family + every
 LLM-pipeline component), ordered never-verified-first:
 domain (decode → verify → staging/enrich) → llm → generic extension
-picks. The FULL corpus (146 queries as of round 11 — 142 oracled + 4
+picks. The FULL corpus (149 queries as of round 12 — 145 oracled + 4
 rows-only-by-design) stays importable via
 ``queries_all()`` / ``oracle_sql_all()`` and is verified end-to-end by
 ``tools/parity.py`` (a driver-faithful local gate: DuckDB fetched via

@@ -392,21 +392,13 @@ def evt_seaport_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: d_enrich_geth_traces, d_new_tokens) rotate out parity-pinned; no
 #: domain source changed this round.
 DRIVER_QUERIES = [
-    # r8-stale deferrals (the r10 verdict's freshness queue), first
-    "d_enrich_transactions",
-    "d_verify_root_traces",
-    "evt_seaport_decode",
-    # r9-last-green cohort
-    "s2_staging_scan_csv",
-    "d_enrich_blocks",
-    "d_enrich_logs",
-    "d_enrich_traces",
-    "d_enrich_token_transfers",
-    "d_enrich_contracts",
-    "d_prices_fill",
-    "d_verify_have_latest",
-    "evt_transfer_decode",
-    "d5_extract_contracts",
+    # r12 rotation: the whole r9-stale cohort funds the llm block this
+    # round (domain went green wall-to-wall in r11), so domain keeps
+    # three r10-green picks — the append-sink/anti-join composition
+    # and the two decode extractors
+    "d_new_tokens",
+    "call_transfer_decode",
+    "d4_token_transfers",
 ]
 
 QUERIES = {

@@ -844,17 +844,25 @@ def g2_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: r10-green thirteen rotate out parity-pinned; no generic source
 #: changed this round.
 DRIVER_QUERIES = [
-    # r8-stale deferrals (the r10 verdict's freshness queue), first
-    "aj2_asof_bucketed",
-    "g1_rollup_returnflag",
-    "h2_range_pruned_scan",
-    "j5_composite_key_join",
-    "w4_rolling_range_window",
-    # r9-last-green pick (e1_except_parts and aj1_asof_clicks defer
-    # one round to fund llm_bpe_pairs' and llm_epoch_upsample's
-    # never-verified slots — e1's set-op twin u1_intersect_users is
-    # r10-green, aj1's bucketed twin aj2 holds the slot above)
-    "a1_count_existence",
+    # r12 rotation: the full r9-stale cohort (tools/parity.py
+    # --freshness queue) — every generic query whose last green is r9
+    "aj1_asof_clicks",
+    "e1_except_parts",
+    "f2_array_surface",
+    "g3_cube_priority",
+    "h1_hourly_events",
+    "j6_anti_join_customers",
+    "j6c_anti_join_bucket_pruned",
+    "j7_region_rollup",
+    "j8_semi_join_customers",
+    "p4_date_range_scan",
+    "pv2_unpivot_metrics",
+    "t1_topk_orders",
+    "w1_topk_per_user",
+    "w2_running_sum",
+    "x2_above_global_avg",
+    # r10-green pick filling the 50th slot: the §2.6 scalar surface
+    "f_scalar_surface",
 ]
 
 #: columns profiled by x3 (orderable subset of orders)

@@ -2675,47 +2675,54 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: dedup family's exact-Jaccard certificate), llm_dedup_exact, and
 #: llm_cosine_topk (the base replay many ANN oracles reuse). The
 #: r10-green set rotates out parity-pinned.
+#: Round-12 rotation (the r11 verdict's task 1, exactly): the four
+#: never-driver-verified r11 post-registration additions lead
+#: (llm_image_phash, llm_passage_decontaminate, llm_bigram_logprob,
+#: llm_split_leakage — parity-green ×3 SFs since r11 and re-verified
+#: by the r11 judge), then this round's three new compositions
+#: (llm_mmr_index — r10 task 4, llm_bpe_encode, llm_prf_vs_bm25_eval
+#: — r10 task 5) and llm_compression_ratio (rows-only-by-design, its
+#: first driver row), then the ENTIRE r9-stale cohort (23 llm + 15
+#: generic + 0 domain — everything the freshness gate flags). The
+#: r10/r11-green sets rotate out parity-pinned; enforcement is now
+#: mechanical: `tools/parity.py --freshness` FAILS when any oracled
+#: query's projected latest-green age exceeds 2 rounds under the
+#: current registration.
 DRIVER_QUERIES = [
-    # never driver-verified: r11 additions
-    "llm_minhash_sync",
-    "llm_hard_negatives",
-    "llm_source_overlap",
-    "llm_bpe_pairs",
-    "llm_epoch_upsample",
-    "llm_corpus_stats",
-    "llm_jaccard_prefix",
-    "llm_mixture_execute",
-    # never driver-verified: r10 post-rotation additions
-    "llm_ann_ivf_deleted",
-    "llm_ann_ivf_sync",
-    "llm_ann_recall_curve",
-    "llm_bm25_deleted",
-    "llm_bm25_filtered",
-    "llm_bm25_prf",
-    "llm_bm25_prf_index",
-    "llm_bm25_sync",
-    "llm_leakage_safe_split",
-    "llm_mmr_diversify",
-    "llm_retrieval_metrics",
-    "llm_snapshot_diff",
-    "llm_stratified_sample",
-    "llm_token_budget",
-    # r8-stale cohort (the r10 verdict's deferral list)
-    "llm_ann_ivf_2level",
-    "llm_ann_ivf_index",
-    "llm_cell_outliers",
-    "llm_knn_ivf_eval",
-    "llm_neardup_embeddings",
-    "llm_semantic_dedup",
-    "llm_semantic_dedup_ivf_diverse",
-    "llm_simhash_planted",
-    # r9 anchor: the banded form beside its new exact twin (one
-    # oracle, two plans — the strongest cross-check in the corpus).
-    # llm_dedup_clusters, llm_dedup_exact and llm_cosine_topk defer
-    # one round (all r9-green with untouched plans; the cosine replay
-    # is exercised through the four in-slot ANN queries whose oracles
-    # derive from it) funding the never-verified r11 slots.
-    "llm_jaccard_pairs",
+    # never driver-verified: r11 post-registration additions
+    "llm_image_phash",
+    "llm_passage_decontaminate",
+    "llm_bigram_logprob",
+    "llm_split_leakage",
+    # never driver-verified: r12 additions
+    "llm_mmr_index",
+    "llm_bpe_encode",
+    "llm_prf_vs_bm25_eval",
+    "llm_compression_ratio",
+    # r9-stale cohort (tools/parity.py --freshness queue), llm block
+    "llm_ann_ivf",
+    "llm_ann_ivf_int8",
+    "llm_ann_ivf_int8_rerank",
+    "llm_ann_lsh_planted",
+    "llm_audio_features",
+    "llm_cluster_keep",
+    "llm_corpus_pipeline",
+    "llm_cosine_topk",
+    "llm_dedup_clusters",
+    "llm_dedup_exact",
+    "llm_hash_split",
+    "llm_image_features",
+    "llm_knn_ivf_2level_eval",
+    "llm_knn_label_eval",
+    "llm_lang_id",
+    "llm_pack_sequences",
+    "llm_quality_logit",
+    "llm_quantize_embeddings",
+    "llm_semantic_dedup_2level",
+    "llm_semantic_dedup_diverse",
+    "llm_semantic_dedup_ivf",
+    "llm_source_quota",
+    "llm_text_stats",
 ]
 
 QUERIES = {

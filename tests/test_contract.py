@@ -52,38 +52,54 @@ class TestRegistrationPolicy:
         )
 
     def test_registration_order_never_verified_first(self):
-        """Round-11 rotation: the never-driver-verified queries lead
-        their module block, then the stalest cohorts (freshness
-        policy: no driver green older than two rounds) — a budget cut
-        still lands on the freshest evidence first."""
+        """Round-12 rotation: the never-driver-verified queries lead
+        their module block, then the r9-stale cohort (freshness
+        policy, now enforced mechanically by tools/parity.py
+        --freshness: no oracled query's projected green older than
+        two rounds) — a budget cut still lands on the freshest
+        evidence first."""
         names = list(entrymod.queries())
-        # domain block: the three r8-stale deferrals lead
-        assert names[0] == "d_enrich_transactions"
-        # llm block: the seven r11 additions + fourteen r10
-        # post-rotation additions (all never driver-verified) lead,
-        # then the r8-stale cohort, then the r9 anchors
+        # domain block: three r10-green picks (domain went green
+        # wall-to-wall in r11; its slots fund the stale llm cohort)
+        assert names[0] == "d_new_tokens"
+        # llm block: the eight never-driver-verified queries (four
+        # r11 post-registration additions + three r12 compositions +
+        # the rows-only compression signal) lead the stale cohort
         for new in (
-            "llm_minhash_sync",
-            "llm_hard_negatives",
-            "llm_source_overlap",
-            "llm_bpe_pairs",
-            "llm_epoch_upsample",
-            "llm_corpus_stats",
-            "llm_jaccard_prefix",
-            "llm_ann_ivf_deleted",
-            "llm_bm25_sync",
-            "llm_token_budget",
+            "llm_image_phash",
+            "llm_passage_decontaminate",
+            "llm_bigram_logprob",
+            "llm_split_leakage",
+            "llm_mmr_index",
+            "llm_bpe_encode",
+            "llm_prf_vs_bm25_eval",
+            "llm_compression_ratio",
         ):
-            assert names.index(new) < names.index("llm_ann_ivf_2level")
-        # generic block: the five r8-stale deferrals lead
+            assert names.index(new) < names.index("llm_ann_ivf")
+        # generic block: the full r9-stale cohort leads its r10 pick
         for stale in (
-            "aj2_asof_bucketed",
-            "g1_rollup_returnflag",
-            "h2_range_pruned_scan",
-            "j5_composite_key_join",
-            "w4_rolling_range_window",
+            "aj1_asof_clicks",
+            "e1_except_parts",
+            "w2_running_sum",
+            "x2_above_global_avg",
         ):
-            assert names.index(stale) < names.index("a1_count_existence")
+            assert names.index(stale) < names.index("f_scalar_surface")
+
+    def test_freshness_gate_passes_on_current_registration(self):
+        """The rotation is sufficient by construction: the mechanical
+        staleness gate (r10 verdict task 8) must pass against the
+        registration this file pins."""
+        import subprocess
+        import sys as _sys
+
+        proc = subprocess.run(
+            [_sys.executable, "tools/parity.py", "--freshness"],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=300,
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
 
     def test_driver_lists_subset_of_full_corpus(self):
         from datawaves_etl_airflow_spark.queries import domain, generic, llm
@@ -114,10 +130,13 @@ class TestRegistrationPolicy:
         assert any("boom" in r["traceback_line"] for r in rows)
 
     def test_registered_oracle_coverage(self):
-        """Round 5: ALL 50 registered queries are oracled — the three
-        rows-only xxhash64 candidate sets got their driver rows in r4
-        and rotate out (their recall/equivalence stays pinned in
-        test_dedup/test_similarity/test_advice_r3)."""
+        """Round 5 (amended r12): every registered query is oracled,
+        EXCEPT an explicitly documented rows-only-by-design slot
+        taking its first driver row — r12 registers
+        llm_compression_ratio once (compressed size is a zlib-build
+        property, pytest-pinned vs the interpreter's zlib; the driver
+        records rows-only, exactly like the three r4 candidate-set
+        rows). The three r4 rows-only sets stay rotated out."""
         q = entrymod.queries()
         o = entrymod.oracle_sql()
-        assert set(q) - set(o) == set()
+        assert set(q) - set(o) == {"llm_compression_ratio"}

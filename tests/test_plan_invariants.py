@@ -86,6 +86,11 @@ ALLOWED_BNLJ = {
     "corpus-stats aggregate — the llm_bm25_topk pattern inherited "
     "through the retrieval pass; the qrels anti-join itself is a "
     "broadcast HASH join",
+    # r12 additions:
+    "llm_prf_vs_bm25_eval": "bm25's broadcast 1-row (N, avgdl) "
+    "corpus-stats aggregate inherited through BOTH ranking legs "
+    "(plain + both PRF passes and the feedback mining's 1-row N) — "
+    "the llm_bm25_prf + llm_retrieval_metrics shapes composed",
 }
 
 
