@@ -1321,6 +1321,87 @@ def bpe_encode(
     return src.mapInPandas(_batches, schema=out_schema)
 
 
+def bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    max_alphabet: int = 65_536,
+) -> DataFrame:
+    """``(token, token_id)`` vocabulary under the SentencePiece/GPT-2
+    id convention: the corpus ALPHABET (distinct characters of the
+    tokenized text, codepoint-sorted) takes ids ``0..|A|−1``, then
+    each merge rule's output takes the next id in rule order — so ids
+    are stable across corpora sharing an alphabet and every symbol
+    `bpe_encode` can emit (a base char or a merge output) has exactly
+    one id. One distributed distinct-chars pass; the collect is
+    alphabet-bounded and guarded by ``max_alphabet`` (binary garbage
+    raises instead of flooding the driver — the max_vocab_rows
+    pattern)."""
+    chars = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.concat_ws("", tokenize(F.col(text_col))), ""
+                )
+            ).alias("c")
+        )
+        .filter(F.col("c") != "")
+        .distinct()
+    )
+    n = chars.count()
+    if n > max_alphabet:
+        raise ValueError(
+            f"corpus alphabet has {n} characters > max_alphabet="
+            f"{max_alphabet} — binary or mis-decoded input; raise the "
+            "cap deliberately if the charset is real"
+        )
+    alphabet = sorted(r["c"] for r in chars.collect())
+    vocab = [(c, i) for i, c in enumerate(alphabet)]
+    seen = {c for c, _ in vocab}
+    for j, (a, b) in enumerate(merges):
+        out = a + b
+        if out in seen:
+            raise ValueError(
+                f"duplicate vocab symbol {out!r} (rule {j}) — merge "
+                "outputs must be unique (real BPE merges each pair "
+                "once); dedupe the rule list"
+            )
+        seen.add(out)
+        vocab.append((out, len(alphabet) + j))
+    return docs.sparkSession.createDataFrame(
+        vocab, "token string, token_id int"
+    )
+
+
+def bpe_token_ids(
+    encoded: DataFrame,
+    vocab: DataFrame,
+    tokens_col: str = "tokens",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """``tokens array<string>`` → ``array<int>`` ids — the words→ids
+    step completing `bpe_encode`, as a LITERAL-MAP lookup
+    (`map_from_arrays` over the collected vocab: one broadcast-sized
+    plan constant, zero joins, zero shuffles — the broadcast
+    dictionary join collapsed into the projection). The vocab collect
+    is bounded by construction (alphabet + one row per merge rule,
+    `bpe_vocab`'s guarantee). A token absent from the vocab maps to
+    NULL — impossible when vocab and encode share the corpus and rule
+    list, loud under ``array_contains(token_ids, NULL)`` audits when
+    they don't."""
+    rows = vocab.select("token", "token_id").collect()
+    if not rows:
+        raise ValueError("empty vocab")
+    m = F.map_from_arrays(
+        F.lit([r["token"] for r in rows]),
+        F.lit([r["token_id"] for r in rows]),
+    )
+    return encoded.withColumn(
+        out_col,
+        F.transform(F.col(tokens_col), lambda t: F.element_at(m, t)),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 128,

@@ -2280,6 +2280,33 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The words→ids completion of the tokenizer story
+    (`text.bpe_vocab` + `text.bpe_token_ids`): encode the corpus with
+    the fixed `_BPE_RULES`, build the vocabulary under the
+    SentencePiece/GPT-2 id convention (corpus alphabet codepoint-
+    sorted at ids 0..|A|−1, then merge outputs in rule order), map
+    every emitted token to its id through the literal-map lookup, and
+    return the id-level histogram ``(token_id, token, n)``. DuckDB
+    replays the alphabet derivation (distinct chars + row_number),
+    the merge-output id assignment (generated from the same
+    constant), the encode chain and the histogram — so the driver
+    certifies the full train-convention → encode → ids pipeline
+    value-for-value."""
+    d = _docs(spark, sf_dir)
+    enc = text.bpe_encode(d, _BPE_RULES)
+    vocab = text.bpe_vocab(d, _BPE_RULES)
+    ids = text.bpe_token_ids(enc, vocab)
+    hist = (
+        ids.select(F.explode("token_ids").alias("token_id"))
+        .groupBy("token_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return hist.join(vocab, "token_id").select(
+        "token_id", "token", "n"
+    )
+
+
 def llm_mmr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION MMR composition end to end in one driver row
     (r10 verdict task 4 — the gap llm_hybrid_retrieval_index closed
@@ -2807,6 +2834,7 @@ QUERIES = {
     "llm_mmr_diversify": llm_mmr_diversify,
     "llm_mmr_index": llm_mmr_index,
     "llm_bpe_encode": llm_bpe_encode,
+    "llm_bpe_ids": llm_bpe_ids,
     "llm_prf_vs_bm25_eval": llm_prf_vs_bm25_eval,
     "llm_stratified_sample": llm_stratified_sample,
     "llm_leakage_safe_split": llm_leakage_safe_split,
@@ -4551,15 +4579,15 @@ ORACLES["llm_mmr_index"] = """
 """
 
 
-def _bpe_encode_oracle() -> str:
-    """GENERATED from _BPE_RULES (the query's constant — the two
-    engines cannot drift): the identical symbol rendering
-    (chr(1)-framed symbols, chr(0) word separator, space-joined) and
-    the identical literal replace chain, then the token histogram.
-    chr() everywhere because a raw NUL byte inside a SQL literal is a
-    parser hazard; framing chars can never appear in corpus tokens
-    (tokenize splits on whitespace only and the operator validates
-    rules)."""
+def _bpe_ctes() -> str:
+    """The shared encode CTE chain, GENERATED from _BPE_RULES (the
+    query's constant — the two engines cannot drift): the identical
+    symbol rendering (chr(1)-framed symbols, chr(0) word separator,
+    space-joined) and the identical literal replace chain, down to a
+    per-doc token stream. chr() everywhere because a raw NUL byte
+    inside a SQL literal is a parser hazard; framing chars can never
+    appear in corpus tokens (tokenize splits on whitespace only and
+    the operator validates rules)."""
     expr = (
         "rtrim(regexp_replace(array_to_string(ws, chr(0)), '(.)', "
         "chr(1) || '\\1' || chr(2) || ' ', 'g'))"
@@ -4569,7 +4597,7 @@ def _bpe_encode_oracle() -> str:
         rep = f"chr(1) || '{a}{b}' || chr(2)"
         expr = f"replace({expr}, {pat}, {rep})"
     return f"""
-    WITH d AS (
+    d AS (
         SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS ws
         FROM documents
     ),
@@ -4583,13 +4611,50 @@ def _bpe_encode_oracle() -> str:
     ),
     tok AS (
         SELECT doc_id, substr(f, 2, len(f) - 2) AS token FROM fr
-    )
+    )"""
+
+
+ORACLES["llm_bpe_encode"] = f"""
+    WITH {_bpe_ctes()}
     SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
     FROM tok GROUP BY token
 """
 
-
-ORACLES["llm_bpe_encode"] = _bpe_encode_oracle()
+# llm_bpe_ids (r12): the same encode chain, plus the vocabulary under
+# the SentencePiece/GPT-2 convention — alphabet = distinct chars of
+# the tokenized corpus, codepoint-ordered (binary collation: the
+# corpus is ASCII; Spark sorts the same), ids 0..|A|-1; merge outputs
+# appended in rule order (VALUES generated from _BPE_RULES).
+_BPE_MERGED_VALS = ", ".join(
+    f"('{a}{b}', {j})" for j, (a, b) in enumerate(_BPE_RULES)
+)
+ORACLES["llm_bpe_ids"] = f"""
+    WITH {_bpe_ctes()},
+    alpha AS (
+        SELECT c AS token,
+               CAST(ROW_NUMBER() OVER (ORDER BY c) - 1 AS INTEGER)
+                   AS token_id
+        FROM (
+            SELECT DISTINCT substr(t, CAST(i AS INTEGER), 1) AS c
+            FROM (SELECT array_to_string(ws, '') AS t FROM d),
+                 UNNEST(range(1, len(t) + 1)) AS u(i)
+        ) WHERE c <> ''
+    ),
+    merged AS (
+        SELECT token,
+               CAST((SELECT COUNT(*) FROM alpha) + idx AS INTEGER)
+                   AS token_id
+        FROM (VALUES {_BPE_MERGED_VALS}) AS m(token, idx)
+    ),
+    vocab AS (
+        SELECT token, token_id FROM alpha
+        UNION ALL
+        SELECT token, token_id FROM merged
+    )
+    SELECT v.token_id, v.token, COUNT(*) AS n
+    FROM tok t JOIN vocab v ON t.token = v.token
+    GROUP BY 1, 2
+"""
 
 # llm_prf_vs_bm25_eval (r12): BOTH ranking legs and BOTH metric legs
 # are the proven oracle bodies (llm_bm25_topk / llm_bm25_prf at k=10 +

@@ -2175,3 +2175,70 @@ class TestBpeEncode:
             bpe_encode(d, rules, method="expr")
         # auto silently takes the arrow tier instead
         assert bpe_encode(d, rules).first()["tokens"] == ["ab"]
+
+
+class TestBpeVocabIds:
+    """bpe_vocab + bpe_token_ids (r12): the words→ids completion —
+    SentencePiece/GPT-2 id convention, literal-map lookup, no joins."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "abab abc"), (2, "cab ba")],
+            "doc_id long, text string",
+        )
+
+    def test_vocab_convention(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import bpe_vocab
+
+        v = {
+            r["token"]: r["token_id"]
+            for r in bpe_vocab(
+                self._docs(spark), [("a", "b"), ("ab", "c")]
+            ).collect()
+        }
+        # alphabet {a,b,c} codepoint-sorted at 0..2, merges appended
+        assert v == {"a": 0, "b": 1, "c": 2, "ab": 3, "abc": 4}
+
+    def test_every_emitted_token_resolves(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bpe_encode,
+            bpe_token_ids,
+            bpe_vocab,
+            train_bpe_merges,
+        )
+
+        docs = self._docs(spark)
+        merges = train_bpe_merges(docs, n_merges=4)
+        enc = bpe_encode(docs, merges)
+        ids = bpe_token_ids(enc, bpe_vocab(docs, merges)).collect()
+        assert len(ids) == 2
+        for r in ids:
+            assert len(r["token_ids"]) == r["n_tokens"]
+            assert all(i is not None for i in r["token_ids"])
+
+    def test_ids_reversible_through_vocab(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bpe_encode,
+            bpe_token_ids,
+            bpe_vocab,
+        )
+
+        docs = self._docs(spark)
+        merges = [("a", "b")]
+        vocab = bpe_vocab(docs, merges)
+        inv = {r["token_id"]: r["token"] for r in vocab.collect()}
+        got = bpe_token_ids(bpe_encode(docs, merges), vocab).collect()
+        for r in got:
+            assert [inv[i] for i in r["token_ids"]] == list(r["tokens"])
+
+    def test_duplicate_merge_output_raises(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import bpe_vocab
+
+        with pytest.raises(ValueError, match="duplicate"):
+            bpe_vocab(self._docs(spark), [("a", "b"), ("a", "b")])
+
+    def test_alphabet_guard(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import bpe_vocab
+
+        with pytest.raises(ValueError, match="max_alphabet"):
+            bpe_vocab(self._docs(spark), [], max_alphabet=2)

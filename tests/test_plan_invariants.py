@@ -91,6 +91,9 @@ ALLOWED_BNLJ = {
     "corpus-stats aggregate inherited through BOTH ranking legs "
     "(plain + both PRF passes and the feedback mining's 1-row N) — "
     "the llm_bm25_prf + llm_retrieval_metrics shapes composed",
+    "llm_bigram_logprob": "broadcast 1-row LM-token-total aggregate "
+    "(text.py:1020 crossJoin(broadcast(total))) — the whitelisted "
+    "llm_unigram_logprob corpus-size-aggregate shape, inherited",
 }
 
 

@@ -265,19 +265,24 @@ class TestScd2Plan:
         assert "SortMergeJoin" not in p
 
 
-class TestR12QueuePlanInvariants:
-    """The four r11 additions parked in the r12 rotation queue are
-    NOT in the registered set, so the global plan sweep
+class TestRotationQueuePlanInvariants:
+    """Queries parked in the NEXT round's rotation queue are not in
+    the registered set, so the global plan sweep
     (test_plan_invariants) does not reach them — pin their invariants
-    here so they enter r12 with the same no-products/no-row-Python
-    guarantee as every registered plan."""
+    here so they enter the rotation with the same
+    no-products/no-row-Python guarantee as every registered plan.
+    (r12 queue — image_phash/passage_decontaminate/bigram_logprob/
+    split_leakage — graduated into the r12 registration and is now
+    covered by the global sweep.)"""
 
     FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
     #: sanctioned BNLJ shapes, same rationale as the registered
     #: whitelist: 1-row broadcast aggregates only
-    ALLOWS_BNLJ = {
-        "llm_bigram_logprob",  # broadcast 1-row LM-total aggregate
-    }
+    ALLOWS_BNLJ: set = set()
+
+    #: the r13 queue: parity-green ×3 SFs this round, first driver row
+    #: next rotation
+    QUEUE = ("llm_bpe_ids",)
 
     @staticmethod
     def _plan(spark, name):
@@ -287,12 +292,7 @@ class TestR12QueuePlanInvariants:
         return df._jdf.queryExecution().executedPlan().toString()
 
     def test_queue_plans_clean(self, spark):
-        for name in (
-            "llm_image_phash",
-            "llm_passage_decontaminate",
-            "llm_bigram_logprob",
-            "llm_split_leakage",
-        ):
+        for name in self.QUEUE:
             plan = self._plan(spark, name)
             for bad in self.FORBIDDEN:
                 assert bad not in plan, f"{name}: {bad}"
