@@ -2715,6 +2715,15 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: mechanical: `tools/parity.py --freshness` FAILS when any oracled
 #: query's projected latest-green age exceeds 2 rounds under the
 #: current registration.
+#: post-registration additions queued to LEAD the next rotation —
+#: parity-green ×3 SFs and plan-pinned now, first driver row next
+#: round. `tools/parity.py --freshness` exempts exactly this list
+#: from its never-verified rule and FAILS if an entry goes stale
+#: (already registered, or already carrying a driver row).
+ROTATION_QUEUE = [
+    "llm_bpe_ids",
+]
+
 DRIVER_QUERIES = [
     # never driver-verified: r11 post-registration additions
     "llm_image_phash",

@@ -280,9 +280,13 @@ class TestRotationQueuePlanInvariants:
     #: whitelist: 1-row broadcast aggregates only
     ALLOWS_BNLJ: set = set()
 
-    #: the r13 queue: parity-green ×3 SFs this round, first driver row
-    #: next rotation
-    QUEUE = ("llm_bpe_ids",)
+    #: the queue is the REAL registry (queries.llm.ROTATION_QUEUE —
+    #: the freshness gate exempts exactly it), so this pin can't drift
+    @property
+    def QUEUE(self):
+        from datawaves_etl_airflow_spark.queries import llm as _llm
+
+        return tuple(_llm.ROTATION_QUEUE)
 
     @staticmethod
     def _plan(spark, name):

@@ -140,6 +140,7 @@ def freshness(max_age: int) -> int:
     registered: list[str] = []
     corpus: list[str] = []
     oracled: set[str] = set()
+    queued: list[str] = []
     for modname in ("domain", "llm", "generic"):
         mod = __import__(
             f"datawaves_etl_airflow_spark.queries.{modname}",
@@ -148,6 +149,7 @@ def freshness(max_age: int) -> int:
         registered.extend(mod.DRIVER_QUERIES)
         corpus.extend(mod.QUERIES)
         oracled.update(mod.ORACLES)
+        queued.extend(getattr(mod, "ROTATION_QUEUE", []))
 
     n_fail = 0
     histogram: dict[int, int] = {}
@@ -171,12 +173,25 @@ def freshness(max_age: int) -> int:
                 )
                 n_fail += 1
         elif q not in registered:
+            if q in queued:
+                continue  # explicitly parked for the next rotation
             print(f"NEVER-VERIFIED {q}: no driver row and not registered")
+            n_fail += 1
+    # queue hygiene: ROTATION_QUEUE entries must be exactly the
+    # post-registration additions — an entry that is registered or
+    # already carries a driver row is stale bookkeeping
+    for q in queued:
+        if q in registered or q in latest:
+            print(
+                f"STALE-QUEUE {q}: in ROTATION_QUEUE but "
+                f"{'registered' if q in registered else 'already has a driver row'}"
+            )
             n_fail += 1
     n_new = sum(1 for q in registered if q not in latest)
     print(
         f"\nfreshness: upcoming r{upcoming}, {len(corpus)} corpus queries, "
         f"{len(registered)} registered ({n_new} never-verified, leading), "
+        f"{len(queued)} queued for next rotation, "
         f"oracled-green histogram {dict(sorted(histogram.items()))}"
     )
     if rows_only_stale:

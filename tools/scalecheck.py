@@ -870,6 +870,20 @@ def main() -> None:
         "bigram_logprob": lambda mult: text.bigram_logprob(
             _scaled_docs(spark, args.sf, mult)
         ),
+        # BPE encode (r12): the framed literal-replace chain — one
+        # map-side projection (8 iterative rules, expression tier),
+        # zero shuffles before the histogram; must track the scan
+        "bpe_encode": lambda mult: (
+            lambda enc: enc.select(
+                F.explode("tokens").alias("t")
+            ).groupBy("t").count()
+        )(
+            text.bpe_encode(
+                _scaled_docs(spark, args.sf, mult),
+                [("t", "h"), ("th", "e"), ("s", "c"), ("sc", "a"),
+                 ("sca", "n"), ("e", "r"), ("t", "a"), ("ta", "b")],
+            )
+        ),
         "text_quality": lambda mult: text.quality_logit(
             _scaled_docs(spark, args.sf, mult)
         ),
