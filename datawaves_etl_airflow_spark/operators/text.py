@@ -170,6 +170,114 @@ def quality_logit(
     )
 
 
+#: the eight "required" English words of Gopher rule A1.7 (Rae et al.
+#: 2021, "Scaling Language Models: ... Gopher", appendix A1.1)
+GOPHER_REQUIRED_WORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher document-level quality rules (Rae et al. 2021,
+    appendix A1.1 — the rule set RefinedWeb/Dolma/FineWeb reuse) as
+    ONE zero-shuffle projection: per doc, the seven doc-level signals
+    with their per-rule booleans and the conjunction ``pass_gopher``.
+    (The repetition sub-family — duplicate-line/top-n-gram fractions
+    — needs per-doc aggregations and lives in `ngram_repetition`;
+    compose with a join when running the full filter.)
+
+    Rules, at the paper's default thresholds: word count in
+    [50, 100k]; mean word length in [3, 10]; symbol-to-word ratio
+    (``#`` chars + ``...`` runs) ≤ 0.1; ≤ 90% of lines starting with
+    a bullet; ≤ 30% of lines ending with an ellipsis; ≥ 80% of words
+    containing an alphabetic character; ≥ 2 of the eight required
+    English words present. All signals are integer-count divisions,
+    so both engines compute bit-identical doubles and the flags can
+    never flip cross-engine; emitted ratios are ROUND(…, 6) for the
+    oracle, flags derive from the exact values. Pure column math in
+    whole-stage codegen — the shape that survives 100 TB."""
+    text_c = F.coalesce(F.col(text_col), F.lit(""))
+    # tokenize, not words(): the empty doc must count 0 words (the
+    # ['']-for-empty split artifact would read as one empty word and
+    # desync every ratio from the oracle's list_filter'd tokens)
+    ws = tokenize(F.col(text_col))
+    n_words = F.size(ws)
+    nw = F.greatest(n_words, F.lit(1))  # guard: empty doc divides by 1
+    mean_wl = F.aggregate(
+        ws, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / nw
+    n_hash = F.length(text_c) - F.length(F.replace(text_c, F.lit("#")))
+    n_ellipsis = (
+        F.length(text_c) - F.length(F.replace(text_c, F.lit("...")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis) / nw
+    lines = F.split(text_c, "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("•")
+            | F.ltrim(l).startswith("- "),
+        )
+    )
+    ellipsis_end = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).endswith("..."))
+    )
+    bullet_ratio = bullet / n_lines.cast("double")
+    ellipsis_ratio = ellipsis_end / n_lines.cast("double")
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    alpha_ratio = alpha_words / nw.cast("double")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(ws),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+        )
+    )
+    ok_wc = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (mean_wl >= min_mean_word_len) & (
+        mean_wl <= max_mean_word_len
+    )
+    ok_sym = symbol_ratio <= max_symbol_ratio
+    ok_bul = bullet_ratio <= max_bullet_line_ratio
+    ok_ell = ellipsis_ratio <= max_ellipsis_line_ratio
+    ok_alpha = alpha_ratio >= min_alpha_word_ratio
+    ok_stop = stop_hits >= min_required_stopwords
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_line_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        stop_hits.alias("n_required_stopwords"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_bul.alias("ok_bullet_lines"),
+        ok_ell.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (
+            ok_wc & ok_mwl & ok_sym & ok_bul & ok_ell & ok_alpha
+            & ok_stop
+        ).alias("pass_gopher"),
+    )
+
+
 def ngram_repetition(
     docs: DataFrame,
     n: int = 2,

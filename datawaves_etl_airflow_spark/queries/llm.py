@@ -2280,6 +2280,21 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-level quality rule set
+    (`text.gopher_quality_flags` — Rae et al. 2021 appendix A1.1, the
+    filter RefinedWeb/Dolma/FineWeb reuse) at the paper's default
+    thresholds, FULL value oracle: DuckDB replays all seven signals
+    (word count, mean word length, symbol ratio, bullet/ellipsis line
+    ratios, alphabetic-word ratio, required-stopword hits), every
+    per-rule boolean and the conjunction. All signals are
+    integer-count divisions — bit-identical doubles cross-engine, so
+    the flags can never flip. On the driver corpus both branches of
+    ok_word_count and ok_stopwords fire (docs under 50 words exist;
+    'the' is the only required word in the synthetic vocabulary)."""
+    return text.gopher_quality_flags(_docs(spark, sf_dir))
+
+
 def llm_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The words→ids completion of the tokenizer story
     (`text.bpe_vocab` + `text.bpe_token_ids`): encode the corpus with
@@ -2722,6 +2737,7 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (already registered, or already carrying a driver row).
 ROTATION_QUEUE = [
     "llm_bpe_ids",
+    "llm_gopher_flags",
 ]
 
 DRIVER_QUERIES = [
@@ -2844,6 +2860,7 @@ QUERIES = {
     "llm_mmr_index": llm_mmr_index,
     "llm_bpe_encode": llm_bpe_encode,
     "llm_bpe_ids": llm_bpe_ids,
+    "llm_gopher_flags": llm_gopher_flags,
     "llm_prf_vs_bm25_eval": llm_prf_vs_bm25_eval,
     "llm_stratified_sample": llm_stratified_sample,
     "llm_leakage_safe_split": llm_leakage_safe_split,
@@ -4729,3 +4746,65 @@ ORACLES["llm_prf_vs_bm25_eval"] = (
     + " UNION ALL "
     + _ranker_metrics_sql(_PRF_10, "bm25_prf")
 )
+
+# llm_gopher_flags (r12): all seven Gopher A1.1 doc-level signals +
+# flags replayed — integer-count divisions throughout, so the doubles
+# are bit-identical cross-engine; newline via chr(10) (literal hazard).
+ORACLES["llm_gopher_flags"] = f"""
+    WITH d AS (
+        SELECT doc_id, coalesce(text, '') AS t,
+               list_filter({_WORDS}, x -> x <> '') AS ws
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               greatest(len(ws), 1) AS nw,
+               coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+                   AS wl_sum,
+               len(t) - len(replace(t, '#', '')) AS n_hash,
+               (len(t) - len(replace(t, '...', ''))) / 3.0 AS n_ell,
+               string_split(t, chr(10)) AS lines,
+               len(list_filter(ws,
+                   w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+               len(list_filter(
+                   ['the','be','to','of','and','that','have','with'],
+                   s -> list_contains(ws, s))) AS stop_hits
+        FROM d
+    ),
+    r AS (
+        SELECT doc_id, n_words,
+               wl_sum / nw AS mean_wl,
+               (n_hash + n_ell) / nw AS symbol_ratio,
+               len(list_filter(lines,
+                   l -> ltrim(l) LIKE '•%' OR ltrim(l) LIKE '- %'
+               )) * 1.0 / len(lines) AS bullet_ratio,
+               len(list_filter(lines, l -> rtrim(l) LIKE '%...'))
+                   * 1.0 / len(lines) AS ellipsis_ratio,
+               n_alpha * 1.0 / nw AS alpha_ratio,
+               stop_hits
+        FROM m
+    )
+    SELECT doc_id, n_words,
+           ROUND(mean_wl, 6) AS mean_word_len,
+           ROUND(symbol_ratio, 6) AS symbol_ratio,
+           ROUND(bullet_ratio, 6) AS bullet_line_ratio,
+           ROUND(ellipsis_ratio, 6) AS ellipsis_line_ratio,
+           ROUND(alpha_ratio, 6) AS alpha_word_ratio,
+           stop_hits AS n_required_stopwords,
+           n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+           mean_wl >= 3.0 AND mean_wl <= 10.0 AS ok_mean_word_len,
+           symbol_ratio <= 0.1 AS ok_symbol_ratio,
+           bullet_ratio <= 0.9 AS ok_bullet_lines,
+           ellipsis_ratio <= 0.3 AS ok_ellipsis_lines,
+           alpha_ratio >= 0.8 AS ok_alpha_words,
+           stop_hits >= 2 AS ok_stopwords,
+           (n_words >= 50 AND n_words <= 100000)
+           AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+           AND symbol_ratio <= 0.1
+           AND bullet_ratio <= 0.9
+           AND ellipsis_ratio <= 0.3
+           AND alpha_ratio >= 0.8
+           AND stop_hits >= 2 AS pass_gopher
+    FROM r
+"""

@@ -2242,3 +2242,87 @@ class TestBpeVocabIds:
 
         with pytest.raises(ValueError, match="max_alphabet"):
             bpe_vocab(self._docs(spark), [], max_alphabet=2)
+
+
+class TestGopherFlags:
+    """gopher_quality_flags (r12): every rule branch fires on planted
+    constructions at the paper's default thresholds."""
+
+    def _flags(self, spark, text):
+        from datawaves_etl_airflow_spark.operators.text import (
+            gopher_quality_flags,
+        )
+
+        d = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        return gopher_quality_flags(d).first()
+
+    def _good_text(self):
+        # 60 words, all alphabetic, mean length in [3,10], two
+        # required stopwords, no symbols/bullets/ellipses
+        return " ".join(
+            ["the", "with"] + [f"word{i:02d}" for i in range(58)]
+        )
+
+    def test_good_doc_passes_everything(self, spark):
+        r = self._flags(spark, self._good_text())
+        assert r["pass_gopher"] is True
+        for c in (
+            "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+            "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+            "ok_stopwords",
+        ):
+            assert r[c] is True, c
+
+    def test_short_doc_fails_word_count_only(self, spark):
+        r = self._flags(spark, "the with alpha beta gamma")
+        assert r["ok_word_count"] is False
+        assert r["pass_gopher"] is False
+        assert r["ok_stopwords"] is True
+
+    def test_symbol_ratio(self, spark):
+        # 7 hashes + 60 words -> ratio > 0.1
+        r = self._flags(spark, self._good_text() + " #######")
+        assert r["ok_symbol_ratio"] is False
+        # ellipsis runs count /3: one '...' in 60 words is fine
+        r2 = self._flags(spark, self._good_text() + "...")
+        assert r2["ok_symbol_ratio"] is True
+        assert r2["ellipsis_line_ratio"] == 1.0  # the one line ends ...
+        assert r2["ok_ellipsis_lines"] is False
+
+    def test_bullet_lines(self, spark):
+        body = self._good_text()
+        bullets = "\n".join(f"• item {i}" for i in range(19))
+        r = self._flags(spark, body + "\n" + bullets)
+        # 19 of 20 lines start with a bullet -> ratio 0.95 > 0.9
+        assert r["ok_bullet_lines"] is False
+        assert r["bullet_line_ratio"] == 0.95
+
+    def test_alpha_word_ratio(self, spark):
+        nums = " ".join(["123 456 789 000"] * 4)  # 16 non-alpha words
+        r = self._flags(spark, self._good_text() + " " + nums)
+        # 60 alpha / 76 total = 0.789 < 0.8
+        assert r["ok_alpha_words"] is False
+
+    def test_stopword_requirement(self, spark):
+        text = " ".join(f"word{i:02d}" for i in range(60))
+        r = self._flags(spark, text)
+        assert r["n_required_stopwords"] == 0
+        assert r["ok_stopwords"] is False
+        r2 = self._flags(spark, text + " the that")
+        assert r2["n_required_stopwords"] == 2
+        assert r2["ok_stopwords"] is True
+
+    def test_mean_word_len_bounds(self, spark):
+        shorties = " ".join(["a b c d"] * 15)  # mean 1 < 3
+        r = self._flags(spark, shorties + " the with")
+        assert r["ok_mean_word_len"] is False
+        longs = " ".join(["x" * 12] * 60)  # mean 12 > 10
+        r2 = self._flags(spark, longs)
+        assert r2["ok_mean_word_len"] is False
+
+    def test_empty_doc(self, spark):
+        r = self._flags(spark, "")
+        assert r["n_words"] == 0
+        assert r["pass_gopher"] is False
