@@ -278,6 +278,97 @@ def gopher_quality_flags(
     )
 
 
+#: C4's line blocklist (Raffel et al. 2020 §2.2): a line containing
+#: any of these is dropped outright
+C4_LINE_BLOCKLIST = ("javascript", "lorem ipsum", "{", "}")
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    require_terminal_punct: bool = True,
+    blocklist: tuple = C4_LINE_BLOCKLIST,
+    dedup_lines: bool = True,
+    min_lines: int = 1,
+) -> DataFrame:
+    """C4-style line-level corpus cleaning (Raffel et al. 2020 §2.2 —
+    the T5 pipeline's cleaning pass, reused by every C4 reproduction):
+    per doc, split into lines and keep only lines that (a) end in a
+    terminal punctuation mark (``.!?"``), (b) carry at least
+    ``min_words_per_line`` words, (c) contain no blocklist phrase
+    (lowercased substring match); then remove every GLOBAL duplicate
+    line except its first occurrence (ordered by ``(doc_id, line
+    position)`` — deterministic; the paper's three-sentence-span rule
+    approximated at line granularity, which is what public C4
+    reimplementations ship); reassemble surviving lines in document
+    order and drop docs left with fewer than ``min_lines``.
+
+    Returns ``(id, text_clean, n_lines_kept)``.
+
+    100 TB shape: the per-line filters are map-side; the global dedup
+    is ONE shuffle keyed on the line content (the same key layout as
+    exact_dedup_groups — skew on a mega-duplicated boilerplate line
+    means that line's group lands on one reducer, but the group
+    collapses to min(doc,pos), a 2-value aggregate, so it's an
+    aggregate-skew not a row-skew problem: partial aggregation
+    absorbs it map-side); the reassembly groups by doc id. Kept
+    deliberately window-free on the dedup side — ``min_by`` partial-
+    aggregates where a row_number window would sort whole
+    partitions."""
+    lines_arr = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    exploded = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(lines_arr)
+    ).select("id", F.col("pos"), F.trim(F.col("col")).alias("line"))
+    kept = exploded.filter(F.length("line") > 0)
+    if require_terminal_punct:
+        kept = kept.filter(
+            F.substring(F.col("line"), -1, 1).isin(".", "!", "?", '"')
+        )
+    if min_words_per_line > 0:
+        kept = kept.filter(
+            F.size(tokenize(F.col("line"))) >= min_words_per_line
+        )
+    for phrase in blocklist:
+        kept = kept.filter(
+            ~F.contains(F.lower(F.col("line")), F.lit(phrase))
+        )
+    if dedup_lines:
+        # first global occurrence per line content, ordered (id, pos):
+        # an aggregate (min over a composite orderable struct), not a
+        # window — partial aggregation absorbs boilerplate skew
+        # map-side. Renamed projection breaks the self-join lineage.
+        first = (
+            kept.groupBy("line")
+            .agg(F.min(F.struct("id", "pos")).alias("_first"))
+            .select(
+                F.col("line").alias("_dline"),
+                F.col("_first.id").alias("_fid"),
+                F.col("_first.pos").alias("_fpos"),
+            )
+        )
+        kept = kept.join(
+            first,
+            (F.col("line") == F.col("_dline"))
+            & (F.col("id") == F.col("_fid"))
+            & (F.col("pos") == F.col("_fpos")),
+        ).select("id", "pos", "line")
+    out = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return out.filter(F.col("n_lines_kept") >= min_lines)
+
+
 def ngram_repetition(
     docs: DataFrame,
     n: int = 2,

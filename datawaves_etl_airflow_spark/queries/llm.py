@@ -2295,6 +2295,38 @@ def llm_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_quality_flags(_docs(spark, sf_dir))
 
 
+def llm_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (`text.c4_clean` — Raffel et al. 2020
+    §2.2) on a planted multi-line corpus derived in-plan: each doc
+    becomes four lines — (0) its first 8 words + '.', (1) a shared
+    boilerplate sentence planted in EVERY doc, (2) words 9–12 with no
+    terminal punctuation, (3) words 13–14 + '.' (under the 3-word
+    minimum). Line 2 survives only in its global first occurrence
+    (min (doc_id, pos) — the corpus-wide duplicate-line dedup), line
+    0 survives wherever it is ≥3 words and globally first (some docs
+    share 8-word prefixes at larger SFs — real dedup work, replayed
+    exactly), lines 2/3 are dropped by the punctuation/min-words
+    rules. DuckDB replays the line construction, all three filters,
+    the (doc_id, pos)-ordered global dedup and the ordered
+    reassembly value-for-value."""
+    d = _docs(spark, sf_dir)
+    ws = dedup.tokenize(F.col("text"))
+    line0 = F.concat(F.array_join(F.slice(ws, 1, 8), " "), F.lit("."))
+    line1 = F.lit("the shared boilerplate line repeats everywhere.")
+    line2 = F.array_join(F.slice(ws, 9, 4), " ")
+    line3 = F.concat(
+        F.array_join(F.slice(ws, 13, 2), " "), F.lit(".")
+    )
+    planted = d.select(
+        "doc_id",
+        F.concat_ws("\n", line0, line1, line2, line3).alias("text"),
+    )
+    out = text.c4_clean(planted)
+    return out.select(
+        F.col("id").alias("doc_id"), "text_clean", "n_lines_kept"
+    )
+
+
 def llm_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The words→ids completion of the tokenizer story
     (`text.bpe_vocab` + `text.bpe_token_ids`): encode the corpus with
@@ -2738,6 +2770,7 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROTATION_QUEUE = [
     "llm_bpe_ids",
     "llm_gopher_flags",
+    "llm_c4_clean",
 ]
 
 DRIVER_QUERIES = [
@@ -2861,6 +2894,7 @@ QUERIES = {
     "llm_bpe_encode": llm_bpe_encode,
     "llm_bpe_ids": llm_bpe_ids,
     "llm_gopher_flags": llm_gopher_flags,
+    "llm_c4_clean": llm_c4_clean,
     "llm_prf_vs_bm25_eval": llm_prf_vs_bm25_eval,
     "llm_stratified_sample": llm_stratified_sample,
     "llm_leakage_safe_split": llm_leakage_safe_split,
@@ -4807,4 +4841,58 @@ ORACLES["llm_gopher_flags"] = f"""
            AND alpha_ratio >= 0.8
            AND stop_hits >= 2 AS pass_gopher
     FROM r
+"""
+
+# llm_c4_clean (r12): the planted four-line construction, the three
+# line filters (terminal punct, >=3 words, blocklist), the global
+# (doc_id, pos)-ordered duplicate-line dedup and the ordered
+# reassembly — replayed end to end. Line tokenization reuses the
+# engine's normalize-then-split contract on the LINE text.
+ORACLES["llm_c4_clean"] = f"""
+    WITH d AS (
+        SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS ws
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               array_to_string(ws[1:8], ' ') || '.' AS l0,
+               'the shared boilerplate line repeats everywhere.' AS l1,
+               array_to_string(ws[9:12], ' ') AS l2,
+               array_to_string(ws[13:14], ' ') || '.' AS l3
+        FROM d
+    ),
+    lx AS (
+        SELECT doc_id, pos, trim(line) AS line FROM (
+            SELECT doc_id, 0 AS pos, l0 AS line FROM c
+            UNION ALL SELECT doc_id, 1, l1 FROM c
+            UNION ALL SELECT doc_id, 2, l2 FROM c
+            UNION ALL SELECT doc_id, 3, l3 FROM c
+        )
+    ),
+    k AS (
+        SELECT * FROM lx
+        WHERE len(line) > 0
+          AND substr(line, -1, 1) IN ('.', '!', '?', '"')
+          AND len(list_filter(
+                string_split(
+                    trim(regexp_replace(lower(line), '\\s+', ' ', 'g')),
+                    ' '
+                ), x -> x <> '')) >= 3
+          AND NOT contains(lower(line), 'javascript')
+          AND NOT contains(lower(line), 'lorem ipsum')
+          AND NOT contains(lower(line), '{{')
+          AND NOT contains(lower(line), '}}')
+    ),
+    dd AS (
+        SELECT doc_id, pos, line,
+               ROW_NUMBER() OVER (
+                   PARTITION BY line ORDER BY doc_id, pos
+               ) AS rn
+        FROM k
+    )
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+           COUNT(*) AS n_lines_kept
+    FROM dd WHERE rn = 1
+    GROUP BY doc_id
 """

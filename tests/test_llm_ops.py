@@ -2326,3 +2326,62 @@ class TestGopherFlags:
         r = self._flags(spark, "")
         assert r["n_words"] == 0
         assert r["pass_gopher"] is False
+
+
+class TestC4Clean:
+    """c4_clean (r12): the C4 line-level cleaning pass — filters,
+    global duplicate-line dedup (first occurrence by (doc_id, pos)),
+    ordered reassembly, min_lines doc gate."""
+
+    def _clean(self, spark, rows, **kw):
+        from datawaves_etl_airflow_spark.operators.text import c4_clean
+
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["id"]: (r["text_clean"], r["n_lines_kept"])
+            for r in c4_clean(d, **kw).collect()
+        }
+
+    def test_filters_and_reassembly(self, spark):
+        got = self._clean(spark, [(
+            1,
+            "keep this first line.\n"
+            "no terminal punctuation here\n"
+            "too few.\n"
+            "this page uses JavaScript everywhere.\n"
+            "curly { brace } line stays out.\n"
+            "and keep this last line!",
+        )])
+        assert got[1] == (
+            "keep this first line.\nand keep this last line!", 2
+        )
+
+    def test_global_line_dedup_keeps_first(self, spark):
+        shared = "the shared boilerplate line repeats everywhere."
+        got = self._clean(spark, [
+            (1, f"doc one unique line.\n{shared}"),
+            (2, f"{shared}\ndoc two unique line."),
+            (3, shared),
+        ])
+        # first occurrence orders by (doc_id, pos): doc 1 pos 1 wins
+        assert got[1] == (f"doc one unique line.\n{shared}", 2)
+        assert got[2] == ("doc two unique line.", 1)
+        # doc 3's only line was deduped away -> below min_lines
+        assert 3 not in got
+
+    def test_dedup_off_keeps_all(self, spark):
+        shared = "the same line appears twice in here."
+        got = self._clean(
+            spark, [(1, f"{shared}\n{shared}")], dedup_lines=False
+        )
+        assert got[1] == (f"{shared}\n{shared}", 2)
+
+    def test_min_lines_gate(self, spark):
+        rows = [(1, "only one good line here."), (2, "two lines here.\nsecond good line too.")]
+        got = self._clean(spark, rows, min_lines=2)
+        assert 1 not in got and got[2][1] == 2
+
+    def test_whitespace_trim_and_empty(self, spark):
+        got = self._clean(spark, [(1, "   padded line kept fine.   \n\n   \n")])
+        assert got[1] == ("padded line kept fine.", 1)
+        assert self._clean(spark, [(2, "")]) == {}
