@@ -664,6 +664,7 @@ def pack_sequences(
     shard_col: Column,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Training-sequence packing, concat-then-chunk semantics: within
     each shard, documents are laid end-to-end in ``id`` order and cut
@@ -680,13 +681,22 @@ def pack_sequences(
     so parallelism is the shard count and a shard's window scan is
     linear. Token counting and the running offset are pure integer
     builtins — an oracle replicating the cumsum gets identical rows.
+
+    ``n_tokens_col`` (r12): use a precomputed per-doc token count
+    instead of the whitespace count — e.g. `text.bpe_encode`'s
+    ``n_tokens``, which makes the packing EXACT under the trained
+    vocabulary instead of whitespace-approximate (the llm_pack_bpe
+    composition). Zero-token docs are dropped either way.
     """
-    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    # split("") is [""] (size 1), so empty/whitespace-only docs need an
-    # explicit 0
-    n_tok = F.when(norm == "", F.lit(0)).otherwise(
-        F.size(F.split(norm, " "))
-    )
+    if n_tokens_col is not None:
+        n_tok = F.col(n_tokens_col)
+    else:
+        norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+        # split("") is [""] (size 1), so empty/whitespace-only docs
+        # need an explicit 0
+        n_tok = F.when(norm == "", F.lit(0)).otherwise(
+            F.size(F.split(norm, " "))
+        )
     toks = docs.select(
         F.col(id_col),
         shard_col.cast("long").alias("shard"),

@@ -949,6 +949,33 @@ def mine_hard_negatives_index(
     )
 
 
+def build_contrastive_pairs(
+    qrels: DataFrame,
+    negatives: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Contrastive training triples ``(query_id, pos_id, neg_id,
+    neg_rank)`` — the emitter that turns judged positives + mined
+    hard negatives into DPR/sentence-transformers training data
+    (Karpukhin et al. EMNLP 2020 §3: each example pairs a positive
+    passage with hard negatives). Every judged positive (``rel > 0``)
+    of a query crosses with every mined negative of the SAME query —
+    a query-keyed hash join, output bounded by
+    |positives| × n_negatives per query; queries with no mined
+    negatives (or no positives) emit nothing, by construction of the
+    inner join. Feed `mine_hard_negatives`(+`_index`) output as
+    ``negatives``."""
+    positives = qrels.filter(F.col(rel_col) > 0).select(
+        query_col, F.col(id_col).alias("pos_id")
+    )
+    negs = negatives.select(
+        query_col, F.col(id_col).alias("neg_id"), "neg_rank"
+    )
+    return positives.join(negs, query_col)
+
+
 def bm25_prf_topk(
     docs: DataFrame,
     queries: DataFrame,

@@ -2327,6 +2327,66 @@ def llm_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR training-triple emission (`text.build_contrastive_pairs`
+    over `mine_hard_negatives` — the composition that turns the
+    certified mining output into actual training data): every judged
+    positive of a query crossed with its 5 mined hard negatives,
+    ``(query_id, pos_id, neg_id, neg_rank)``. DuckDB replays the
+    depth-10 retrieval, the positives exclusion, the neg_rank window
+    AND the positives×negatives join value-for-value (the
+    llm_hard_negatives oracle extended one join)."""
+    d = _docs(spark, sf_dir)
+    qs = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(dedup.tokenize(F.col("text")), 1, 6), " "
+        ).alias("query_text"),
+    )
+    ids = d.select("doc_id")
+    qrels = (
+        ids.select(
+            (F.col("doc_id") % 5).alias("query_id"),
+            "doc_id",
+            F.lit(2).alias("rel"),
+        )
+        .unionByName(
+            ids.filter(F.col("doc_id") % 7 < 5).select(
+                (F.col("doc_id") % 7).alias("query_id"),
+                "doc_id",
+                F.lit(1).alias("rel"),
+            )
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("rel").alias("rel"))
+    )
+    negs = text.mine_hard_negatives(
+        d, qs, qrels, n_negatives=5, depth=10
+    ).drop("score")
+    return text.build_contrastive_pairs(qrels, negs)
+
+
+def llm_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing EXACT under the trained vocabulary
+    (`pack_sequences(n_tokens_col=...)` driven by `bpe_encode`'s
+    token counts — the composition the r11 verdict anticipated:
+    "pack_sequences becomes exact under the trained vocabulary
+    instead of whitespace"): 8 shards by doc_id mod, 512-BPE-token
+    budget, per-doc offset / spanned-sequence indices. DuckDB replays
+    the full encode chain, the per-doc token counts and the
+    shard-window cumsum integer-exactly."""
+    d = _docs(spark, sf_dir)
+    enc = text.bpe_encode(d, _BPE_RULES).select(
+        F.col("id").alias("doc_id"), "n_tokens"
+    )
+    return sampling.pack_sequences(
+        enc,
+        budget=512,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(8)),
+        n_tokens_col="n_tokens",
+    )
+
+
 def llm_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The words→ids completion of the tokenizer story
     (`text.bpe_vocab` + `text.bpe_token_ids`): encode the corpus with
@@ -2771,6 +2831,8 @@ ROTATION_QUEUE = [
     "llm_bpe_ids",
     "llm_gopher_flags",
     "llm_c4_clean",
+    "llm_contrastive_pairs",
+    "llm_pack_bpe",
 ]
 
 DRIVER_QUERIES = [
@@ -2895,6 +2957,8 @@ QUERIES = {
     "llm_bpe_ids": llm_bpe_ids,
     "llm_gopher_flags": llm_gopher_flags,
     "llm_c4_clean": llm_c4_clean,
+    "llm_contrastive_pairs": llm_contrastive_pairs,
+    "llm_pack_bpe": llm_pack_bpe,
     "llm_prf_vs_bm25_eval": llm_prf_vs_bm25_eval,
     "llm_stratified_sample": llm_stratified_sample,
     "llm_leakage_safe_split": llm_leakage_safe_split,
@@ -4895,4 +4959,60 @@ ORACLES["llm_c4_clean"] = f"""
            COUNT(*) AS n_lines_kept
     FROM dd WHERE rn = 1
     GROUP BY doc_id
+"""
+
+# llm_contrastive_pairs (r12): the llm_hard_negatives oracle extended
+# one query-keyed join — positives (rel > 0) x mined negatives.
+ORACLES["llm_contrastive_pairs"] = f"""
+    WITH hits AS ({_B25_10}),
+    qr AS (
+        SELECT query_id, doc_id, MAX(rel) AS rel FROM (
+            SELECT doc_id % 5 AS query_id, doc_id, 2 AS rel
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 7, doc_id, 1
+            FROM documents WHERE doc_id % 7 < 5
+        ) GROUP BY 1, 2
+    ),
+    negs AS (
+        SELECT query_id, doc_id AS neg_id, neg_rank FROM (
+            SELECT h.query_id, h.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY h.query_id ORDER BY h.rank ASC
+                   ) AS neg_rank
+            FROM hits h
+            WHERE NOT EXISTS (
+                SELECT 1 FROM qr q
+                WHERE q.query_id = h.query_id
+                  AND q.doc_id = h.doc_id AND q.rel > 0
+            )
+        ) WHERE neg_rank <= 5
+    )
+    SELECT p.query_id, p.doc_id AS pos_id, n.neg_id, n.neg_rank
+    FROM qr p JOIN negs n ON p.query_id = n.query_id
+    WHERE p.rel > 0
+"""
+
+# llm_pack_bpe (r12): the llm_pack_sequences window-cumsum oracle
+# with the whitespace count swapped for the BPE encode chain's
+# per-doc token counts (the shared _bpe_ctes constant).
+ORACLES["llm_pack_bpe"] = f"""
+    WITH {_bpe_ctes()},
+    cnt AS (
+        SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id
+    ),
+    o AS (
+        SELECT doc_id,
+               doc_id % 8 AS shard,
+               n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY doc_id % 8 ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS BIGINT) AS "offset"
+        FROM cnt WHERE n_tokens > 0
+    )
+    SELECT doc_id, shard, n_tokens, "offset",
+           "offset" // 512 AS seq_start,
+           ("offset" + n_tokens - 1) // 512 AS seq_end
+    FROM o
 """

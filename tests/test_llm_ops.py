@@ -2385,3 +2385,71 @@ class TestC4Clean:
         got = self._clean(spark, [(1, "   padded line kept fine.   \n\n   \n")])
         assert got[1] == ("padded line kept fine.", 1)
         assert self._clean(spark, [(2, "")]) == {}
+
+
+class TestContrastivePairs:
+    """build_contrastive_pairs (r12): positives x mined negatives per
+    query — the DPR training-data emitter."""
+
+    def test_join_semantics(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            build_contrastive_pairs,
+        )
+
+        qrels = spark.createDataFrame(
+            [(1, 10, 2), (1, 11, 1), (1, 12, 0), (2, 20, 1), (3, 30, 1)],
+            "query_id long, doc_id long, rel long",
+        )
+        negs = spark.createDataFrame(
+            [(1, 90, 1), (1, 91, 2), (2, 92, 1)],
+            "query_id long, doc_id long, neg_rank long",
+        )
+        got = sorted(
+            (r["query_id"], r["pos_id"], r["neg_id"], r["neg_rank"])
+            for r in build_contrastive_pairs(qrels, negs).collect()
+        )
+        # q1: positives {10, 11} (12 is rel-0 -> fair negative, not a
+        # positive) x negatives {90, 91}; q2: 20 x 92; q3: no mined
+        # negatives -> emits nothing
+        assert got == [
+            (1, 10, 90, 1), (1, 10, 91, 2),
+            (1, 11, 90, 1), (1, 11, 91, 2),
+            (2, 20, 92, 1),
+        ]
+
+
+class TestPackSequencesTokenCol:
+    """pack_sequences(n_tokens_col=...) (r12): precomputed counts make
+    the packing exact under a trained vocabulary."""
+
+    def test_precomputed_counts_drive_offsets(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            pack_sequences,
+        )
+
+        d = spark.createDataFrame(
+            [(1, 300), (2, 300), (3, 100), (4, 0)],
+            "doc_id long, n_tokens long",
+        )
+        got = {
+            r["doc_id"]: (r["offset"], r["seq_start"], r["seq_end"])
+            for r in pack_sequences(
+                d, budget=512, shard_col=F.lit(0),
+                n_tokens_col="n_tokens",
+            ).collect()
+        }
+        # 300+300+100 laid end to end: doc2 straddles the 512 cut
+        assert got == {
+            1: (0, 0, 0), 2: (300, 0, 1), 3: (600, 1, 1),
+        }
+
+    def test_whitespace_default_unchanged(self, spark):
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            pack_sequences,
+        )
+
+        d = spark.createDataFrame(
+            [(1, "five words in this doc")], "doc_id long, text string"
+        )
+        r = pack_sequences(d, budget=4, shard_col=F.lit(0)).first()
+        assert (r["n_tokens"], r["seq_start"], r["seq_end"]) == (5, 0, 1)

@@ -94,6 +94,11 @@ ALLOWED_BNLJ = {
     "llm_bigram_logprob": "broadcast 1-row LM-token-total aggregate "
     "(text.py:1020 crossJoin(broadcast(total))) — the whitelisted "
     "llm_unigram_logprob corpus-size-aggregate shape, inherited",
+    # r13 queue (takes effect when the r13 rotation registers it):
+    "llm_contrastive_pairs": "bm25_topk's broadcast 1-row (N, avgdl) "
+    "corpus-stats aggregate — llm_hard_negatives' whitelisted shape "
+    "inherited through the mining pass; the positives join itself is "
+    "a query-keyed hash join",
 }
 
 

@@ -278,7 +278,12 @@ class TestRotationQueuePlanInvariants:
     FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
     #: sanctioned BNLJ shapes, same rationale as the registered
     #: whitelist: 1-row broadcast aggregates only
-    ALLOWS_BNLJ: set = set()
+    ALLOWS_BNLJ: set = {
+        # bm25's broadcast 1-row (N, avgdl) corpus-stats aggregate,
+        # inherited through the retrieval pass (llm_hard_negatives'
+        # whitelisted shape)
+        "llm_contrastive_pairs",
+    }
 
     #: the queue is the REAL registry (queries.llm.ROTATION_QUEUE —
     #: the freshness gate exempts exactly it), so this pin can't drift
