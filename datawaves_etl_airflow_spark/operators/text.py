@@ -369,6 +369,175 @@ def c4_clean(
     return out.filter(F.col("n_lines_kept") >= min_lines)
 
 
+#: Gopher A1.2 default thresholds (Rae et al. 2021, table A1) —
+#: max allowed fraction per signal
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_fraction": 0.30,
+    "dup_line_char_fraction": 0.20,
+    "top_2gram_char_fraction": 0.20,
+    "top_3gram_char_fraction": 0.18,
+    "top_4gram_char_fraction": 0.16,
+    "dup_5gram_char_fraction": 0.15,
+    "dup_6gram_char_fraction": 0.14,
+    "dup_7gram_char_fraction": 0.13,
+    "dup_8gram_char_fraction": 0.12,
+    "dup_9gram_char_fraction": 0.11,
+    "dup_10gram_char_fraction": 0.10,
+}
+
+
+def gopher_repetition_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """The Gopher REPETITION rule set (Rae et al. 2021 appendix A1.2
+    — the sibling of `gopher_quality_flags`' doc-level rules, together
+    the full Gopher filter): per doc, (a) duplicate-LINE fraction and
+    duplicate-line CHARACTER fraction (beyond-first occurrences of an
+    exact repeated line), (b) top-n-gram character fraction for
+    n=2,3,4 (characters claimed by the single most frequent word
+    n-gram), (c) duplicate-n-gram character fraction for n=5..10
+    (characters in beyond-first occurrences of any repeated n-gram —
+    the standard non-overlap-adjusted accounting public
+    reimplementations ship; Gopher's own masking is overlap-aware,
+    which only lowers the fraction, so this form is conservative).
+    One boolean per signal at the paper's thresholds + the
+    ``pass_repetition`` conjunction.
+
+    Counting contract (identical in the DuckDB oracle): words =
+    whitespace-lowered tokens; an n-gram's characters = its word
+    characters (no join spaces: ``len(gram) − (n−1)``); denominators
+    = total word characters (for gram signals) and total line
+    characters / line count (for line signals); top-gram ties break
+    by (count, chars, gram) descending. Fractions are exact
+    integer-over-integer divisions — bit-identical cross-engine.
+
+    Shape at 100 TB: nine gram passes explode to (id, n, gram) and
+    hash-aggregate — all shuffles are id- or (id,gram)-keyed partial
+    aggregates; no windows, no corpus-wide keys (unlike c4_clean's
+    global dedup, repetition is per-document by definition)."""
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        th.update(thresholds)
+    ws = tokenize(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        ws.alias("w"),
+    )
+    total = base.select(
+        "id",
+        F.aggregate(
+            F.col("w"), F.lit(0), lambda a, x: a + F.length(x)
+        ).alias("total_chars"),
+    )
+
+    # --- line signals -------------------------------------------------
+    lines = base.select(
+        "id", F.explode(F.split(F.col("t"), "\n")).alias("raw")
+    ).select("id", F.trim(F.col("raw")).alias("line")).filter(
+        F.length("line") > 0
+    )
+    lc = lines.groupBy("id", "line").agg(F.count(F.lit(1)).alias("c"))
+    line_stats = lc.groupBy("id").agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.col("c") - 1).alias("dup_lines"),
+        F.sum(F.col("c") * F.length("line")).alias("line_chars"),
+        F.sum((F.col("c") - 1) * F.length("line")).alias(
+            "dup_line_chars"
+        ),
+    )
+
+    # --- gram signals: one unioned (id, n, gram) pass ------------------
+    def _grams(n: int):
+        idx = F.sequence(F.lit(1), F.size("w") - (n - 1))
+        arr = F.when(
+            F.size("w") >= n,
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, n))
+            ),
+        ).otherwise(F.slice(F.col("w"), 1, 0))  # empty array<string>
+        return base.select(
+            "id", F.lit(n).alias("n"), F.explode(arr).alias("gram")
+        )
+
+    grams = _grams(2)
+    for n in (3, 4, 5, 6, 7, 8, 9, 10):
+        grams = grams.unionByName(_grams(n))
+    gc = grams.groupBy("id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gram_chars = F.length("gram") - (F.col("n") - 1)
+    per_n = gc.groupBy("id", "n").agg(
+        F.max(
+            F.struct(
+                F.col("c").alias("c"),
+                gram_chars.alias("chars"),
+                F.col("gram").alias("gram"),
+            )
+        ).alias("top"),
+        F.sum(
+            F.when(F.col("c") >= 2, (F.col("c") - 1) * gram_chars)
+            .otherwise(F.lit(0))
+        ).alias("dup_chars"),
+    )
+    top_chars = F.col("top.c") * F.col("top.chars")
+    agg_exprs = []
+    for n in (2, 3, 4):
+        agg_exprs.append(
+            F.sum(
+                F.when(F.col("n") == n, top_chars).otherwise(F.lit(0))
+            ).alias(f"_top{n}")
+        )
+    for n in (5, 6, 7, 8, 9, 10):
+        agg_exprs.append(
+            F.sum(
+                F.when(F.col("n") == n, F.col("dup_chars")).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"_dup{n}")
+        )
+    gram_stats = per_n.groupBy("id").agg(*agg_exprs)
+
+    out = (
+        total.join(line_stats, "id", "left").join(gram_stats, "id", "left")
+    )
+    tc = F.greatest(F.col("total_chars"), F.lit(1)).cast("double")
+    nl = F.greatest(F.coalesce(F.col("n_lines"), F.lit(0)), F.lit(1))
+    lchars = F.greatest(
+        F.coalesce(F.col("line_chars"), F.lit(0)), F.lit(1)
+    ).cast("double")
+    cols = [F.col("id")]
+    flags = []
+    dlf = F.coalesce(F.col("dup_lines"), F.lit(0)) / nl.cast("double")
+    dlcf = F.coalesce(F.col("dup_line_chars"), F.lit(0)) / lchars
+    for name, frac in (
+        ("dup_line_fraction", dlf),
+        ("dup_line_char_fraction", dlcf),
+    ):
+        cols.append(F.round(frac, 6).alias(name))
+        ok = (frac <= th[name]).alias(f"ok_{name}")
+        flags.append(ok)
+    for n in (2, 3, 4):
+        frac = F.coalesce(F.col(f"_top{n}"), F.lit(0)) / tc
+        name = f"top_{n}gram_char_fraction"
+        cols.append(F.round(frac, 6).alias(name))
+        flags.append((frac <= th[name]).alias(f"ok_{name}"))
+    for n in (5, 6, 7, 8, 9, 10):
+        frac = F.coalesce(F.col(f"_dup{n}"), F.lit(0)) / tc
+        name = f"dup_{n}gram_char_fraction"
+        cols.append(F.round(frac, 6).alias(name))
+        flags.append((frac <= th[name]).alias(f"ok_{name}"))
+    passes = flags[0]
+    for fl in flags[1:]:
+        passes = passes & fl
+    return out.select(
+        *cols, *flags, passes.alias("pass_repetition")
+    )
+
+
 def ngram_repetition(
     docs: DataFrame,
     n: int = 2,

@@ -2327,6 +2327,20 @@ def llm_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher REPETITION rule set (`text.gopher_repetition_flags`
+    — Rae et al. 2021 appendix A1.2, completing llm_gopher_flags'
+    doc-level half): duplicate-line fraction/char-fraction, top-n-gram
+    char fraction (n=2,3,4), duplicate-n-gram char fraction (n=5..10),
+    per-signal booleans + the conjunction, FULL value oracle. The
+    synthetic corpus repeats words heavily, so the top-gram columns
+    discriminate across every doc and the dup-gram branches fire where
+    phrases recur; DuckDB replays the nine gram passes, the
+    (count, chars, gram)-descending top tie-break, the beyond-first
+    char accounting and every flag value-for-value."""
+    return text.gopher_repetition_flags(_docs(spark, sf_dir))
+
+
 def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPR training-triple emission (`text.build_contrastive_pairs`
     over `mine_hard_negatives` — the composition that turns the
@@ -2830,6 +2844,7 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROTATION_QUEUE = [
     "llm_bpe_ids",
     "llm_gopher_flags",
+    "llm_gopher_repetition",
     "llm_c4_clean",
     "llm_contrastive_pairs",
     "llm_pack_bpe",
@@ -2956,6 +2971,7 @@ QUERIES = {
     "llm_bpe_encode": llm_bpe_encode,
     "llm_bpe_ids": llm_bpe_ids,
     "llm_gopher_flags": llm_gopher_flags,
+    "llm_gopher_repetition": llm_gopher_repetition,
     "llm_c4_clean": llm_c4_clean,
     "llm_contrastive_pairs": llm_contrastive_pairs,
     "llm_pack_bpe": llm_pack_bpe,
@@ -5016,3 +5032,136 @@ ORACLES["llm_pack_bpe"] = f"""
            ("offset" + n_tokens - 1) // 512 AS seq_end
     FROM o
 """
+
+
+def _gopher_repetition_oracle() -> str:
+    """Generated mirror of gopher_repetition_flags: nine gram passes
+    (VALUES-driven n), the (c, chars, gram)-descending top pick, the
+    beyond-first duplicate char accounting, line stats, thresholds."""
+    from ..operators.text import GOPHER_REPETITION_THRESHOLDS as TH
+
+    top_cols, dup_cols, flag_cols, pass_terms = [], [], [], []
+    for n in (2, 3, 4):
+        name = f"top_{n}gram_char_fraction"
+        top_cols.append(
+            f"ROUND(coalesce(_top{n}, 0) / tc, 6) AS {name}"
+        )
+        flag_cols.append(
+            f"coalesce(_top{n}, 0) / tc <= {TH[name]} AS ok_{name}"
+        )
+        pass_terms.append(f"coalesce(_top{n}, 0) / tc <= {TH[name]}")
+    for n in (5, 6, 7, 8, 9, 10):
+        name = f"dup_{n}gram_char_fraction"
+        dup_cols.append(
+            f"ROUND(coalesce(_dup{n}, 0) / tc, 6) AS {name}"
+        )
+        flag_cols.append(
+            f"coalesce(_dup{n}, 0) / tc <= {TH[name]} AS ok_{name}"
+        )
+        pass_terms.append(f"coalesce(_dup{n}, 0) / tc <= {TH[name]}")
+    tl, tlc = TH["dup_line_fraction"], TH["dup_line_char_fraction"]
+    sep = ",\n           "
+    top_cols_sql = sep.join(top_cols)
+    dup_cols_sql = sep.join(dup_cols)
+    flag_cols_sql = sep.join(flag_cols)
+    pass_sql = " AND ".join(pass_terms)
+    top_sel = ",\n               ".join(
+        f"SUM(CASE WHEN n = {n} THEN top_chars ELSE 0 END) AS _top{n}"
+        for n in (2, 3, 4)
+    )
+    dup_sel = ",\n               ".join(
+        f"SUM(CASE WHEN n = {n} THEN dup_chars ELSE 0 END) AS _dup{n}"
+        for n in (5, 6, 7, 8, 9, 10)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, coalesce(text, '') AS t,
+               list_filter({_WORDS}, x -> x <> '') AS ws
+        FROM documents
+    ),
+    tot AS (
+        SELECT doc_id,
+               coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+                   AS total_chars
+        FROM d
+    ),
+    ln AS (
+        SELECT doc_id, trim(line) AS line
+        FROM (SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+              FROM d)
+        WHERE trim(line) <> ''
+    ),
+    lc AS (
+        SELECT doc_id, line, COUNT(*) AS c FROM ln GROUP BY 1, 2
+    ),
+    lstat AS (
+        SELECT doc_id,
+               SUM(c) AS n_lines,
+               SUM(c - 1) AS dup_lines,
+               SUM(c * len(line)) AS line_chars,
+               SUM((c - 1) * len(line)) AS dup_line_chars
+        FROM lc GROUP BY 1
+    ),
+    g AS (
+        SELECT doc_id, n,
+               array_to_string(
+                   ws[CAST(i AS INTEGER):CAST(i AS INTEGER) + n - 1],
+                   ' '
+               ) AS gram
+        FROM d,
+             (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) AS nn(n),
+             UNNEST(range(1, greatest(len(ws) - n + 1, 0) + 1)) AS u(i)
+    ),
+    gc AS (
+        SELECT doc_id, n, gram, COUNT(*) AS c
+        FROM g GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT doc_id, n, c, len(gram) - (n - 1) AS chars, gram,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id, n
+                   ORDER BY c DESC, len(gram) - (n - 1) DESC, gram DESC
+               ) AS rn
+        FROM gc
+    ),
+    per_n AS (
+        SELECT r.doc_id, r.n,
+               MAX(CASE WHEN rn = 1 THEN c * chars END) AS top_chars,
+               SUM(CASE WHEN c >= 2 THEN (c - 1) * chars
+                        ELSE 0 END) AS dup_chars
+        FROM ranked r GROUP BY 1, 2
+    ),
+    gstat AS (
+        SELECT doc_id,
+               {top_sel},
+               {dup_sel}
+        FROM per_n GROUP BY doc_id
+    ),
+    j AS (
+        SELECT t.doc_id AS id,
+               CAST(greatest(t.total_chars, 1) AS DOUBLE) AS tc,
+               coalesce(l.dup_lines, 0) * 1.0
+                   / greatest(coalesce(l.n_lines, 0), 1) AS dlf,
+               coalesce(l.dup_line_chars, 0)
+                   / CAST(greatest(coalesce(l.line_chars, 0), 1)
+                          AS DOUBLE) AS dlcf,
+               g.* EXCLUDE (doc_id)
+        FROM tot t
+        LEFT JOIN lstat l ON t.doc_id = l.doc_id
+        LEFT JOIN gstat g ON t.doc_id = g.doc_id
+    )
+    SELECT id,
+           ROUND(dlf, 6) AS dup_line_fraction,
+           ROUND(dlcf, 6) AS dup_line_char_fraction,
+           {top_cols_sql},
+           {dup_cols_sql},
+           dlf <= {tl} AS ok_dup_line_fraction,
+           dlcf <= {tlc} AS ok_dup_line_char_fraction,
+           {flag_cols_sql},
+           dlf <= {tl} AND dlcf <= {tlc}
+           AND {pass_sql} AS pass_repetition
+    FROM j
+"""
+
+
+ORACLES["llm_gopher_repetition"] = _gopher_repetition_oracle()

@@ -2453,3 +2453,65 @@ class TestPackSequencesTokenCol:
         )
         r = pack_sequences(d, budget=4, shard_col=F.lit(0)).first()
         assert (r["n_tokens"], r["seq_start"], r["seq_end"]) == (5, 0, 1)
+
+
+class TestGopherRepetition:
+    """gopher_repetition_flags (r12): the A1.2 repetition signals on
+    planted constructions."""
+
+    def _one(self, spark, text, **kw):
+        from datawaves_etl_airflow_spark.operators.text import (
+            gopher_repetition_flags,
+        )
+
+        d = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        return gopher_repetition_flags(d, **kw).first()
+
+    def test_duplicate_lines(self, spark):
+        r = self._one(
+            spark,
+            "the cat sat quietly\nthe cat sat quietly\nanother line now",
+        )
+        # 3 lines, 1 beyond-first duplicate
+        assert r["dup_line_fraction"] == round(1 / 3, 6)
+        # dup line chars 19 of 19+19+16=54
+        assert r["dup_line_char_fraction"] == round(19 / 54, 6)
+        assert r["ok_dup_line_fraction"] is False
+
+    def test_top_2gram_char_fraction(self, spark):
+        # "ab cd" x3 + 6 distinct words, all length 2:
+        # top 2-gram 'ab cd' occurs 3x, chars 3*4=12 of 24
+        r = self._one(spark, "ab cd ab cd ab cd ee ff gg hh ii jj")
+        assert r["top_2gram_char_fraction"] == 0.5
+        assert r["ok_top_2gram_char_fraction"] is False
+
+    def test_dup_5gram_beyond_first_accounting(self, spark):
+        # the 5-word phrase repeats once (beyond-first = 1 run), then
+        # unique filler; phrase chars = 5*2 = 10 of 40 total
+        phrase = "aa bb cc dd ee"
+        filler = " ".join(f"u{i}" for i in range(10))  # 10*2 chars
+        r = self._one(spark, f"{phrase} zz {phrase} yy {filler}")
+        # words: 5 + 1 + 5 + 1 + 10 = 22, chars = 44
+        # dup 5-grams: exactly 'aa bb cc dd ee' twice -> (2-1)*10 = 10
+        assert r["dup_5gram_char_fraction"] == round(10 / 44, 6)
+
+    def test_clean_doc_passes(self, spark):
+        r = self._one(
+            spark, " ".join(f"word{i:03d}" for i in range(100))
+        )
+        assert r["pass_repetition"] is True
+
+    def test_empty_doc(self, spark):
+        r = self._one(spark, "")
+        assert r["pass_repetition"] is True
+        assert r["top_2gram_char_fraction"] == 0.0
+
+    def test_threshold_override(self, spark):
+        r = self._one(
+            spark,
+            "ab cd ab cd ab cd ee ff gg hh ii jj",
+            thresholds={"top_2gram_char_fraction": 0.6},
+        )
+        assert r["ok_top_2gram_char_fraction"] is True
