@@ -2341,6 +2341,45 @@ def llm_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_repetition_flags(_docs(spark, sf_dir))
 
 
+def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility data card by source: under the fixed
+    `_BPE_RULES` vocabulary, per-source token totals, fertility
+    (BPE tokens per word — the standard tokenizer-quality metric:
+    ~1 means words survive whole, higher means heavy fragmentation)
+    and chars-per-token. The per-source view is the one that matters
+    for mixtures: a source whose fertility is 2× pays 2× the compute
+    per word at training time. Integer totals divide exactly in both
+    engines; DuckDB replays the encode chain via the shared constant."""
+    d = _docs(spark, sf_dir)
+    enc = text.bpe_encode(d, _BPE_RULES)
+    meta = d.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        F.size(dedup.tokenize(F.col("text"))).alias("n_words"),
+        F.aggregate(
+            dedup.tokenize(F.col("text")),
+            F.lit(0),
+            lambda a, w: a + F.length(w),
+        ).alias("n_word_chars"),
+    )
+    j = enc.join(meta, "id")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_word_chars").alias("n_chars"),
+    )
+    return agg.select(
+        "source", "n_docs", "n_words", "n_tokens", "n_chars",
+        F.round(
+            F.col("n_tokens") / F.greatest(F.col("n_words"), F.lit(1)), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+        ).alias("chars_per_token"),
+    )
+
+
 def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPR training-triple emission (`text.build_contrastive_pairs`
     over `mine_hard_negatives` — the composition that turns the
@@ -2848,6 +2887,7 @@ ROTATION_QUEUE = [
     "llm_c4_clean",
     "llm_contrastive_pairs",
     "llm_pack_bpe",
+    "llm_bpe_fertility",
 ]
 
 DRIVER_QUERIES = [
@@ -2972,6 +3012,7 @@ QUERIES = {
     "llm_bpe_ids": llm_bpe_ids,
     "llm_gopher_flags": llm_gopher_flags,
     "llm_gopher_repetition": llm_gopher_repetition,
+    "llm_bpe_fertility": llm_bpe_fertility,
     "llm_c4_clean": llm_c4_clean,
     "llm_contrastive_pairs": llm_contrastive_pairs,
     "llm_pack_bpe": llm_pack_bpe,
@@ -5165,3 +5206,39 @@ def _gopher_repetition_oracle() -> str:
 
 
 ORACLES["llm_gopher_repetition"] = _gopher_repetition_oracle()
+
+# llm_bpe_fertility (r12): the encode chain's per-doc token counts
+# joined to source, aggregated — fertility/chars-per-token as exact
+# integer-over-integer divisions.
+ORACLES["llm_bpe_fertility"] = f"""
+    WITH {_bpe_ctes()},
+    cnt AS (
+        SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id
+    ),
+    meta AS (
+        SELECT doc_id, source,
+               len(list_filter({_WORDS}, x -> x <> '')) AS n_words,
+               coalesce(list_sum(list_transform(
+                   list_filter({_WORDS}, x -> x <> ''),
+                   w -> len(w))), 0) AS n_word_chars
+        FROM documents
+    ),
+    j AS (
+        SELECT m.source, m.n_words, m.n_word_chars, c.n_tokens
+        FROM cnt c JOIN meta m ON c.doc_id = m.doc_id
+    ),
+    a AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_words,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_word_chars) AS BIGINT) AS n_chars
+        FROM j GROUP BY source
+    )
+    SELECT source, n_docs, n_words, n_tokens, n_chars,
+           ROUND(n_tokens / CAST(greatest(n_words, 1) AS DOUBLE), 6)
+               AS fertility,
+           ROUND(n_chars / CAST(greatest(n_tokens, 1) AS DOUBLE), 6)
+               AS chars_per_token
+    FROM a
+"""

@@ -2515,3 +2515,27 @@ class TestGopherRepetition:
             thresholds={"top_2gram_char_fraction": 0.6},
         )
         assert r["ok_top_2gram_char_fraction"] is True
+
+
+class TestBpeFertility:
+    """llm_bpe_fertility building blocks: segmentation preserves word
+    chars, so chars_per_token x fertility == mean word length."""
+
+    def test_identity_rules_fertility_one(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import bpe_encode
+
+        d = spark.createDataFrame(
+            [(1, "aa bb cc")], "doc_id long, text string"
+        )
+        # rules that fully merge each word -> exactly one token per word
+        r = bpe_encode(d, [("a", "a"), ("b", "b"), ("c", "c")]).first()
+        assert r["n_tokens"] == 3  # fertility 1.0
+
+    def test_no_rules_fertility_is_chars(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import bpe_encode
+
+        d = spark.createDataFrame(
+            [(1, "aa bb cc")], "doc_id long, text string"
+        )
+        r = bpe_encode(d, []).first()
+        assert r["n_tokens"] == 6  # every char its own token

@@ -870,6 +870,42 @@ def main() -> None:
         "bigram_logprob": lambda mult: text.bigram_logprob(
             _scaled_docs(spark, args.sf, mult)
         ),
+        # Gopher repetition (r12): nine gram explodes into (id, n,
+        # gram) hash aggregates — per-document keys only, partial
+        # aggregation map-side; must track the scan
+        "gopher_repetition": lambda mult: text.gopher_repetition_flags(
+            _scaled_docs(spark, args.sf, mult)
+        ),
+        # C4 line clean (r12): map-side line filters + ONE line-keyed
+        # global dedup aggregate + id-keyed reassembly. Perturbed
+        # copies keep each doc's lines distinct (the copytoken suffix
+        # lands in the final line), while the corpus's natural
+        # repeated 12-word spans still dedup — realistic selectivity.
+        "c4_clean": lambda mult: (
+            lambda d: text.c4_clean(
+                d.select(
+                    "doc_id",
+                    F.concat_ws(
+                        "\n",
+                        F.concat(
+                            F.array_join(
+                                F.slice(dedup.tokenize(F.col("text")), 1, 12),
+                                " ",
+                            ),
+                            F.lit("."),
+                        ),
+                        F.lit("the shared boilerplate line repeats everywhere."),
+                        F.concat(
+                            F.array_join(
+                                F.slice(dedup.tokenize(F.col("text")), 13, 12),
+                                " ",
+                            ),
+                            F.lit("."),
+                        ),
+                    ).alias("text"),
+                )
+            )
+        )(_scaled_docs(spark, args.sf, mult)),
         # BPE encode (r12): the framed literal-replace chain — one
         # map-side projection (8 iterative rules, expression tier),
         # zero shuffles before the histogram; must track the scan
