@@ -450,7 +450,12 @@ def gopher_repetition_flags(
         ),
     )
 
-    # --- gram signals: one unioned (id, n, gram) pass ------------------
+    # --- gram signals: one unioned (id, n, gram) pass -------------------
+    # Measured note (r12): a single-generator alternative (flatten one
+    # 9-n struct array per doc, one tokenize) was tried and is 3.5×
+    # SLOWER at 1× and par at 10× — the per-row mega-array allocation
+    # costs more than the nine tokenizes it saves. Nine pipelined
+    # generates win; keep them.
     def _grams(n: int):
         idx = F.sequence(F.lit(1), F.size("w") - (n - 1))
         arr = F.when(
