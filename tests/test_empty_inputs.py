@@ -176,3 +176,62 @@ class TestEmptyInputsR11:
         assert r[0]["n_docs"] == 0 and r[0]["n_tokens"] == 0
         assert r[0]["mean_doc_tokens"] is None
         assert r[0]["n_sources"] == 0 and r[0]["top_source"] is None
+
+
+class TestEmptyInputsR12:
+    """Zero-row robustness for the r12 operators: empty in, empty
+    (never crash, never a vanished schema) out."""
+
+    def _empty_docs(self, spark):
+        return spark.createDataFrame([], "doc_id long, text string")
+
+    def test_gopher_both_rule_sets(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            gopher_quality_flags,
+            gopher_repetition_flags,
+        )
+
+        assert gopher_quality_flags(self._empty_docs(spark)).count() == 0
+        df = gopher_repetition_flags(self._empty_docs(spark))
+        assert df.count() == 0
+        assert "pass_repetition" in df.columns
+
+    def test_c4_clean(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import c4_clean
+
+        assert c4_clean(self._empty_docs(spark)).count() == 0
+
+    def test_bpe_encode_and_vocab(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            bpe_encode,
+            bpe_vocab,
+        )
+
+        assert bpe_encode(self._empty_docs(spark), [("a", "b")]).count() == 0
+        # empty corpus -> empty alphabet -> vocab is merge outputs only,
+        # ids from 0 (the convention degrades gracefully)
+        v = bpe_vocab(self._empty_docs(spark), [("a", "b")]).collect()
+        assert [(r["token"], r["token_id"]) for r in v] == [("ab", 0)]
+
+    def test_contrastive_pairs(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            build_contrastive_pairs,
+        )
+
+        q = spark.createDataFrame([], "query_id long, doc_id long, rel long")
+        n = spark.createDataFrame(
+            [], "query_id long, doc_id long, neg_rank long"
+        )
+        assert build_contrastive_pairs(q, n).count() == 0
+
+    def test_pack_sequences_token_col(self, spark):
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.operators.sampling import (
+            pack_sequences,
+        )
+
+        d = spark.createDataFrame([], "doc_id long, n_tokens long")
+        assert pack_sequences(
+            d, budget=8, shard_col=F.lit(0), n_tokens_col="n_tokens"
+        ).count() == 0
