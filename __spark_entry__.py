@@ -17,8 +17,9 @@ CORRECTNESS row. ``queries()`` therefore registers exactly the 50
 highest-information queries (every SURVEY §2 operator family + every
 LLM-pipeline component), ordered never-verified-first:
 domain (decode → verify → staging/enrich) → llm → generic extension
-picks. The FULL corpus (149 queries as of round 12 — 145 oracled + 4
-rows-only-by-design) stays importable via
+picks. The FULL corpus (156 queries as of round 13 — 152 oracled + 4
+rows-only-by-design; counts pinned against the registries by
+tests/test_contract.py) stays importable via
 ``queries_all()`` / ``oracle_sql_all()`` and is verified end-to-end by
 ``tools/parity.py`` (a driver-faithful local gate: DuckDB fetched via
 pandas so DECIMAL/HUGEINT coercions are reproduced) plus pytest plan
@@ -105,7 +106,8 @@ def _load():
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The 50 driver-registered queries, never-verified-first order."""
+    """The 50 driver-registered queries, never-verified-first order
+    (authored for queries.REGISTRATION_ROUND — see the freshness gate)."""
     mods, failures = _load()
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for modname, tb in failures.items():

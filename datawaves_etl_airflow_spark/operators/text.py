@@ -278,9 +278,15 @@ def gopher_quality_flags(
     )
 
 
-#: C4's line blocklist (Raffel et al. 2020 §2.2): a line containing
-#: any of these is dropped outright
-C4_LINE_BLOCKLIST = ("javascript", "lorem ipsum", "{", "}")
+#: C4's LINE blocklist (Raffel et al. 2020 §2.2): the paper's one
+#: line-granularity blocklist rule — a line with the word Javascript
+#: is dropped (the page survives)
+C4_LINE_BLOCKLIST = ("javascript",)
+
+#: C4's PAGE blocklist (same §2.2, page granularity): "lorem ipsum"
+#: or a curly bracket ANYWHERE discards the whole page — r12 ADVICE
+#: fidelity fix; these were previously (incorrectly) applied per line
+C4_PAGE_BLOCKLIST = ("lorem ipsum", "{", "}")
 
 
 def c4_clean(
@@ -290,15 +296,21 @@ def c4_clean(
     min_words_per_line: int = 3,
     require_terminal_punct: bool = True,
     blocklist: tuple = C4_LINE_BLOCKLIST,
+    page_blocklist: tuple = C4_PAGE_BLOCKLIST,
     dedup_lines: bool = True,
     min_lines: int = 1,
 ) -> DataFrame:
     """C4-style line-level corpus cleaning (Raffel et al. 2020 §2.2 —
     the T5 pipeline's cleaning pass, reused by every C4 reproduction):
-    per doc, split into lines and keep only lines that (a) end in a
-    terminal punctuation mark (``.!?"``), (b) carry at least
-    ``min_words_per_line`` words, (c) contain no blocklist phrase
-    (lowercased substring match); then remove every GLOBAL duplicate
+    first drop every PAGE containing a ``page_blocklist`` phrase
+    (lowercased substring over the whole text — the paper's
+    page-granularity rules: "lorem ipsum" and curly brackets discard
+    the document, not just the line); then per surviving doc, split
+    into lines and keep only lines that (a) end in a terminal
+    punctuation mark (``.!?"``), (b) carry at least
+    ``min_words_per_line`` words, (c) contain no line-``blocklist``
+    phrase (the paper's Javascript rule is line-level); then remove
+    every GLOBAL duplicate
     line except its first occurrence (ordered by ``(doc_id, line
     position)`` — deterministic; the paper's three-sentence-span rule
     approximated at line granularity, which is what public C4
@@ -317,8 +329,17 @@ def c4_clean(
     deliberately window-free on the dedup side — ``min_by`` partial-
     aggregates where a row_number window would sort whole
     partitions."""
+    src = docs
+    for phrase in page_blocklist:
+        # page-granularity discard: map-side filter before the explode
+        src = src.filter(
+            ~F.contains(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(phrase),
+            )
+        )
     lines_arr = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
-    exploded = docs.select(
+    exploded = src.select(
         F.col(id_col).alias("id"), F.posexplode(lines_arr)
     ).select("id", F.col("pos"), F.trim(F.col("col")).alias("line"))
     kept = exploded.filter(F.length("line") > 0)
@@ -1631,7 +1652,11 @@ def bpe_encode(
                 f"{max_expr_rules}: a replace chain this deep risks "
                 "codegen limits — use method='arrow' or raise the cap"
             )
-        joined = F.array_join(tokenize(F.col(text_col)), _BPE_W)
+        # NULL text must behave like the arrow tier's coalesce-to-''
+        # (→ tokens [], n_tokens 0), not propagate NULL (ADVICE r12)
+        joined = F.array_join(
+            tokenize(F.coalesce(F.col(text_col), F.lit(""))), _BPE_W
+        )
         sym = F.rtrim(
             F.regexp_replace(joined, "(.)", f"{_BPE_L}$1{_BPE_R} ")
         )
@@ -1730,10 +1755,12 @@ def bpe_vocab(
     """``(token, token_id)`` vocabulary under the SentencePiece/GPT-2
     id convention: the corpus ALPHABET (distinct characters of the
     tokenized text, codepoint-sorted) takes ids ``0..|A|−1``, then
-    each merge rule's output takes the next id in rule order — so ids
-    are stable across corpora sharing an alphabet and every symbol
-    `bpe_encode` can emit (a base char or a merge output) has exactly
-    one id. One distributed distinct-chars pass; the collect is
+    each merge rule's output takes the next id in FIRST-occurrence
+    rule order — distinct pairs sharing a surface form (('a','bc')
+    and ('ab','c') both yield 'abc') dedup HF-style to the first
+    rule's id, ids staying dense — so ids are stable across corpora
+    sharing an alphabet and every symbol `bpe_encode` can emit (a
+    base char or a merge output) has exactly one id. One distributed distinct-chars pass; the collect is
     alphabet-bounded and guarded by ``max_alphabet`` (binary garbage
     raises instead of flooding the driver — the max_vocab_rows
     pattern)."""
@@ -1758,16 +1785,16 @@ def bpe_vocab(
     alphabet = sorted(r["c"] for r in chars.collect())
     vocab = [(c, i) for i, c in enumerate(alphabet)]
     seen = {c for c, _ in vocab}
-    for j, (a, b) in enumerate(merges):
+    for a, b in merges:
         out = a + b
+        # distinct pairs can legitimately share a surface form — e.g.
+        # ('a','bc') and ('ab','c') both yield 'abc' (ADVICE r12).
+        # HF-style vocab dedup: the FIRST occurrence keeps its id,
+        # later ones are skipped and ids stay dense
         if out in seen:
-            raise ValueError(
-                f"duplicate vocab symbol {out!r} (rule {j}) — merge "
-                "outputs must be unique (real BPE merges each pair "
-                "once); dedupe the rule list"
-            )
+            continue
         seen.add(out)
-        vocab.append((out, len(alphabet) + j))
+        vocab.append((out, len(vocab)))
     return docs.sparkSession.createDataFrame(
         vocab, "token string, token_id int"
     )

@@ -391,14 +391,15 @@ def evt_seaport_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (s1_staging_scan_json, call_transfer_decode, d4_token_transfers,
 #: d_enrich_geth_traces, d_new_tokens) rotate out parity-pinned; no
 #: domain source changed this round.
+#: Round-12 rotation: the whole r9-stale cohort funded the llm block
+#: (domain went green wall-to-wall in r11), so domain kept three
+#: r10-green picks — the append-sink/anti-join composition and the
+#: two decode extractors.
 DRIVER_QUERIES = [
-    # r12 rotation: the whole r9-stale cohort funds the llm block this
-    # round (domain went green wall-to-wall in r11), so domain keeps
-    # three r10-green picks — the append-sink/anti-join composition
-    # and the two decode extractors
-    "d_new_tokens",
-    "call_transfer_decode",
-    "d4_token_transfers",
+    # r13 rotation: exactly the two r10-stale domain queries the
+    # freshness gate flags — everything else is r11/r12-green
+    "s1_staging_scan_json",
+    "d_enrich_geth_traces",
 ]
 
 QUERIES = {

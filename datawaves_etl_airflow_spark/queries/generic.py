@@ -843,26 +843,40 @@ def g2_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: join whose bucketed twin aj2 holds the slot ahead of it). The
 #: r10-green thirteen rotate out parity-pinned; no generic source
 #: changed this round.
+#: Round-13 deferral (see queries.llm.ROTATION_DEFERRALS for the
+#: mechanism): the 50-slot budget is 3 over; j6b defers one round —
+#: pure-SQL anti-join variant whose operator surface is untouched and
+#: whose family carries FOUR r12 greens (j6_anti_join_customers,
+#: j6c_anti_join_bucket_pruned, j8_semi_join_customers, d_new_tokens).
+#: Must lead the r14 rotation.
+ROTATION_DEFERRALS = {
+    "j6b_anti_join_prefiltered": (
+        "J-6 family holds four r12 greens (j6/j6c/j8/d_new_tokens); "
+        "pure-SQL variant, operator surface untouched since r10"
+    ),
+}
+
 DRIVER_QUERIES = [
-    # r12 rotation: the full r9-stale cohort (tools/parity.py
-    # --freshness queue) — every generic query whose last green is r9
-    "aj1_asof_clicks",
-    "e1_except_parts",
-    "f2_array_surface",
-    "g3_cube_priority",
-    "h1_hourly_events",
-    "j6_anti_join_customers",
-    "j6c_anti_join_bucket_pruned",
-    "j7_region_rollup",
-    "j8_semi_join_customers",
-    "p4_date_range_scan",
-    "pv2_unpivot_metrics",
-    "t1_topk_orders",
-    "w1_topk_per_user",
-    "w2_running_sum",
-    "x2_above_global_avg",
-    # r10-green pick filling the 50th slot: the §2.6 scalar surface
-    "f_scalar_surface",
+    # r13 rotation: the full r10-stale generic cohort (tools/parity.py
+    # --freshness queue) minus the one documented deferral above
+    "q1_pricing_summary",
+    "a2_count_col_vs_star",
+    "j1_order_revenue_3way",
+    "p5_conjunctive_filter",
+    "h3_hopping_windows",
+    "m2_scd2_history",
+    "g4_purchase_trend",
+    "u1_intersect_users",
+    "sk1_salted_agg",
+    "w3_sessionization",
+    "rj1_promo_range_join",
+    "g2_grouped_quantiles",
+    "j9_full_outer_rollup",
+    "pv1_pivot_linestatus",
+    "m1_upsert_dimension",
+    "x1_approx_aggregates",
+    "x3_profile_orders",
+    "m3_incremental_merge",
 ]
 
 #: columns profiled by x3 (orderable subset of orders)

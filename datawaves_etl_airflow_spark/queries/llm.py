@@ -2875,12 +2875,50 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: mechanical: `tools/parity.py --freshness` FAILS when any oracled
 #: query's projected latest-green age exceeds 2 rounds under the
 #: current registration.
+#: Round-13 rotation (the r12 verdict's task 1, exactly): the seven
+#: never-driver-verified r12 post-registration additions lead (the r12
+#: ROTATION_QUEUE verbatim — BPE ids/fertility, Gopher document +
+#: repetition rules, C4 cleaning, DPR triples, BPE-exact packing),
+#: then the ENTIRE r10-stale cohort (2 domain + 25 llm + 19 generic =
+#: 46) minus the three documented ROTATION_DEFERRALS the 50-slot
+#: budget forces (llm_hybrid_retrieval / llm_ann_ivf_pq here,
+#: j6b_anti_join_prefiltered in queries.generic — each with a strict-
+#: superset family twin holding an r13 slot). The r11/r12-green sets
+#: rotate out parity-pinned. End-of-round semantics fixed this round:
+#: queries.REGISTRATION_ROUND pins the round this registration targets
+#: so the gate stays green when CORRECTNESS_r13.json itself lands.
 #: post-registration additions queued to LEAD the next rotation —
 #: parity-green ×3 SFs and plan-pinned now, first driver row next
 #: round. `tools/parity.py --freshness` exempts exactly this list
 #: from its never-verified rule and FAILS if an entry goes stale
 #: (already registered, or already carrying a driver row).
 ROTATION_QUEUE = [
+    # r13 post-registration additions (parity-green ×3 SFs, plan-
+    # pinned; first driver row in the r14 rotation)
+]
+
+#: Round-13 deferrals: 53 freshness candidates (46 r10-stale + 7
+#: queued never-verified) exceed the hard 50-slot budget by exactly 3.
+#: Each deferral is a query whose operator surface is untouched this
+#: round and whose same-family SUPERSET composition holds an r13 slot;
+#: ``tools/parity.py --freshness`` tolerates a documented deferral for
+#: exactly one extra round — these three must lead the r14 rotation.
+ROTATION_DEFERRALS = {
+    "llm_hybrid_retrieval": (
+        "twin llm_hybrid_retrieval_index holds an r13 slot — the same "
+        "BM25+ANN RRF composition routed through the persisted-index "
+        "path (strict machinery superset); surface untouched since r10"
+    ),
+    "llm_ann_ivf_pq": (
+        "twin llm_ann_ivf_pq_rerank holds an r13 slot — the same PQ/ADC "
+        "tier plus the exact-rerank stage (strict machinery superset); "
+        "surface untouched since r10"
+    ),
+}
+
+DRIVER_QUERIES = [
+    # never driver-verified: the seven r12 post-registration additions
+    # (the r12 ROTATION_QUEUE, verbatim — quality rules + tokenizer)
     "llm_bpe_ids",
     "llm_gopher_flags",
     "llm_gopher_repetition",
@@ -2888,43 +2926,31 @@ ROTATION_QUEUE = [
     "llm_contrastive_pairs",
     "llm_pack_bpe",
     "llm_bpe_fertility",
-]
-
-DRIVER_QUERIES = [
-    # never driver-verified: r11 post-registration additions
-    "llm_image_phash",
-    "llm_passage_decontaminate",
-    "llm_bigram_logprob",
-    "llm_split_leakage",
-    # never driver-verified: r12 additions
-    "llm_mmr_index",
-    "llm_bpe_encode",
-    "llm_prf_vs_bm25_eval",
-    "llm_compression_ratio",
-    # r9-stale cohort (tools/parity.py --freshness queue), llm block
-    "llm_ann_ivf",
-    "llm_ann_ivf_int8",
-    "llm_ann_ivf_int8_rerank",
-    "llm_ann_lsh_planted",
-    "llm_audio_features",
-    "llm_cluster_keep",
-    "llm_corpus_pipeline",
-    "llm_cosine_topk",
-    "llm_dedup_clusters",
-    "llm_dedup_exact",
-    "llm_hash_split",
-    "llm_image_features",
-    "llm_knn_ivf_2level_eval",
-    "llm_knn_label_eval",
-    "llm_lang_id",
-    "llm_pack_sequences",
-    "llm_quality_logit",
-    "llm_quantize_embeddings",
-    "llm_semantic_dedup_2level",
-    "llm_semantic_dedup_diverse",
-    "llm_semantic_dedup_ivf",
-    "llm_source_quota",
-    "llm_text_stats",
+    # r10-stale cohort (tools/parity.py --freshness queue), llm block —
+    # minus the two documented ROTATION_DEFERRALS above
+    "llm_incremental_dedup",
+    "llm_passage_dedup",
+    "llm_chunking",
+    "llm_decontaminate",
+    "llm_ann_ivf_pq_rerank",
+    "llm_ann_ivf_filtered",
+    "llm_bm25_topk",
+    "llm_hybrid_retrieval_index",
+    "llm_bm25_index",
+    "llm_semantic_decontaminate",
+    "llm_semantic_decontaminate_index",
+    "llm_token_counts",
+    "llm_fingerprint",
+    "llm_multimodal_meta",
+    "llm_frame_sample",
+    "llm_repetition",
+    "llm_quality_filter",
+    "llm_length_histogram",
+    "llm_temperature_sample",
+    "llm_pii_scrub",
+    "llm_tfidf_keywords",
+    "llm_unigram_logprob",
+    "llm_wordcount",
 ]
 
 QUERIES = {
@@ -4982,12 +5008,28 @@ ORACLES["llm_c4_clean"] = f"""
                array_to_string(ws[13:14], ' ') || '.' AS l3
         FROM d
     ),
+    -- PAGE blocklist (Raffel §2.2, page granularity — ADVICE r12):
+    -- 'lorem ipsum' or a curly bracket anywhere drops the whole doc
+    -- coalesce each line: short docs yield NULL l2/l3 here (Spark's
+    -- concat_ws skips NULLs, so the engine page never goes NULL)
+    cp AS (
+        SELECT * FROM (
+            SELECT c.*,
+                   lower(coalesce(l0, '') || chr(10) || coalesce(l1, '')
+                         || chr(10) || coalesce(l2, '') || chr(10)
+                         || coalesce(l3, '')) AS page
+            FROM c
+        )
+        WHERE NOT contains(page, 'lorem ipsum')
+          AND NOT contains(page, '{{')
+          AND NOT contains(page, '}}')
+    ),
     lx AS (
         SELECT doc_id, pos, trim(line) AS line FROM (
-            SELECT doc_id, 0 AS pos, l0 AS line FROM c
-            UNION ALL SELECT doc_id, 1, l1 FROM c
-            UNION ALL SELECT doc_id, 2, l2 FROM c
-            UNION ALL SELECT doc_id, 3, l3 FROM c
+            SELECT doc_id, 0 AS pos, l0 AS line FROM cp
+            UNION ALL SELECT doc_id, 1, l1 FROM cp
+            UNION ALL SELECT doc_id, 2, l2 FROM cp
+            UNION ALL SELECT doc_id, 3, l3 FROM cp
         )
     ),
     k AS (
@@ -5000,9 +5042,6 @@ ORACLES["llm_c4_clean"] = f"""
                     ' '
                 ), x -> x <> '')) >= 3
           AND NOT contains(lower(line), 'javascript')
-          AND NOT contains(lower(line), 'lorem ipsum')
-          AND NOT contains(lower(line), '{{')
-          AND NOT contains(lower(line), '}}')
     ),
     dd AS (
         SELECT doc_id, pos, line,
@@ -5224,8 +5263,12 @@ ORACLES["llm_bpe_fertility"] = f"""
         FROM documents
     ),
     j AS (
-        SELECT m.source, m.n_words, m.n_word_chars, c.n_tokens
-        FROM cnt c JOIN meta m ON c.doc_id = m.doc_id
+        -- LEFT JOIN from meta (every doc): bpe_encode emits a row for
+        -- every doc incl. zero-token ones, so the oracle must count
+        -- them too (ADVICE r12 — cnt's GROUP BY drops empty docs)
+        SELECT m.source, m.n_words, m.n_word_chars,
+               coalesce(c.n_tokens, 0) AS n_tokens
+        FROM meta m LEFT JOIN cnt c ON c.doc_id = m.doc_id
     ),
     a AS (
         SELECT source,

@@ -52,54 +52,95 @@ class TestRegistrationPolicy:
         )
 
     def test_registration_order_never_verified_first(self):
-        """Round-12 rotation: the never-driver-verified queries lead
-        their module block, then the r9-stale cohort (freshness
-        policy, now enforced mechanically by tools/parity.py
+        """Round-13 rotation: the seven never-driver-verified r12
+        queue entries lead the llm block, then the r10-stale cohort
+        (freshness policy, enforced mechanically by tools/parity.py
         --freshness: no oracled query's projected green older than
-        two rounds) — a budget cut still lands on the freshest
-        evidence first."""
+        two rounds, one documented-deferral round of grace) — a
+        budget cut still lands on the freshest evidence first."""
         names = list(entrymod.queries())
-        # domain block: three r10-green picks (domain went green
-        # wall-to-wall in r11; its slots fund the stale llm cohort)
-        assert names[0] == "d_new_tokens"
-        # llm block: the eight never-driver-verified queries (four
-        # r11 post-registration additions + three r12 compositions +
-        # the rows-only compression signal) lead the stale cohort
+        # domain block: exactly the two r10-stale domain queries
+        assert names[0] == "s1_staging_scan_json"
+        assert names[1] == "d_enrich_geth_traces"
+        # llm block: the seven never-driver-verified r12 additions
+        # (the r12 ROTATION_QUEUE verbatim) lead the stale cohort
         for new in (
-            "llm_image_phash",
-            "llm_passage_decontaminate",
-            "llm_bigram_logprob",
-            "llm_split_leakage",
-            "llm_mmr_index",
-            "llm_bpe_encode",
-            "llm_prf_vs_bm25_eval",
-            "llm_compression_ratio",
+            "llm_bpe_ids",
+            "llm_gopher_flags",
+            "llm_gopher_repetition",
+            "llm_c4_clean",
+            "llm_contrastive_pairs",
+            "llm_pack_bpe",
+            "llm_bpe_fertility",
         ):
-            assert names.index(new) < names.index("llm_ann_ivf")
-        # generic block: the full r9-stale cohort leads its r10 pick
-        for stale in (
-            "aj1_asof_clicks",
-            "e1_except_parts",
-            "w2_running_sum",
-            "x2_above_global_avg",
+            assert names.index(new) < names.index("llm_incremental_dedup")
+        # the three documented deferrals are NOT registered
+        for deferral in (
+            "llm_hybrid_retrieval",
+            "llm_ann_ivf_pq",
+            "j6b_anti_join_prefiltered",
         ):
-            assert names.index(stale) < names.index("f_scalar_surface")
+            assert deferral not in names
 
     def test_freshness_gate_passes_on_current_registration(self):
         """The rotation is sufficient by construction: the mechanical
         staleness gate (r10 verdict task 8) must pass against the
-        registration this file pins."""
+        registration this file pins. REGISTRATION_ROUND (r12 verdict
+        'what's wrong #1' + ADVICE r12) makes this stable across the
+        round boundary: the gate projects against the round the
+        registration was authored for, so the round's own CORRECTNESS
+        file landing does not flip this test red; it fails only when
+        a round completes without a rotation. cwd derives from this
+        file, not a hardcoded checkout path."""
+        import os
         import subprocess
         import sys as _sys
 
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         proc = subprocess.run(
             [_sys.executable, "tools/parity.py", "--freshness"],
             capture_output=True,
             text=True,
-            cwd="/root/repo",
+            cwd=repo,
             timeout=300,
         )
         assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    def test_registration_round_is_current(self):
+        """REGISTRATION_ROUND must point at the latest committed
+        CORRECTNESS round or the one about to run — the same bounds
+        the gate enforces, pinned here so a forgotten bump is a test
+        failure, not just a gate message."""
+        import glob
+        import os
+
+        from datawaves_etl_airflow_spark.queries import REGISTRATION_ROUND
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        rounds = [
+            int(os.path.basename(f).split("_r")[1].split(".")[0])
+            for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        ]
+        assert rounds, "no CORRECTNESS files — driver contract broken"
+        assert max(rounds) <= REGISTRATION_ROUND <= max(rounds) + 1
+
+    def test_docstring_corpus_counts_match_reality(self):
+        """ADVICE r12: the driver-contract docstring's corpus counts
+        drifted (said 149/145, actual 156/152). Derive them from the
+        registries so the docstring can never silently drift again."""
+        import re
+
+        total = len(entrymod.queries_all())
+        oracled = len(entrymod.oracle_sql_all())
+        m = re.search(
+            r"\((\d+) queries as of round \d+ — (\d+)\s+oracled",
+            entrymod.__doc__,
+        )
+        assert m, "corpus-count sentence missing from the docstring"
+        assert (int(m.group(1)), int(m.group(2))) == (total, oracled), (
+            f"docstring says {m.group(1)}/{m.group(2)}, registries have "
+            f"{total}/{oracled} — update __spark_entry__'s docstring"
+        )
 
     def test_driver_lists_subset_of_full_corpus(self):
         from datawaves_etl_airflow_spark.queries import domain, generic, llm
@@ -130,13 +171,10 @@ class TestRegistrationPolicy:
         assert any("boom" in r["traceback_line"] for r in rows)
 
     def test_registered_oracle_coverage(self):
-        """Round 5 (amended r12): every registered query is oracled,
-        EXCEPT an explicitly documented rows-only-by-design slot
-        taking its first driver row — r12 registers
-        llm_compression_ratio once (compressed size is a zlib-build
-        property, pytest-pinned vs the interpreter's zlib; the driver
-        records rows-only, exactly like the three r4 candidate-set
-        rows). The three r4 rows-only sets stay rotated out."""
+        """Round 5 (amended r13): every registered query is oracled.
+        The rows-only-by-design slots (llm_compression_ratio r12, the
+        three r4 candidate sets) all carry their driver rows and stay
+        rotated out, exempt from the staleness clock."""
         q = entrymod.queries()
         o = entrymod.oracle_sql()
-        assert set(q) - set(o) == {"llm_compression_ratio"}
+        assert set(q) - set(o) == set()

@@ -2069,6 +2069,7 @@ class TestBpeEncode:
                 (3, "banana bandana"),
                 (4, ""),
                 (5, "  spaced   out  "),
+                (6, None),  # NULL text ≡ '' in both tiers (ADVICE r12)
             ],
             "doc_id long, text string",
         )
@@ -2086,7 +2087,7 @@ class TestBpeEncode:
             for r in bpe_encode(docs, merges).collect()
         }
         for row in docs.collect():
-            want = self._ref_encode(row["text"], merges)
+            want = self._ref_encode(row["text"] or "", merges)
             assert got[row["doc_id"]] == (want, len(want)), row["text"]
 
     def test_expr_equals_arrow(self, spark):
@@ -2105,7 +2106,7 @@ class TestBpeEncode:
             (r["id"], tuple(r["tokens"]), r["n_tokens"])
             for r in bpe_encode(docs, merges, method="arrow").collect()
         )
-        assert expr == arrow and len(expr) == 5
+        assert expr == arrow and len(expr) == 6
 
     def test_roundtrip_concat_preserves_text(self, spark):
         """Segmentation must partition each word: concatenating the
@@ -2122,7 +2123,7 @@ class TestBpeEncode:
             for r in bpe_encode(docs, merges).collect()
         }
         for row in docs.collect():
-            want = "".join(row["text"].lower().split())
+            want = "".join((row["text"] or "").lower().split())
             assert got[row["doc_id"]] == want
 
     def test_framing_blocks_false_prefix_suffix_matches(self, spark):
@@ -2231,11 +2232,32 @@ class TestBpeVocabIds:
         for r in got:
             assert [inv[i] for i in r["token_ids"]] == list(r["tokens"])
 
-    def test_duplicate_merge_output_raises(self, spark):
+    def test_duplicate_merge_output_first_id_wins(self, spark):
+        """ADVICE r12: distinct pairs can share a surface form in real
+        BPE — ('a','bc') and ('ab','c') both yield 'abc'. HF-style
+        vocab dedup: first occurrence keeps its id, ids stay dense."""
         from datawaves_etl_airflow_spark.operators.text import bpe_vocab
 
-        with pytest.raises(ValueError, match="duplicate"):
-            bpe_vocab(self._docs(spark), [("a", "b"), ("a", "b")])
+        got = {
+            r["token"]: r["token_id"]
+            for r in bpe_vocab(
+                self._docs(spark),
+                [("a", "b"), ("b", "c"), ("a", "bc"), ("ab", "c"), ("b", "a")],
+            ).collect()
+        }
+        n_alpha = len(got) - 4  # abc appears once
+        assert got["ab"] == n_alpha
+        assert got["bc"] == n_alpha + 1
+        assert got["abc"] == n_alpha + 2  # ('a','bc') wins, ('ab','c') skipped
+        assert got["ba"] == n_alpha + 3  # ids dense after the skip
+        # exact-duplicate rules dedup the same way
+        got2 = {
+            r["token"]: r["token_id"]
+            for r in bpe_vocab(
+                self._docs(spark), [("a", "b"), ("a", "b")]
+            ).collect()
+        }
+        assert got2["ab"] == len(got2) - 1
 
     def test_alphabet_guard(self, spark):
         from datawaves_etl_airflow_spark.operators.text import bpe_vocab
@@ -2349,12 +2371,32 @@ class TestC4Clean:
             "no terminal punctuation here\n"
             "too few.\n"
             "this page uses JavaScript everywhere.\n"
-            "curly { brace } line stays out.\n"
             "and keep this last line!",
         )])
         assert got[1] == (
             "keep this first line.\nand keep this last line!", 2
         )
+
+    def test_page_blocklist_drops_whole_doc(self, spark):
+        """Raffel §2.2 page-granularity rules (ADVICE r12): a curly
+        bracket or 'lorem ipsum' ANYWHERE discards the page, not just
+        the line — while Javascript stays a line-level rule."""
+        got = self._clean(spark, [
+            (1, "perfectly good first line.\ncurly { brace } here."),
+            (2, "another good line survives.\nLorem Ipsum dolor sit."),
+            (3, "good line stays put here.\nJavaScript only kills this line."),
+        ])
+        assert 1 not in got and 2 not in got
+        assert got[3] == ("good line stays put here.", 1)
+
+    def test_page_blocklist_off_restores_line_granularity(self, spark):
+        got = self._clean(
+            spark,
+            [(1, "keep this good line here.\ncurly { brace } line out.")],
+            page_blocklist=(),
+            blocklist=("javascript", "{", "}"),
+        )
+        assert got[1] == ("keep this good line here.", 1)
 
     def test_global_line_dedup_keeps_first(self, spark):
         shared = "the shared boilerplate line repeats everywhere."
