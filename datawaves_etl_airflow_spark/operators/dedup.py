@@ -2165,3 +2165,281 @@ def cluster_representatives(
             F.col("_score").alias("keep_score"),
         )
     )
+
+
+def duplicated_gram_sites(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_run_words: int = 50,
+) -> DataFrame:
+    """Non-canonical duplicated ``L``-gram start sites — ``(id, pos)``
+    for every word position whose ``min_run_words``-word gram appears
+    at ≥2 distinct (doc, pos) sites corpus-wide and is NOT the
+    corpus-minimal site of that gram (ordered by (id, pos)).
+
+    This is the SEMANTIC DEFINITION of within-corpus exact-substring
+    duplication (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better" — the ExactSubstr half; their suffix-array
+    formulation re-expressed relationally): a verbatim duplicated run
+    of R ≥ L words contains exactly R−L+1 duplicated L-gram starts,
+    so gram sites recover duplicated SPANS without materializing runs.
+    The first (minimal) occurrence of each gram stays canonical —
+    "keep one copy".
+
+    Plan: one map-side gram explosion (×L data — this brute tier is
+    the oracle twin and the small-SF path; `exact_substring_dedup`'s
+    ``anchors`` tier is the 100 TB path), one groupBy on the gram
+    string (partial agg: (min site, count) — 2-value, boilerplate
+    skew collapses map-side), one hash join back (one build row per
+    gram; probe-side skew is row-lookup, not row-explosion)."""
+    L = int(min_run_words)
+    if L < 2:
+        raise ValueError(f"min_run_words must be ≥ 2, got {L}")
+    ws = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    src = docs.select(
+        F.col(id_col).alias("id"), ws.alias("ws")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    grams = (
+        src.filter(F.size("ws") >= L)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - L),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("ws"), i + 1, L)
+                    ),
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    stats = (
+        grams.groupBy("gram")
+        .agg(
+            F.min(F.struct("id", "pos")).alias("first"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .filter(F.col("c") >= 2)
+        .select("gram", "first")
+    )
+    return (
+        grams.join(stats, "gram")
+        .filter(
+            ~(
+                (F.col("id") == F.col("first.id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("id", "pos")
+    )
+
+
+def _winnow_anchor_sites(
+    src: DataFrame, k: int, w: int
+) -> DataFrame:
+    """Positioned winnowing selection over ``src(id, ws)``:
+    ``(id, pos, fp)`` — per width-``w`` window of word-``k``-gram
+    hashes, the minimal hash and its (leftmost-minimal, deterministic)
+    gram position. Identical text selects identical relative
+    positions, so two occurrences of a shared ≥ ``k+w−1``-word run
+    share an anchor at CORRESPONDING positions — the positional
+    strengthening of `winnow_fingerprints`' guarantee that
+    verify-extend needs."""
+    hs = src.filter(F.size("ws") >= k + w - 1).select(
+        "id", _kgram_hash_array(F.col("ws"), k).alias("hs")
+    )
+    n_windows = F.size("hs") - w + 1
+    sites = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda j: F.struct(
+            (
+                j
+                + F.array_position(
+                    F.slice(F.col("hs"), j + 1, w),
+                    F.array_min(F.slice(F.col("hs"), j + 1, w)),
+                )
+                - 1
+            ).cast("int").alias("pos"),
+            F.array_min(F.slice(F.col("hs"), j + 1, w)).alias("fp"),
+        ),
+    )
+    return hs.select(
+        "id", F.explode(F.array_distinct(sites)).alias("s")
+    ).select("id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_run_words: int = 50,
+    method: str = "grams",
+    anchor_k: int = 8,
+    max_sites_per_anchor: int = 256,
+) -> DataFrame:
+    """Within-corpus EXACT-SUBSTRING dedup (Lee et al. 2021,
+    ExactSubstr): remove every verbatim duplicated run of
+    ≥ ``min_run_words`` words from all but its first corpus
+    occurrence → ``(id, text_dedup, n_words_kept, n_words_removed)``,
+    one row per input doc (possibly empty ``text_dedup``). Word
+    removal rule: word ``i`` of doc ``d`` is removed iff some
+    duplicated NON-canonical L-gram site (d, p) covers it
+    (p ≤ i < p+L) — on a clean duplicated span this is exactly the
+    span, and the minimal occurrence survives verbatim ("keep one
+    copy"). Text is tokenize-normalized (lowercase, single spaces) —
+    the standing contract of every operator in this module.
+
+    Two value-identical tiers (pinned in tests):
+
+    - ``grams`` (default; the definition + DuckDB oracle twin): brute
+      L-gram explosion — ×L data through one shuffle; exact, and the
+      right tier when L is small or the corpus fits the budget.
+    - ``anchors`` (the 100 TB path): positioned winnowing anchors at
+      density ~2/(w+1), w = L−k+1 — every duplicated run of ≥ L words
+      shares an anchor at corresponding positions (winnowing theorem),
+      so the banded fp self-join finds every run pair; per candidate
+      pair the REAL word arrays verify and maximally extend the match
+      (hash collisions die here — they only ever ADD candidates), and
+      runs ≥ L emit their non-canonical covered sites. Data through
+      the join: ~2·(n/w) anchor rows instead of n·L gram bytes —
+      ~L·w/(2·k̄) ≈ 500× lighter at L=50. ``max_sites_per_anchor``
+      is the stop-anchor valve (boilerplate shared by more docs than
+      that stops generating pairs — the `max_docs_per_fp` pattern;
+      raise it deliberately when license-header dedup matters more
+      than the worst-case bucket).
+
+    The verify-extend stage is an Arrow-batched ``applyInPandas``
+    over (id_a, id_b) pair groups — bounded by the two docs' lengths
+    plus their anchor list, the MMR-rerank-audited shape."""
+    L = int(min_run_words)
+    if L < 2:
+        raise ValueError(f"min_run_words must be ≥ 2, got {L}")
+    if method not in ("grams", "anchors"):
+        raise ValueError(f"unknown method: {method}")
+    ws = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    src = docs.select(
+        F.col(id_col).alias("id"), ws.alias("ws")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+    if method == "grams":
+        dup_sites = duplicated_gram_sites(
+            docs, text_col, id_col, min_run_words=L
+        )
+    else:
+        k = min(int(anchor_k), L)
+        w = L - k + 1
+        anchors = _winnow_anchor_sites(src, k, w)
+        bounded = anchors.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        ).filter(F.col("_df") <= max_sites_per_anchor).drop("_df")
+        a, b = bounded.alias("a"), bounded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.fp") == F.col("b.fp"))
+                & (
+                    (F.col("a.id") < F.col("b.id"))
+                    | (
+                        (F.col("a.id") == F.col("b.id"))
+                        & (F.col("a.pos") < F.col("b.pos"))
+                    )
+                ),
+                "inner",
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("a.pos").alias("pos_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("b.pos").alias("pos_b"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.collect_list(F.struct("pos_a", "pos_b")).alias("apairs")
+            )
+        )
+        wa = src.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a"))
+        wb = src.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b"))
+        cand = pairs.join(wa, "id_a").join(wb, "id_b")
+
+        from pyspark.sql.types import (
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        id_type = docs.schema[id_col].dataType
+        site_schema = StructType([
+            StructField("id", id_type, False),
+            StructField("pos", IntegerType(), False),
+        ])
+
+        def _extend(pdf_iter):
+            for pdf in pdf_iter:
+                out_ids, out_pos = [], []
+                for row in pdf.itertuples(index=False):
+                    wsa, wsb = list(row.ws_a), list(row.ws_b)
+                    na, nb = len(wsa), len(wsb)
+                    # runs found so far, keyed by alignment diagonal
+                    # (pa−pb): anchors inside an already-extended run
+                    # on the same diagonal rediscover it — skip them
+                    done_runs: dict[int, list[tuple[int, int]]] = {}
+                    for ap in sorted(
+                        row.apairs, key=lambda p: (p["pos_a"], p["pos_b"])
+                    ):
+                        pa, pb = ap["pos_a"], ap["pos_b"]
+                        diag = pa - pb
+                        if any(
+                            s <= pa < e for s, e in done_runs.get(diag, ())
+                        ):
+                            continue
+                        # verify the anchor k-gram really matches
+                        # (xxhash collisions only ever ADD candidates)
+                        if wsa[pa : pa + k] != wsb[pb : pb + k]:
+                            continue
+                        sa, sb = pa, pb
+                        while sa > 0 and sb > 0 and wsa[sa - 1] == wsb[sb - 1]:
+                            sa, sb = sa - 1, sb - 1
+                        ea, eb = pa + k, pb + k
+                        while ea < na and eb < nb and wsa[ea] == wsb[eb]:
+                            ea, eb = ea + 1, eb + 1
+                        done_runs.setdefault(diag, []).append((sa, ea))
+                        run = ea - sa
+                        if run < L:
+                            continue
+                        # non-canonical side = b (pair ordered a<b);
+                        # emit its covered L-gram start sites
+                        for t in range(run - L + 1):
+                            out_ids.append(row.id_b)
+                            out_pos.append(sb + t)
+                yield pd.DataFrame({"id": out_ids, "pos": out_pos})
+
+        dup_sites = cand.mapInPandas(_extend, schema=site_schema).distinct()
+
+    sites = dup_sites.groupBy("id").agg(
+        F.sort_array(F.collect_set("pos")).alias("sites")
+    )
+    joined = src.join(sites, "id", "left").select(
+        "id",
+        "ws",
+        F.coalesce(F.col("sites"), F.array().cast("array<int>")).alias(
+            "sites"
+        ),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("ws"), lambda x, i: F.struct(x.alias("w"), i.alias("i"))
+        ),
+        lambda s: ~F.exists(
+            F.col("sites"),
+            lambda p: (p <= s["i"]) & (s["i"] < p + L),
+        ),
+    )
+    return joined.select(
+        F.col("id"),
+        F.array_join(
+            F.transform(kept, lambda s: s["w"]), " "
+        ).alias("text_dedup"),
+        F.size(kept).alias("n_words_kept"),
+        (F.size("ws") - F.size(kept)).alias("n_words_removed"),
+    )

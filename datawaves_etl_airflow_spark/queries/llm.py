@@ -2327,6 +2327,51 @@ def llm_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the fixed 12-word span llm_exact_substr_dedup splices into every
+#: doc_id % 3 == 0 document (≥ min_run_words=10, so every non-minimal
+#: occurrence is a duplicated run by construction)
+_EXACT_SUBSTR_SPAN = (
+    "shared duplicated span words alpha beta gamma delta "
+    "epsilon zeta eta theta"
+)
+
+
+def llm_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus EXACT-SUBSTRING dedup (Lee et al. 2021,
+    ExactSubstr — `dedup.exact_substring_dedup`, the r12 verdict's
+    task 3) on a planted corpus derived in-plan: docs with
+    doc_id % 3 == 0 carry `_EXACT_SUBSTR_SPAN` (12 words) spliced
+    between their first 6 and next 4 words. With min_run_words=10
+    every occurrence of the span except the corpus-minimal site is a
+    duplicated run, so the operator must excise it from every other
+    carrier — plus any incidental ≥10-word verbatim runs the corpus
+    itself contains (shared prefixes at larger SFs): the DuckDB twin
+    replays the FULL L-gram rule (plant → gram explosion → canonical
+    = min (doc_id, pos) → coverage removal → reassembly), not just
+    the plant. The registered grams tier IS the semantic definition;
+    the winnowed-anchor scale tier is pinned value-identical in
+    tests/test_exact_substr.py."""
+    d = _docs(spark, sf_dir)
+    ws = dedup.tokenize(F.col("text"))
+    planted_text = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(ws, 1, 6), " "),
+            F.lit(_EXACT_SUBSTR_SPAN),
+            F.array_join(F.slice(ws, 7, 4), " "),
+        ),
+    ).otherwise(F.col("text"))
+    planted = d.select("doc_id", planted_text.alias("text"))
+    out = dedup.exact_substring_dedup(planted, min_run_words=10)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "text_dedup",
+        "n_words_kept",
+        "n_words_removed",
+    )
+
+
 def llm_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher REPETITION rule set (`text.gopher_repetition_flags`
     — Rae et al. 2021 appendix A1.2, completing llm_gopher_flags'
@@ -2895,6 +2940,7 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROTATION_QUEUE = [
     # r13 post-registration additions (parity-green ×3 SFs, plan-
     # pinned; first driver row in the r14 rotation)
+    "llm_exact_substr_dedup",
 ]
 
 #: Round-13 deferrals: 53 freshness candidates (46 r10-stale + 7
@@ -3040,6 +3086,7 @@ QUERIES = {
     "llm_gopher_repetition": llm_gopher_repetition,
     "llm_bpe_fertility": llm_bpe_fertility,
     "llm_c4_clean": llm_c4_clean,
+    "llm_exact_substr_dedup": llm_exact_substr_dedup,
     "llm_contrastive_pairs": llm_contrastive_pairs,
     "llm_pack_bpe": llm_pack_bpe,
     "llm_prf_vs_bm25_eval": llm_prf_vs_bm25_eval,
@@ -5284,4 +5331,72 @@ ORACLES["llm_bpe_fertility"] = f"""
            ROUND(n_chars / CAST(greatest(n_tokens, 1) AS DOUBLE), 6)
                AS chars_per_token
     FROM a
+"""
+
+
+# llm_exact_substr_dedup (r13): full replay of the ExactSubstr rule —
+# plant the span, explode every L-gram (L=10), canonical site = min
+# (doc_id, pos) per gram, remove words covered by any non-canonical
+# duplicated site, reassemble in word order.
+ORACLES["llm_exact_substr_dedup"] = f"""
+    WITH base AS (
+        SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS ows,
+               text AS otext
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN
+                   coalesce(array_to_string(ows[1:6], ' '), '')
+                   || ' {_EXACT_SUBSTR_SPAN} '
+                   || coalesce(array_to_string(ows[7:10], ' '), '')
+               ELSE otext END AS text
+        FROM base
+    ),
+    d AS (
+        SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS ws FROM p
+    ),
+    g AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(ws[i:i+9], ' ') AS gram
+        FROM d, UNNEST(range(1, len(ws) - 10 + 2)) AS u(i)
+        WHERE len(ws) >= 10
+    ),
+    r AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY gram ORDER BY doc_id, pos
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY gram) AS c
+        FROM g
+    ),
+    dup AS (SELECT doc_id, pos FROM r WHERE c >= 2 AND rn > 1),
+    wpos AS (
+        SELECT doc_id, i - 1 AS wp, ws[i] AS word
+        FROM d, UNNEST(range(1, len(ws) + 1)) AS u(i)
+    ),
+    cov AS (
+        SELECT DISTINCT w.doc_id, w.wp
+        FROM wpos w JOIN dup s
+          ON s.doc_id = w.doc_id
+         AND w.wp BETWEEN s.pos AND s.pos + 9
+    ),
+    kept AS (
+        SELECT w.doc_id, w.wp, w.word
+        FROM wpos w LEFT JOIN cov c
+          ON c.doc_id = w.doc_id AND c.wp = w.wp
+        WHERE c.doc_id IS NULL
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(word, ' ' ORDER BY wp) AS text_dedup,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.text_dedup, '') AS text_dedup,
+           CAST(coalesce(a.n_kept, 0) AS INT) AS n_words_kept,
+           CAST(len(d.ws) - coalesce(a.n_kept, 0) AS INT)
+               AS n_words_removed
+    FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """

@@ -77,6 +77,44 @@ def _scaled_docs_with_source(spark, sf_dir: str, factor: int) -> DataFrame:
     return out
 
 
+def _scaled_docs_broken_runs(
+    spark, sf_dir: str, factor: int, every: int = 8
+) -> DataFrame:
+    """_scaled_docs, but the per-copy token is spliced every ``every``
+    words instead of appended once — no run of ≥ every+2 words can
+    span two copies, so run-dedup workloads scale by DATA, not by the
+    synthetic whole-document duplication the suffix form creates."""
+    from datawaves_etl_airflow_spark.operators.dedup import tokenize
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = tokenize(F.col("text"))
+    copies = []
+    for i in range(factor):
+        chunks = F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    (F.size(ws) + every - 1) / every - 1, F.lit(0)
+                ).cast("int"),
+            ),
+            lambda j: F.concat_ws(
+                " ",
+                F.array_join(F.slice(ws, j * every + 1, every), " "),
+                F.lit(f"copytoken{i}"),
+            ),
+        )
+        copies.append(
+            d.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                F.array_join(chunks, " ").alias("text"),
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def _scaled_embs(spark, sf_dir: str, factor: int) -> DataFrame:
     # Copies get a per-(copy, dim) deterministic SIGN pattern, not a
     # one-dim rescale: rescaling flips no signs, so every copy of a
@@ -930,6 +968,23 @@ def main() -> None:
         # construction, not by data, and would mismeasure the operator
         "winnow_fingerprints": lambda mult: dedup.winnow_fingerprints(
             _scaled_docs(spark, args.sf, mult)
+        ),
+        # ExactSubstr dedup (r13), both tiers. Copies get a per-copy
+        # token spliced EVERY 8 WORDS so no ≥10-word run spans copies
+        # (the plain copytoken suffix would duplicate whole documents
+        # across copies and grow pair volume quadratically by
+        # construction); duplication left is the corpus's own aligned
+        # runs — the anchors tier's fp self-join must stay banded
+        # (ratio ≈ scan), the grams tier is the documented ×L brute
+        # (linear with a bigger constant)
+        "exact_substr_anchors": lambda mult: dedup.exact_substring_dedup(
+            _scaled_docs_broken_runs(spark, args.sf, mult),
+            min_run_words=10,
+            method="anchors",
+        ),
+        "exact_substr_grams": lambda mult: dedup.exact_substring_dedup(
+            _scaled_docs_broken_runs(spark, args.sf, mult),
+            min_run_words=10,
         ),
         # the g2 scale guard (round-6 verdict #6): grouped quantiles on
         # the SKETCH path — per-group state O(accuracy) regardless of
