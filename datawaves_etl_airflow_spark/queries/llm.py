@@ -2372,6 +2372,77 @@ def llm_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: llm_fineweb_pipeline's repetition operating point: the paper's
+#: dup-gram/dup-line thresholds unchanged, but the top-n-gram caps
+#: relaxed for ~8-word cleaned docs (at that length a SINGLE
+#: occurrence of the top 2-gram is ~0.22 of the characters, so the
+#: web-calibrated 0.20 cap rejects everything — the gate must split
+#: the corpus, not erase it)
+_FW_REP_THRESHOLDS = {
+    "top_2gram_char_fraction": 0.60,
+    "top_3gram_char_fraction": 0.55,
+    "top_4gram_char_fraction": 0.50,
+}
+
+
+def llm_fineweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FineWeb/RefinedWeb-style full-recipe composition (the r12
+    verdict's task 4 — the actual public pipeline, stage for stage):
+    C4 line cleaning (`text.c4_clean`, the llm_c4_clean plant) →
+    Gopher document-level quality gate (`gopher_quality_flags` at
+    recipe thresholds: min_words=5, ≥1 required stopword — the
+    cleaned docs are 1–2 lines) → Gopher repetition gate
+    (`gopher_repetition_flags`, paper defaults) → MinHash-LSH
+    near-dup dedup (`minhash_dedup_pairs` 64×32, exact-verified at
+    j≥0.5, `duplicate_clusters` min-id keep) → BPE-exact sequence
+    packing (`bpe_encode` under `_BPE_RULES` feeding
+    `pack_sequences(n_tokens_col=...)`, 512-token budget, 8 shards).
+    One DuckDB oracle replays ALL five stages end-to-end (the
+    llm_c4_clean / gopher / dedup-clusters / pack_bpe oracle bodies
+    composed over derived CTEs) — proving the r12 quality operators
+    compose with the dedup and packing estate, the same certificate
+    llm_corpus_pipeline gives the r4-era stages."""
+    d = _docs(spark, sf_dir)
+    ws = dedup.tokenize(F.col("text"))
+    line0 = F.concat(F.array_join(F.slice(ws, 1, 8), " "), F.lit("."))
+    line1 = F.lit("the shared boilerplate line repeats everywhere.")
+    line2 = F.array_join(F.slice(ws, 9, 4), " ")
+    line3 = F.concat(
+        F.array_join(F.slice(ws, 13, 2), " "), F.lit(".")
+    )
+    planted = d.select(
+        "doc_id",
+        F.concat_ws("\n", line0, line1, line2, line3).alias("text"),
+    )
+    cleaned = text.c4_clean(planted)
+    base = cleaned.select("id", F.col("text_clean").alias("text"))
+    gq = text.gopher_quality_flags(
+        base, id_col="id", min_words=5, min_required_stopwords=1
+    )
+    rep = text.gopher_repetition_flags(
+        base, id_col="id", thresholds=_FW_REP_THRESHOLDS
+    )
+    gated = (
+        base.join(gq.filter(F.col("pass_gopher")).select("id"), "id")
+        .join(rep.filter(F.col("pass_repetition")).select("id"), "id")
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        gated, id_col="id", threshold=0.5, n_hashes=64, n_bands=32
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    kept = gated.join(clusters, "id", "left").filter(
+        F.col("cluster_id").isNull()
+        | (F.col("cluster_id") == F.col("id"))
+    )
+    enc = text.bpe_encode(kept, _BPE_RULES, id_col="id")
+    return sampling.pack_sequences(
+        enc.select(F.col("id").alias("doc_id"), "n_tokens"),
+        budget=512,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(8)),
+        n_tokens_col="n_tokens",
+    )
+
+
 def llm_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher REPETITION rule set (`text.gopher_repetition_flags`
     — Rae et al. 2021 appendix A1.2, completing llm_gopher_flags'
@@ -2941,6 +3012,7 @@ ROTATION_QUEUE = [
     # r13 post-registration additions (parity-green ×3 SFs, plan-
     # pinned; first driver row in the r14 rotation)
     "llm_exact_substr_dedup",
+    "llm_fineweb_pipeline",
 ]
 
 #: Round-13 deferrals: 53 freshness candidates (46 r10-stale + 7
@@ -3087,6 +3159,7 @@ QUERIES = {
     "llm_bpe_fertility": llm_bpe_fertility,
     "llm_c4_clean": llm_c4_clean,
     "llm_exact_substr_dedup": llm_exact_substr_dedup,
+    "llm_fineweb_pipeline": llm_fineweb_pipeline,
     "llm_contrastive_pairs": llm_contrastive_pairs,
     "llm_pack_bpe": llm_pack_bpe,
     "llm_prf_vs_bm25_eval": llm_prf_vs_bm25_eval,
@@ -4833,7 +4906,7 @@ ORACLES["llm_mmr_index"] = """
 """
 
 
-def _bpe_ctes() -> str:
+def _bpe_ctes(source: str = "documents", text_expr: str = "text") -> str:
     """The shared encode CTE chain, GENERATED from _BPE_RULES (the
     query's constant — the two engines cannot drift): the identical
     symbol rendering (chr(1)-framed symbols, chr(0) word separator,
@@ -4841,7 +4914,14 @@ def _bpe_ctes() -> str:
     per-doc token stream. chr() everywhere because a raw NUL byte
     inside a SQL literal is a parser hazard; framing chars can never
     appear in corpus tokens (tokenize splits on whitespace only and
-    the operator validates rules)."""
+    the operator validates rules). ``source``/``text_expr`` let
+    composition oracles (llm_fineweb_pipeline) run the same chain
+    over a derived CTE instead of the raw documents table."""
+    words = (
+        f"string_split({_NORM.format(t=text_expr)}, ' ')"
+        if text_expr != "text"
+        else _WORDS
+    )
     expr = (
         "rtrim(regexp_replace(array_to_string(ws, chr(0)), '(.)', "
         "chr(1) || '\\1' || chr(2) || ' ', 'g'))"
@@ -4852,8 +4932,8 @@ def _bpe_ctes() -> str:
         expr = f"replace({expr}, {pat}, {rep})"
     return f"""
     d AS (
-        SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS ws
-        FROM documents
+        SELECT doc_id, list_filter({words}, x -> x <> '') AS ws
+        FROM {source}
     ),
     sym AS (SELECT doc_id, {expr} AS s FROM d),
     fr AS (
@@ -5161,11 +5241,20 @@ ORACLES["llm_pack_bpe"] = f"""
 """
 
 
-def _gopher_repetition_oracle() -> str:
+def _gopher_repetition_oracle(
+    source: str = "documents",
+    text_expr: str = "text",
+    thresholds: dict | None = None,
+) -> str:
     """Generated mirror of gopher_repetition_flags: nine gram passes
     (VALUES-driven n), the (c, chars, gram)-descending top pick, the
-    beyond-first duplicate char accounting, line stats, thresholds."""
-    from ..operators.text import GOPHER_REPETITION_THRESHOLDS as TH
+    beyond-first duplicate char accounting, line stats, thresholds.
+    ``source``/``text_expr``/``thresholds`` let composition oracles
+    replay the rules over a derived CTE at a different operating
+    point (llm_fineweb_pipeline's cleaned short docs)."""
+    from ..operators.text import GOPHER_REPETITION_THRESHOLDS
+
+    TH = {**GOPHER_REPETITION_THRESHOLDS, **(thresholds or {})}
 
     top_cols, dup_cols, flag_cols, pass_terms = [], [], [], []
     for n in (2, 3, 4):
@@ -5200,11 +5289,16 @@ def _gopher_repetition_oracle() -> str:
         f"SUM(CASE WHEN n = {n} THEN dup_chars ELSE 0 END) AS _dup{n}"
         for n in (5, 6, 7, 8, 9, 10)
     )
+    words = (
+        f"string_split({_NORM.format(t=text_expr)}, ' ')"
+        if text_expr != "text"
+        else _WORDS
+    )
     return f"""
     WITH d AS (
-        SELECT doc_id, coalesce(text, '') AS t,
-               list_filter({_WORDS}, x -> x <> '') AS ws
-        FROM documents
+        SELECT doc_id, coalesce({text_expr}, '') AS t,
+               list_filter({words}, x -> x <> '') AS ws
+        FROM {source}
     ),
     tot AS (
         SELECT doc_id,
@@ -5292,6 +5386,128 @@ def _gopher_repetition_oracle() -> str:
 
 
 ORACLES["llm_gopher_repetition"] = _gopher_repetition_oracle()
+
+# llm_fineweb_pipeline (r13): ALL FIVE recipe stages replayed
+# end-to-end by composing the proven oracle bodies over derived CTEs
+# (WITH-inside-subquery keeps each stage's namespace closed): the
+# llm_c4_clean body verbatim -> inline Gopher quality gate at the
+# recipe thresholds (min_words=5, >=1 stopword; the llm_gopher_flags
+# signal arithmetic) -> the generated repetition body over the
+# cleaned text -> the llm_dedup_clusters exact-Jaccard + recursive-CC
+# replay over the gated docs (j>=0.5, 3-gram shingles; a green row
+# re-certifies the banded candidates' recall through the composition)
+# -> the llm_pack_bpe encode-and-cumsum body over the kept docs.
+ORACLES["llm_fineweb_pipeline"] = f"""
+    WITH RECURSIVE cleaned AS (
+        SELECT * FROM ({ORACLES["llm_c4_clean"]})
+    ),
+    cw AS (
+        SELECT doc_id, text_clean AS t FROM cleaned
+    ),
+    gq AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   greatest(len(ws), 1) AS nw,
+                   coalesce(list_sum(list_transform(ws, w -> len(w))),
+                            0) AS wl_sum,
+                   len(t) - len(replace(t, '#', '')) AS n_hash,
+                   (len(t) - len(replace(t, '...', ''))) / 3.0 AS n_ell,
+                   string_split(t, chr(10)) AS lines,
+                   len(list_filter(ws,
+                       w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                   len(list_filter(
+                       ['the','be','to','of','and','that','have','with'],
+                       s -> list_contains(ws, s))) AS stop_hits
+            FROM (SELECT doc_id, t,
+                         list_filter(string_split({_NORM.format(t='t')},
+                                     ' '), x -> x <> '') AS ws
+                  FROM cw)
+        )
+        WHERE n_words >= 5 AND n_words <= 100000
+          AND wl_sum / nw >= 3.0 AND wl_sum / nw <= 10.0
+          AND (n_hash + n_ell) / nw <= 0.1
+          AND len(list_filter(lines,
+              l -> ltrim(l) LIKE '\u2022%' OR ltrim(l) LIKE '- %'
+              )) * 1.0 / len(lines) <= 0.9
+          AND len(list_filter(lines, l -> rtrim(l) LIKE '%...'))
+              * 1.0 / len(lines) <= 0.3
+          AND n_alpha * 1.0 / nw >= 0.8
+          AND stop_hits >= 1
+    ),
+    rep AS (
+        SELECT id AS doc_id
+        FROM ({_gopher_repetition_oracle(source="cw", text_expr="t",
+                                         thresholds=_FW_REP_THRESHOLDS)})
+        WHERE pass_repetition
+    ),
+    gated AS (
+        SELECT c.doc_id, c.t FROM cw c
+        JOIN gq ON gq.doc_id = c.doc_id
+        JOIN rep ON rep.doc_id = c.doc_id
+    ),
+    shx AS (
+        SELECT DISTINCT doc_id AS id,
+               array_to_string(ws[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(string_split({_NORM.format(t='t')},
+                                 ' '), x -> x <> '') AS ws
+              FROM gated),
+             UNNEST(range(1, greatest(len(ws) - 2, 1) + 1)) AS u(i)
+    ),
+    szx AS (SELECT id, COUNT(*) AS sz FROM shx GROUP BY id),
+    interx AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+        FROM shx a JOIN shx b
+          ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    pairsx AS (
+        SELECT id_a, id_b FROM interx
+        JOIN szx sa ON interx.id_a = sa.id
+        JOIN szx sb ON interx.id_b = sb.id
+        WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairsx
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairsx
+    ),
+    reach AS (
+        SELECT src AS id, src AS lbl FROM edges
+        UNION
+        SELECT e.dst AS id, r.lbl AS lbl
+        FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clus AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    kept AS (
+        SELECT g.doc_id, g.t FROM gated g
+        LEFT JOIN clus ON clus.id = g.doc_id
+        WHERE clus.cluster_id IS NULL OR clus.cluster_id = g.doc_id
+    ),
+    cnt AS (
+        SELECT doc_id, COUNT(*) AS n_tokens FROM (
+            SELECT * FROM (
+                WITH {_bpe_ctes(source="kept", text_expr="t")}
+                SELECT doc_id, token FROM tok
+            )
+        ) GROUP BY doc_id
+    ),
+    o AS (
+        SELECT doc_id,
+               doc_id % 8 AS shard,
+               n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY doc_id % 8 ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS BIGINT) AS "offset"
+        FROM cnt WHERE n_tokens > 0
+    )
+    SELECT doc_id, shard, n_tokens, "offset",
+           "offset" // 512 AS seq_start,
+           ("offset" + n_tokens - 1) // 512 AS seq_end
+    FROM o
+"""
 
 # llm_bpe_fertility (r12): the encode chain's per-doc token counts
 # joined to source, aggregated — fertility/chars-per-token as exact

@@ -2581,3 +2581,81 @@ class TestBpeFertility:
         )
         r = bpe_encode(d, []).first()
         assert r["n_tokens"] == 6  # every char its own token
+
+
+class TestFinewebPipeline:
+    """llm_fineweb_pipeline (r13): the five-stage public-recipe
+    composition — every gate must do non-vacuous work on the sf0.001
+    corpus (the r12 lesson: paper-default top-n-gram caps on 8-word
+    cleaned docs rejected EVERYTHING, and an empty-vs-empty parity
+    pass proves nothing), and the composed plan stays free of
+    all-pairs shapes and row-Python."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_stages_split_not_erase(self, spark):
+        from datawaves_etl_airflow_spark.operators import dedup, text
+        from datawaves_etl_airflow_spark.queries.llm import (
+            _FW_REP_THRESHOLDS,
+            llm_fineweb_pipeline,
+        )
+        from pyspark.sql import functions as F
+
+        d = spark.read.parquet(f"{self.SF}/documents.parquet")
+        n_docs = d.count()
+        ws = dedup.tokenize(F.col("text"))
+        planted = d.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.concat(F.array_join(F.slice(ws, 1, 8), " "), F.lit(".")),
+                F.lit("the shared boilerplate line repeats everywhere."),
+                F.array_join(F.slice(ws, 9, 4), " "),
+                F.concat(F.array_join(F.slice(ws, 13, 2), " "), F.lit(".")),
+            ).alias("text"),
+        )
+        base = text.c4_clean(planted).select(
+            "id", F.col("text_clean").alias("text")
+        )
+        n_clean = base.count()
+        gq = text.gopher_quality_flags(
+            base, id_col="id", min_words=5, min_required_stopwords=1
+        )
+        n_q = gq.filter("pass_gopher").count()
+        rep = text.gopher_repetition_flags(
+            base, id_col="id", thresholds=_FW_REP_THRESHOLDS
+        )
+        n_r = rep.filter("pass_repetition").count()
+        # every gate keeps SOME and drops SOME
+        assert 0 < n_clean <= n_docs
+        assert 0 < n_q < n_clean
+        assert 0 < n_r < n_clean
+        out = llm_fineweb_pipeline(spark, self.SF)
+        rows = out.collect()
+        assert 0 < len(rows) <= min(n_q, n_r)
+        # packing contract: offsets are budget-consistent per shard
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard_rows in by_shard.values():
+            shard_rows.sort(key=lambda r: r["doc_id"])
+            off = 0
+            for r in shard_rows:
+                assert r["offset"] == off
+                assert r["seq_start"] == off // 512
+                assert r["seq_end"] == (off + r["n_tokens"] - 1) // 512
+                off += r["n_tokens"]
+
+    def test_plan_invariants(self, spark):
+        from datawaves_etl_airflow_spark.queries.llm import (
+            llm_fineweb_pipeline,
+        )
+
+        plan = (
+            llm_fineweb_pipeline(spark, self.SF)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for bad in ("CartesianProduct", "BatchEvalPython"):
+            assert bad not in plan
+        # minhash banding's one sanctioned Arrow surface
+        assert "BroadcastNestedLoopJoin" not in plan
