@@ -79,6 +79,110 @@ QUALITY_WEIGHTS = {
 }
 
 
+#: the feature order train_quality_classifier optimizes and
+#: quality_logit consumes — one place so the two cannot drift
+QUALITY_FEATURE_COLS = (
+    "n_words",
+    "mean_word_len",
+    "punct_ratio",
+    "stopword_ratio",
+    "upper_ratio",
+)
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_epochs: int = 10,
+    lr: float = 0.5,
+    l2: float = 0.0,
+) -> dict[str, float]:
+    """Train the linear quality head `quality_logit` consumes — the
+    classifier stage of the DCLM/FineWeb-Edu recipe (a fastText-style
+    model on labeled seed data) distilled to the `text_stats` feature
+    head: full-batch logistic-regression gradient descent over the
+    five features, z-standardized for conditioning (raw scales span
+    ~[0,1] ratios to hundreds of words), with the learned weights
+    mapped BACK to raw feature space so the returned dict drops into
+    ``quality_logit(docs, weights=...)`` verbatim. Labels are 0/1 in
+    ``label_col``.
+
+    Distribution shape: training state is SIX floats. Each epoch is
+    ONE aggregate over the corpus (Σ (σ(w·z)−y)·z_j — partial
+    aggregation map-side, a 1-row collect per epoch: the bounded-
+    collect pattern of `train_bpe_merges`); the standardized feature
+    projection is cached across epochs. No MLlib, no UDF, no
+    sampling — deterministic given the corpus up to float-sum
+    association, which is why the oracle compares ROUNDED scores
+    (queries.llm._train_quality_oracle replays every epoch unrolled).
+    For the hashed-n-gram sibling (weights per feature bucket instead
+    of per stat) see `train_hashed_ngram_classifier`."""
+    import math
+
+    n_feat = len(QUALITY_FEATURE_COLS)
+    st = text_stats(docs, text_col, id_col)
+    feats = st.join(
+        docs.select(
+            F.col(id_col), F.col(label_col).cast("double").alias("_y")
+        ),
+        id_col,
+    ).filter((F.col("n_words") > 0) & (F.col("n_chars") > 0))
+    xs = [F.col(c).cast("double") for c in QUALITY_FEATURE_COLS]
+    stats = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(x).alias(f"m{j}") for j, x in enumerate(xs)],
+        *[F.avg(x * x).alias(f"s{j}") for j, x in enumerate(xs)],
+    ).first()
+    n = stats["n"]
+    if n == 0:
+        raise ValueError("train_quality_classifier: no scoreable docs")
+    means = [stats[f"m{j}"] for j in range(n_feat)]
+    stds = [
+        max(math.sqrt(stats[f"s{j}"] - means[j] * means[j]), 1e-12)
+        for j in range(n_feat)
+    ]
+    z = feats.select(
+        "_y",
+        *[
+            ((x - F.lit(means[j])) / F.lit(stds[j])).alias(f"z{j}")
+            for j, x in enumerate(xs)
+        ],
+    ).persist()
+    try:
+        w = [0.0] * n_feat
+        b = 0.0
+        for _ in range(int(n_epochs)):
+            logit = F.lit(b)
+            for j in range(n_feat):
+                logit = logit + F.lit(w[j]) * F.col(f"z{j}")
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+            g = z.agg(
+                F.sum(p - F.col("_y")).alias("gb"),
+                *[
+                    F.sum((p - F.col("_y")) * F.col(f"z{j}")).alias(
+                        f"g{j}"
+                    )
+                    for j in range(n_feat)
+                ],
+            ).first()
+            b = b - lr * (g["gb"] / n)
+            w = [
+                w[j] - lr * (g[f"g{j}"] / n + l2 * w[j])
+                for j in range(n_feat)
+            ]
+    finally:
+        z.unpersist()
+    out = {
+        c: w[j] / stds[j] for j, c in enumerate(QUALITY_FEATURE_COLS)
+    }
+    out["bias"] = b - sum(
+        w[j] * means[j] / stds[j] for j in range(n_feat)
+    )
+    return out
+
+
 def compression_ratio(
     docs: DataFrame,
     text_col: str = "text",
@@ -3091,3 +3195,204 @@ def maintain_bm25_index(
         if vacuum and report["compacted"]:
             report["vacuumed"] = vacuum_bm25_index(spark, path)
     return report
+
+
+def _poly_hash(col: Column, dim: int) -> Column:
+    """Exact polynomial rolling hash of a string → bucket id in
+    ``[0, dim)``: fold ``h = (h·31 + codepoint) mod dim`` over the
+    characters. Integer arithmetic only — replayable bit-exactly by
+    any SQL engine with a list fold (DuckDB ``list_reduce``), unlike
+    xxhash64/murmur3 whose cross-engine absence is why the r4
+    candidate-set queries are rows-only."""
+    codes = F.transform(
+        F.filter(F.split(col, ""), lambda c: c != F.lit("")),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(int(dim)).cast("long"),
+    )
+
+
+def hashed_ngram_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    max_ngram: int = 2,
+) -> DataFrame:
+    """fastText-style hashed bag-of-n-grams features: ``(id, fid, x)``
+    — word 1..``max_ngram``-grams bucketed by the exact `_poly_hash`
+    into ``dim`` bins, ``x`` = term frequency normalized by the doc's
+    gram count (int/int → exact double). Map-side explode + one
+    (id, fid) count aggregate; docs with no words emit no rows (their
+    logit is the bias, handled by the scoring join)."""
+    if max_ngram not in (1, 2):
+        raise ValueError("max_ngram must be 1 or 2")
+    w = F.filter(words(F.col(text_col)), lambda t: t != F.lit(""))
+    grams = w
+    if max_ngram == 2:
+        # guard: sequence(0, -1) would DESCEND — sub-2-word docs get
+        # an explicitly empty bigram array instead
+        bigrams = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(w, bigrams)
+    g = (
+        docs.select(F.col(id_col).alias("id"), grams.alias("gs"))
+        .filter(F.size("gs") > 0)
+        .select(
+            "id",
+            F.size("gs").alias("ng"),
+            F.explode("gs").alias("gram"),
+        )
+        .select("id", "ng", _poly_hash(F.col("gram"), dim).alias("fid"))
+    )
+    return g.groupBy("id", "fid").agg(
+        (F.count(F.lit(1)) / F.first("ng")).alias("x")
+    )
+
+
+def train_hashed_ngram_classifier(
+    docs: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    max_ngram: int = 2,
+    n_epochs: int = 5,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> tuple[DataFrame, float]:
+    """The fastText-style sibling of `train_quality_classifier`
+    (DCLM/FineWeb-Edu train their filter on hashed n-gram features,
+    not summary stats): full-batch logistic regression over
+    `hashed_ngram_features`, weights kept DISTRIBUTED as a
+    ``(fid, weight)`` DataFrame — at fastText's 2M-bucket scale the
+    weight vector never lands on the driver; only the bias (one
+    float) does. Returns ``(weights_df, bias)`` for
+    `hashed_ngram_logit`.
+
+    Per epoch: one broadcast join of the (≤ dim)-row weights onto the
+    feature rows + a doc-keyed logit aggregate, one fid-keyed
+    gradient aggregate, one outer-join weight update,
+    ``localCheckpoint`` to cut the iterative lineage (the
+    duplicate_clusters pattern). The bias gradient is the epoch's one
+    1-row collect."""
+    feats = hashed_ngram_features(
+        docs, text_col, id_col, dim=dim, max_ngram=max_ngram
+    ).persist()
+    ys = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("double").alias("y"),
+    ).persist()
+    n = ys.count()
+    if n == 0:
+        feats.unpersist()
+        ys.unpersist()
+        raise ValueError("train_hashed_ngram_classifier: empty input")
+    spark = docs.sparkSession
+    w_df = spark.createDataFrame([], "fid long, weight double")
+    bias = 0.0
+    try:
+        for _ in range(int(n_epochs)):
+            scored = (
+                feats.join(F.broadcast(w_df), "fid", "left")
+                .groupBy("id")
+                .agg(
+                    F.sum(
+                        F.col("x") * F.coalesce(F.col("weight"), F.lit(0.0))
+                    ).alias("dot")
+                )
+                .join(ys, "id", "right")
+                .select(
+                    "id",
+                    (
+                        F.lit(1.0)
+                        / (
+                            F.lit(1.0)
+                            + F.exp(
+                                -(
+                                    F.lit(bias)
+                                    + F.coalesce(
+                                        F.col("dot"), F.lit(0.0)
+                                    )
+                                )
+                            )
+                        )
+                        - F.col("y")
+                    ).alias("err"),
+                )
+            )
+            grads = (
+                feats.join(scored, "id")
+                .groupBy("fid")
+                .agg(F.sum(F.col("x") * F.col("err")).alias("g"))
+            )
+            gb = scored.agg(F.sum("err").alias("gb")).first()["gb"]
+            w_df = (
+                w_df.join(grads, "fid", "full")
+                .select(
+                    "fid",
+                    (
+                        F.coalesce(F.col("weight"), F.lit(0.0))
+                        - F.lit(lr)
+                        * (
+                            F.coalesce(F.col("g"), F.lit(0.0)) / F.lit(n)
+                            + F.lit(l2)
+                            * F.coalesce(F.col("weight"), F.lit(0.0))
+                        )
+                    ).alias("weight"),
+                )
+                .localCheckpoint()
+            )
+            bias = bias - lr * (gb / n)
+    finally:
+        feats.unpersist()
+        ys.unpersist()
+    return w_df, bias
+
+
+def hashed_ngram_logit(
+    docs: DataFrame,
+    weights: DataFrame,
+    bias: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    max_ngram: int = 2,
+) -> DataFrame:
+    """Score docs under a `train_hashed_ngram_classifier` model:
+    ``(id, score, keep)`` — the same broadcast-weights join + doc
+    aggregate as the training pass; docs with no grams score the
+    bias. Score rounded to 6 dp, keep from the rounded score (the
+    quality_logit contract)."""
+    feats = hashed_ngram_features(
+        docs, text_col, id_col, dim=dim, max_ngram=max_ngram
+    )
+    dots = (
+        feats.join(F.broadcast(weights), "fid", "left")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.col("x") * F.coalesce(F.col("weight"), F.lit(0.0))
+            ).alias("dot")
+        )
+    )
+    score = F.round(
+        F.lit(bias) + F.coalesce(F.col("dot"), F.lit(0.0)), 6
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(dots, "id", "left")
+        .select(
+            "id",
+            score.alias("score"),
+            (score > 0).cast("int").alias("keep"),
+        )
+    )

@@ -2385,6 +2385,99 @@ _FW_REP_THRESHOLDS = {
 }
 
 
+#: llm_train_quality's fixed training run (the oracle unrolls exactly
+#: these epochs with this step size — one place, no drift)
+_TQ_EPOCHS = 10
+_TQ_LR = 0.5
+_TQ_LABEL_MIN_WORDS = 40
+
+
+def llm_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier TRAINING (`text.train_quality_classifier` —
+    the r12 verdict's task 5: the DCLM/FineWeb-Edu recipe trains its
+    filter, nothing in the estate did): labels planted in-plan
+    (label = n_words ≥ 40 — linearly separable in the feature the
+    classifier sees), 10 full-batch GD epochs over the z-standardized
+    text_stats features, weights mapped back to raw space and fed to
+    `quality_logit` verbatim — the round-trip the operator contracts.
+    Output: (doc_id, label, score3, keep, correct). The DuckDB twin
+    replays the ENTIRE training — feature extraction, the
+    standardization pass, every epoch's gradient aggregate unrolled
+    as a chained 1-row CTE, the un-standardization, and the scoring
+    pass. Scores compare at 3 dp (training is deterministic given the
+    corpus up to float-sum association; the ~1e-12 cross-engine drift
+    that leaves is far below the 5e-4 rounding half-step)."""
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    st = text.text_stats(d)
+    labeled = d.join(
+        st.select(
+            "doc_id",
+            (F.col("n_words") >= _TQ_LABEL_MIN_WORDS)
+            .cast("int")
+            .alias("label"),
+        ),
+        "doc_id",
+    )
+    w = text.train_quality_classifier(
+        labeled, n_epochs=_TQ_EPOCHS, lr=_TQ_LR
+    )
+    scored = text.quality_logit(labeled, weights=w)
+    return scored.join(
+        labeled.select("doc_id", "label"), "doc_id"
+    ).select(
+        "doc_id",
+        "label",
+        F.round(F.col("quality_logit"), 3).alias("score3"),
+        "keep",
+        (F.col("keep") == F.col("label")).cast("int").alias("correct"),
+    )
+
+
+#: llm_hashed_quality's fixed run (shared with the oracle generator)
+_HQ_DIM = 256
+_HQ_EPOCHS = 3
+_HQ_LR = 2.0
+
+
+def llm_hashed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fastText-style hashed-n-gram classifier
+    (`text.train_hashed_ngram_classifier` + `hashed_ngram_logit` —
+    the feature representation DCLM/FineWeb-Edu actually train on,
+    sibling of llm_train_quality's stats head): labels planted
+    in-plan (label = doc contains the word 'the' — learnable from one
+    unigram bucket), 3 full-batch GD epochs over 256 poly-hashed
+    1–2-gram buckets, weights kept distributed. The hash is the exact
+    integer fold ``h = (h·31 + codepoint) mod dim`` precisely so
+    DuckDB can replay it (`list_reduce`) — unlike the xxhash64
+    candidate sets that are rows-only by design. The oracle unrolls
+    every epoch: feature bags, the per-doc logit join, the per-fid
+    gradient aggregate, the full-outer weight update, the bias chain,
+    and the final scoring pass. Scores compare at 3 dp."""
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    labeled = d.select(
+        "doc_id",
+        "text",
+        F.array_contains(dedup.tokenize(F.col("text")), "the")
+        .cast("int")
+        .alias("label"),
+    )
+    w_df, bias = text.train_hashed_ngram_classifier(
+        labeled, dim=_HQ_DIM, n_epochs=_HQ_EPOCHS, lr=_HQ_LR
+    )
+    scored = text.hashed_ngram_logit(
+        labeled, w_df, bias, dim=_HQ_DIM
+    )
+    return scored.join(
+        labeled.select(F.col("doc_id").alias("id"), "label"), "id"
+    ).select(
+        F.col("id").alias("doc_id"),
+        "label",
+        F.round(F.col("score"), 3).alias("score3"),
+        "keep",
+        (F.col("keep") == F.col("label")).cast("int").alias("correct"),
+    )
+
+
 def llm_fineweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FineWeb/RefinedWeb-style full-recipe composition (the r12
     verdict's task 4 — the actual public pipeline, stage for stage):
@@ -3013,6 +3106,8 @@ ROTATION_QUEUE = [
     # pinned; first driver row in the r14 rotation)
     "llm_exact_substr_dedup",
     "llm_fineweb_pipeline",
+    "llm_train_quality",
+    "llm_hashed_quality",
 ]
 
 #: Round-13 deferrals: 53 freshness candidates (46 r10-stale + 7
@@ -3160,6 +3255,8 @@ QUERIES = {
     "llm_c4_clean": llm_c4_clean,
     "llm_exact_substr_dedup": llm_exact_substr_dedup,
     "llm_fineweb_pipeline": llm_fineweb_pipeline,
+    "llm_train_quality": llm_train_quality,
+    "llm_hashed_quality": llm_hashed_quality,
     "llm_contrastive_pairs": llm_contrastive_pairs,
     "llm_pack_bpe": llm_pack_bpe,
     "llm_prf_vs_bm25_eval": llm_prf_vs_bm25_eval,
@@ -5386,6 +5483,202 @@ def _gopher_repetition_oracle(
 
 
 ORACLES["llm_gopher_repetition"] = _gopher_repetition_oracle()
+
+def _train_quality_oracle() -> str:
+    """Generated full replay of llm_train_quality: feature extraction
+    (the llm_text_stats arithmetic, unrounded), the standardization
+    aggregate, EVERY GD epoch unrolled as a chained 1-row CTE (same
+    literal update expressions and left-to-right association as the
+    engine's driver loop), the un-standardization, and the scoring
+    pass — all generated from the same _TQ_* constants."""
+    nf = 5
+    js = range(nf)
+    avg_cols = ", ".join(
+        f"AVG(x{j}) AS m{j}, AVG(x{j}*x{j}) AS s{j}" for j in js
+    )
+    sd_cols = ", ".join(
+        [f"m{j}" for j in js]
+        + [f"greatest(sqrt(s{j} - m{j}*m{j}), 1e-12) AS d{j}" for j in js]
+    )
+    z_cols = ", ".join(f"(f.x{j} - sd.m{j}) / sd.d{j} AS z{j}" for j in js)
+    logit = lambda w: " + ".join([f"{w}.b"] + [f"{w}.w{j} * z.z{j}" for j in js])
+    grad_cols = ", ".join(
+        ["COUNT(*) AS n", "SUM(pr - y) AS gb"]
+        + [f"SUM((pr - y) * z{j}) AS g{j}" for j in js]
+    )
+    lr = _TQ_LR
+    epochs = [
+        "e0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in js)
+        + ")"
+    ]
+    for k in range(1, _TQ_EPOCHS + 1):
+        upd = ", ".join(
+            f"q.w{j} - {lr} * (g.g{j} / g.n + 0.0 * q.w{j}) AS w{j}"
+            for j in js
+        )
+        epochs.append(f"""g{k} AS (
+        SELECT {grad_cols}
+        FROM (SELECT z.y, {", ".join(f"z.z{j}" for j in js)},
+                     1.0 / (1.0 + exp(-({logit(f"q")}))) AS pr
+              FROM z, e{k - 1} q)
+    ),
+    e{k} AS (
+        SELECT q.b - {lr} * (g.gb / g.n) AS b, {upd}
+        FROM e{k - 1} q, g{k} g
+    )""")
+    unstd = " + ".join(f"e.w{j} * sd.m{j} / sd.d{j}" for j in js)
+    raw_cols = ", ".join(f"e.w{j} / sd.d{j} AS r{j}" for j in js)
+    score = "raw.rb + " + " + ".join(f"raw.r{j} * f.x{j}" for j in js)
+    epochs_sql = ",\n    ".join(epochs)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               string_split({_NORM.format(t='text')}, ' ') AS ws
+        FROM documents WHERE length(text) > 0
+    ),
+    f AS (
+        SELECT doc_id,
+               CAST(len(ws) AS DOUBLE) AS x0,
+               list_sum(list_transform(ws, x -> length(x)))
+                   * 1.0 / len(ws) AS x1,
+               (length(text)
+                - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   * 1.0 / length(text) AS x2,
+               len(list_filter(ws,
+                   x -> list_contains(['the','a','of','and','is'], x)))
+                   * 1.0 / len(ws) AS x3,
+               (length(text)
+                - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                   * 1.0 / length(text) AS x4,
+               CASE WHEN len(ws) >= {_TQ_LABEL_MIN_WORDS}
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM base WHERE len(ws) > 0
+    ),
+    stats AS (SELECT COUNT(*) AS n, {avg_cols} FROM f),
+    sd AS (SELECT n, {sd_cols} FROM stats),
+    z AS (SELECT f.doc_id, f.y, {z_cols} FROM f, sd),
+    {epochs_sql},
+    raw AS (
+        SELECT e.b - ({unstd}) AS rb, {raw_cols}
+        FROM e{_TQ_EPOCHS} e, sd
+    )
+    SELECT f.doc_id,
+           CAST(f.y AS INT) AS label,
+           ROUND(ROUND({score}, 6), 3) AS score3,
+           CAST(ROUND({score}, 6) > 0 AS INT) AS keep,
+           CAST((ROUND({score}, 6) > 0) = (f.y = 1.0) AS INT) AS correct
+    FROM f, raw
+"""
+
+
+ORACLES["llm_train_quality"] = _train_quality_oracle()
+
+
+def _hashed_quality_oracle() -> str:
+    """Generated full replay of llm_hashed_quality: the poly-hash
+    feature bags (list_reduce fold — the hash was CHOSEN to be
+    SQL-replayable), every GD epoch unrolled (per-doc logit join,
+    per-fid gradient aggregate, full-outer weight update, bias
+    chain), the final scoring join — all from the same _HQ_*
+    constants."""
+    dim, lr = _HQ_DIM, _HQ_LR
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, len(gram) + 1), "
+        "i -> CAST(unicode(substr(gram, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {dim})"
+    )
+    epochs = []
+    for k in range(1, _HQ_EPOCHS + 1):
+        epochs.append(f"""sc{k} AS (
+        SELECT l.doc_id,
+               1.0 / (1.0 + exp(-(b.b + coalesce(d.dot, 0.0)))) - l.y
+                   AS err
+        FROM lab l
+        LEFT JOIN (
+            SELECT f.doc_id,
+                   SUM(f.x * coalesce(w.weight, 0.0)) AS dot
+            FROM fe f LEFT JOIN w{k - 1} w ON w.fid = f.fid
+            GROUP BY f.doc_id
+        ) d ON d.doc_id = l.doc_id, b{k - 1} b
+    ),
+    g{k} AS (
+        SELECT f.fid, SUM(f.x * s.err) AS g
+        FROM fe f JOIN sc{k} s ON s.doc_id = f.doc_id
+        GROUP BY f.fid
+    ),
+    w{k} AS (
+        SELECT coalesce(w.fid, g.fid) AS fid,
+               coalesce(w.weight, 0.0)
+               - {lr} * (coalesce(g.g, 0.0) / nn.n
+                         + 0.0 * coalesce(w.weight, 0.0)) AS weight
+        FROM w{k - 1} w FULL JOIN g{k} g ON w.fid = g.fid, nn
+    ),
+    b{k} AS (
+        SELECT b.b - {lr} * (s.gb / nn.n) AS b
+        FROM b{k - 1} b, (SELECT SUM(err) AS gb FROM sc{k}) s, nn
+    )""")
+    N = _HQ_EPOCHS
+    epochs_sql = ",\n    ".join(epochs)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               list_filter({_WORDS}, x -> x <> '') AS wsf
+        FROM documents WHERE length(text) > 0
+    ),
+    lab AS (
+        SELECT doc_id,
+               CASE WHEN list_contains(wsf, 'the')
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM base
+    ),
+    gr AS (
+        SELECT doc_id,
+               unnest(list_concat(wsf,
+                   CASE WHEN len(wsf) >= 2
+                        THEN list_transform(range(1, len(wsf)),
+                             i -> wsf[CAST(i AS INT)] || ' '
+                                  || wsf[CAST(i AS INT) + 1])
+                        ELSE [] END)) AS gram
+        FROM base WHERE len(wsf) > 0
+    ),
+    fe AS (
+        SELECT doc_id, fid, COUNT(*) * 1.0 / MAX(ng) AS x
+        FROM (
+            SELECT doc_id,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+                   {fold} AS fid
+            FROM gr
+        ) GROUP BY doc_id, fid
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM lab),
+    w0 AS (
+        SELECT CAST(NULL AS BIGINT) AS fid,
+               CAST(NULL AS DOUBLE) AS weight
+        WHERE 1 = 0
+    ),
+    b0 AS (SELECT CAST(0.0 AS DOUBLE) AS b),
+    {epochs_sql},
+    dots AS (
+        SELECT f.doc_id, SUM(f.x * coalesce(w.weight, 0.0)) AS dot
+        FROM fe f LEFT JOIN w{N} w ON w.fid = f.fid
+        GROUP BY f.doc_id
+    )
+    SELECT l.doc_id,
+           CAST(l.y AS INT) AS label,
+           ROUND(ROUND(b.b + coalesce(d.dot, 0.0), 6), 3) AS score3,
+           CAST(ROUND(b.b + coalesce(d.dot, 0.0), 6) > 0 AS INT)
+               AS keep,
+           CAST((ROUND(b.b + coalesce(d.dot, 0.0), 6) > 0)
+                = (l.y = 1.0) AS INT) AS correct
+    FROM lab l
+    LEFT JOIN dots d ON d.doc_id = l.doc_id, b{N} b
+"""
+
+
+ORACLES["llm_hashed_quality"] = _hashed_quality_oracle()
+
 
 # llm_fineweb_pipeline (r13): ALL FIVE recipe stages replayed
 # end-to-end by composing the proven oracle bodies over derived CTEs

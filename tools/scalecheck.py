@@ -961,6 +961,48 @@ def main() -> None:
         "text_quality": lambda mult: text.quality_logit(
             _scaled_docs(spark, args.sf, mult)
         ),
+        # quality-classifier TRAINING (r13): the stats head — each of
+        # the 10 epochs is ONE 6-float aggregate over the cached
+        # standardized projection, so the whole run must track the
+        # scan. Labels derived in-plan; training runs eagerly inside
+        # the build, the returned scoring plan is what's timed on top
+        "train_quality": lambda mult: (
+            lambda d: (
+                lambda lab: text.quality_logit(
+                    lab,
+                    weights=text.train_quality_classifier(
+                        lab, n_epochs=5
+                    ),
+                )
+            )(
+                d.withColumn(
+                    "label",
+                    (F.length("text") >= 200).cast("int"),
+                ).filter(F.length("text") > 0)
+            )
+        )(_scaled_docs(spark, args.sf, mult)),
+        # the hashed-n-gram sibling: per epoch one doc-keyed logit
+        # aggregate + one fid-keyed gradient aggregate (both partial-
+        # agg-friendly), weights stay a distributed (fid, weight)
+        # relation — must track the scan, never dim
+        "train_hashed": lambda mult: (
+            lambda d: (
+                lambda lab: (
+                    lambda wb: text.hashed_ngram_logit(
+                        lab, wb[0], wb[1], dim=4096
+                    )
+                )(
+                    text.train_hashed_ngram_classifier(
+                        lab, dim=4096, n_epochs=3
+                    )
+                )
+            )(
+                d.withColumn(
+                    "label",
+                    (F.length("text") >= 200).cast("int"),
+                ).filter(F.length("text") > 0)
+            )
+        )(_scaled_docs(spark, args.sf, mult)),
         # the winnowing MAP stage (k-gram hash + window minima): the
         # pair join is measured separately by its max_docs_per_fp bound
         # (test-pinned) because perturbed COPIES share whole-document
