@@ -596,21 +596,35 @@ def gopher_repetition_flags(
     grams = _grams(2)
     for n in (3, 4, 5, 6, 7, 8, 9, 10):
         grams = grams.unionByName(_grams(n))
-    gc = grams.groupBy("id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    gram_chars = F.length("gram") - (F.col("n") - 1)
+    # Count on (xxhash64(gram), chars), not the gram string (r13,
+    # measured −27% on the full op at 10×: the hash-agg keys and the
+    # shuffle carry 12 bytes instead of up-to-10-word strings).
+    # Output-identical by construction: every emitted signal is
+    # c·chars or Σ(c−1)·chars — the gram's identity is never emitted,
+    # and a (c, chars) tie across distinct grams yields the same
+    # product either way. A 64-bit collision WITHIN one (id, n,
+    # chars) group (same doc, same n, same char length) could merge
+    # two counts; groups are doc-local (≤ doc words), so the exposure
+    # is ~|doc|²·2⁻⁶⁴ per doc — accepted, and the DuckDB oracle still
+    # counts exact strings, so any collision would surface as a
+    # parity failure rather than hide.
+    gc = grams.groupBy(
+        "id",
+        "n",
+        F.xxhash64("gram").alias("gh"),
+        (F.length("gram") - (F.col("n") - 1)).alias("chars"),
+    ).agg(F.count(F.lit(1)).alias("c"))
     per_n = gc.groupBy("id", "n").agg(
         F.max(
             F.struct(
                 F.col("c").alias("c"),
-                gram_chars.alias("chars"),
-                F.col("gram").alias("gram"),
+                F.col("chars").alias("chars"),
             )
         ).alias("top"),
         F.sum(
-            F.when(F.col("c") >= 2, (F.col("c") - 1) * gram_chars)
-            .otherwise(F.lit(0))
+            F.when(
+                F.col("c") >= 2, (F.col("c") - 1) * F.col("chars")
+            ).otherwise(F.lit(0))
         ).alias("dup_chars"),
     )
     top_chars = F.col("top.c") * F.col("top.chars")
