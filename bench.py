@@ -76,6 +76,12 @@ BENCH_QUERY_NAMES = [
     ("llm", "llm_corpus_pipeline"),
     ("llm", "llm_image_features"),
     ("llm", "llm_audio_features"),
+    # r13 addition: the ExactSubstr dedup family head (grams tier —
+    # the oracle-registered plan). The other r13 ops are training /
+    # e2e compositions (10–25 s at sf0.1) that would dominate this
+    # ~20 s headline total; they are covered by parity + scalecheck,
+    # and the e2e slot is pipeline_day's job.
+    ("llm", "llm_exact_substr_dedup"),
 ]
 
 _PKG = "datawaves_etl_airflow_spark"
