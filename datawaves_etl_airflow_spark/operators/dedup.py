@@ -2416,6 +2416,16 @@ def exact_substring_dedup(
 
         dup_sites = cand.mapInPandas(_extend, schema=site_schema).distinct()
 
+    return _coverage_assemble(src, dup_sites, L)
+
+
+def _coverage_assemble(
+    src: DataFrame, dup_sites: DataFrame, L: int
+) -> DataFrame:
+    """Shared removal/reassembly tail of the ExactSubstr family:
+    ``src(id, ws)`` minus every word covered by a ``dup_sites(id,
+    pos)`` L-gram start → ``(id, text_dedup, n_words_kept,
+    n_words_removed)``, one row per src doc."""
     sites = dup_sites.groupBy("id").agg(
         F.sort_array(F.collect_set("pos")).alias("sites")
     )
@@ -2443,3 +2453,148 @@ def exact_substring_dedup(
         F.size(kept).alias("n_words_kept"),
         (F.size("ws") - F.size(kept)).alias("n_words_removed"),
     )
+
+
+def exact_substr_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_run_words: int = 50,
+    method: str = "grams",
+    anchor_k: int = 8,
+    max_sites_per_anchor: int = 256,
+) -> DataFrame:
+    """INCREMENTAL ExactSubstr: remove from every BATCH doc each
+    verbatim run of ≥ ``min_run_words`` words that appears anywhere
+    in the CORPUS → ``(id, text_dedup, n_words_kept,
+    n_words_removed)``, one row per batch doc. The
+    `dedup_against_index` orientation for the exact-substring tier:
+    the corpus is settled (its copies are the canonical ones, so
+    EVERY matching batch site is removed — no (id, pos) ordering),
+    only the new batch is rewritten. Batch-internal duplication is
+    deliberately out of scope — run `exact_substring_dedup` on the
+    batch for that.
+
+    Tiers mirror `exact_substring_dedup` and are pinned identical:
+    ``grams`` — batch L-gram sites semi-joined against the corpus's
+    distinct L-grams (the oracle twin; the corpus side is a build
+    side, the batch side streams); ``anchors`` — positioned winnowing
+    on BOTH sides (every shared run ≥ L puts an anchor pair at
+    corresponding positions), banded fp join, Arrow verify-extend
+    emitting batch-side covered sites. At 100 TB the corpus-side
+    anchor table is the thing a real deployment would persist and
+    append to (the minhash-index pattern); this operator takes it as
+    a DataFrame so that storage choice stays with the caller."""
+    L = int(min_run_words)
+    if L < 2:
+        raise ValueError(f"min_run_words must be ≥ 2, got {L}")
+    if method not in ("grams", "anchors"):
+        raise ValueError(f"unknown method: {method}")
+    par = batch.sparkSession.sparkContext.defaultParallelism
+    b_src = batch.select(
+        F.col(id_col).alias("id"),
+        tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("ws"),
+    ).repartition(par)
+    c_src = corpus.select(
+        F.col(id_col).alias("id"),
+        tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("ws"),
+    ).repartition(par)
+
+    def _grams_of(src: DataFrame) -> DataFrame:
+        return src.filter(F.size("ws") >= L).select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - L),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("ws"), i + 1, L)
+                    ),
+                )
+            ).alias("pos", "gram"),
+        )
+
+    if method == "grams":
+        dup_sites = (
+            _grams_of(b_src)
+            .join(
+                _grams_of(c_src).select("gram").distinct(),
+                "gram",
+                "left_semi",
+            )
+            .select("id", "pos")
+        )
+        return _coverage_assemble(b_src, dup_sites, L)
+
+    k = min(int(anchor_k), L)
+    w = L - k + 1
+    ba = _winnow_anchor_sites(b_src, k, w)
+    ca = _winnow_anchor_sites(c_src, k, w)
+    # stop-anchor valve on the CORPUS side (the side whose bucket
+    # size the batch cannot control)
+    ca = ca.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("_df") <= max_sites_per_anchor).drop("_df")
+    pairs = (
+        ba.alias("b")
+        .join(ca.alias("c"), F.col("b.fp") == F.col("c.fp"))
+        .select(
+            F.col("b.id").alias("id_b"),
+            F.col("b.pos").alias("pos_b"),
+            F.col("c.id").alias("id_c"),
+            F.col("c.pos").alias("pos_c"),
+        )
+        .groupBy("id_b", "id_c")
+        .agg(F.collect_list(F.struct("pos_b", "pos_c")).alias("apairs"))
+    )
+    cand = pairs.join(
+        b_src.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b")),
+        "id_b",
+    ).join(
+        c_src.select(F.col("id").alias("id_c"), F.col("ws").alias("ws_c")),
+        "id_c",
+    )
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    id_type = batch.schema[id_col].dataType
+    site_schema = StructType([
+        StructField("id", id_type, False),
+        StructField("pos", IntegerType(), False),
+    ])
+
+    def _extend(pdf_iter):
+        for pdf in pdf_iter:
+            out_ids, out_pos = [], []
+            for row in pdf.itertuples(index=False):
+                wsb, wsc = list(row.ws_b), list(row.ws_c)
+                nb, nc = len(wsb), len(wsc)
+                done_runs: dict[int, list[tuple[int, int]]] = {}
+                for ap in sorted(
+                    row.apairs, key=lambda p: (p["pos_b"], p["pos_c"])
+                ):
+                    pb, pc = ap["pos_b"], ap["pos_c"]
+                    diag = pb - pc
+                    if any(
+                        s <= pb < e for s, e in done_runs.get(diag, ())
+                    ):
+                        continue
+                    if wsb[pb : pb + k] != wsc[pc : pc + k]:
+                        continue
+                    sb, sc = pb, pc
+                    while sb > 0 and sc > 0 and wsb[sb - 1] == wsc[sc - 1]:
+                        sb, sc = sb - 1, sc - 1
+                    eb, ec = pb + k, pc + k
+                    while eb < nb and ec < nc and wsb[eb] == wsc[ec]:
+                        eb, ec = eb + 1, ec + 1
+                    done_runs.setdefault(diag, []).append((sb, eb))
+                    run = eb - sb
+                    if run < L:
+                        continue
+                    for t in range(run - L + 1):
+                        out_ids.append(row.id_b)
+                        out_pos.append(sb + t)
+            yield pd.DataFrame({"id": out_ids, "pos": out_pos})
+
+    dup_sites = cand.mapInPandas(_extend, schema=site_schema).distinct()
+    return _coverage_assemble(b_src, dup_sites, L)

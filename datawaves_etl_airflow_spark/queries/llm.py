@@ -2385,6 +2385,42 @@ _FW_REP_THRESHOLDS = {
 }
 
 
+def llm_exact_substr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr (`dedup.exact_substr_against_corpus`):
+    docs with ``doc_id % 10 == 7`` arrive as the new batch against
+    the settled rest of the corpus — the same plant as
+    `llm_exact_substr_dedup` (12-word span on every doc_id % 3 == 0
+    doc), so batch carriers (doc_id ≡ 27 mod 30) must lose the span
+    (it exists in the corpus) while the corpus side is never
+    rewritten; incidental ≥10-word batch↔corpus runs are removed too
+    (the oracle replays the full gram rule). Registered grams tier =
+    the semantic definition; the winnowed-anchor tier is pinned
+    value-identical in tests/test_exact_substr.py."""
+    d = _docs(spark, sf_dir)
+    ws = dedup.tokenize(F.col("text"))
+    planted_text = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(ws, 1, 6), " "),
+            F.lit(_EXACT_SUBSTR_SPAN),
+            F.array_join(F.slice(ws, 7, 4), " "),
+        ),
+    ).otherwise(F.col("text"))
+    planted = d.select("doc_id", planted_text.alias("text"))
+    batch = planted.filter(F.col("doc_id") % 10 == 7)
+    corpus = planted.filter(F.col("doc_id") % 10 != 7)
+    out = dedup.exact_substr_against_corpus(
+        batch, corpus, min_run_words=10
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "text_dedup",
+        "n_words_kept",
+        "n_words_removed",
+    )
+
+
 #: llm_train_quality's fixed training run (the oracle unrolls exactly
 #: these epochs with this step size — one place, no drift)
 _TQ_EPOCHS = 10
@@ -3105,6 +3141,7 @@ ROTATION_QUEUE = [
     # r13 post-registration additions (parity-green ×3 SFs, plan-
     # pinned; first driver row in the r14 rotation)
     "llm_exact_substr_dedup",
+    "llm_exact_substr_incremental",
     "llm_fineweb_pipeline",
     "llm_train_quality",
     "llm_hashed_quality",
@@ -3254,6 +3291,7 @@ QUERIES = {
     "llm_bpe_fertility": llm_bpe_fertility,
     "llm_c4_clean": llm_c4_clean,
     "llm_exact_substr_dedup": llm_exact_substr_dedup,
+    "llm_exact_substr_incremental": llm_exact_substr_incremental,
     "llm_fineweb_pipeline": llm_fineweb_pipeline,
     "llm_train_quality": llm_train_quality,
     "llm_hashed_quality": llm_hashed_quality,
@@ -5908,4 +5946,73 @@ ORACLES["llm_exact_substr_dedup"] = f"""
            CAST(len(d.ws) - coalesce(a.n_kept, 0) AS INT)
                AS n_words_removed
     FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+# llm_exact_substr_incremental (r13): the same plant, batch (doc_id %
+# 10 = 7) L-gram sites semi-joined against the corpus side's distinct
+# L-grams — every matching batch site is covered (the corpus is
+# canonical), removal + reassembly as above, corpus never rewritten.
+ORACLES["llm_exact_substr_incremental"] = f"""
+    WITH base AS (
+        SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS ows,
+               text AS otext
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN
+                   coalesce(array_to_string(ows[1:6], ' '), '')
+                   || ' {_EXACT_SUBSTR_SPAN} '
+                   || coalesce(array_to_string(ows[7:10], ' '), '')
+               ELSE otext END AS text
+        FROM base
+    ),
+    d AS (
+        SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS ws FROM p
+    ),
+    b AS (SELECT * FROM d WHERE doc_id % 10 = 7),
+    c AS (SELECT * FROM d WHERE doc_id % 10 <> 7),
+    bg AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(ws[i:i+9], ' ') AS gram
+        FROM b, UNNEST(range(1, len(ws) - 10 + 2)) AS u(i)
+        WHERE len(ws) >= 10
+    ),
+    cg AS (
+        SELECT DISTINCT array_to_string(ws[i:i+9], ' ') AS gram
+        FROM c, UNNEST(range(1, len(ws) - 10 + 2)) AS u(i)
+        WHERE len(ws) >= 10
+    ),
+    dup AS (
+        SELECT bg.doc_id, bg.pos FROM bg JOIN cg ON bg.gram = cg.gram
+    ),
+    wpos AS (
+        SELECT doc_id, i - 1 AS wp, ws[i] AS word
+        FROM b, UNNEST(range(1, len(ws) + 1)) AS u(i)
+    ),
+    cov AS (
+        SELECT DISTINCT w.doc_id, w.wp
+        FROM wpos w JOIN dup s
+          ON s.doc_id = w.doc_id
+         AND w.wp BETWEEN s.pos AND s.pos + 9
+    ),
+    kept AS (
+        SELECT w.doc_id, w.wp, w.word
+        FROM wpos w LEFT JOIN cov cv
+          ON cv.doc_id = w.doc_id AND cv.wp = w.wp
+        WHERE cv.doc_id IS NULL
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(word, ' ' ORDER BY wp) AS text_dedup,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(a.text_dedup, '') AS text_dedup,
+           CAST(coalesce(a.n_kept, 0) AS INT) AS n_words_kept,
+           CAST(len(b.ws) - coalesce(a.n_kept, 0) AS INT)
+               AS n_words_removed
+    FROM b LEFT JOIN agg a ON a.doc_id = b.doc_id
 """

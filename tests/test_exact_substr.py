@@ -295,3 +295,122 @@ class TestExactSubstrPlans:
         # the candidate join is a keyed (fp) join
         assert "MapInPandas" in plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+class TestExactSubstrAgainstCorpus:
+    """exact_substr_against_corpus (r13): the incremental
+    orientation — batch runs shared with the settled corpus are
+    removed from the BATCH regardless of id order; corpus is never
+    rewritten; batch-internal duplication is out of scope."""
+
+    def _frames(self, spark):
+        batch = _mk(spark, [
+            (100, f"batch opener words here {SPAN} batch closer words"),
+            (101, "batch doc with nothing shared with the corpus side"),
+            (102, f"{SPAN}"),
+        ])
+        corpus = _mk(spark, [
+            (1, f"corpus context around {SPAN} differs completely here"),
+            (2, "an unrelated corpus document with its own words"),
+        ])
+        return batch, corpus
+
+    @BOTH
+    def test_batch_loses_corpus_runs(self, spark, method):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            exact_substr_against_corpus,
+        )
+
+        batch, corpus = self._frames(spark)
+        got = _collect(
+            exact_substr_against_corpus(
+                batch, corpus, min_run_words=12, method=method
+            )
+        )
+        # only batch rows come back
+        assert set(got) == {100, 101, 102}
+        assert got[100] == (
+            "batch opener words here batch closer words", 7, 12
+        )
+        assert got[101][2] == 0
+        assert got[102] == ("", 0, 12)
+
+    @BOTH
+    def test_corpus_id_order_is_irrelevant(self, spark, method):
+        """Unlike the within-corpus form, the corpus wins even when
+        the batch doc's id is SMALLER — the corpus is canonical."""
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            exact_substr_against_corpus,
+        )
+
+        batch = _mk(spark, [(1, SPAN)])
+        corpus = _mk(spark, [(999, f"padding before {SPAN}")])
+        got = _collect(
+            exact_substr_against_corpus(
+                batch, corpus, min_run_words=12, method=method
+            )
+        )
+        assert got[1] == ("", 0, 12)
+
+    @BOTH
+    def test_batch_internal_dups_survive(self, spark, method):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            exact_substr_against_corpus,
+        )
+
+        batch = _mk(spark, [(1, SPAN), (2, SPAN)])
+        corpus = _mk(spark, [(3, "unrelated corpus words only here")])
+        got = _collect(
+            exact_substr_against_corpus(
+                batch, corpus, min_run_words=12, method=method
+            )
+        )
+        assert got[1][2] == 0 and got[2][2] == 0
+
+    def test_tiers_identical_on_real_corpus(self, spark):
+        from datawaves_etl_airflow_spark.queries.llm import (
+            llm_exact_substr_incremental,
+        )
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            exact_substr_against_corpus,
+            tokenize,
+        )
+        from datawaves_etl_airflow_spark.queries.llm import (
+            _EXACT_SUBSTR_SPAN,
+        )
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ws = tokenize(F.col("text"))
+        planted = d.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat_ws(
+                    " ",
+                    F.array_join(F.slice(ws, 1, 6), " "),
+                    F.lit(_EXACT_SUBSTR_SPAN),
+                    F.array_join(F.slice(ws, 7, 4), " "),
+                ),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        batch = planted.filter(F.col("doc_id") % 10 == 7)
+        corpus = planted.filter(F.col("doc_id") % 10 != 7)
+        a = _collect(
+            exact_substr_against_corpus(batch, corpus, min_run_words=10)
+        )
+        b = _collect(
+            exact_substr_against_corpus(
+                batch, corpus, min_run_words=10, method="anchors"
+            )
+        )
+        assert a == b
+        # span carriers in the batch (doc_id = 27 mod 30) lost words
+        assert any(v[2] > 0 for v in a.values())
+        # and the registered query returns exactly the grams tier
+        q = {
+            r["doc_id"]: (
+                r["text_dedup"], r["n_words_kept"], r["n_words_removed"]
+            )
+            for r in llm_exact_substr_incremental(spark, SF_DIR).collect()
+        }
+        assert q == a
