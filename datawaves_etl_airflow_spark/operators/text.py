@@ -3348,8 +3348,12 @@ def train_hashed_ngram_classifier(
                 .groupBy("fid")
                 .agg(F.sum(F.col("x") * F.col("err")).alias("g"))
             )
-            gb = scored.agg(F.sum("err").alias("gb")).first()["gb"]
-            w_df = (
+            # ONE action per epoch: the weight update and the bias
+            # gradient (a fid = −1 sentinel row — real fids are in
+            # [0, dim)) materialize in the same localCheckpoint, then
+            # the sentinel is read off the checkpointed (≤ dim+1)-row
+            # result instead of re-running the scoring plan
+            updated = (
                 w_df.join(grads, "fid", "full")
                 .select(
                     "fid",
@@ -3363,8 +3367,16 @@ def train_hashed_ngram_classifier(
                         )
                     ).alias("weight"),
                 )
+                .unionByName(
+                    scored.agg(
+                        F.lit(-1).cast("long").alias("fid"),
+                        F.sum("err").alias("weight"),
+                    )
+                )
                 .localCheckpoint()
             )
+            gb = updated.filter(F.col("fid") == -1).first()["weight"]
+            w_df = updated.filter(F.col("fid") != -1)
             bias = bias - lr * (gb / n)
     finally:
         feats.unpersist()

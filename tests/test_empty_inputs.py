@@ -235,3 +235,68 @@ class TestEmptyInputsR12:
         assert pack_sequences(
             d, budget=8, shard_col=F.lit(0), n_tokens_col="n_tokens"
         ).count() == 0
+
+
+class TestEmptyInputsR13:
+    """Empty-input pins for the r13 operators (the standing per-round
+    convention): empty frames flow through, never crash."""
+
+    def _empty_docs(self, spark):
+        return spark.createDataFrame([], "doc_id long, text string")
+
+    def test_exact_substr_against_corpus(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            exact_substr_against_corpus,
+        )
+        from pyspark.sql import functions as F
+
+        empty = self._empty_docs(spark)
+        full = spark.createDataFrame(
+            [(1, "some corpus words live here")],
+            "doc_id long, text string",
+        )
+        for method in ("grams", "anchors"):
+            # empty batch → empty output
+            assert exact_substr_against_corpus(
+                empty, full, min_run_words=5, method=method
+            ).count() == 0
+            # empty corpus → batch passes through untouched
+            out = exact_substr_against_corpus(
+                full, empty, min_run_words=5, method=method
+            ).first()
+            assert out["n_words_removed"] == 0
+            assert out["n_words_kept"] == 5
+
+    def test_duplicated_gram_sites(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            duplicated_gram_sites,
+        )
+
+        assert duplicated_gram_sites(
+            self._empty_docs(spark), min_run_words=5
+        ).count() == 0
+
+    def test_hashed_ngram_features_and_logit(self, spark):
+        from datawaves_etl_airflow_spark.operators.text import (
+            hashed_ngram_features,
+            hashed_ngram_logit,
+        )
+
+        empty = self._empty_docs(spark)
+        assert hashed_ngram_features(empty, dim=64).count() == 0
+        w = spark.createDataFrame([], "fid long, weight double")
+        assert hashed_ngram_logit(empty, w, 0.0, dim=64).count() == 0
+
+    def test_trainers_raise_loudly(self, spark):
+        import pytest as _pytest
+
+        from datawaves_etl_airflow_spark.operators.text import (
+            train_hashed_ngram_classifier,
+            train_quality_classifier,
+        )
+
+        d = spark.createDataFrame([], "doc_id long, text string, label int")
+        with _pytest.raises(ValueError):
+            train_quality_classifier(d)
+        with _pytest.raises(ValueError):
+            train_hashed_ngram_classifier(d)
