@@ -2276,7 +2276,7 @@ def exact_substring_dedup(
     min_run_words: int = 50,
     method: str = "grams",
     anchor_k: int = 8,
-    max_sites_per_anchor: int = 256,
+    max_sites_per_anchor: int | None = None,
 ) -> DataFrame:
     """Within-corpus EXACT-SUBSTRING dedup (Lee et al. 2021,
     ExactSubstr): remove every verbatim duplicated run of
@@ -2304,10 +2304,14 @@ def exact_substring_dedup(
       runs ≥ L emit their non-canonical covered sites. Data through
       the join: ~2·(n/w) anchor rows instead of n·L gram bytes —
       ~L·w/(2·k̄) ≈ 500× lighter at L=50. ``max_sites_per_anchor``
-      is the stop-anchor valve (boilerplate shared by more docs than
-      that stops generating pairs — the `max_docs_per_fp` pattern;
-      raise it deliberately when license-header dedup matters more
-      than the worst-case bucket).
+      is the opt-in stop-anchor valve (the `max_docs_per_fp`
+      pattern): DEFAULT None keeps every anchor — the family's
+      exactness-by-default contract, and what keeps the tiers
+      value-identical when one span floods the corpus (an r13 sf0.1
+      parity failure caught exactly that: a 1,667-doc planted span's
+      fp crossed a 256 valve and the anchors tier silently kept the
+      duplicates). Set it at scale when worst-case bucket cost
+      matters more than deduping corpus-wide boilerplate.
 
     The verify-extend stage is an Arrow-batched ``applyInPandas``
     over (id_a, id_b) pair groups — bounded by the two docs' lengths
@@ -2330,9 +2334,11 @@ def exact_substring_dedup(
         k = min(int(anchor_k), L)
         w = L - k + 1
         anchors = _winnow_anchor_sites(src, k, w)
-        bounded = anchors.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-        ).filter(F.col("_df") <= max_sites_per_anchor).drop("_df")
+        bounded = anchors
+        if max_sites_per_anchor is not None:
+            bounded = anchors.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+            ).filter(F.col("_df") <= max_sites_per_anchor).drop("_df")
         a, b = bounded.alias("a"), bounded.alias("b")
         pairs = (
             a.join(
@@ -2463,7 +2469,7 @@ def exact_substr_against_corpus(
     min_run_words: int = 50,
     method: str = "grams",
     anchor_k: int = 8,
-    max_sites_per_anchor: int = 256,
+    max_sites_per_anchor: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL ExactSubstr: remove from every BATCH doc each
     verbatim run of ≥ ``min_run_words`` words that appears anywhere
@@ -2530,11 +2536,40 @@ def exact_substr_against_corpus(
     w = L - k + 1
     ba = _winnow_anchor_sites(b_src, k, w)
     ca = _winnow_anchor_sites(c_src, k, w)
-    # stop-anchor valve on the CORPUS side (the side whose bucket
-    # size the batch cannot control)
-    ca = ca.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-    ).filter(F.col("_df") <= max_sites_per_anchor).drop("_df")
+    dup_sites = _anchor_verify_extend(
+        ba,
+        ca,
+        b_src,
+        c_src,
+        L,
+        k,
+        max_sites_per_anchor,
+        batch.schema[id_col].dataType,
+    )
+    return _coverage_assemble(b_src, dup_sites, L)
+
+
+def _anchor_verify_extend(
+    ba: DataFrame,
+    ca: DataFrame,
+    b_src: DataFrame,
+    c_src: DataFrame,
+    L: int,
+    k: int,
+    max_sites_per_anchor: int | None,
+    id_type,
+) -> DataFrame:
+    """Shared anchors-tier probe: batch anchors × corpus anchors on
+    fp (stop-anchor valve on the CORPUS side — the side whose bucket
+    size the batch cannot control), per-pair Arrow verify-extend over
+    the real word arrays, emitting the batch-side covered L-gram
+    start sites ``(id, pos)``. Used by both the in-session
+    (`exact_substr_against_corpus`) and persisted
+    (`exact_substr_against_index`) forms."""
+    if max_sites_per_anchor is not None:
+        ca = ca.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        ).filter(F.col("_df") <= max_sites_per_anchor).drop("_df")
     pairs = (
         ba.alias("b")
         .join(ca.alias("c"), F.col("b.fp") == F.col("c.fp"))
@@ -2557,7 +2592,6 @@ def exact_substr_against_corpus(
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    id_type = batch.schema[id_col].dataType
     site_schema = StructType([
         StructField("id", id_type, False),
         StructField("pos", IntegerType(), False),
@@ -2596,5 +2630,201 @@ def exact_substr_against_corpus(
                         out_pos.append(sb + t)
             yield pd.DataFrame({"id": out_ids, "pos": out_pos})
 
-    dup_sites = cand.mapInPandas(_extend, schema=site_schema).distinct()
+    return cand.mapInPandas(_extend, schema=site_schema).distinct()
+
+
+def write_substr_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_run_words: int = 50,
+    anchor_k: int = 8,
+) -> None:
+    """Persist the ExactSubstr probe surface — the fourth member of
+    the index estate (MinHash / IVF / BM25 / substr): ``anchors/``
+    (id, pos, fp — the positioned winnowing selection at
+    k = ``anchor_k``, w = L−k+1) and ``docs/`` (id, ws — the
+    tokenized word arrays verify-extend reads; ExactSubstr is a
+    VERBATIM technique, so the index necessarily carries the corpus
+    words, exactly as a suffix array would), under the
+    manifest-committed ``versions/`` layout (pointer-flip rebuild,
+    the `write_minhash_index` commit protocol: a crash mid-rebuild
+    leaves the old index live). Daily dedup then probes at
+    O(|batch| anchors + matched pairs): the corpus is winnowed ONCE,
+    and only MATCHED corpus docs' word arrays are read at
+    verify-extend time (column-pruned, id-keyed join)."""
+    import posixpath as _pp
+    import uuid as _uuid
+
+    from ..sources.fs import require_success_marker
+    from ..sources.manifest import VersionedManifest
+
+    L = int(min_run_words)
+    if L < 2:
+        raise ValueError(f"min_run_words must be ≥ 2, got {L}")
+    k = min(int(anchor_k), L)
+    w = L - k + 1
+    spark = corpus.sparkSession
+    vm = VersionedManifest(path)
+    version = vm.latest_version(spark)
+    rel = _pp.join("versions", f"v{version + 1}-{_uuid.uuid4().hex[:8]}")
+    vroot = _pp.join(path, rel)
+    src = corpus.select(
+        F.col(id_col).alias("id"),
+        tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("ws"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    src.write.mode("errorifexists").parquet(
+        _pp.join(vroot, "docs", "batch=base")
+    )
+    _winnow_anchor_sites(src, k, w).write.mode("errorifexists").parquet(
+        _pp.join(vroot, "anchors", "batch=base")
+    )
+    require_success_marker(
+        spark, _pp.join(vroot, "docs", "batch=base"), "substr index build"
+    )
+    require_success_marker(
+        spark,
+        _pp.join(vroot, "anchors", "batch=base"),
+        "substr index build",
+    )
+    vm.publish_or_raise(
+        spark,
+        {
+            "current": rel,
+            "min_run_words": L,
+            "anchor_k": k,
+            "layout": "batch-v1",
+        },
+        version,
+        "substr index rebuild",
+    )
+
+
+def _resolve_substr_index(spark, path: str) -> tuple[dict, str]:
+    """(parameter contract, data root) for a `write_substr_index`
+    layout; raises on anything else — probing with guessed (k, w)
+    silently matches nothing, which at dedup time means duplicates
+    sail through."""
+    import posixpath as _pp
+
+    from ..sources.manifest import VersionedManifest
+
+    _version, payload = VersionedManifest(path).resolve(spark)
+    if payload is None:
+        raise ValueError(
+            f"no substr index manifest under {path} — not an index "
+            "directory, or written by another tool"
+        )
+    for key in ("current", "min_run_words", "anchor_k"):
+        if key not in payload:
+            raise ValueError(
+                f"substr index manifest at {path} lacks {key!r}"
+            )
+    return payload, _pp.join(path, payload["current"])
+
+
+def read_substr_index_meta(spark, path: str) -> dict:
+    """The parameter contract the probe will use (manifest payload)."""
+    meta, _root = _resolve_substr_index(spark, path)
+    return dict(meta)
+
+
+def append_substr_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_token: str | None = None,
+) -> None:
+    """Fold a new day's docs into the CURRENT index version: anchors
+    and word arrays land as ``batch=<token>`` subdirectories beside
+    ``batch=base`` (per-batch overwrite = replay idempotency, the
+    minhash-append layout; winnowing parameters come from the
+    manifest so appended anchors are join-compatible by
+    construction)."""
+    import posixpath as _pp
+    import uuid as _uuid
+
+    from ..sources.fs import require_success_marker
+
+    token = batch_token if batch_token is not None else _uuid.uuid4().hex
+    if "/" in token or "=" in token:
+        raise ValueError(f"batch_token must be path-safe: {token!r}")
+    spark = docs.sparkSession
+    meta, vroot = _resolve_substr_index(spark, path)
+    k = int(meta["anchor_k"])
+    w = int(meta["min_run_words"]) - k + 1
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("ws"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    src.write.mode("overwrite").parquet(
+        _pp.join(vroot, "docs", f"batch={token}")
+    )
+    _winnow_anchor_sites(src, k, w).write.mode("overwrite").parquet(
+        _pp.join(vroot, "anchors", f"batch={token}")
+    )
+    require_success_marker(
+        spark, _pp.join(vroot, "docs", f"batch={token}"), "substr append"
+    )
+    require_success_marker(
+        spark,
+        _pp.join(vroot, "anchors", f"batch={token}"),
+        "substr append",
+    )
+
+
+def exact_substr_against_index(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_run_words: int | None = None,
+    max_sites_per_anchor: int | None = None,
+) -> DataFrame:
+    """`exact_substr_against_corpus`, persisted form: the corpus side
+    comes from a `write_substr_index` layout (pre-winnowed anchors +
+    stored word arrays) instead of being recomputed per batch —
+    pinned ≡ the in-session form in tests. ``min_run_words`` may be
+    RAISED above the index's L (longer runs still share the stored
+    anchors — the winnowing guarantee only strengthens; verify-extend
+    filters at the requested length) but never lowered: anchors at
+    (k, w = L_idx−k+1) certify nothing below L_idx, and a silent
+    under-L probe would return silently-partial dedup."""
+    spark = batch.sparkSession
+    meta, vroot = _resolve_substr_index(spark, path)
+    L_idx = int(meta["min_run_words"])
+    k = int(meta["anchor_k"])
+    w = L_idx - k + 1
+    L = L_idx if min_run_words is None else int(min_run_words)
+    if L < L_idx:
+        raise ValueError(
+            f"probe min_run_words={L} below the index's {L_idx}: the "
+            f"stored anchors only certify runs ≥ {L_idx} — rebuild "
+            "the index at the smaller L"
+        )
+    import posixpath as _pp
+
+    b_src = batch.select(
+        F.col(id_col).alias("id"),
+        tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("ws"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    ba = _winnow_anchor_sites(b_src, k, w)
+    ca = spark.read.parquet(_pp.join(vroot, "anchors")).select(
+        "id", "pos", "fp"
+    )
+    c_words = spark.read.parquet(_pp.join(vroot, "docs")).select(
+        "id", "ws"
+    )
+    dup_sites = _anchor_verify_extend(
+        ba,
+        ca,
+        b_src,
+        c_words,
+        L,
+        k,
+        max_sites_per_anchor,
+        batch.schema[id_col].dataType,
+    )
     return _coverage_assemble(b_src, dup_sites, L)

@@ -22,6 +22,7 @@ operator                                  valve                    recommended
 ``similarity.lsh_topk``                   ``max_bucket_size``      10_000
 ``similarity.semantic_dedup``             ``max_cell_size``        10_000
 ``dedup.winnow_dedup_pairs``              ``max_docs_per_fp``      64 (default)
+``dedup.exact_substring_dedup`` family    ``max_sites_per_anchor`` 10_000
 ========================================  =======================  =========
 
 Why 10_000: a bucket at the cap costs ~5·10⁷ within-bucket comparisons
@@ -89,6 +90,14 @@ PRODUCTION_VALVES: dict[str, float] = {
     "mine_hard_negatives.max_df_ratio": 0.5,
     "jaccard_join_prefix.max_docs_per_token": 10_000,
     "source_overlap.max_sources_per_shingle": 32,
+    # r13: the ExactSubstr anchor self-join/probe (exact_substring_
+    # dedup / exact_substr_against_corpus / exact_substr_against_
+    # index). In-code default None — exactness by default, per this
+    # module's doctrine; the r13 sf0.1 parity run caught a 256 cap
+    # silently keeping a 1,667-doc planted span's duplicates, which
+    # is precisely why the cap must be a deliberate production choice
+    # three orders of magnitude above healthy buckets, not a default.
+    "exact_substring_dedup.max_sites_per_anchor": 10_000,
 }
 
 

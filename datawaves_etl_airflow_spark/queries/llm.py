@@ -2421,6 +2421,48 @@ def llm_exact_substr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_exact_substr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED form of the incremental ExactSubstr probe
+    (`dedup.write_substr_index` + `exact_substr_against_index`): the
+    corpus side of the llm_exact_substr_incremental split is written
+    to a per-call temp index (manifest-committed anchors + word
+    arrays, the fourth member of the persisted-index estate) and the
+    batch is probed against it — same plant, same oracle, so a green
+    row certifies index-probe ≡ in-session recompute (the
+    llm_bm25_sync "persisted ≡ fresh" pattern). Executed eagerly
+    (localCheckpoint) so the temp index can be removed before
+    return."""
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    ws = dedup.tokenize(F.col("text"))
+    planted_text = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(ws, 1, 6), " "),
+            F.lit(_EXACT_SUBSTR_SPAN),
+            F.array_join(F.slice(ws, 7, 4), " "),
+        ),
+    ).otherwise(F.col("text"))
+    planted = d.select("doc_id", planted_text.alias("text"))
+    batch = planted.filter(F.col("doc_id") % 10 == 7)
+    corpus = planted.filter(F.col("doc_id") % 10 != 7)
+    idx = tempfile.mkdtemp(prefix="llm_substr_idx_")
+    try:
+        dedup.write_substr_index(corpus, idx, min_run_words=10)
+        out = dedup.exact_substr_against_index(batch, idx)
+        return out.select(
+            F.col("id").alias("doc_id"),
+            "text_dedup",
+            "n_words_kept",
+            "n_words_removed",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 #: llm_train_quality's fixed training run (the oracle unrolls exactly
 #: these epochs with this step size — one place, no drift)
 _TQ_EPOCHS = 10
@@ -3142,6 +3184,7 @@ ROTATION_QUEUE = [
     # pinned; first driver row in the r14 rotation)
     "llm_exact_substr_dedup",
     "llm_exact_substr_incremental",
+    "llm_exact_substr_index",
     "llm_fineweb_pipeline",
     "llm_train_quality",
     "llm_hashed_quality",
@@ -3292,6 +3335,7 @@ QUERIES = {
     "llm_c4_clean": llm_c4_clean,
     "llm_exact_substr_dedup": llm_exact_substr_dedup,
     "llm_exact_substr_incremental": llm_exact_substr_incremental,
+    "llm_exact_substr_index": llm_exact_substr_index,
     "llm_fineweb_pipeline": llm_fineweb_pipeline,
     "llm_train_quality": llm_train_quality,
     "llm_hashed_quality": llm_hashed_quality,
@@ -6016,3 +6060,7 @@ ORACLES["llm_exact_substr_incremental"] = f"""
                AS n_words_removed
     FROM b LEFT JOIN agg a ON a.doc_id = b.doc_id
 """
+
+# llm_exact_substr_index (r13): the persisted probe must equal the
+# in-session recompute — same plant, same replay.
+ORACLES["llm_exact_substr_index"] = ORACLES["llm_exact_substr_incremental"]

@@ -414,3 +414,139 @@ class TestExactSubstrAgainstCorpus:
             for r in llm_exact_substr_incremental(spark, SF_DIR).collect()
         }
         assert q == a
+
+
+class TestSubstrIndex:
+    """write_substr_index / append_substr_index /
+    exact_substr_against_index (r13): the persisted form of the
+    incremental probe — pinned ≡ the in-session form, manifest
+    pointer-flip commit, L-raise-only contract."""
+
+    def _frames(self, spark):
+        corpus = _mk(spark, [
+            (1, f"corpus context around {SPAN} differs completely here"),
+            (2, "an unrelated corpus document with its own words"),
+        ])
+        batch = _mk(spark, [
+            (100, f"batch opener words here {SPAN} batch closer words"),
+            (101, "batch doc with nothing shared with the corpus side"),
+        ])
+        return corpus, batch
+
+    def test_probe_equals_in_session(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            exact_substr_against_corpus,
+            exact_substr_against_index,
+            write_substr_index,
+        )
+
+        corpus, batch = self._frames(spark)
+        idx = str(tmp_path / "sidx")
+        write_substr_index(corpus, idx, min_run_words=12)
+        got = _collect(exact_substr_against_index(batch, idx))
+        want = _collect(
+            exact_substr_against_corpus(batch, corpus, min_run_words=12)
+        )
+        assert got == want
+        assert got[100][2] == 12
+
+    def test_probe_equals_in_session_on_real_corpus(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            exact_substr_against_corpus,
+            exact_substr_against_index,
+            write_substr_index,
+        )
+        from pyspark.sql import functions as F
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        batch = d.filter(F.col("doc_id") % 10 == 7)
+        corpus = d.filter(F.col("doc_id") % 10 != 7)
+        idx = str(tmp_path / "sidx")
+        write_substr_index(corpus, idx, min_run_words=10)
+        got = _collect(exact_substr_against_index(batch, idx))
+        want = _collect(
+            exact_substr_against_corpus(batch, corpus, min_run_words=10)
+        )
+        assert got == want
+
+    def test_append_folds_into_probe(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            append_substr_index,
+            exact_substr_against_corpus,
+            exact_substr_against_index,
+            write_substr_index,
+        )
+
+        corpus, batch = self._frames(spark)
+        day2 = _mk(spark, [
+            (3, "batch doc with nothing shared with the corpus side"),
+        ])
+        idx = str(tmp_path / "sidx")
+        write_substr_index(corpus, idx, min_run_words=8)
+        append_substr_index(day2, idx, batch_token="day2")
+        got = _collect(exact_substr_against_index(batch, idx))
+        want = _collect(
+            exact_substr_against_corpus(
+                batch, corpus.unionByName(day2), min_run_words=8
+            )
+        )
+        assert got == want
+        # doc 101 now duplicates day2's doc verbatim → emptied
+        assert got[101] == ("", 0, 9)
+        # append replay (same token) is idempotent
+        append_substr_index(day2, idx, batch_token="day2")
+        assert _collect(exact_substr_against_index(batch, idx)) == want
+
+    def test_probe_l_contract(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            exact_substr_against_corpus,
+            exact_substr_against_index,
+            write_substr_index,
+        )
+
+        corpus, batch = self._frames(spark)
+        idx = str(tmp_path / "sidx")
+        write_substr_index(corpus, idx, min_run_words=10)
+        # raising L is allowed and equals the in-session form at that L
+        got = _collect(
+            exact_substr_against_index(batch, idx, min_run_words=12)
+        )
+        want = _collect(
+            exact_substr_against_corpus(batch, corpus, min_run_words=12)
+        )
+        assert got == want
+        # lowering L below the index's is refused loudly
+        with pytest.raises(ValueError, match="below the index"):
+            exact_substr_against_index(batch, idx, min_run_words=8)
+
+    def test_meta_roundtrip_and_bad_paths(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            append_substr_index,
+            read_substr_index_meta,
+            write_substr_index,
+        )
+
+        corpus, batch = self._frames(spark)
+        idx = str(tmp_path / "sidx")
+        write_substr_index(corpus, idx, min_run_words=10, anchor_k=4)
+        meta = read_substr_index_meta(spark, idx)
+        assert meta["min_run_words"] == 10 and meta["anchor_k"] == 4
+        with pytest.raises(ValueError, match="manifest"):
+            read_substr_index_meta(spark, str(tmp_path / "nope"))
+        with pytest.raises(ValueError, match="path-safe"):
+            append_substr_index(batch, idx, batch_token="a/b")
+
+    def test_rebuild_is_pointer_flip(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            exact_substr_against_index,
+            write_substr_index,
+        )
+
+        corpus, batch = self._frames(spark)
+        idx = str(tmp_path / "sidx")
+        write_substr_index(corpus, idx, min_run_words=12)
+        # rebuild with a different corpus: new version wins
+        corpus2 = _mk(spark, [(9, "a totally different settled corpus")])
+        write_substr_index(corpus2, idx, min_run_words=12)
+        got = _collect(exact_substr_against_index(batch, idx))
+        assert got[100][2] == 0  # span no longer in the live corpus

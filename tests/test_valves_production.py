@@ -332,3 +332,55 @@ class TestHardNegativesMaxDfRatio:
             max_df_ratio=ratio,
         )
         assert _rows(mined_idx) == _rows(mined)
+
+
+class TestR13ExactSubstrValve:
+    """exact_substring_dedup family: production cap identical to the
+    unvalved (default-None, oracle-faithful) form on healthy corpora;
+    registry carries the r13 value."""
+
+    def test_registry(self):
+        from datawaves_etl_airflow_spark.operators.valves import (
+            recommended,
+        )
+
+        assert recommended(
+            "exact_substring_dedup", "max_sites_per_anchor"
+        ) == 10_000
+
+    def test_valved_equals_exact(self, spark):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            exact_substring_dedup,
+        )
+        from datawaves_etl_airflow_spark.operators.valves import (
+            recommended,
+        )
+
+        span = "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"
+        d = spark.createDataFrame(
+            [
+                (1, f"first document carries {span} and more text"),
+                (2, f"second document carries {span} differently put"),
+                (3, "third document shares nothing with the others"),
+            ],
+            "doc_id long, text string",
+        )
+        cap = recommended("exact_substring_dedup", "max_sites_per_anchor")
+        exact = {
+            r["id"]: (r["text_dedup"], r["n_words_removed"])
+            for r in exact_substring_dedup(
+                d, min_run_words=12, method="anchors"
+            ).collect()
+        }
+        valved = {
+            r["id"]: (r["text_dedup"], r["n_words_removed"])
+            for r in exact_substring_dedup(
+                d,
+                min_run_words=12,
+                method="anchors",
+                max_sites_per_anchor=cap,
+            ).collect()
+        }
+        assert exact == valved
+        # the shared run is "document carries" + the 12-word span
+        assert exact[2][1] == 14

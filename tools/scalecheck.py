@@ -1019,10 +1019,18 @@ def main() -> None:
         # runs — the anchors tier's fp self-join must stay banded
         # (ratio ≈ scan), the grams tier is the documented ×L brute
         # (linear with a bigger constant)
+        # valved at the production operating point (valves.py) — the
+        # measured 100 TB posture is the valved one, per the family
+        # convention; in-code default is None (exact)
         "exact_substr_anchors": lambda mult: dedup.exact_substring_dedup(
             _scaled_docs_broken_runs(spark, args.sf, mult),
             min_run_words=10,
             method="anchors",
+            max_sites_per_anchor=int(
+                valves.recommended(
+                    "exact_substring_dedup", "max_sites_per_anchor"
+                )
+            ),
         ),
         "exact_substr_grams": lambda mult: dedup.exact_substring_dedup(
             _scaled_docs_broken_runs(spark, args.sf, mult),
