@@ -544,3 +544,101 @@ class TestAppendVsCompactionRace:
         before = self._pairs(spark, p)
         append_minhash_index(docs(self.B2), p, batch_token="t2")
         assert self._pairs(spark, p) == before
+
+
+class TestSubstrIndexChaos:
+    """The r13 substr index under the same hostile-store conditions
+    the rest of the estate is pinned against: stale listings lose the
+    rebuild race loudly and never unpublish the live version; a
+    marker-less committer is rejected at the FIRST write."""
+
+    SPAN13 = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    )
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [(1, f"corpus carrier text around {self.SPAN13} here now"),
+             (2, "an unrelated corpus document with its very own words")],
+            "doc_id long, text string",
+        )
+
+    def _probe(self, spark, path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            exact_substr_against_index,
+        )
+
+        batch = spark.createDataFrame(
+            [(100, f"batch framing words {self.SPAN13} trailing words")],
+            "doc_id long, text string",
+        )
+        return {
+            r["id"]: r["n_words_removed"]
+            for r in exact_substr_against_index(batch, path).collect()
+        }
+
+    def test_rebuild_under_stale_listing_keeps_old_live(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            write_substr_index,
+        )
+
+        p = str(tmp_path / "sidx")
+        write_substr_index(self._corpus(spark), p, min_run_words=10)
+        assert self._probe(spark, p) == {100: 10}
+        state = _lag_listing(monkeypatch, n_calls=4)
+        other = spark.createDataFrame(
+            [(9, "completely different corpus text nothing shared at all")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(RuntimeError, match="manifest race"):
+            write_substr_index(other, p, min_run_words=10)
+        state["left"] = 0
+        # the old index never stopped answering
+        assert self._probe(spark, p) == {100: 10}
+        write_substr_index(other, p, min_run_words=10)
+        assert self._probe(spark, p) == {100: 0}
+
+    def test_markerless_committer_rejected_at_first_write(
+        self, spark, tmp_path
+    ):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            write_substr_index,
+        )
+
+        spark.conf.set(
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs", "false"
+        )
+        try:
+            with pytest.raises(RuntimeError, match="_SUCCESS"):
+                write_substr_index(
+                    self._corpus(spark),
+                    str(tmp_path / "sidx"),
+                    min_run_words=10,
+                )
+        finally:
+            spark.conf.set(
+                "mapreduce.fileoutputcommitter.marksuccessfuljobs", "true"
+            )
+
+    def test_append_markerless_rejected(self, spark, tmp_path):
+        from datawaves_etl_airflow_spark.operators.dedup import (
+            append_substr_index,
+            write_substr_index,
+        )
+
+        p = str(tmp_path / "sidx")
+        write_substr_index(self._corpus(spark), p, min_run_words=10)
+        spark.conf.set(
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs", "false"
+        )
+        try:
+            with pytest.raises(RuntimeError, match="_SUCCESS"):
+                append_substr_index(
+                    self._corpus(spark), p, batch_token="day2"
+                )
+        finally:
+            spark.conf.set(
+                "mapreduce.fileoutputcommitter.marksuccessfuljobs", "true"
+            )
