@@ -3343,17 +3343,24 @@ def train_hashed_ngram_classifier(
                     ).alias("err"),
                 )
             )
+            # scored feeds BOTH per-epoch consumers (the fid-keyed
+            # gradient aggregate and the bias gradient) and is
+            # recomputed for each. Two "optimizations" were tried and
+            # measured at sf0.1 (r13): folding the bias gradient into
+            # the weight checkpoint as a sentinel row, and persisting
+            # scored across the two consumers — all three forms land
+            # within the same-session scatter band (~25–32 s across
+            # windows, no form reliably faster: the scoring join is
+            # cheap enough that cache/union plumbing costs what the
+            # recompute costs). Kept the simplest form; the epoch
+            # count, not this constant, is the lever that matters.
             grads = (
                 feats.join(scored, "id")
                 .groupBy("fid")
                 .agg(F.sum(F.col("x") * F.col("err")).alias("g"))
             )
-            # ONE action per epoch: the weight update and the bias
-            # gradient (a fid = −1 sentinel row — real fids are in
-            # [0, dim)) materialize in the same localCheckpoint, then
-            # the sentinel is read off the checkpointed (≤ dim+1)-row
-            # result instead of re-running the scoring plan
-            updated = (
+            gb = scored.agg(F.sum("err").alias("gb")).first()["gb"]
+            w_df = (
                 w_df.join(grads, "fid", "full")
                 .select(
                     "fid",
@@ -3367,16 +3374,8 @@ def train_hashed_ngram_classifier(
                         )
                     ).alias("weight"),
                 )
-                .unionByName(
-                    scored.agg(
-                        F.lit(-1).cast("long").alias("fid"),
-                        F.sum("err").alias("weight"),
-                    )
-                )
                 .localCheckpoint()
             )
-            gb = updated.filter(F.col("fid") == -1).first()["weight"]
-            w_df = updated.filter(F.col("fid") != -1)
             bias = bias - lr * (gb / n)
     finally:
         feats.unpersist()
