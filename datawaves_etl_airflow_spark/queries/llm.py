@@ -2421,6 +2421,54 @@ def llm_exact_substr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_exact_substr_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-level benchmark decontamination by REMOVAL — the
+    completion of the decontamination story: `passage_contamination`
+    DETECTS benchmark quotes, this query EXCISES them
+    (`dedup.exact_substr_against_corpus` with the benchmark as the
+    canonical side — the Lee et al. 2021 decontamination use-case:
+    cut the verbatim test-set span, keep the rest of the document).
+    Plant mirrors llm_passage_decontaminate: benchmark = the
+    doc_id % 7 == 0 slice; for each qualifying benchmark doc (≥ 12
+    words) a corpus doc at id + 1,000,000 carries the benchmark's
+    words REVERSED followed by its first 12 words — a verbatim
+    12-word quote that MUST be excised at min_run_words=10 while the
+    reversed remainder survives. The DuckDB twin replays the plant
+    and the full gram rule over the whole batch (gram semantics are
+    engine-independent, so natural corpus↔benchmark runs compare
+    exactly too — no output restriction needed)."""
+    docs = _docs(spark, sf_dir)
+    toks = dedup.tokenize(F.col("text"))
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "text"
+    )
+    src = docs.select("doc_id", toks.alias("ws")).filter(
+        (F.col("doc_id") % 7 == 0) & (F.size("ws") >= 12)
+    )
+    planted = src.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.concat(F.reverse("ws"), F.slice("ws", 1, 12))
+        ).alias("text"),
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    out = dedup.exact_substr_against_corpus(
+        batch, bench, min_run_words=10
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "text_dedup",
+        "n_words_kept",
+        "n_words_removed",
+    )
+
+
 def llm_exact_substr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED form of the incremental ExactSubstr probe
     (`dedup.write_substr_index` + `exact_substr_against_index`): the
@@ -3185,6 +3233,7 @@ ROTATION_QUEUE = [
     "llm_exact_substr_dedup",
     "llm_exact_substr_incremental",
     "llm_exact_substr_index",
+    "llm_exact_substr_decontaminate",
     "llm_fineweb_pipeline",
     "llm_train_quality",
     "llm_hashed_quality",
@@ -3336,6 +3385,7 @@ QUERIES = {
     "llm_exact_substr_dedup": llm_exact_substr_dedup,
     "llm_exact_substr_incremental": llm_exact_substr_incremental,
     "llm_exact_substr_index": llm_exact_substr_index,
+    "llm_exact_substr_decontaminate": llm_exact_substr_decontaminate,
     "llm_fineweb_pipeline": llm_fineweb_pipeline,
     "llm_train_quality": llm_train_quality,
     "llm_hashed_quality": llm_hashed_quality,
@@ -6064,3 +6114,76 @@ ORACLES["llm_exact_substr_incremental"] = f"""
 # llm_exact_substr_index (r13): the persisted probe must equal the
 # in-session recompute — same plant, same replay.
 ORACLES["llm_exact_substr_index"] = ORACLES["llm_exact_substr_incremental"]
+
+
+# llm_exact_substr_decontaminate (r13): the llm_passage_decontaminate
+# plant (reversed words + first-12-word verbatim quote at id+1M) run
+# through the incremental gram rule with the benchmark as the
+# canonical side — quote excised, reversed remainder survives.
+ORACLES["llm_exact_substr_decontaminate"] = f"""
+    WITH base AS (
+        SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS ws,
+               text AS otext
+        FROM documents
+    ),
+    planted AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(list_reverse(ws), ' ') || ' '
+                   || array_to_string(ws[1:12], ' ') AS text
+        FROM base WHERE doc_id % 7 = 0 AND len(ws) >= 12
+    ),
+    batch0 AS (
+        SELECT doc_id, otext AS text FROM base WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id, text FROM planted
+    ),
+    b AS (
+        SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS ws
+        FROM batch0
+    ),
+    c AS (
+        SELECT doc_id, ws FROM base WHERE doc_id % 7 = 0
+    ),
+    bg AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(ws[i:i+9], ' ') AS gram
+        FROM b, UNNEST(range(1, len(ws) - 10 + 2)) AS u(i)
+        WHERE len(ws) >= 10
+    ),
+    cg AS (
+        SELECT DISTINCT array_to_string(ws[i:i+9], ' ') AS gram
+        FROM c, UNNEST(range(1, len(ws) - 10 + 2)) AS u(i)
+        WHERE len(ws) >= 10
+    ),
+    dup AS (
+        SELECT bg.doc_id, bg.pos FROM bg JOIN cg ON bg.gram = cg.gram
+    ),
+    wpos AS (
+        SELECT doc_id, i - 1 AS wp, ws[i] AS word
+        FROM b, UNNEST(range(1, len(ws) + 1)) AS u(i)
+    ),
+    cov AS (
+        SELECT DISTINCT w.doc_id, w.wp
+        FROM wpos w JOIN dup s
+          ON s.doc_id = w.doc_id
+         AND w.wp BETWEEN s.pos AND s.pos + 9
+    ),
+    kept AS (
+        SELECT w.doc_id, w.wp, w.word
+        FROM wpos w LEFT JOIN cov cv
+          ON cv.doc_id = w.doc_id AND cv.wp = w.wp
+        WHERE cv.doc_id IS NULL
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(word, ' ' ORDER BY wp) AS text_dedup,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(a.text_dedup, '') AS text_dedup,
+           CAST(coalesce(a.n_kept, 0) AS INT) AS n_words_kept,
+           CAST(len(b.ws) - coalesce(a.n_kept, 0) AS INT)
+               AS n_words_removed
+    FROM b LEFT JOIN agg a ON a.doc_id = b.doc_id
+"""
