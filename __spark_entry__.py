@@ -17,7 +17,7 @@ CORRECTNESS row. ``queries()`` therefore registers exactly the 50
 highest-information queries (every SURVEY §2 operator family + every
 LLM-pipeline component), ordered never-verified-first:
 domain (decode → verify → staging/enrich) → llm → generic extension
-picks. The FULL corpus (163 queries as of round 13 — 159 oracled + 4
+picks. The FULL corpus (164 queries as of round 13 — 159 oracled + 5
 rows-only-by-design; counts pinned against the registries by
 tests/test_contract.py) stays importable via
 ``queries_all()`` / ``oracle_sql_all()`` and is verified end-to-end by

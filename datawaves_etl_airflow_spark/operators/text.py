@@ -3421,3 +3421,292 @@ def hashed_ngram_logit(
             (score > 0).cast("int").alias("keep"),
         )
     )
+
+
+def _viterbi_segment(
+    word: str, logp: dict, max_piece_len: int, unk_logp: float
+) -> list:
+    """Best segmentation of ``word`` under piece log-probs: maximize
+    Σ logp(piece); ties prefer FEWER pieces, then (per DP position,
+    right to left) the LONGER final piece (deterministic — the
+    pure-Python test reference implements the same order). Characters
+    absent from the vocabulary segment as single-char unknowns at
+    ``unk_logp``."""
+    n = len(word)
+    NEG = float("-inf")
+    # best[i] = (score, n_pieces, start_of_last_piece) for word[:i]
+    best = [(NEG, 0, -1)] * (n + 1)
+    best[0] = (0.0, 0, -1)
+    for i in range(1, n + 1):
+        cand = None
+        for j in range(max(0, i - max_piece_len), i):
+            if best[j][0] == NEG:
+                continue
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j == 1:
+                    lp = unk_logp
+                else:
+                    continue
+            sc = (best[j][0] + lp, -(best[j][1] + 1), j)
+            # maximize (score, -n_pieces, start j) — a smaller j is a
+            # LONGER last piece, preferred on full ties
+            if cand is None or (sc[0], sc[1], -sc[2]) > (
+                cand[0], cand[1], -cand[2]
+            ):
+                cand = sc
+        if cand is not None:
+            best[i] = (cand[0], -cand[1], cand[2])
+    if best[n][0] == NEG:
+        return list(word)  # unreachable: single-char unk always legal
+    out = []
+    i = n
+    while i > 0:
+        j = best[i][2]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def train_unigram_lm(
+    docs: DataFrame,
+    vocab_size: int = 256,
+    seed_size: int = 1024,
+    n_iters: int = 2,
+    max_piece_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distinct_words: int = 2_000_000,
+) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo ACL 2018 — the
+    SentencePiece algorithm, the other public tokenizer family beside
+    BPE), hard-EM form: seed the vocabulary with the corpus's most
+    frequent substrings (≤ ``max_piece_len`` chars, counted per
+    occurrence × word frequency, plus EVERY single character —
+    coverage by construction), then alternate (E) Viterbi-segment
+    every distinct word under current piece log-probs and (M)
+    re-estimate ``logprob = ln(count/total)`` from the segmentation
+    counts, pruning the lowest-count multi-char pieces down to
+    ``vocab_size`` after each M step. Hard-EM (Viterbi counts, not
+    forward-backward expectations) is the documented simplification —
+    the common public reimplementation shape; the pure-Python test
+    reference implements the identical procedure.
+
+    Distribution shape: substring seeding and count aggregation are
+    explode → hash-aggregate over DISTINCT words (weighted by word
+    frequency — corpus size only enters through the word-count
+    aggregate); the E step is an Arrow-batched ``mapInPandas`` over
+    distinct words with the (bounded, ≤ seed_size + alphabet) vocab
+    broadcast by closure; per-iteration counts collect ≤ |vocab| rows
+    to the driver (the train_bpe_merges bounded-collect pattern).
+    ``max_distinct_words`` guards the word table like
+    ``max_vocab_rows`` guards BPE training. Returns ``(piece,
+    logprob)``."""
+    import math
+
+    if vocab_size < 1 or seed_size < vocab_size:
+        raise ValueError(
+            f"need seed_size ≥ vocab_size ≥ 1, got "
+            f"{seed_size} / {vocab_size}"
+        )
+    words_df = (
+        docs.select(F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    ).persist()
+    n_words = words_df.count()
+    if n_words == 0:
+        words_df.unpersist()
+        raise ValueError("train_unigram_lm: no words in the corpus")
+    if n_words > max_distinct_words:
+        words_df.unpersist()
+        raise ValueError(
+            f"{n_words} distinct words > max_distinct_words="
+            f"{max_distinct_words} — raise the cap deliberately"
+        )
+    # substring seeding: every (start, len ≤ max_piece_len) substring
+    # of every distinct word, weight = freq per occurrence
+    subs = words_df.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(int(max_piece_len)),
+                                F.length("w") - i + 1,
+                            ),
+                        ),
+                        lambda l: F.substring(F.col("w"), i, l),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    counts = subs.groupBy("piece").agg(
+        F.sum("freq").alias("c")
+    )
+    chars = counts.filter(F.length("piece") == 1)
+    multi = (
+        counts.filter(F.length("piece") > 1)
+        .orderBy(F.col("c").desc(), F.col("piece").asc())
+        .limit(int(seed_size))
+    )
+    seed = {
+        r["piece"]: r["c"]
+        for r in chars.unionByName(multi).collect()
+    }
+    total = sum(seed.values())
+    logp = {p: math.log(c / total) for p, c in seed.items()}
+    unk_logp = math.log(1e-12)
+    mpl = int(max_piece_len)
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    seg_schema = StructType([
+        StructField("pieces", ArrayType(StringType()), False),
+        StructField("freq", LongType(), False),
+    ])
+
+    n_single = sum(1 for p in logp if len(p) == 1)
+    for _ in range(int(n_iters)):
+        cur = dict(logp)
+
+        def _estep(pdf_iter, _cur=cur):
+            import pandas as pd
+
+            for pdf in pdf_iter:
+                rows = []
+                for w, fr in zip(pdf["w"], pdf["freq"]):
+                    rows.append(
+                        (_viterbi_segment(w, _cur, mpl, unk_logp), int(fr))
+                    )
+                yield pd.DataFrame(
+                    {
+                        "pieces": [r[0] for r in rows],
+                        "freq": [r[1] for r in rows],
+                    }
+                )
+
+        seg_counts = {
+            r["piece"]: r["c"]
+            for r in (
+                words_df.mapInPandas(_estep, schema=seg_schema)
+                .select(
+                    F.explode("pieces").alias("piece"), "freq"
+                )
+                .groupBy("piece")
+                .agg(F.sum("freq").alias("c"))
+                .collect()
+            )
+        }
+        # M step over surviving pieces; single chars never die (else
+        # coverage breaks), unused ones keep a floor count of 1
+        new_counts = {}
+        for p in cur:
+            c = seg_counts.get(p, 0)
+            if len(p) == 1:
+                new_counts[p] = max(c, 1)
+            elif c > 0:
+                new_counts[p] = c
+        # prune lowest-count multi-char pieces down to vocab_size
+        multis = sorted(
+            (p for p in new_counts if len(p) > 1),
+            key=lambda p: (-new_counts[p], p),
+        )
+        budget = max(int(vocab_size) - n_single, 0)
+        for p in multis[budget:]:
+            del new_counts[p]
+        tot = sum(new_counts.values())
+        logp = {p: math.log(c / tot) for p, c in new_counts.items()}
+    words_df.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        sorted(logp.items()), "piece string, logprob double"
+    )
+
+
+def unigram_segment(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab_rows: int = 1_000_000,
+) -> DataFrame:
+    """Segment a corpus under a `train_unigram_lm` vocabulary →
+    ``(id, pieces array<string>, n_pieces)`` — Viterbi per word (the
+    training E step's exact rule, same tie-breaks), Arrow-batched
+    with per-batch word memoization (the `bpe_encode` arrow-tier
+    shape). The vocab collect is guarded (`max_vocab_rows`); unknown
+    characters segment as single-char pieces."""
+    import math
+
+    rows = vocab.select("piece", "logprob").limit(
+        int(max_vocab_rows) + 1
+    ).collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"vocab exceeds max_vocab_rows={max_vocab_rows}"
+        )
+    if not rows:
+        raise ValueError("empty unigram vocab")
+    logp = {r["piece"]: r["logprob"] for r in rows}
+    mpl = max(len(p) for p in logp)
+    unk_logp = math.log(1e-12)
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_type = docs.schema[id_col].dataType
+    out_schema = StructType([
+        StructField("id", id_type, False),
+        StructField("pieces", ArrayType(StringType()), False),
+        StructField("n_pieces", IntegerType(), False),
+    ])
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            words(F.coalesce(F.col(text_col), F.lit(""))),
+            lambda t: t != F.lit(""),
+        ).alias("ws"),
+    )
+
+    def _seg(pdf_iter):
+        import pandas as pd
+
+        memo: dict = {}
+        for pdf in pdf_iter:
+            ids, pieces, ns = [], [], []
+            for i, ws in zip(pdf["id"], pdf["ws"]):
+                out = []
+                for w in ws:
+                    got = memo.get(w)
+                    if got is None:
+                        got = _viterbi_segment(w, logp, mpl, unk_logp)
+                        memo[w] = got
+                    out.extend(got)
+                ids.append(i)
+                pieces.append(out)
+                ns.append(len(out))
+            yield pd.DataFrame(
+                {"id": ids, "pieces": pieces, "n_pieces": ns}
+            )
+
+    return src.mapInPandas(_seg, schema=out_schema)

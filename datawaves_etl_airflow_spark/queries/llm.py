@@ -2421,6 +2421,33 @@ def llm_exact_substr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (Kudo ACL 2018 — SentencePiece's
+    algorithm; `text.train_unigram_lm` hard-EM + `unigram_segment`
+    Viterbi): train a 128-piece vocabulary on the corpus (seed 512,
+    2 EM iterations) and return the segmented corpus's piece
+    histogram ``(piece, n, n_docs)``. ROWS-ONLY BY DESIGN: EM over
+    Viterbi segmentations is genuinely non-SQL-expressible (the same
+    class as the xxhash64 candidate sets) — the value evidence is
+    tests/test_unigram_lm.py, where both training and segmentation
+    are pinned against an independent pure-Python implementation on
+    this very corpus (exact piece set, logprobs to 1e-9,
+    segmentation equality, coverage round-trip)."""
+    d = _docs(spark, sf_dir)
+    vocab = text.train_unigram_lm(
+        d, vocab_size=128, seed_size=512, n_iters=2
+    )
+    seg = text.unigram_segment(d, vocab)
+    return (
+        seg.select("id", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+    )
+
+
 def llm_exact_substr_decontaminate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3234,6 +3261,7 @@ ROTATION_QUEUE = [
     "llm_exact_substr_incremental",
     "llm_exact_substr_index",
     "llm_exact_substr_decontaminate",
+    "llm_unigram_segment",
     "llm_fineweb_pipeline",
     "llm_train_quality",
     "llm_hashed_quality",
@@ -3386,6 +3414,7 @@ QUERIES = {
     "llm_exact_substr_incremental": llm_exact_substr_incremental,
     "llm_exact_substr_index": llm_exact_substr_index,
     "llm_exact_substr_decontaminate": llm_exact_substr_decontaminate,
+    "llm_unigram_segment": llm_unigram_segment,
     "llm_fineweb_pipeline": llm_fineweb_pipeline,
     "llm_train_quality": llm_train_quality,
     "llm_hashed_quality": llm_hashed_quality,
