@@ -1003,6 +1003,19 @@ def main() -> None:
                 ).filter(F.length("text") > 0)
             )
         )(_scaled_docs(spark, args.sf, mult)),
+        # unigram-LM tokenizer (r13): training cost scales with
+        # DISTINCT words (the E step segments each distinct word once
+        # per iteration; corpus size enters only through the word-
+        # count aggregate), segmentation with corpus rows — the
+        # ratio must sit between flat and the scan
+        "unigram_train_segment": lambda mult: (
+            lambda d: text.unigram_segment(
+                d,
+                text.train_unigram_lm(
+                    d, vocab_size=64, seed_size=256, n_iters=1
+                ),
+            )
+        )(_scaled_docs(spark, args.sf, mult)),
         # the winnowing MAP stage (k-gram hash + window minima): the
         # pair join is measured separately by its max_docs_per_fp bound
         # (test-pinned) because perturbed COPIES share whole-document
