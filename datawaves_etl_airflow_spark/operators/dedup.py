@@ -316,16 +316,31 @@ def word_shingle_hash_sets(
     ``(id, shset: array<long>)`` — the exchange-free shingle
     representation. Hash chain is identical to
     :func:`word_shingle_hashes` (xxhash64 of the k-word string), so
-    Jaccard/MinHash results match the exploded path exactly."""
-    words = tokenize(F.col(text_col))
-    # project the words array through a round-robin Exchange before any
-    # lambda references it: HOF lambdas re-evaluate non-attribute
-    # inputs (no CSE into lambdas), and the repartition also fixes
-    # small-file parallelism for the CPU-heavy shingling map
+    Jaccard/MinHash results match the exploded path exactly.
+
+    Plan shape (r13 optimization round): the parallelism exchange
+    shuffles the RAW ``(id, text)`` rows and tokenization happens
+    AFTER it — the pre-r13 form tokenized before the exchange, which
+    (a) ran the regex split serially on the scan tasks (a single-file
+    input is one task) and (b) shuffled the tokenized words array,
+    strictly more bytes than the text it came from (guide §2.3/§2.5).
+    The ``explode(array(·))`` Generate after the shuffle is the
+    collapse barrier that materializes the words array as an
+    attribute WITHOUT a second exchange: HOF lambdas re-evaluate
+    non-attribute inputs (no CSE into lambdas), and generator output
+    is always an attribute. Hash-partitioning on id (vs the old
+    round-robin) also skips the defensive local sort every keyless
+    repartition pays (``spark.sql.execution.sortBeforeRepartition``).
+    """
     src = docs.select(
-        F.col(id_col).alias("id"), words.alias("w")
-    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    return src.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    ).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("id")
+    )
+    words = src.select(
+        "id", F.explode(F.array(tokenize(F.col("_t")))).alias("w")
+    )
+    return words.select(
         "id",
         F.array_distinct(_kgram_hash_array(F.col("w"), k)).alias("shset"),
     )
@@ -434,6 +449,67 @@ def minhash_band_rows_np(
     )
 
 
+def bucket_pairs(
+    rows: DataFrame,
+    bucket_cols: list,
+    member_cols: list,
+    max_per_bucket: int | None = None,
+) -> DataFrame:
+    """All ordered within-bucket member pairs:
+    ``(<c>_a, <c>_b for c in member_cols)`` with pairs ordered by the
+    FIRST member column (callers put the id first, giving the familiar
+    ``id_a < id_b``).
+
+    Single-exchange candidate generation (r13 optimization round) —
+    replaces the bucket-key SELF-JOIN every LSH family used. The join
+    shape paid twice at every scale: the bucket rows — and everything
+    upstream of them, i.e. the minhash / simhash / sign-LSH signature
+    UDFs — were evaluated once per join side (locally the build side
+    is a BroadcastExchange over a full second evaluation; at scale a
+    sort-merge join shuffles the rows twice), and the equi-join keys
+    insert ``IsNotNull`` filters on UDF-derived columns that Catalyst
+    pushes below the projection, re-evaluating the UDF a second time
+    per side (guide §4.4's duplication — observed as FOUR
+    ArrowEvalPython evaluations of the signature kernel in
+    llm_simhash_candidates' pre-r13 plan). Here the rows shuffle ONCE
+    (the groupBy exchange the join needed anyway), members are sorted
+    per bucket, and ordered pairs are emitted by posexplode ×
+    slice-explode — the member array is duplicated once per member
+    (the same output volume the join's probe produced), never a
+    bucket² array in a single value.
+
+    ``max_per_bucket`` drops whole buckets above the cap AFTER the
+    aggregate — the same semantics as the windowed-count valves it
+    replaces (every member of a crowded bucket was dropped before the
+    join), minus the window sort.
+
+    Contract: rows with a NULL bucket key are dropped (matching the
+    equi-join the callers came from); members are unique per bucket
+    (one row per (id, bucket) — LSH emits exactly that).
+    """
+    for c in bucket_cols:
+        rows = rows.filter(F.col(c).isNotNull())
+    member = F.struct(*[F.col(c) for c in member_cols])
+    grouped = rows.groupBy(*bucket_cols).agg(
+        F.array_sort(F.collect_list(member)).alias("_ms")
+    )
+    if max_per_bucket is not None:
+        grouped = grouped.filter(F.size("_ms") <= max_per_bucket)
+    ex = grouped.filter(F.size("_ms") >= 2).select(
+        "_ms", F.posexplode("_ms").alias("_i", "_a")
+    )
+    pairs = ex.select(
+        "_a",
+        F.explode(
+            F.slice(F.col("_ms"), F.col("_i") + F.lit(2), F.size("_ms"))
+        ).alias("_b"),
+    )
+    return pairs.select(
+        *[F.col(f"_a.{c}").alias(f"{c}_a") for c in member_cols],
+        *[F.col(f"_b.{c}").alias(f"{c}_b") for c in member_cols],
+    )
+
+
 def verify_pairs_with_sets(
     sets: DataFrame, candidates: DataFrame, threshold: float
 ) -> DataFrame:
@@ -533,30 +609,24 @@ def jaccard_join_prefix(
         .filter(F.col("_pos") <= plen)
         .select("id", "sz", "tok")
     )
-    if max_docs_per_token is not None:
-        prefix = prefix.join(
-            prefix.groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_docs_per_token)
-            .select("tok"),
-            "tok",
-            "left_semi",
-        )
-    a = prefix.select(
-        F.col("id").alias("id_a"), F.col("sz").alias("_sa"), "tok"
-    )
-    b = prefix.select(
-        F.col("id").alias("id_b"), F.col("sz").alias("_sb"), "tok"
-    )
+    # prefix-token candidate pairs via per-bucket emission (r13 opt
+    # round): one exchange on tok instead of the prefix self-join's
+    # two-sided evaluation (see `bucket_pairs`); the max_docs_per_token
+    # valve becomes the bucket-size cap — same drop-the-hot-token
+    # semantics as the old count+semi-join, one aggregation cheaper.
     cands = (
-        a.join(b, "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
+        bucket_pairs(
+            prefix,
+            ["tok"],
+            ["id", "sz"],
+            max_per_bucket=max_docs_per_token,
+        )
         # size pruning, float-safe by bias: floor(t·big) ≤ t·big, so
         # the test only ever ADMITS a borderline pair for verification
         .filter(
-            F.least("_sa", "_sb")
+            F.least("sz_a", "sz_b")
             >= F.floor(
-                F.lit(float(threshold)) * F.greatest("_sa", "_sb")
+                F.lit(float(threshold)) * F.greatest("sz_a", "sz_b")
             )
         )
         .select("id_a", "id_b")
@@ -656,25 +726,19 @@ def minhash_dedup_pairs(
     cap in `operators.valves.PRODUCTION_VALVES`."""
     sets = word_shingle_hash_sets(docs, text_col, id_col, k).persist()
     bands = minhash_band_rows_np(sets, n_hashes, n_bands)
-    if max_docs_per_band is not None:
-        crowd = F.count(F.lit(1)).over(
-            Window.partitionBy("band_id", "band_hash")
-        )
-        bands = (
-            bands.withColumn("_n", crowd)
-            .filter(F.col("_n") <= max_docs_per_band)
-            .drop("_n")
-        )
-    ba, bb = bands.alias("a"), bands.alias("b")
+    # candidate generation via per-bucket pair emission (r13 opt
+    # round): one exchange on the band key and ONE evaluation of the
+    # numpy signature kernel, vs the band-key self-join that evaluated
+    # the ArrowEvalPython band UDF once per join side (see
+    # `bucket_pairs`). Candidate set is identical: pairs sharing ≥1
+    # band bucket, id_a < id_b, distinct.
     cands = (
-        ba.join(
-            bb,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-            "inner",
+        bucket_pairs(
+            bands,
+            ["band_id", "band_hash"],
+            ["id"],
+            max_per_bucket=max_docs_per_band,
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
     return verify_pairs_with_sets(sets, cands, threshold)
@@ -704,13 +768,28 @@ def simhash_signatures(
     content-free documents) instead of vanishing — or, for NULL text,
     crashing the numpy kernel.
     """
-    toks = tokenize(F.col(text_col))
+    # r13 opt round: repartition the RAW (id, text) rows, tokenize
+    # after the exchange behind an explode(array(·)) Generate barrier
+    # — the pre-r13 form ran the whole tokenize+hash+signature chain
+    # on the scan tasks (serial for a single-file input), and the
+    # empty-doc floor's CASE WHEN re-evaluated the tokenize regex
+    # three times per row (isnull test, size test, else branch)
+    # because `toks` was not an attribute. Same values, same hash
+    # chain — one tokenize per row, spread across every core.
+    src = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    ).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("id")
+    )
+    words = src.select(
+        "id", F.explode(F.array(tokenize(F.col("_t")))).alias("w")
+    )
     # size(NULL) is -1/NULL, so test <= 0 AND the array itself
     toks = F.when(
-        toks.isNull() | (F.size(toks) <= 0), F.array(F.lit(""))
-    ).otherwise(toks)
-    hashed = docs.select(
-        F.col(id_col).alias("id"),
+        F.col("w").isNull() | (F.size("w") <= 0), F.array(F.lit(""))
+    ).otherwise(F.col("w"))
+    hashed = words.select(
+        "id",
         F.transform(toks, lambda t: F.xxhash64(t)).alias("hs"),
     )
 
@@ -754,23 +833,23 @@ def simhash_candidate_pairs(
         )
         for c in range(n_chunks)
     ])
-    e = signatures.select(
+    # NULL signatures can never pair (the old equi-join's chunk_val
+    # keys dropped them); the explicit filter keeps that contract now
+    # that candidates come from a groupBy (r13 opt round — see
+    # `bucket_pairs`: one exchange on the chunk key and ONE evaluation
+    # of the signature subtree, vs the self-join that evaluated the
+    # ArrowEvalPython sig UDF FOUR times: twice per side via the §4.4
+    # IsNotNull-pushdown duplication).
+    e = signatures.filter(F.col("simhash").isNotNull()).select(
         "id", "simhash", F.explode(chunks).alias("c")
     ).select("id", "simhash", "c.chunk_id", "c.chunk_val")
-    a, b = e.alias("a"), e.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
-            "inner",
-        )
+        bucket_pairs(e, ["chunk_id", "chunk_val"], ["id", "simhash"])
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            "id_a",
+            "id_b",
+            F.col("simhash_a").alias("sig_a"),
+            F.col("simhash_b").alias("sig_b"),
         )
         .distinct()
     )
@@ -798,8 +877,12 @@ def _checkpointer(df_session, use_reliable_checkpoint: bool):
                 "first (localCheckpoint would silently lose round "
                 "state on executor loss)"
             )
-        return lambda df: df.checkpoint()
-    return lambda df: df.localCheckpoint()
+        return lambda df: df.checkpoint(eager=False)
+    # eager=False (r13 opt round): every CC round follows its
+    # checkpoint with a convergence aggregate, so the lazy checkpoint
+    # materializes inside that aggregate's job — one Spark job per
+    # round instead of two (materialize + collect), same truncation.
+    return lambda df: df.localCheckpoint(eager=False)
 
 
 def duplicate_clusters_star(
@@ -2196,22 +2279,36 @@ def duplicated_gram_sites(
     L = int(min_run_words)
     if L < 2:
         raise ValueError(f"min_run_words must be ≥ 2, got {L}")
-    ws = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    # r13 opt round, two changes to the gram passes (values unchanged):
+    # (a) the parallelism exchange carries RAW (id, text) and tokenize
+    #     runs after it behind the explode(array(·)) Generate barrier
+    #     (see `word_shingle_hash_sets` — serial-scan fix + fewer
+    #     shuffled bytes);
+    # (b) grams travel as xxhash64 of the L-gram string (the
+    #     `_kgram_hash_array` chain — after the size ≥ L filter its
+    #     positions equal the old sequence(0, size−L) exactly), so the
+    #     gram groupBy and join-back move 8-byte longs instead of
+    #     ~L-word strings (guide §2.3: shuffle fewer/narrower bytes).
+    #     Site semantics are identical up to 64-bit collisions — the
+    #     standing acceptance of every shingle consumer in this module
+    #     (and the string-gram DuckDB oracle twin would surface a real
+    #     collision as a parity failure).
     src = docs.select(
-        F.col(id_col).alias("id"), ws.alias("ws")
-    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    ).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("id")
+    )
+    toks = src.select(
+        "id", F.explode(F.array(tokenize(F.col("_t")))).alias("ws")
+    )
     grams = (
-        src.filter(F.size("ws") >= L)
+        toks.filter(F.size("ws") >= L)
         .select(
             "id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - L),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("ws"), i + 1, L)
-                    ),
-                )
-            ).alias("pos", "gram"),
+            F.posexplode(_kgram_hash_array(F.col("ws"), L)).alias(
+                "pos", "gram"
+            ),
         )
     )
     stats = (
@@ -2321,10 +2418,15 @@ def exact_substring_dedup(
         raise ValueError(f"min_run_words must be ≥ 2, got {L}")
     if method not in ("grams", "anchors"):
         raise ValueError(f"unknown method: {method}")
-    ws = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    # raw-first repartition + Generate barrier (r13 opt round — see
+    # `word_shingle_hash_sets`): tokenize runs post-exchange on every
+    # core, and the exchange carries text, not token arrays
     src = docs.select(
-        F.col(id_col).alias("id"), ws.alias("ws")
-    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    ).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("id")
+    ).select("id", F.explode(F.array(tokenize(F.col("_t")))).alias("ws"))
 
     if method == "grams":
         dup_sites = duplicated_gram_sites(
@@ -2334,30 +2436,18 @@ def exact_substring_dedup(
         k = min(int(anchor_k), L)
         w = L - k + 1
         anchors = _winnow_anchor_sites(src, k, w)
-        bounded = anchors
-        if max_sites_per_anchor is not None:
-            bounded = anchors.withColumn(
-                "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-            ).filter(F.col("_df") <= max_sites_per_anchor).drop("_df")
-        a, b = bounded.alias("a"), bounded.alias("b")
+        # fp-bucket pair emission (r13 opt round, `bucket_pairs`): one
+        # exchange on fp instead of the anchor self-join's two-sided
+        # subtree; ordered-by-struct(id, pos) pairs are exactly the old
+        # (id_a < id_b) | (id_a = id_b & pos_a < pos_b) condition, and
+        # the max_sites_per_anchor valve becomes the bucket-size cap
+        # (same drop-the-hot-anchor semantics, minus the window sort).
         pairs = (
-            a.join(
-                b,
-                (F.col("a.fp") == F.col("b.fp"))
-                & (
-                    (F.col("a.id") < F.col("b.id"))
-                    | (
-                        (F.col("a.id") == F.col("b.id"))
-                        & (F.col("a.pos") < F.col("b.pos"))
-                    )
-                ),
-                "inner",
-            )
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("a.pos").alias("pos_a"),
-                F.col("b.id").alias("id_b"),
-                F.col("b.pos").alias("pos_b"),
+            bucket_pairs(
+                anchors,
+                ["fp"],
+                ["id", "pos"],
+                max_per_bucket=max_sites_per_anchor,
             )
             .groupBy("id_a", "id_b")
             .agg(

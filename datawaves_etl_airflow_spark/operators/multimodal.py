@@ -230,10 +230,15 @@ def encode_fake_image(
                 )
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    src = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(width_col).alias("w"),
-        F.col(height_col).alias("h"),
+    from .partitioning import ensure_min_parallelism
+
+    src = ensure_min_parallelism(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(width_col).alias("w"),
+            F.col(height_col).alias("h"),
+        ),
+        id_col="id",
     )
     return src.mapInPandas(
         _batches,
@@ -474,10 +479,15 @@ def encode_fake_audio(
                 )
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    src = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(rate_col).alias("rate"),
-        F.col(n_samples_col).alias("n"),
+    from .partitioning import ensure_min_parallelism
+
+    src = ensure_min_parallelism(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(rate_col).alias("rate"),
+            F.col(n_samples_col).alias("n"),
+        ),
+        id_col="id",
     )
     return src.mapInPandas(
         _batches,

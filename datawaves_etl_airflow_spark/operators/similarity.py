@@ -365,30 +365,21 @@ def neardup_pairs_banded(
             "band_id", "band_hash"
         ),
     )
-    if max_docs_per_band is not None:
-        # same-key windowed count: AQE reuses the (band_id, band_hash)
-        # exchange the self-join needs anyway, so the valve costs no
-        # extra corpus shuffle
-        crowd = F.count(F.lit(1)).over(
-            Window.partitionBy("band_id", "band_hash")
-        )
-        sigs = (
-            sigs.withColumn("_n", crowd)
-            .filter(F.col("_n") <= max_docs_per_band)
-            .drop("_n")
-        )
-    ba, bb = sigs.alias("a"), sigs.alias("b")
-    cands = (
-        ba.join(
-            bb,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-            "inner",
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    # candidate generation via per-bucket pair emission (r13 opt
+    # round, `dedup.bucket_pairs`): one exchange on the band key and
+    # ONE evaluation of the sign-matmul UDF, vs the band-key self-join
+    # that evaluated the ArrowEvalPython signature UDF once per join
+    # side; the max_docs_per_band valve becomes the bucket-size cap —
+    # same drop-the-crowded-bucket semantics as the windowed count,
+    # minus the window sort.
+    from .dedup import bucket_pairs
+
+    cands = bucket_pairs(
+        sigs,
+        ["band_id", "band_hash"],
+        ["id"],
+        max_per_bucket=max_docs_per_band,
+    ).distinct()
     va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -58,15 +58,51 @@ class Pipeline:
         except CycleError as e:
             raise ValueError(f"dependency cycle: {e.args[1]}") from None
 
-    def run(self, ctx: dict | None = None) -> dict:
+    def run(self, ctx: dict | None = None, max_workers: int = 1) -> dict:
         """Execute every task in dependency order; each task's return
-        value lands in ``ctx[name]``."""
+        value lands in ``ctx[name]``.
+
+        ``max_workers > 1`` runs READY tasks concurrently from a small
+        thread pool (guide §2.6: Spark happily schedules several jobs
+        in one application, and FIFO scheduling back-fills executors
+        freed by one job's straggler tail with the next job's tasks —
+        the engine's replacement for the reference running ~30
+        spark-submit JVMs side by side). Dependency safety is by
+        construction: a task is submitted only after every dependency's
+        result is already in ``ctx``, and only the coordinating thread
+        writes ``ctx``. 2-3 workers is plenty — enough to fill the
+        tail, not so many that jobs fight for executors."""
         ctx = ctx if ctx is not None else {}
-        for name in self.order():
+        order = self.order()
+        for name in order:
             missing = [d for d in self.tasks[name].deps if d not in self.tasks]
             if missing:
                 raise ValueError(f"task {name!r} depends on unknown {missing}")
-            ctx[name] = self.tasks[name].fn(ctx)
+        if max_workers <= 1:
+            for name in order:
+                ctx[name] = self.tasks[name].fn(ctx)
+            return ctx
+
+        from concurrent.futures import (
+            FIRST_COMPLETED,
+            ThreadPoolExecutor,
+            wait,
+        )
+
+        ts = TopologicalSorter({t.name: t.deps for t in self.tasks.values()})
+        ts.prepare()
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            futures: dict = {}
+            while ts.is_active() or futures:
+                for name in ts.get_ready():
+                    futures[pool.submit(self.tasks[name].fn, ctx)] = name
+                if not futures:
+                    break
+                done, _ = wait(futures, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    name = futures.pop(fut)
+                    ctx[name] = fut.result()  # re-raises task failure
+                    ts.done(name)
         return ctx
 
 
@@ -98,6 +134,7 @@ def run_evm_day(
     decode_events: list | None = None,
     clean: bool = False,
     phases: frozenset | set | None = None,
+    max_workers: int = 3,
 ) -> dict:
     """Load → enrich → verify → parse for one day, file-based layout.
 
@@ -330,7 +367,12 @@ def run_evm_day(
             sub.add(name, t.fn, deps=[d for d in t.deps if d in keep])
         p = sub
 
-    return p.run({})
+    # guide §2.6: independent loaders/enrichers/parsers overlap so one
+    # task's straggler tail back-fills with the next task's stages;
+    # results are identical (each task owns its warehouse table, and
+    # `Pipeline.run` only submits a task once its deps' results are in
+    # ctx). max_workers=1 restores strict sequential execution.
+    return p.run({}, max_workers=max_workers)
 
 
 # ---------------------------------------------------------------------------
