@@ -65,8 +65,18 @@ def brute_force_topk(
     the plan this operator's scale contract (replicate the small side,
     stream the big side) forbids.
     """
-    joined = F.broadcast(queries).crossJoin(vectors).withColumn(
-        "cosine", cosine(F.col("query_vec"), F.col(vec_col))
+    # project to (query_id, id, cosine) BEFORE the ranking window: the
+    # window's exchange otherwise carries both dense vectors per scored
+    # row — ~40× the bytes the ranking needs (guide §2.3: project
+    # before the exchange). r13 opt round; values unchanged.
+    joined = (
+        F.broadcast(queries)
+        .crossJoin(vectors)
+        .select(
+            "query_id",
+            F.col(id_col),
+            cosine(F.col("query_vec"), F.col(vec_col)).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -109,10 +119,19 @@ def knn_label_predict(
     sampled query set, or use `knn_label_predict_index` (candidates
     from a persisted IVF index, scan bounded by partition pruning).
     """
+    # narrow projection before the ranking window (r13 opt round —
+    # same §2.3 fix as `brute_force_topk`: the exchange needs ids,
+    # labels and the score, never the dense vectors)
     joined = (
         F.broadcast(queries).crossJoin(vectors)
         .filter(F.col("query_id") != F.col(id_col))
-        .withColumn("cosine", cosine(F.col("query_vec"), F.col(vec_col)))
+        .select(
+            "query_id",
+            "true_label",
+            F.col(id_col),
+            F.col(label_col),
+            cosine(F.col("query_vec"), F.col(vec_col)).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -1095,8 +1114,13 @@ def ivf_topk(
         .filter(F.col("_pr") <= nprobe)
         .select("query_id", "query_vec", "centroid_id")
     )
-    cands = probes.join(index, "centroid_id").withColumn(
-        "cosine", cosine(F.col("query_vec"), F.col(vec_col))
+    # narrow projection before the ranking window (r13 opt round,
+    # guide §2.3): the exchange needs (query_id, _vid, cosine), never
+    # the two dense vectors that computed the score
+    cands = probes.join(index, "centroid_id").select(
+        "query_id",
+        "_vid",
+        cosine(F.col("query_vec"), F.col(vec_col)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("_vid").asc()
@@ -1182,8 +1206,12 @@ def lsh_topk(
     # {b, b^1, b^2, ...} are pairwise distinct and every corpus vector
     # has exactly ONE bucket, so a (query, vector) pair can match
     # through at most one probed bucket
-    joined = q.join(v, "bucket", "inner").withColumn(
-        "cosine", cosine(F.col("query_vec"), F.col(vec_col))
+    # narrow projection before the ranking window (r13 opt round,
+    # guide §2.3: ids + score only through the exchange)
+    joined = q.join(v, "bucket", "inner").select(
+        "query_id",
+        F.col(id_col),
+        cosine(F.col("query_vec"), F.col(vec_col)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()

@@ -2067,19 +2067,26 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     content hash) → concat-then-chunk sequence packing over the
     survivors. One SQL oracle replays the whole chain — proving the
     stages compose, not just pass in isolation."""
-    from pyspark.sql import Window
-
     from ..operators.sampling import pack_sequences
 
     docs = _docs(spark, sf_dir)
+    # r13 opt round (guide §8: decide with small rows, move big rows
+    # once): the keeper per content hash is decided on a NARROW
+    # (doc_id, md5) projection — the old md5-partitioned window pulled
+    # the full text through its exchange just to compare hashes, a
+    # second (and at scale third) full-text shuffle. min-per-group
+    # over quality survivors is value-identical to the window's
+    # doc_id == min(doc_id) filter; the packing stage is the only
+    # place text crosses an exchange now.
     ql = text.quality_logit(docs).filter(F.col("keep") == 1).select("doc_id")
-    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
-    survivors = (
-        docs.join(ql, "doc_id")
-        .withColumn("_min_id", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("_min_id"))
-        .drop("_min_id")
+    keep = (
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("_fp"))
+        .join(ql, "doc_id")
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
+    survivors = docs.join(keep, "doc_id")
     return pack_sequences(
         survivors, budget=512, shard_col=F.pmod(F.col("doc_id"), F.lit(8))
     )
