@@ -1050,10 +1050,18 @@ def duplicate_clusters(
     # right-sizes each round's shuffle to the actual graph volume — an
     # explicit count+repartition here was measured SLOWER (extra jobs
     # outweigh the savings AQE already delivers).
+    # fused round-1 initialization (r13 opt round): with labels0 = id,
+    # the first propagation round's neighbor join is the identity
+    # (every neighbor's label IS its id), so round 1 reduces to
+    # min-over-neighborhood — computable straight off the edge list as
+    # one groupBy, no join, and it subsumes the old distinct-ids
+    # labels0 exchange too. Label propagation is monotone, so starting
+    # the loop from labels1 converges to the same fixed point one
+    # join-bearing Spark job earlier.
     labels = _ckpt(
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("lbl", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("id", F.least(F.col("id"), F.col("_mn")).alias("lbl"))
     )
     total = labels.agg(
         F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")

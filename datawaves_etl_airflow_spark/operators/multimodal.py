@@ -230,15 +230,17 @@ def encode_fake_image(
                 )
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    from .partitioning import ensure_min_parallelism
-
-    src = ensure_min_parallelism(
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.col(width_col).alias("w"),
-            F.col(height_col).alias("h"),
-        ),
-        id_col="id",
+    # NO parallelism repartition here (r13 opt round, tried and
+    # reverted with numbers): an `ensure_min_parallelism` guard before
+    # the codec UDF measured 1.39× SLOWER in the interleaved A/B at
+    # sf0.1 — the added Exchange costs more than spreading this cheap
+    # payload generator buys. The tokenize-family repartitions survive
+    # because they MOVE an exchange that already existed; here it was
+    # a new one.
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(width_col).alias("w"),
+        F.col(height_col).alias("h"),
     )
     return src.mapInPandas(
         _batches,
@@ -479,15 +481,13 @@ def encode_fake_audio(
                 )
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
 
-    from .partitioning import ensure_min_parallelism
-
-    src = ensure_min_parallelism(
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.col(rate_col).alias("rate"),
-            F.col(n_samples_col).alias("n"),
-        ),
-        id_col="id",
+    # no parallelism repartition — tried and reverted, 2.04× slower in
+    # the interleaved A/B at sf0.1 (see `encode_fake_image`): the new
+    # Exchange outweighs spreading this cheap payload generator
+    src = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(rate_col).alias("rate"),
+        F.col(n_samples_col).alias("n"),
     )
     return src.mapInPandas(
         _batches,

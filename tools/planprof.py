@@ -30,7 +30,21 @@ def _load_queries():
     from datawaves_etl_airflow_spark.queries import domain, generic, llm
 
     mods = {"domain": domain, "generic": generic, "llm": llm}
-    return {q: getattr(mods[m], q) for m, q in BENCH_QUERY_NAMES}
+    out = {q: getattr(mods[m], q) for m, q in BENCH_QUERY_NAMES}
+    # non-bench corpus queries resolve too (plan evidence for the
+    # optimization rounds covers the whole surface, not just the
+    # headline list); bench names keep priority on collision
+    for mod in mods.values():
+        for name in dir(mod):
+            if name not in out and (
+                name.startswith("llm_") or name[:1].isalpha()
+            ):
+                fn = getattr(mod, name)
+                if callable(fn) and getattr(fn, "__module__", "").endswith(
+                    mod.__name__.split(".")[-1]
+                ):
+                    out[name] = fn
+    return out
 
 
 def main() -> None:
@@ -50,7 +64,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = _load_queries()
-    names = args.names or list(queries)
+    # no names → the bench list (the non-bench resolutions include
+    # helpers that are not (spark, sf_dir) queries; they are only
+    # reachable by explicit name)
+    names = args.names or [q for _m, q in BENCH_QUERY_NAMES]
     missing = [n for n in names if n not in queries]
     if missing:
         print(f"unknown queries: {missing}", file=sys.stderr)
