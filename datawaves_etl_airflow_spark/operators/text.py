@@ -1023,7 +1023,18 @@ def _bm25_rank(
     contribution (`bm25_prf_topk`'s expansion weights — 1.0 for
     original terms, the feedback weight for mined terms); absent,
     every term weighs 1.0 (all other callers)."""
-    df = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    # df's count deliberately references _tf (count(when(_tf >= 1, 1))
+    # ≡ count(1): _tf is a count, always ≥ 1): without the reference,
+    # column pruning drops the partial_count from THIS branch's copy of
+    # the tf aggregate, its pre-exchange plan stops being
+    # canonical-equal to the scoring branch's, and AQE's stage reuse
+    # cannot fire — the corpus is then tokenized+shuffled TWICE (one
+    # full pass per branch). With it, both branches read ONE reused
+    # (_doc,_dl,_w) exchange (guide §2.4; measured: 1 ReusedExchange,
+    # one fewer corpus scan, byte-identical output).
+    df = tf.groupBy("_w").agg(
+        F.count(F.when(F.col("_tf") >= 1, 1)).alias("_df")
+    )
     if allowed is not None:
         ids = (
             allowed.select(F.col(id_col).alias("_doc"))
@@ -1387,7 +1398,13 @@ def bm25_prf_topk(
         # every fb_terms slot only to be dropped by pass 2's df filter
         # (silently degrading PRF to plain BM25) or, unvalved, add
         # noise terms — prune the mining pool by the same df rule
-        dfreq = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+        # count references _tf for the same reason as `_bm25_rank`'s
+        # df: keep this branch's copy of the tf aggregate
+        # canonical-equal to the others so AQE stage reuse fires
+        # (count(when(_tf >= 1, 1)) ≡ count(1); _tf ≥ 1 always)
+        dfreq = tf.groupBy("_w").agg(
+            F.count(F.when(F.col("_tf") >= 1, 1)).alias("_df")
+        )
         mined_src = (
             mined_src.join(dfreq, "_w")
             .crossJoin(F.broadcast(totals.select("_n")))

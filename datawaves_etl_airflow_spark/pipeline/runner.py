@@ -367,12 +367,42 @@ def run_evm_day(
             sub.add(name, t.fn, deps=[d for d in t.deps if d in keep])
         p = sub
 
+    # guide §5: a staging table consumed by SEVERAL enrichers is
+    # otherwise re-read (and JSON-parsed) once per consumer — blocks
+    # feeds six tasks in the ethereum day. Persist exactly the loads
+    # with >1 consumer IN THIS RUN (counted after the phases subset so
+    # a load-only process caches nothing), release them when the day
+    # is done: the cache lives strictly inside one run_evm_day call.
+    n_consumers: dict[str, int] = {}
+    for task in p.tasks.values():
+        if task.name.startswith("load_"):
+            continue
+        for dep in task.deps:
+            if dep.startswith("load_"):
+                n_consumers[dep] = n_consumers.get(dep, 0) + 1
+    cached: list = []
+    for load_name, n in n_consumers.items():
+        if n < 2:
+            continue
+        orig_fn = p.tasks[load_name].fn
+
+        def _cached_load(ctx, _fn=orig_fn):
+            df = _fn(ctx).persist()
+            cached.append(df)
+            return df
+
+        p.tasks[load_name].fn = _cached_load
+
     # guide §2.6: independent loaders/enrichers/parsers overlap so one
     # task's straggler tail back-fills with the next task's stages;
     # results are identical (each task owns its warehouse table, and
     # `Pipeline.run` only submits a task once its deps' results are in
     # ctx). max_workers=1 restores strict sequential execution.
-    return p.run({}, max_workers=max_workers)
+    try:
+        return p.run({}, max_workers=max_workers)
+    finally:
+        for df in cached:
+            df.unpersist()
 
 
 # ---------------------------------------------------------------------------
