@@ -375,7 +375,9 @@ def run_evm_day(
     # is done: the cache lives strictly inside one run_evm_day call.
     n_consumers: dict[str, int] = {}
     for task in p.tasks.values():
-        if task.name.startswith("load_"):
+        # clean_* tasks depend on loads for ORDERING (delete after all
+        # readers) but never read the DataFrame — not consumers
+        if task.name.startswith(("load_", "clean_")):
             continue
         for dep in task.deps:
             if dep.startswith("load_"):
