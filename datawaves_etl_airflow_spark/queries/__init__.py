@@ -14,4 +14,4 @@ genuinely non-SQL-expressible ops).
 #: turns red only when a round actually completes WITHOUT a rotation
 #: (CORRECTNESS_r{N}.json on disk with N > REGISTRATION_ROUND). Each
 #: round's rotation must bump this together with the re-registration.
-REGISTRATION_ROUND = 13
+REGISTRATION_ROUND = 14

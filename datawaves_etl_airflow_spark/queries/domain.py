@@ -395,11 +395,56 @@ def evt_seaport_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (domain went green wall-to-wall in r11), so domain kept three
 #: r10-green picks — the append-sink/anti-join composition and the
 #: two decode extractors.
+#: Round-14 rotation: the whole 13-query r11-stale domain cohort is
+#: flagged, but the 50-slot budget is 11 over corpus-wide (see
+#: queries.llm.ROTATION_DEFERRALS), so domain registers one anchor per
+#: operator family and defers the rest one round. No domain source
+#: changed in r13 or r14 (optimization rounds; registration lists
+#: only), so every deferral's operator surface is r11-verified code.
+ROTATION_DEFERRALS = {
+    "d_enrich_blocks": (
+        "twin d_enrich_transactions holds an r14 slot — same staged-"
+        "load + enrich-join operator; surface untouched since r11"
+    ),
+    "d_enrich_contracts": (
+        "twin d_enrich_transactions holds an r14 slot — same enrich "
+        "operator; surface untouched since r11"
+    ),
+    "d_enrich_logs": (
+        "twin d_enrich_transactions holds an r14 slot — same enrich "
+        "operator; surface untouched since r11"
+    ),
+    "d_enrich_traces": (
+        "twin d_enrich_transactions holds an r14 slot and "
+        "d_enrich_geth_traces is r13-green — same enrich operator; "
+        "surface untouched since r11"
+    ),
+    "d_enrich_token_transfers": (
+        "twin d_enrich_transactions holds an r14 slot — same enrich "
+        "operator; surface untouched since r11"
+    ),
+    "d_verify_root_traces": (
+        "twin d_verify_have_latest holds an r14 slot — same verify "
+        "operator; surface untouched since r11"
+    ),
+    "evt_seaport_decode": (
+        "twin evt_transfer_decode holds an r14 slot and "
+        "call_transfer_decode is r12-green — same ABI decode engine "
+        "(seaport pins the nested-tuple depth, covered by test_decode); "
+        "surface untouched since r11"
+    ),
+}
+
 DRIVER_QUERIES = [
-    # r13 rotation: exactly the two r10-stale domain queries the
-    # freshness gate flags — everything else is r11/r12-green
-    "s1_staging_scan_json",
-    "d_enrich_geth_traces",
+    # r14 rotation: one anchor per r11-stale domain operator family
+    # (enrich join, verify, event decode, staging scan, price fill,
+    # contract extract); the other seven defer one round (above)
+    "d_enrich_transactions",
+    "d_verify_have_latest",
+    "evt_transfer_decode",
+    "s2_staging_scan_csv",
+    "d_prices_fill",
+    "d5_extract_contracts",
 ]
 
 QUERIES = {

@@ -849,34 +849,47 @@ def g2_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: whose family carries FOUR r12 greens (j6_anti_join_customers,
 #: j6c_anti_join_bucket_pruned, j8_semi_join_customers, d_new_tokens).
 #: Must lead the r14 rotation.
+#: Round-14 rotation: j6b leads (its r13 deferral grace is exhausted).
+#: The six r11-stale generic queries defer one round — the corpus-wide
+#: 50-slot budget is 11 over (see queries.llm.ROTATION_DEFERRALS), and
+#: every generic candidate is a pure-SQL extension query whose operator
+#: surface is untouched since r10 (optimization rounds changed
+#: registration lists only) with an r12/r13-green family twin.
 ROTATION_DEFERRALS = {
-    "j6b_anti_join_prefiltered": (
-        "J-6 family holds four r12 greens (j6/j6c/j8/d_new_tokens); "
-        "pure-SQL variant, operator surface untouched since r10"
+    "a1_count_existence": (
+        "twin a2_count_col_vs_star is r13-green — same count/existence "
+        "family; pure-SQL, surface untouched since r10"
+    ),
+    "aj2_asof_bucketed": (
+        "twin aj1_asof_clicks is r12-green — same as-of join operator, "
+        "bucketed variant; pure-SQL, surface untouched since r10"
+    ),
+    "g1_rollup_returnflag": (
+        "twins g3_cube_priority (r12) and q1_pricing_summary (r13) — "
+        "same grouping-sets family; pure-SQL, surface untouched since "
+        "r10"
+    ),
+    "h2_range_pruned_scan": (
+        "twins h1_hourly_events (r12) and p4_date_range_scan (r12) — "
+        "same range-pruned scan family; pure-SQL, surface untouched "
+        "since r10"
+    ),
+    "j5_composite_key_join": (
+        "twin j1_order_revenue_3way is r13-green — same multi-key join "
+        "family; pure-SQL, surface untouched since r10"
+    ),
+    "w4_rolling_range_window": (
+        "twins w1_topk_per_user / w2_running_sum are r12-green — same "
+        "window-function family; pure-SQL, surface untouched since r10"
     ),
 }
 
 DRIVER_QUERIES = [
-    # r13 rotation: the full r10-stale generic cohort (tools/parity.py
-    # --freshness queue) minus the one documented deferral above
-    "q1_pricing_summary",
-    "a2_count_col_vs_star",
-    "j1_order_revenue_3way",
-    "p5_conjunctive_filter",
-    "h3_hopping_windows",
-    "m2_scd2_history",
-    "g4_purchase_trend",
-    "u1_intersect_users",
-    "sk1_salted_agg",
-    "w3_sessionization",
-    "rj1_promo_range_join",
-    "g2_grouped_quantiles",
-    "j9_full_outer_rollup",
-    "pv1_pivot_linestatus",
-    "m1_upsert_dimension",
-    "x1_approx_aggregates",
-    "x3_profile_orders",
-    "m3_incremental_merge",
+    # r14 rotation: the r13 deferral (grace exhausted; the J-6 family
+    # carries four r12 greens). The six r11-stale generics defer one
+    # round (above) to fund the r13-rewritten llm family's driver
+    # re-certification within the 50-slot budget.
+    "j6b_anti_join_prefiltered",
 ]
 
 #: columns profiled by x3 (orderable subset of orders)

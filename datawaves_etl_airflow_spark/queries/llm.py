@@ -3271,9 +3271,47 @@ def llm_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: round. `tools/parity.py --freshness` exempts exactly this list
 #: from its never-verified rule and FAILS if an entry goes stale
 #: (already registered, or already carrying a driver row).
-ROTATION_QUEUE = [
-    # r13 post-registration additions (parity-green ×3 SFs, plan-
-    # pinned; first driver row in the r14 rotation)
+#: Round-14 rotation policy amendment (r13 verdict Next #3): a round's
+#: TOUCHED queries — those whose operator internals were rewritten that
+#: round — auto-queue for that round's registration AHEAD of the
+#: staleness cohort, so the driver's own oracle certifies every rewrite
+#: in the round that made it. The r13 rotation was chosen at round
+#: entry (before the optimization batches) and so missed the r13
+#: rewrites; the r14 list below leads with exactly that family.
+ROTATION_QUEUE: list[str] = []
+
+#: Round-14 deferrals: 61 freshness candidates (8 queued
+#: never-verified + 3 exhausted r13 deferrals + 50 r11-stale) exceed
+#: the hard 50-slot budget by 11, and the r13 verdict's Next #3
+#: additionally requires the five r13-rewritten queries whose greens
+#: are within the clock (minhash/simhash rows-only, dedup_clusters /
+#: cosine_topk / corpus_pipeline r12) — 16 r11-stale queries therefore
+#: defer one round. Every deferral is a query whose operator surface
+#: is untouched this round and whose same-family twin holds an r14
+#: slot or an r12/r13 green; ``tools/parity.py --freshness`` tolerates
+#: a documented deferral for exactly one extra round. The llm three:
+ROTATION_DEFERRALS = {
+    "llm_bm25_deleted": (
+        "twins llm_bm25_prf + llm_bm25_prf_index hold r14 slots and "
+        "llm_bm25_topk / llm_bm25_index are r13-green — same _bm25_rank "
+        "scoring core; the deletion-mask surface untouched since r11"
+    ),
+    "llm_bm25_filtered": (
+        "twins llm_bm25_prf (r14 slot) and llm_bm25_topk (r13-green) — "
+        "same _bm25_rank core plus a pre-filter; surface untouched "
+        "since r11"
+    ),
+    "llm_bm25_sync": (
+        "twin llm_minhash_sync holds an r14 slot (same snapshot-sync "
+        "machinery) and llm_bm25_index is r13-green (same index build); "
+        "surface untouched since r11"
+    ),
+}
+
+DRIVER_QUERIES = [
+    # never driver-verified: the eight r13 post-registration additions
+    # (the r13 ROTATION_QUEUE, verbatim — ExactSubstr family, unigram
+    # segmentation, FineWeb pipeline, training-quality heads)
     "llm_exact_substr_dedup",
     "llm_exact_substr_incremental",
     "llm_exact_substr_index",
@@ -3282,62 +3320,50 @@ ROTATION_QUEUE = [
     "llm_fineweb_pipeline",
     "llm_train_quality",
     "llm_hashed_quality",
-]
-
-#: Round-13 deferrals: 53 freshness candidates (46 r10-stale + 7
-#: queued never-verified) exceed the hard 50-slot budget by exactly 3.
-#: Each deferral is a query whose operator surface is untouched this
-#: round and whose same-family SUPERSET composition holds an r13 slot;
-#: ``tools/parity.py --freshness`` tolerates a documented deferral for
-#: exactly one extra round — these three must lead the r14 rotation.
-ROTATION_DEFERRALS = {
-    "llm_hybrid_retrieval": (
-        "twin llm_hybrid_retrieval_index holds an r13 slot — the same "
-        "BM25+ANN RRF composition routed through the persisted-index "
-        "path (strict machinery superset); surface untouched since r10"
-    ),
-    "llm_ann_ivf_pq": (
-        "twin llm_ann_ivf_pq_rerank holds an r13 slot — the same PQ/ADC "
-        "tier plus the exact-rerank stage (strict machinery superset); "
-        "surface untouched since r10"
-    ),
-}
-
-DRIVER_QUERIES = [
-    # never driver-verified: the seven r12 post-registration additions
-    # (the r12 ROTATION_QUEUE, verbatim — quality rules + tokenizer)
-    "llm_bpe_ids",
-    "llm_gopher_flags",
-    "llm_gopher_repetition",
-    "llm_c4_clean",
-    "llm_contrastive_pairs",
-    "llm_pack_bpe",
-    "llm_bpe_fertility",
-    # r10-stale cohort (tools/parity.py --freshness queue), llm block —
-    # minus the two documented ROTATION_DEFERRALS above
-    "llm_incremental_dedup",
-    "llm_passage_dedup",
-    "llm_chunking",
-    "llm_decontaminate",
-    "llm_ann_ivf_pq_rerank",
-    "llm_ann_ivf_filtered",
-    "llm_bm25_topk",
-    "llm_hybrid_retrieval_index",
-    "llm_bm25_index",
-    "llm_semantic_decontaminate",
-    "llm_semantic_decontaminate_index",
-    "llm_token_counts",
-    "llm_fingerprint",
-    "llm_multimodal_meta",
-    "llm_frame_sample",
-    "llm_repetition",
-    "llm_quality_filter",
-    "llm_length_histogram",
-    "llm_temperature_sample",
-    "llm_pii_scrub",
-    "llm_tfidf_keywords",
-    "llm_unigram_logprob",
-    "llm_wordcount",
+    # the two r13 llm deferrals (deferral grace exhausted — must lead)
+    "llm_hybrid_retrieval",
+    "llm_ann_ivf_pq",
+    # the r13-rewritten LSH/CC/composition family (r13 verdict Next
+    # #3): the driver oracle re-certifies the bucket_pairs / CC /
+    # composition rewrites on r14 code. minhash/simhash are rows-only
+    # checks by design; the other five are full oracle rows.
+    "llm_minhash_dedup",
+    "llm_simhash_candidates",
+    "llm_jaccard_pairs",
+    "llm_neardup_embeddings",
+    "llm_dedup_clusters",
+    "llm_cosine_topk",
+    "llm_corpus_pipeline",
+    # r11-stale llm cohort (tools/parity.py --freshness queue) minus
+    # the three documented BM25 ROTATION_DEFERRALS above. The two
+    # semantic-dedup heads lead this block: their operator is this
+    # round's #1 optimization target (r13 verdict Next #1).
+    "llm_semantic_dedup",
+    "llm_semantic_dedup_ivf_diverse",
+    "llm_jaccard_prefix",
+    "llm_ann_ivf_2level",
+    "llm_ann_ivf_deleted",
+    "llm_ann_ivf_index",
+    "llm_ann_ivf_sync",
+    "llm_ann_recall_curve",
+    "llm_bm25_prf",
+    "llm_bm25_prf_index",
+    "llm_bpe_pairs",
+    "llm_cell_outliers",
+    "llm_corpus_stats",
+    "llm_epoch_upsample",
+    "llm_hard_negatives",
+    "llm_knn_ivf_eval",
+    "llm_leakage_safe_split",
+    "llm_minhash_sync",
+    "llm_mixture_execute",
+    "llm_mmr_diversify",
+    "llm_retrieval_metrics",
+    "llm_simhash_planted",
+    "llm_snapshot_diff",
+    "llm_source_overlap",
+    "llm_stratified_sample",
+    "llm_token_budget",
 ]
 
 QUERIES = {

@@ -52,35 +52,56 @@ class TestRegistrationPolicy:
         )
 
     def test_registration_order_never_verified_first(self):
-        """Round-13 rotation: the seven never-driver-verified r12
-        queue entries lead the llm block, then the r10-stale cohort
-        (freshness policy, enforced mechanically by tools/parity.py
-        --freshness: no oracled query's projected green older than
-        two rounds, one documented-deferral round of grace) — a
-        budget cut still lands on the freshest evidence first."""
+        """Round-14 rotation (r13 verdict Next #3): the eight
+        never-driver-verified r13 queue entries lead the llm block,
+        then the two exhausted r13 llm deferrals, then the
+        r13-rewritten LSH/CC/composition family (touched-last-round
+        queries auto-queue ahead of the staleness cohort so the
+        driver oracle certifies the rewrite), then the r11-stale
+        cohort minus the sixteen documented deferrals."""
         names = list(entrymod.queries())
-        # domain block: exactly the two r10-stale domain queries
-        assert names[0] == "s1_staging_scan_json"
-        assert names[1] == "d_enrich_geth_traces"
-        # llm block: the seven never-driver-verified r12 additions
-        # (the r12 ROTATION_QUEUE verbatim) lead the stale cohort
+        # llm block: the eight never-driver-verified r13 additions
+        # (the r13 ROTATION_QUEUE verbatim) lead the stale cohort
         for new in (
-            "llm_bpe_ids",
-            "llm_gopher_flags",
-            "llm_gopher_repetition",
-            "llm_c4_clean",
-            "llm_contrastive_pairs",
-            "llm_pack_bpe",
-            "llm_bpe_fertility",
+            "llm_exact_substr_dedup",
+            "llm_exact_substr_incremental",
+            "llm_exact_substr_index",
+            "llm_exact_substr_decontaminate",
+            "llm_unigram_segment",
+            "llm_fineweb_pipeline",
+            "llm_train_quality",
+            "llm_hashed_quality",
         ):
-            assert names.index(new) < names.index("llm_incremental_dedup")
-        # the three documented deferrals are NOT registered
-        for deferral in (
+            assert names.index(new) < names.index("llm_hybrid_retrieval")
+        # the exhausted r13 deferrals ARE registered this round
+        for exhausted in (
             "llm_hybrid_retrieval",
             "llm_ann_ivf_pq",
             "j6b_anti_join_prefiltered",
         ):
-            assert deferral not in names
+            assert exhausted in names
+        # the r13-rewritten family holds r14 slots (driver re-certify)
+        for rewritten in (
+            "llm_minhash_dedup",
+            "llm_simhash_candidates",
+            "llm_jaccard_pairs",
+            "llm_neardup_embeddings",
+            "llm_dedup_clusters",
+            "llm_cosine_topk",
+            "llm_corpus_pipeline",
+        ):
+            assert rewritten in names
+            assert names.index(rewritten) < names.index("llm_jaccard_prefix")
+        # the sixteen documented r14 deferrals are NOT registered
+        from datawaves_etl_airflow_spark.queries import domain, generic, llm
+
+        deferred = (
+            set(domain.ROTATION_DEFERRALS)
+            | set(generic.ROTATION_DEFERRALS)
+            | set(llm.ROTATION_DEFERRALS)
+        )
+        assert len(deferred) == 16
+        assert not deferred & set(names)
 
     def test_freshness_gate_passes_on_current_registration(self):
         """The rotation is sufficient by construction: the mechanical
@@ -171,10 +192,18 @@ class TestRegistrationPolicy:
         assert any("boom" in r["traceback_line"] for r in rows)
 
     def test_registered_oracle_coverage(self):
-        """Round 5 (amended r13): every registered query is oracled.
-        The rows-only-by-design slots (llm_compression_ratio r12, the
-        three r4 candidate sets) all carry their driver rows and stay
-        rotated out, exempt from the staleness clock."""
+        """Round 5 (amended r14): every registered query is oracled,
+        EXCEPT the explicitly documented rows-only-by-design slots
+        this rotation carries: llm_minhash_dedup and
+        llm_simhash_candidates (named by the r13 verdict's Next #3 —
+        the r13-rewritten family must take r14 slots even though their
+        candidate sets are xxhash64-seed-dependent and rows-only by
+        design) and llm_unigram_segment (the r13 ROTATION_QUEUE's
+        rows-only segmentation head, taking its first driver row)."""
         q = entrymod.queries()
         o = entrymod.oracle_sql()
-        assert set(q) - set(o) == set()
+        assert set(q) - set(o) == {
+            "llm_minhash_dedup",
+            "llm_simhash_candidates",
+            "llm_unigram_segment",
+        }
