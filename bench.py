@@ -556,6 +556,21 @@ def main() -> None:
     )
     if box is not None:
         out["box_speed_vs_best"] = box
+        # r14 (r13 verdict Next #6, ADDITIVE field only — the timed
+        # methodology above is byte-unchanged): the same numbers with
+        # today's box-drift divided out, so a round-over-round or
+        # cross-core-count comparison can self-correct for a degraded
+        # window (r13's driver window ran 1.94× slow and every raw
+        # number looked like a regression) without re-deriving the
+        # normalization from BENCH_CAL.json by hand.
+        if box > 0:
+            out["calibration_normalized"] = {
+                "value": round(out["value"] / box, 3),
+                "pipeline_day_sec": round(pipeline_day / box, 3),
+                "queries": {
+                    k: round(v / box, 3) for k, v in timings.items()
+                },
+            }
     regressions = {
         name: round(timings[name] / best_ever[name], 2)
         for name in timings

@@ -398,6 +398,9 @@ def neardup_pairs_banded(
         ["band_id", "band_hash"],
         ["id"],
         max_per_bucket=max_docs_per_band,
+        # exactness-by-default: the registered valve is
+        # neardup_pairs_banded.max_docs_per_band (valves.py)
+        allow_unbounded=max_docs_per_band is None,
     ).distinct()
     va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -407,6 +410,153 @@ def neardup_pairs_banded(
         .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_sim"))
+    )
+
+
+def _assign_cells_np(
+    norm: DataFrame, vcol: str, centroids: DataFrame
+) -> DataFrame:
+    """semantic_dedup's flat-path cell assignment as one NumPy pass:
+    ``(_vid, _v)`` → ``(_vid, _v, centroid_id, _csim)`` with
+    ``centroid_id`` the argmax-cosine cell (ties to the smaller
+    centroid id — the engine's one assignment rule, preserved by
+    sorting the centroid matrix by id so ``np.argmax``'s first-max
+    tie-break lands on the smaller id) and ``_csim`` that winning
+    similarity (the far_from_centroid keep policy's input, computed
+    here for free instead of a broadcast join + interpreted dot).
+
+    Why not :func:`_assign_cells`: the expression argmax runs the
+    zip_with/aggregate dot inside a ``transform`` lambda — higher-
+    order functions never reach whole-stage codegen, so every row
+    pays k interpreted dim-length folds (measured 2.15× slower than
+    the BLAS matmul at sf0.1's k=16, and the gap grows linearly with
+    k in the SemDeDup regime where k scales with the corpus). The
+    expression path stays the shared default for the ANN/IVF estate;
+    this variant is private to semantic_dedup, whose registered
+    oracles compare planted booleans with documented margins
+    (argmax gap ≥ 1.5e-7, keep-rule gap ≥ 1.2e-8, pair margins
+    ≥ 0.38) — orders of magnitude above the ~1e-15 float64
+    sum-association drift between BLAS and the sequential fold.
+
+    The centroid table is collected to the driver — bounded by k
+    (the train_bpe_merges bounded-collect pattern; k is thousands at
+    most, and semantic_dedup's CC stage already executes eagerly), so
+    this adds one tiny job, not a corpus collect. Preconditions
+    (met by semantic_dedup's call site): ``norm`` has no NULL
+    vectors, centroid vectors are non-NULL and unit-norm.
+    """
+    import pandas as pd
+
+    rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    id_t = norm.schema["_vid"].dataType.simpleString()
+    cid_t = (
+        centroids.schema["centroid_id"].dataType.simpleString()
+        if rows
+        else "int"
+    )
+    schema = (
+        f"_vid {id_t}, {vcol} array<double>, "
+        f"centroid_id {cid_t}, _csim double"
+    )
+    if not rows:
+        # mirror _assign_cells over an empty centroid set: every row
+        # keeps a NULL cell (downstream treats them as kept singletons)
+        return norm.select(
+            "_vid",
+            F.col(vcol),
+            F.lit(None).cast(cid_t).alias("centroid_id"),
+            F.lit(None).cast("double").alias("_csim"),
+        )
+    cent_ids = [r["centroid_id"] for r in rows]
+    cent_mat = [list(r["centroid"]) for r in rows]
+
+    def _assign(it):
+        import numpy as np
+
+        ids_c = np.array(cent_ids)
+        m = np.array(cent_mat, dtype=np.float64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vcol].to_list(), dtype=np.float64)
+            sims = v @ m.T
+            best = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "_vid": pdf["_vid"].to_numpy(),
+                    vcol: pdf[vcol],
+                    "centroid_id": ids_c[best],
+                    "_csim": sims[np.arange(len(pdf)), best],
+                }
+            )
+
+    return norm.select("_vid", vcol).mapInPandas(_assign, schema=schema)
+
+
+def _cell_pairs_blas(
+    assigned: DataFrame,
+    threshold: float,
+    max_cell_size: int | None,
+) -> DataFrame:
+    """``(id_a, id_b)`` within-cell cosine pairs at ``dot >= threshold``
+    over unit vectors — the SemDeDup pair stage as one grouped Arrow
+    pass: ``groupBy(centroid_id).applyInPandas`` hands each cell's
+    id/vector block to NumPy, the Gram matrix is one float64 BLAS call
+    per row-block, and only the surviving id pairs cross back to the
+    JVM (the vectors never leave the Python worker).
+
+    Input contract: ``assigned`` carries ``centroid_id`` (non-NULL —
+    NULL-vector rows are filtered before assignment, and the 2-level
+    path drops NULL fine cells), ``_vid`` (orderable id) and ``_v``
+    (unit-normalized array<double>). Emits each unordered pair once
+    (``id_a < id_b``); rows of a cell larger than ``max_cell_size``
+    emit nothing (the degenerate-cluster valve — same excluded-cell
+    semantics as the old windowed count, minus the window pass).
+
+    Memory shape: one task holds one cell's vectors (n·dim doubles —
+    the valve bounds n) and computes the Gram in 2048-row blocks, so
+    the n² similarity matrix is never materialized whole; pair OUTPUT
+    is bounded by the true duplicate volume plus threshold leakage,
+    the same bound the join path had.
+    """
+    import pandas as pd
+
+    id_t = assigned.schema["_vid"].dataType.simpleString()
+    # NULL cells (empty centroid set, missing 2-level fine cells) take
+    # no part in pairing — the old equi-join dropped them implicitly
+    src = assigned.select("centroid_id", "_vid", "_v").filter(
+        F.col("centroid_id").isNotNull()
+    )
+    thr = float(threshold)
+    cap = None if max_cell_size is None else int(max_cell_size)
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2 or (cap is not None and n > cap):
+            return pd.DataFrame({"id_a": pdf["_vid"][:0], "id_b": pdf["_vid"][:0]})
+        ids = pdf["_vid"].to_numpy()
+        v = np.array(pdf["_v"].to_list(), dtype=np.float64)
+        out_a: list = []
+        out_b: list = []
+        block = 2048
+        for i0 in range(0, n, block):
+            sims = v[i0 : i0 + block] @ v.T
+            ii, jj = np.nonzero(sims >= thr)
+            ga, gb = ids[ii + i0], ids[jj]
+            m = ga < gb
+            if m.any():
+                out_a.append(ga[m])
+                out_b.append(gb[m])
+        if not out_a:
+            return pd.DataFrame({"id_a": pdf["_vid"][:0], "id_b": pdf["_vid"][:0]})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return src.groupBy("centroid_id").applyInPandas(
+        _pairs, schema=f"id_a {id_t}, id_b {id_t}"
     )
 
 
@@ -507,30 +657,36 @@ def semantic_dedup(
             valid, n_centroids, n_iters=n_iters,
             vec_col=vec_col, id_col=id_col,
         )
-    # map-side assignment keeps _v — no join-back shuffle
+    # map-side assignment keeps _v — no join-back shuffle. Flat path
+    # (r14 opt round): NumPy argmax via _assign_cells_np, which also
+    # emits _csim so the far_from_centroid policy needs no broadcast
+    # join; the 2-level path keeps the hierarchical expression argmax.
     if coarse_centroids is not None:
         assigned = _assign_cells_2level(
             norm, "_v", coarse_centroids, centroids
         ).filter(F.col("centroid_id").isNotNull())
     else:
-        assigned = _assign_cells(norm, "_v", centroids)
-    if max_cell_size is not None:
-        assigned = assigned.withColumn(
-            "_cell_n", F.count(F.lit(1)).over(Window.partitionBy("centroid_id"))
-        ).filter(F.col("_cell_n") <= max_cell_size)
-    a = assigned.select(
-        F.col("centroid_id"), F.col("_vid").alias("id_a"), F.col("_v").alias("va")
-    )
-    b = assigned.select(
-        F.col("centroid_id"), F.col("_vid").alias("id_b"), F.col("_v").alias("vb")
-    )
-    pairs = (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        # unit vectors: dot IS cosine — skip the norm division
-        .filter(dot(F.col("va"), F.col("vb")) >= threshold)
-        .select("id_a", "id_b")
-    )
+        assigned = _assign_cells_np(norm, "_v", centroids)
+    # within-cell pair stage (r14 opt round, guide §2.3/§4.2): ONE
+    # exchange of the corpus on its cell id + per-cell BLAS Gram
+    # matrices, replacing the a⋈b self-join on centroid_id (which
+    # shuffled the corpus WITH its vectors twice) and the per-pair
+    # interpreted zip_with/aggregate dot (higher-order functions never
+    # reach whole-stage codegen; measured 4.6 s for the 500k sf0.1
+    # candidate dots vs ~0.3 s for the per-cell matmul). The
+    # max_cell_size valve moves inside the pair emitter — len(cell) is
+    # in hand there, so the windowed per-cell count pass is gone too;
+    # an over-cap cell emits no pairs, and its rows surface as kept
+    # singletons through the ids_all left join exactly as before
+    # (excluded rows can never appear in `clusters`, so the
+    # far_from_centroid rep join prunes their cent_sim rows unread).
+    # Pair SET equality with the old expression path is pinned in
+    # tests/test_semantic_dedup.py: float64 BLAS vs left-to-right
+    # aggregate() drifts ~1e-15, orders of magnitude below every
+    # registered threshold margin (planted pairs ≥ 0.997 vs corpus
+    # cross-pairs ≤ 0.61 at thresholds 0.95–0.999 — measured per the
+    # query docstrings).
+    pairs = _cell_pairs_blas(assigned, threshold, max_cell_size)
     from .dedup import duplicate_clusters
 
     clusters = duplicate_clusters(pairs)  # (id, cluster_id), pair ids only
@@ -541,14 +697,21 @@ def semantic_dedup(
             (F.col("id") == F.col("cluster_id")).alias("kept"),
         )
     else:
-        # similarity of each member to ITS cell centroid
-        cent_sim = (
-            assigned.join(F.broadcast(centroids), "centroid_id")
-            .select(
-                F.col("_vid").alias("id"),
-                dot(F.col("_v"), F.col("centroid")).alias("_csim"),
+        # similarity of each member to ITS cell centroid — the flat
+        # path's NumPy assignment already carries it (_csim); only the
+        # 2-level path still pays the broadcast join + interpreted dot
+        if coarse_centroids is None:
+            cent_sim = assigned.select(
+                F.col("_vid").alias("id"), F.col("_csim")
             )
-        )
+        else:
+            cent_sim = (
+                assigned.join(F.broadcast(centroids), "centroid_id")
+                .select(
+                    F.col("_vid").alias("id"),
+                    dot(F.col("_v"), F.col("centroid")).alias("_csim"),
+                )
+            )
         reps = (
             clusters.join(cent_sim, "id")
             .groupBy("cluster_id")
@@ -648,7 +811,19 @@ def train_centroids(
         )
     )
     for _ in range(n_iters):
-        assigned = _assign_cells(norm, "_v", centroids)
+        # r14 opt round: the Lloyd-iteration argmax goes through the
+        # NumPy assignment (see _assign_cells_np — the interpreted
+        # transform/zip_with argmax was the training hot spot, and k
+        # scales with the corpus in the SemDeDup regime). Assignment
+        # OUTCOMES are unchanged (same argmax/tie rule; pinned against
+        # _assign_cells in tests/test_semantic_dedup.py), so the mean
+        # aggregate below — fp-identical machinery — yields the same
+        # centroids. NULL-vector rows are excluded up front: the old
+        # path assigned them a NULL cell whose posexplode(NULL) emitted
+        # nothing, so they never contributed to a mean either way.
+        assigned = _assign_cells_np(
+            norm.filter(F.col("_v").isNotNull()), "_v", centroids
+        )
         centroids = (
             assigned
             .select("centroid_id", F.posexplode("_v").alias("_pos", "_x"))

@@ -41,10 +41,22 @@ def _stopword_hits(tokens: Column, stopwords: list[str]) -> Column:
 
 
 def text_stats(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Quality-scoring features: length, word count, mean word length,
-    punctuation count/ratio, stopword ratio, uppercase ratio."""
+    punctuation count/ratio, stopword ratio, uppercase ratio.
+
+    ``keep_cols`` rides extra input columns through the projection
+    (r14 opt round, guide §2.4): the stats are a pure map-side
+    projection, so a caller that needs stats NEXT TO other columns
+    (a label, the text itself) passes them here instead of joining
+    the stats back to the source on ``id_col`` — that join is a
+    whole extra exchange+sort of two projections of the same scan.
+    Default ``()`` leaves every existing caller's plan byte-identical.
+    """
     t = F.col(text_col)
     w = words(t)
     n_words = F.size(w)
@@ -63,6 +75,7 @@ def text_stats(
         (punct / F.length(t)).alias("punct_ratio"),
         (sw_hits / n_words).alias("stopword_ratio"),
         (upper / F.length(t)).alias("upper_ratio"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -122,12 +135,17 @@ def train_quality_classifier(
     import math
 
     n_feat = len(QUALITY_FEATURE_COLS)
-    st = text_stats(docs, text_col, id_col)
-    feats = st.join(
-        docs.select(
-            F.col(id_col), F.col(label_col).cast("double").alias("_y")
-        ),
-        id_col,
+    # stats + label in ONE projection (r14 opt round, guide §2.4):
+    # text_stats is map-side, so riding the label through keep_cols
+    # replaces the old st ⋈ docs join-back on id_col — one exchange +
+    # two sorts of two projections of the same scan, gone. Identical
+    # rows for unique ids (the operator's contract; the old inner
+    # join additionally multiplied duplicate-id rows, which was a
+    # latent row-explosion hazard, not a feature).
+    feats = text_stats(docs, text_col, id_col, keep_cols=(label_col,)).select(
+        F.col(label_col).cast("double").alias("_y"),
+        *[F.col(c) for c in QUALITY_FEATURE_COLS],
+        "n_chars",
     ).filter((F.col("n_words") > 0) & (F.col("n_chars") > 0))
     xs = [F.col(c).cast("double") for c in QUALITY_FEATURE_COLS]
     stats = feats.agg(
@@ -143,13 +161,20 @@ def train_quality_classifier(
         max(math.sqrt(stats[f"s{j}"] - means[j] * means[j]), 1e-12)
         for j in range(n_feat)
     ]
+    # the epoch loop scans this 6-double projection 1×/epoch; size its
+    # partitioning to the ROW COUNT just measured (guide §2: scale-
+    # adaptive, not a local-core constant) — at bench scale that is 1
+    # partition (5k rows), so each of the n_epochs jobs is one task
+    # instead of a 32-task scan of a near-empty cache; at corpus scale
+    # it grows linearly (~2M rows ≈ 100 MB deserialized per task).
+    n_parts = max(1, int(n // 2_000_000) + (1 if n % 2_000_000 else 0))
     z = feats.select(
         "_y",
         *[
             ((x - F.lit(means[j])) / F.lit(stds[j])).alias(f"z{j}")
             for j, x in enumerate(xs)
         ],
-    ).persist()
+    ).repartition(n_parts).persist()
     try:
         w = [0.0] * n_feat
         b = 0.0
@@ -244,6 +269,7 @@ def quality_logit(
     text_col: str = "text",
     id_col: str = "doc_id",
     weights: dict[str, float] | None = None,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Model-based quality scoring: a linear classifier logit over the
     `text_stats` feature vector — the classifier-scoring stage of a
@@ -257,7 +283,11 @@ def quality_logit(
     the keep flag derives from the rounded score.
     """
     w = dict(QUALITY_WEIGHTS if weights is None else weights)
-    st = text_stats(docs, text_col, id_col)
+    # keep_cols (r14 opt round): same map-side passthrough contract as
+    # text_stats — callers that need the score NEXT TO other columns
+    # (a label for an eval join) ride them through instead of joining
+    # the scores back on id_col. Default () is plan-identical.
+    st = text_stats(docs, text_col, id_col, keep_cols=keep_cols)
     logit = (
         F.lit(w["bias"])
         + F.lit(w["n_words"]) * F.col("n_words")
@@ -271,6 +301,7 @@ def quality_logit(
         F.col(id_col),
         score.alias("quality_logit"),
         (score > 0).cast("int").alias("keep"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

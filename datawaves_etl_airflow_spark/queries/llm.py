@@ -2568,23 +2568,23 @@ def llm_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus up to float-sum association; the ~1e-12 cross-engine drift
     that leaves is far below the 5e-4 rounding half-step)."""
     d = _docs(spark, sf_dir).filter(F.length("text") > 0)
-    st = text.text_stats(d)
-    labeled = d.join(
-        st.select(
-            "doc_id",
-            (F.col("n_words") >= _TQ_LABEL_MIN_WORDS)
-            .cast("int")
-            .alias("label"),
-        ),
+    # r14 opt round (guide §2.4): the label is a text_stats-derived
+    # column, so ride the text through the stats projection and derive
+    # it in place — the old d ⋈ text_stats(d) join-back (an exchange +
+    # two sorts of two projections of the SAME scan) is gone, and the
+    # final scored ⋈ labeled join is replaced by quality_logit's
+    # keep_cols passthrough. Values are expression-identical; the
+    # r14 driver oracle and ×3-SF parity certify it.
+    labeled = text.text_stats(d, keep_cols=("text",)).select(
         "doc_id",
+        "text",
+        (F.col("n_words") >= _TQ_LABEL_MIN_WORDS).cast("int").alias("label"),
     )
     w = text.train_quality_classifier(
         labeled, n_epochs=_TQ_EPOCHS, lr=_TQ_LR
     )
-    scored = text.quality_logit(labeled, weights=w)
-    return scored.join(
-        labeled.select("doc_id", "label"), "doc_id"
-    ).select(
+    scored = text.quality_logit(labeled, weights=w, keep_cols=("label",))
+    return scored.select(
         "doc_id",
         "label",
         F.round(F.col("quality_logit"), 3).alias("score3"),

@@ -305,3 +305,122 @@ class TestIvfDiverseQueryNonVacuous:
         # both keep outcomes occur — the diversity rule is exercised,
         # not collapsed to the tie rule
         assert 0 < kept_src < n_pairs
+
+
+class TestR14BlasInternals:
+    """r14 opt round: the pair stage moved from an a⋈b self-join on
+    centroid_id + interpreted zip_with/aggregate dots to one grouped
+    Arrow pass with per-cell BLAS Gram matrices, and the flat-path
+    assignment moved to a NumPy argmax (emitting _csim). These tests
+    pin the new internals against the old expression semantics on the
+    sf0.001 fixture corpus — pair SET equality and assignment
+    equality, not just end-state booleans."""
+
+    def _fixture_assigned(self, spark):
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.operators import similarity
+
+        embs = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        corpus = embs.unionByName(
+            embs.select(
+                (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+                "embedding",
+            )
+        )
+        valid = corpus.filter(F.col("embedding").isNotNull())
+        norm = valid.select(
+            F.col("vec_id").alias("_vid"),
+            similarity.l2_normalize(F.col("embedding")).alias("_v"),
+        )
+        cents = similarity.train_centroids(valid, 8, n_iters=1)
+        cents = spark.createDataFrame(cents.collect(), cents.schema)
+        return norm, cents
+
+    def test_numpy_assignment_equals_expression_argmax(self, spark):
+        from datawaves_etl_airflow_spark.operators import similarity
+
+        norm, cents = self._fixture_assigned(spark)
+        a_expr = {
+            r["_vid"]: r["centroid_id"]
+            for r in similarity._assign_cells(norm, "_v", cents)
+            .select("_vid", "centroid_id")
+            .collect()
+        }
+        a_np = {
+            r["_vid"]: r["centroid_id"]
+            for r in similarity._assign_cells_np(norm, "_v", cents)
+            .select("_vid", "centroid_id")
+            .collect()
+        }
+        assert a_expr == a_np
+
+    def test_blas_pairs_equal_expression_join_pairs(self, spark):
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.operators import similarity
+        from datawaves_etl_airflow_spark.operators.similarity import dot
+
+        norm, cents = self._fixture_assigned(spark)
+        assigned = similarity._assign_cells_np(norm, "_v", cents)
+        for threshold in (0.95, 0.999):
+            blas = {
+                (r["id_a"], r["id_b"])
+                for r in similarity._cell_pairs_blas(
+                    assigned, threshold, None
+                ).collect()
+            }
+            a = assigned.select(
+                "centroid_id",
+                F.col("_vid").alias("id_a"),
+                F.col("_v").alias("va"),
+            )
+            b = assigned.select(
+                "centroid_id",
+                F.col("_vid").alias("id_b"),
+                F.col("_v").alias("vb"),
+            )
+            expr = {
+                (r["id_a"], r["id_b"])
+                for r in a.join(b, "centroid_id")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .filter(dot(F.col("va"), F.col("vb")) >= threshold)
+                .select("id_a", "id_b")
+                .collect()
+            }
+            assert blas == expr and len(blas) > 0
+
+    def test_blas_cell_cap_matches_windowed_exclusion(self, spark):
+        """max_cell_size inside the pair emitter must reproduce the
+        old windowed-count exclusion: an over-cap cell emits no
+        pairs, under-cap cells are untouched."""
+        from pyspark.sql import functions as F
+
+        from datawaves_etl_airflow_spark.operators import similarity
+
+        norm, cents = self._fixture_assigned(spark)
+        assigned = similarity._assign_cells_np(norm, "_v", cents)
+        counts = {
+            r["centroid_id"]: r["count"]
+            for r in assigned.groupBy("centroid_id").count().collect()
+        }
+        cap = sorted(counts.values())[len(counts) // 2]  # median size
+        capped = similarity._cell_pairs_blas(assigned, 0.95, cap)
+        cells = {
+            r["_vid"]: r["centroid_id"]
+            for r in assigned.select("_vid", "centroid_id").collect()
+        }
+        over = {c for c, n in counts.items() if n > cap}
+        for r in capped.collect():
+            assert cells[r["id_a"]] not in over
+        # uncapped minus pairs-from-over-cap-cells == capped
+        uncapped = similarity._cell_pairs_blas(assigned, 0.95, None)
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in uncapped.collect()
+            if cells[r["id_a"]] not in over
+        }
+        got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        assert got == want

@@ -384,3 +384,33 @@ class TestR13ExactSubstrValve:
         assert exact == valved
         # the shared run is "document carries" + the 12-word span
         assert exact[2][1] == 14
+
+
+class TestR14BucketPairsBoundary:
+    """r14 (r13 verdict "what's wrong #3"): bucket_pairs rejects
+    silent unbounded use, and the new simhash chunk valve is
+    identity-preserving at its recommended production value."""
+
+    def test_unbounded_requires_acknowledgement(self, spark):
+        df = spark.createDataFrame(
+            [(1, 7), (2, 7)], "id long, b long"
+        )
+        with pytest.raises(ValueError, match="max_per_bucket"):
+            dedup.bucket_pairs(df, ["b"], ["id"])
+        # explicit acknowledgement keeps exact semantics available
+        got = dedup.bucket_pairs(
+            df, ["b"], ["id"], allow_unbounded=True
+        ).collect()
+        assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+
+    def test_simhash_chunk_valve_identity(self, spark):
+        docs = _docs(spark)
+        sigs = dedup.simhash_signatures(docs)
+        exact = dedup.simhash_candidate_pairs(sigs)
+        valved = dedup.simhash_candidate_pairs(
+            sigs,
+            max_docs_per_chunk=recommended(
+                "simhash_candidate_pairs", "max_docs_per_chunk"
+            ),
+        )
+        assert _rows(valved) == _rows(exact)
